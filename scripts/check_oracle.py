@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run Verify output
+parquet against DuckDB oracle SQL (oracle_sql.json) on the same SF dir.
+Compares row count, schema (column names), and per-value hash with columns
+sorted by name. Usage: check_oracle.py <verify_out_dir> <sf_dir>"""
+import sys, os, json, math
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return repr(v)
+    return repr(v)
+
+fails = []
+for name in sorted(oracle):
+    pq = f"{out_dir}/{name}"
+    if not os.path.isdir(pq):
+        fails.append((name, "missing spark output")); continue
+    got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchall()
+    got_cols = [d[0] for d in con.description]
+    try:
+        exp = con.execute(oracle[name]).fetchall()
+        exp_cols = [d[0] for d in con.description]
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    if sorted(got_cols) != sorted(exp_cols):
+        fails.append((name, f"schema: got {got_cols} want {exp_cols}")); continue
+    if len(got) != len(exp):
+        fails.append((name, f"rows: got {len(got)} want {len(exp)}")); continue
+    gi = [got_cols.index(c) for c in sorted(got_cols)]
+    ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+    for rn, (g, e) in enumerate(zip(got, exp)):
+        gr = tuple(canon(g[i]) for i in gi); er = tuple(canon(e[i]) for i in ei)
+        if gr != er:
+            fails.append((name, f"row {rn}: got {gr} want {er}")); break
+    else:
+        print(f"  OK {name} ({len(got)} rows)")
+if fails:
+    print(f"\n{len(fails)} FAILURES:")
+    for n, m in fails: print(f"  FAIL {n}: {m}")
+    sys.exit(1)
+print("\nall queries match")

@@ -1,13 +1,560 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{CountAndTotalAggregator, GraftFunctions, TextFunctions}
+import graft.model.Lineitem
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Topologies
+
+/** Driver contract: the t2 query battery. Every query name maps SURVEY §2's
+  * operator inventory (tags in comments) and — where ANSI-SQL can express the
+  * same semantics — has a DuckDB oracle in [[oracleSql]] with IDENTICAL
+  * column names and row ordering.
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - Double SUMs go through DECIMAL(38,9) (exact arithmetic, so shuffle
+  *     order cannot perturb the result) and cast back to DOUBLE;
+  *   - every query ends in a total ORDER BY with a unique tiebreaker;
+  *   - cosine similarities are rounded to 4 decimals before compare/sort.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Exact decimal-backed sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,9)")).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, name)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q3-shaped multiway join (SURVEY §2.6 joins).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q14JoinMultiway(spark, "/root/testdata/sf0.001")
+
+  private def q14JoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    // customer is the small side at every SF: broadcast it through orders,
+    // leaving one shuffle (lineitem join) + one aggregate exchange.
+    customer.where(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** One entry per implemented operator from SURVEY §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / scans (S1, S2, S7) ----
+    "q01_scan_count" -> ((s, d) =>
+      t(s, d, "events").agg(count(lit(1)).as("n"))),
+
+    "q02_typed_scan" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").as[Lineitem] // typed Dataset path (S2)
+        .toDF().agg(dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- projections / filters / per-record transforms (P1-P7) ----
+    "q03_filter" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q04_project_upper" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), upper(col("p_name")).as("p_name_upper"))
+        .orderBy(col("p_partkey"))),
+
+    "q05_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    "q06_json_mutate" -> ((s, d) => // P2: add processed=true to dynamic JSON
+      t(s, d, "events")
+        .select(col("event_id"),
+          to_json(struct(
+            get_json_object(col("props"), "$.k").cast("int").as("k"),
+            lit(true).as("processed"))).as("enriched"))
+        .orderBy(col("event_id"))),
+
+    // ---- word count topology: P3 flatMap + A1 count ----
+    "q07_wordcount" -> ((s, d) =>
+      Topologies.wordCount(t(s, d, "documents").select(col("text").as("value")))
+        .orderBy(col("word"))),
+
+    // ---- purchases topology: P4 selectKey + A2 custom aggregate ----
+    "q08_selectkey_agg" -> ((s, d) =>
+      Topologies.purchases(t(s, d, "lineitem").select(
+        col("l_orderkey").as("customerId"),
+        col("l_partkey").as("productId"),
+        col("l_quantity").as("quantity")))
+        .orderBy(col("k"))),
+
+    // ---- aggregations (A4: rollup / multi-aggregate) ----
+    "q09_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- serving-layer reads (Q1 point, Q2 range, Q4 scatter-gather) ----
+    "q10_point_lookup" -> ((s, d) =>
+      Topologies.wordCount(t(s, d, "documents").select(col("text").as("value")))
+        .where(col("word") === "table")
+        .orderBy(col("word"))),
+
+    "q11_range_scan" -> ((s, d) => // A3: read-time rollup, pushed-down predicate
+      t(s, d, "lineitem").where(col("l_orderkey") === 7)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("total"))
+        .orderBy(col("l_partkey"))),
+
+    "q12_scatter_gather" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"))),
+
+    // ---- joins (SURVEY §2.6) ----
+    "q13_join_broadcast" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_name"))),
+
+    "q14_join_multiway" -> ((s, d) => q14JoinMultiway(s, d)),
+
+    "q15_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    "q16_semi_join" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(t(s, d, "customer"), col("s_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("s_suppkey")).orderBy(col("s_suppkey"))),
+
+    // ---- event-time windows + window functions (SURVEY §2.6) ----
+    "q17_window_tumble" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "q18_window_rank" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
+    "q19_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        sum(col("o_totalprice").cast("decimal(38,9)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- sorts / limits / top-k ----
+    "q20_topk" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // ---- set operations ----
+    "q21_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("key")))
+        .orderBy(col("key"))),
+
+    "q22_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy(col("nk"))),
+
+    "q23_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "nation").select(col("n_nationkey").as("nk")))
+        .orderBy(col("nk"))),
+
+    // ---- scalar function registry battery (SURVEY §2.6) ----
+    "q24_scalar_battery" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_orderkey") % 500 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("a"),
+          round(col("l_extendedprice"), 1).as("r"),
+          length(concat(col("l_returnflag"), col("l_linestatus"))).cast("long").as("len"),
+          substring(col("l_returnflag"), 1, 1).as("st"),
+          when(col("l_linestatus") === "O", "X").otherwise(col("l_linestatus")).as("c"),
+          year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"),
+          dayofmonth(col("l_shipdate")).as("dd"),
+          greatest(col("l_quantity"), lit(25.0)).as("g"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- UDAF surface: typed Aggregator (SURVEY §4.2, reference A2) ----
+    "q25_udaf_count_total" -> ((s, d) => {
+      val cta = udaf(new CountAndTotalAggregator)
+      t(s, d, "lineitem")
+        .groupBy(concat_ws("-", col("l_orderkey"), col("l_partkey")).as("k"))
+        .agg(cta(col("l_quantity")).as("ct"))
+        .select(col("k"), col("ct.count").as("count"), col("ct.total").as("total"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- dedup family (north star) ----
+    "q26_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("dup_cnt")).orderBy(col("keep_id"))),
+
+    "q27_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, threshold = 0.02)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q28_dedup_minhash" -> ((s, d) => // rows-only: hash family not SQL-portable
+      Dedup.minhashLshCandidates(
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, k = 16, rowsPerBand = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q29_simhash" -> ((s, d) => // rows-only: 64-bit simhash fingerprints
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.simhash64(TextFunctions.words(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q30_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search (north star) ----
+    "q31_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    "q32_ann_lsh" -> ((s, d) => // rows-only: LSH bucketing not SQL-portable
+      Similarity.lshTopK(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+
+    // ---- text analysis (north star) ----
+    "q33_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q34_quality" -> ((s, d) =>
+      TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q35_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q36_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q37_dedup_events" -> ((s, d) => // streaming-dedup batch twin
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("minute"))
+        .agg(min(col("event_id")).as("keep_event"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"), col("minute"))),
+
+    // ---- multimodal columns (north star) ----
+    "q38_multimodal_meta" -> ((s, d) =>
+      Multimodal.documentMediaPipeline(s, t(s, d, "documents"))
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+        .orderBy(col("media_id"))),
+
+    "q39_multimodal_decode" -> ((s, d) => // rows-only: decode stub fields
+      Multimodal.documentMediaPipeline(s, t(s, d, "documents"))
+        .orderBy(col("media_id"))),
+
+    // ---- topology batch twins (SURVEY §3.1-3.2 lifecycle) ----
+    "q40_purchases_topology" -> ((s, d) => {
+      val records = t(s, d, "events").select(to_json(struct(
+        col("user_id").cast("int").as("customerId"),
+        get_json_object(col("props"), "$.k").cast("int").as("productId"),
+        lit(1).as("quantity"))).as("value"))
+      Topologies.purchases(Topologies.parsePurchases(records)).orderBy(col("k"))
+    }),
+
+    "q41_uppercase_topology" -> ((s, d) => {
+      val (ok, _) = Topologies.uppercaseSplit(
+        t(s, d, "documents").select(col("doc_id"), col("text").as("value")))
+      ok.select(col("doc_id"), col("value").as("v")).orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB twin for each oracle-able query (column names + ordering match
+    * the Spark side exactly; see determinism rules in the class doc).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_count" -> "SELECT count(*) AS n FROM events",
+
+    "q02_typed_scan" ->
+      "SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty FROM lineitem",
+
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+
+    "q04_project_upper" ->
+      "SELECT p_partkey, upper(p_name) AS p_name_upper FROM part ORDER BY p_partkey",
+
+    "q05_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+
+    "q06_json_mutate" ->
+      """SELECT event_id,
+           CAST(json_merge_patch(props, '{"processed": true}') AS VARCHAR) AS enriched
+         FROM events ORDER BY event_id""",
+
+    "q07_wordcount" ->
+      """SELECT word, count(*) AS "count" FROM (
+           SELECT unnest(string_split_regex(lower(text), '\W+')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY word""",
+
+    "q08_selectkey_agg" ->
+      """SELECT l_orderkey || '-' || l_partkey AS k, count(*) AS "count",
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1 ORDER BY k""",
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_price,
+           count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q10_point_lookup" ->
+      """SELECT word, "count" FROM (
+           SELECT word, count(*) AS "count" FROM (
+             SELECT unnest(string_split_regex(lower(text), '\W+')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word)
+         WHERE word = 'table' ORDER BY word""",
+
+    "q11_range_scan" ->
+      """SELECT l_partkey, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM lineitem WHERE l_orderkey = 7 GROUP BY l_partkey ORDER BY l_partkey""",
+
+    "q12_scatter_gather" ->
+      """SELECT o_custkey, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q13_join_broadcast" ->
+      """SELECT n_name, count(*) AS cnt FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q14_join_multiway" ->
+      """SELECT o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+
+    "q15_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "q16_semi_join" ->
+      """SELECT s_suppkey FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+         ORDER BY s_suppkey""",
+
+    "q17_window_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q18_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q19_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ok,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q20_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q21_except" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS "key" FROM customer
+           EXCEPT SELECT o_custkey FROM orders) ORDER BY "key"""",
+
+    "q22_union" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION SELECT s_nationkey FROM supplier) ORDER BY nk""",
+
+    "q23_intersect" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           INTERSECT SELECT n_nationkey FROM nation) ORDER BY nk""",
+
+    "q24_scalar_battery" ->
+      """SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS a,
+           round(l_extendedprice, 1) AS r,
+           CAST(length(l_returnflag || l_linestatus) AS BIGINT) AS len,
+           substr(l_returnflag, 1, 1) AS st,
+           CASE WHEN l_linestatus = 'O' THEN 'X' ELSE l_linestatus END AS c,
+           CAST(year(l_shipdate) AS INT) AS y,
+           CAST(month(l_shipdate) AS INT) AS m,
+           CAST(day(l_shipdate) AS INT) AS dd,
+           greatest(l_quantity, 25.0) AS g
+         FROM lineitem WHERE l_orderkey % 500 = 0
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q25_udaf_count_total" ->
+      """SELECT l_orderkey || '-' || l_partkey AS k, count(*) AS "count",
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1 ORDER BY k""",
+
+    "q26_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents
+         GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+         ORDER BY keep_id""",
+
+    "q27_dedup_ngram" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id % 5 = 0)
+           WHERE len(w) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+         ORDER BY id_a, id_b""",
+
+    "q30_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             CAST(qv AS DOUBLE[])), 4) AS sim
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "q33_lang_id" ->
+      """SELECT doc_id,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und' END AS lang_pred
+         FROM (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "q34_quality" ->
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           round(0.5 * (len(list_distinct(w)) / len(w))
+               + 0.3 * (s_en / len(w))
+               + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+         FROM (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en
+           FROM documents)
+         WHERE len(w) > 0 ORDER BY doc_id""",
+
+    "q35_token_count" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q36_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q37_dedup_events" ->
+      """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+           min(event_id) AS keep_event, count(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q38_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
+
+    "q40_purchases_topology" ->
+      """SELECT user_id || '-' || CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS "count",
+           CAST(sum(CAST(1 AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM events GROUP BY 1 ORDER BY k""",
+
+    "q41_uppercase_topology" ->
+      """SELECT doc_id, upper(text) AS v FROM documents
+         WHERE NOT contains(text, 'quack') ORDER BY doc_id"""
+  )
 }

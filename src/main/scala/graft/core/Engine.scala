@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Plays the role of the reference's properties-file bootstrap (reference:
+  * `services/src/main/java/io/confluent/main/WordCount.java:55-64`) as a typed
+  * config surface. Defaults are tuned for `local[N]` testing but every choice is
+  * cluster-safe at 100 TB:
+  *
+  *   - AQE on (incl. skew-join + partition coalescing) so runtime statistics can
+  *     re-plan shuffles regardless of scale factor;
+  *   - shuffle partitions follow the local core count (the 200 default is wrong
+  *     for local mode; on a real cluster the caller overrides to ~2-3x cores);
+  *   - UTC session timezone pinned for oracle parity and cross-engine
+  *     reproducibility;
+  *   - parquet timestamps written as TIMESTAMP_MICROS (INT96 is deprecated and
+  *     non-portable to other readers).
+  */
+object Engine {
+
+  /** Local parallelism; the driver exports SPARK_GRAFT_CPUS. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** Cluster-agnostic base configuration. */
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized to the container; registers graft SQL functions. */
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

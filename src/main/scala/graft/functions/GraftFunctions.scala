@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Registry + Column-level API for graft's custom Catalyst expressions.
+  *
+  * Registration goes through the session `FunctionRegistry` (the public
+  * extension point SURVEY §4.2 calls for), so the functions are usable both
+  * from the Column DSL (via `call_function`) and from `spark.sql(...)` text.
+  */
+object GraftFunctions {
+
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash",
+      {
+        case Seq(child, Literal(k: Int, _), Literal(seed: Long, _)) =>
+          MinHashSignature(child, k, seed)
+        case Seq(child, Literal(k: Int, _)) =>
+          MinHashSignature(child, k, 7L)
+        case Seq(child) =>
+          MinHashSignature(child, 16, 7L)
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash(tokens, k literal, seed literal); got ${other.size} args")
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+
+  /** Cosine similarity between two array<float|double> columns. */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** k-minimum MinHash signature of an array<string> shingle column. */
+  def minhash(tokens: Column, k: Int, seed: Long = 7L): Column =
+    call_function("minhash", tokens, lit(k), lit(seed))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (SURVEY §2.6 north-star: language ID,
+  * quality scoring, token counting, fingerprinting) composed purely from
+  * codegen'd built-ins — no UDFs, so every helper stays inside
+  * WholeStageCodegen and pushes through Catalyst untouched.
+  *
+  * Every function here has an exact ANSI-SQL twin runnable by the DuckDB
+  * oracle; arithmetic is written in a fixed left-to-right shape so Double
+  * results are bit-identical across engines.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; the reference's tokenizer (reference:
+    * `streams/WordCountTopology.java:31` — `toLowerCase().split("\\W+")`),
+    * minus empty tokens that a leading separator produces.
+    */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\W+"), w => w =!= "")
+
+  /** Distinct n-word shingles; callers must pre-filter size(words) >= n
+    * (ANSI mode: element_at(_, 0) from a negative sequence is an error).
+    */
+  def wordShingles(ws: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(ws) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+
+  /** Whitespace token count (BIGINT). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Normalized text used as the exact-dedup key. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Stopword-marker regexes per language for the n-gram language ID
+    * heuristic. Word-boundary anchored; both Java regex and RE2 (DuckDB)
+    * support `\b`.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|to|and|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|les|et|est|que|une)\\b",
+    "es" -> "\\b(el|los|y|es|por|una)\\b")
+
+  def markerHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
+
+  /** Language-ID: argmax of marker-hit counts with fixed priority order,
+    * 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val Seq(en, de, fr, es) = LangMarkers.map { case (_, p) => markerHits(text, p) }
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: lexical diversity + stopword share + length
+    * credit. Mirrors the oracle SQL token-for-token (left-to-right Double
+    * arithmetic). Callers must pre-filter size(words) > 0.
+    */
+  def qualityScore(ws: Column, text: Column): Column = {
+    val nWords = size(ws)
+    val diversity = size(array_distinct(ws)) / nWords
+    val stopRatio = markerHits(text, LangMarkers.head._2) / nWords
+    val lenScore = least(lit(1.0), nWords / lit(250.0))
+    round(lit(0.5) * diversity + lit(0.3) * stopRatio + lit(0.2) * lenScore, 6)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Deduplication operators for the training-data pipeline (SURVEY §2.6
+  * north-star). Design posture for 100 TB:
+  *
+  *   - nothing collects to the driver; every method returns a DataFrame plan;
+  *   - pairwise similarity NEVER uses an O(n^2) cross join — candidate pairs
+  *     come from an inverted-index (posting-list) self-join or LSH band
+  *     buckets, both of which shuffle on a key and scale horizontally;
+  *   - exact dedup is a single hash-aggregate (map-side partial + final),
+  *     the cheapest possible shape Catalyst offers.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on a normalized key: keeps the smallest id as the
+    * canonical representative. One shuffle (hash aggregate on the key).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(TextFunctions.normalized(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup: one surviving row per normalized text (deterministic:
+    * min-id representative, unlike dropDuplicates' arbitrary pick).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
+    * explode distinct shingles, self-join on the shingle (this is the only
+    * shuffle that grows with corpus size), count co-occurrences = |A∩B|,
+    * then |A∪B| = |A|+|B|-|A∩B|. At larger scale add prefix filtering to cap
+    * posting-list length; the join itself already avoids the cross product.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.02): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), TextFunctions.wordShingles(col("w"), n).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sh_size"))
+
+    val posting = shingled.select(col("doc_id"), col("sh_size"),
+      explode(col("sh")).as("shingle"))
+
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh_size").as("size_a"), col("b.sh_size").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs: k-hash signature, split into bands of
+    * `rowsPerBand`, bucket-join on (band index, band hash). Only documents
+    * sharing a band bucket ever meet — the classic sub-quadratic near-dup
+    * path (MMDS ch.3). Returns distinct candidate pairs.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 1, seed: Long = 7L): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        GraftFunctions.minhash(TextFunctions.wordShingles(col("w"), n), k, seed).as("sig"))
+
+    // band indexes are static, so the per-band slice bounds stay literal and
+    // the whole signature->bands step remains a single codegen'd projection
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, blocked on 16-bit bands
+    * (any pair within Hamming distance <= 3 shares at least one of 4 exact
+    * bands — pigeonhole), verified with an exact popcount filter.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = 4
+    val fp = docs
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
+
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    val bands = fp.select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on a partition column
+    * (label, LSH bucket, ...) so the pair join shuffles on the block key
+    * instead of exploding into a cross product.
+    */
+  def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    embs.as("a")
+      .join(embs.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(GraftFunctions.cosine_sim(col(s"a.$embCol"), col(s"b.$embCol")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine_sim
+
+/** Approximate-nearest-neighbor search over an embedding column (SURVEY §2.6
+  * north-star). Two paths:
+  *
+  *   - [[bruteForceTopK]]: exact scan — the single-query baseline. The query
+  *     vector is broadcast (one row), so the scan is embarrassingly parallel
+  *     and the only global step is the top-k (Spark's TakeOrderedAndProject,
+  *     per-partition heaps + driver merge of k rows, no full sort shuffle).
+  *   - [[lshTopK]]: random-hyperplane LSH — each vector gets a small integer
+  *     bucket from the sign pattern of `nPlanes` fixed hyperplanes; search
+  *     touches only the query's bucket. At 100 TB the bucket column becomes
+  *     the table's partition key so a query prunes to one partition.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1]). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-pattern LSH bucket id for an embedding column. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(cosine_sim(emb, lit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k neighbors of the vector with id `queryId`. */
+  def bruteForceTopK(embs: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = embs.where(col(idCol) === queryId).select(col(embCol).as("qv"))
+    embs.join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket. */
+  def lshTopK(embs: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withBucket = embs.withColumn("bucket", lshBucket(col(embCol), planes))
+    val q = withBucket.where(col(idCol) === queryId)
+      .select(col(embCol).as("qv"), col("bucket").as("qb"))
+    withBucket.join(broadcast(q), col("bucket") === col("qb"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}
