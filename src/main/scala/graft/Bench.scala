@@ -1,23 +1,30 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+import graft.core.Engine
 
 /** BENCH harness: runs the full t2 query battery against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall seconds.
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line with per-query wall seconds.
   * Queries execute through the `noop` sink so the complete physical plan runs
   * (a bare `.count()` would let Catalyst prune projections and under-report).
+  *
+  * The JSON line is printed to stdout (build.sbt routes forked output
+  * straight through, no sbt log prefix) AND written to `BENCH_LOCAL.json`
+  * in the working directory so the driver can always parse it. Failed
+  * queries report -1.0 and are counted in `failed` — the `total` only sums
+  * succeeding queries, so a round with failures is explicitly flagged
+  * rather than looking faster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // JVM/codegen warmup at the smallest SF sibling of the target dir so
+    // per-query numbers measure the engine, not JIT of the first query
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      Paths.get(sfDir).getParent.resolve("sf0.001").toString)
+
+    val spark = Engine.local("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String, dir: String): Double = {
@@ -32,15 +39,17 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // JVM/codegen warmup at the smallest SF so per-query numbers measure the
-    // engine, not JIT compilation of the first query to run
-    names.foreach(runOnce(_, "/root/testdata/sf0.001"))
+    if (Files.isDirectory(Paths.get(warmupDir))) names.foreach(runOnce(_, warmupDir))
 
     val results = names.map(n => n -> runOnce(n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -285,7 +285,9 @@ object SparkEntry {
     "q37_dedup_events" -> ((s, d) => // streaming-dedup batch twin
       t(s, d, "events")
         .groupBy(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("minute"))
+          // date_trunc promotes NTZ input back to (tz-aware) TIMESTAMP;
+          // cast back so the parquet output stays naive like the oracle's
+          date_trunc("minute", col("ts")).cast("timestamp_ntz").as("minute"))
         .agg(min(col("event_id")).as("keep_event"), count(lit(1)).as("n"))
         .orderBy(col("user_id"), col("event_type"), col("minute"))),
 
@@ -551,7 +553,7 @@ object SparkEntry {
       """SELECT user_id || '-' || CAST(json_extract_string(props, '$.k') AS INT) AS k,
            count(*) AS "count",
            CAST(sum(CAST(1 AS DECIMAL(38,9))) AS DOUBLE) AS total
-         FROM events GROUP BY 1 ORDER BY k""",
+         FROM events GROUP BY 1 ORDER BY k NULLS FIRST""",
 
     "q41_uppercase_topology" ->
       """SELECT doc_id, upper(text) AS v FROM documents

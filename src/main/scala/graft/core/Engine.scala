@@ -33,6 +33,9 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fixture events.parquet is TIMESTAMP(NANOS); read as long, rebuilt
+      // to a micros timestamp in Tables.load (see Tables.rebuildNanosTs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized to the container; registers graft SQL functions. */

@@ -40,7 +40,9 @@ object Topologies {
     * (use [[parsePurchases]] for the JSON-value framing).
     */
   def purchases(p: DataFrame): DataFrame =
-    p.groupBy(concat_ws("-", col("customerId"), col("productId")).as("k"))
+    // concat (not concat_ws): null-propagates like SQL `||`, so a record
+    // with a missing id groups under a NULL key instead of a silent "5"
+    p.groupBy(concat(col("customerId"), lit("-"), col("productId")).as("k"))
       .agg(count(lit(1)).as("count"), sum(col("quantity").cast("decimal(38,9)")).cast("double").as("total"))
 
   /** JSON purchase deserialization (reference serde: `GsonSerde.java:27-40`):
