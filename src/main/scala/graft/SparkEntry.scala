@@ -465,6 +465,7 @@ object SparkEntry {
          GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
          ORDER BY keep_id""",
 
+    // posting-list form with the same df-cap (2..100) as Dedup.ngramJaccardPairs
     "q27_dedup_ngram" ->
       """WITH dd AS (
            SELECT doc_id,
@@ -474,13 +475,24 @@ object SparkEntry {
              SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
              FROM documents WHERE doc_id % 5 = 0)
-           WHERE len(w) >= 3)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+           WHERE len(w) >= 3),
+         posting AS (
+           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+         FROM inter
+         WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02
          ORDER BY id_a, id_b""",
 
     "q30_dedup_embedding" ->

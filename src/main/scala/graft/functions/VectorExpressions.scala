@@ -15,6 +15,8 @@ import org.apache.spark.sql.types._
   * order (index 0..n-1) — deterministic and bit-identical to a sequential
   * reference implementation. Zero-norm inputs yield 0.0. Float inputs are
   * accepted via implicit cast to `array<double>` (exact widening).
+  * Mismatched lengths THROW: silently truncating to min(len) would compute
+  * similarity over a prefix and return plausible-but-wrong neighbors.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,7 +29,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getDouble(i); val y = b.getDouble(i)
@@ -47,7 +52,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.getDouble($i);

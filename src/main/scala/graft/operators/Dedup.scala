@@ -36,11 +36,19 @@ object Dedup {
   /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
     * explode distinct shingles, self-join on the shingle (this is the only
     * shuffle that grows with corpus size), count co-occurrences = |A∩B|,
-    * then |A∪B| = |A|+|B|-|A∩B|. At larger scale add prefix filtering to cap
-    * posting-list length; the join itself already avoids the cross product.
+    * then |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * Posting lists are capped by document frequency: a shingle shared by m
+    * documents contributes m² rows to the self-join, so without a cap one
+    * boilerplate shingle ("terms and conditions") makes the whole plan
+    * quadratic in corpus size. Shingles with df > `maxDf` carry ~no Jaccard
+    * signal and are dropped from the *intersection* count (union sizes stay
+    * exact), bounding the join at C(maxDf,2) pairs per shingle; df = 1
+    * shingles cannot co-occur and are dropped too, which removes the long
+    * unique tail before the shuffle. `maxDf <= 0` disables the cap.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.02): DataFrame = {
+      n: Int = 3, threshold: Double = 0.02, maxDf: Int = 100): DataFrame = {
     val shingled = docs
       .select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
@@ -50,8 +58,15 @@ object Dedup {
     val posting = shingled.select(col("doc_id"), col("sh_size"),
       explode(col("sh")).as("shingle"))
 
-    val inter = posting.as("a")
-      .join(posting.as("b"),
+    // document-frequency gate: df >= 2 (singletons never co-occur) and,
+    // when capped, df <= maxDf (hot shingles would explode the self-join)
+    val dfPred = if (maxDf > 0) col("df").between(2, maxDf) else col("df") >= 2
+    val kept = posting.join(
+      posting.groupBy("shingle").agg(count(lit(1)).as("df")).where(dfPred),
+      Seq("shingle"))
+
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -129,6 +144,21 @@ object Dedup {
     * (label, LSH bucket, ...) so the pair join shuffles on the block key
     * instead of exploding into a cross product.
     */
+  /** Embedding near-dup pairs blocked on random-hyperplane LSH buckets —
+    * the scale path when no natural blocking column exists: bucket ids come
+    * from the data itself, so the pair join still shuffles on a key instead
+    * of cross-joining. Approximate: pairs straddling a bucket boundary are
+    * missed (raise nPlanes for precision, lower for recall).
+    */
+  def embeddingNearDupPairsLsh(embs: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nPlanes: Int = 4, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else Similarity.inferDim(embs, embCol)
+    val planes = Similarity.hyperplanes(nPlanes, d)
+    val bucketed = embs.withColumn("__lsh_bucket",
+      Similarity.lshBucket(col(embCol), planes))
+    embeddingNearDupPairs(bucketed, idCol, embCol, "__lsh_bucket", threshold)
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

@@ -47,10 +47,21 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket. */
+  /** Embedding width, inferred from the data when the caller doesn't know
+    * it statically (one-row lookup; cheap next to any similarity join).
+    */
+  def inferDim(embs: DataFrame, embCol: String): Int =
+    embs.select(size(col(embCol)).as("d")).head().getInt(0)
+
+  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket.
+    * `dim <= 0` (default) infers the embedding width from the data —
+    * hyperplanes MUST match it exactly or `cosine_sim` throws (it refuses
+    * to silently bucket on a prefix of the vector).
+    */
   def lshTopK(embs: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+      queryId: Long, k: Int, nPlanes: Int = 4, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(embs, embCol)
+    val planes = hyperplanes(nPlanes, d)
     val withBucket = embs.withColumn("bucket", lshBucket(col(embCol), planes))
     val q = withBucket.where(col(idCol) === queryId)
       .select(col(embCol).as("qv"), col("bucket").as("qb"))
