@@ -53,20 +53,39 @@ object Similarity {
   def inferDim(embs: DataFrame, embCol: String): Int =
     embs.select(size(col(embCol)).as("d")).head().getInt(0)
 
-  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket.
+  /** LSH-bucketed ANN top-k with OR-amplification: `nTables` independent
+    * hash tables of `nPlanes` hyperplanes each; a vector is a candidate when
+    * it shares the query's bucket in ANY table (union of buckets), which is
+    * the standard recall lever for sign-LSH — one table alone recalls poorly
+    * because a near neighbor straddling a single hyperplane is lost.
+    *
     * `dim <= 0` (default) infers the embedding width from the data —
     * hyperplanes MUST match it exactly or `cosine_sim` throws (it refuses
     * to silently bucket on a prefix of the vector).
+    *
+    * Scale shape: candidates are found by an equi-join on (table, bucket) —
+    * expected candidate fraction ≈ nTables / 2^nPlanes, tunable per corpus.
+    * At 100 TB the (table, bucket) pair becomes the partition key of a
+    * pre-bucketed index table so a query prunes to `nTables` partitions.
     */
   def lshTopK(embs: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int, nPlanes: Int = 4, dim: Int = -1): DataFrame = {
+      queryId: Long, k: Int, nPlanes: Int = 4, nTables: Int = 12,
+      dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(embs, embCol)
-    val planes = hyperplanes(nPlanes, d)
-    val withBucket = embs.withColumn("bucket", lshBucket(col(embCol), planes))
-    val q = withBucket.where(col(idCol) === queryId)
-      .select(col(embCol).as("qv"), col("bucket").as("qb"))
-    withBucket.join(broadcast(q), col("bucket") === col("qb"))
+    // one plane family per table, distinct seeds → independent buckets
+    val buckets = array((0 until nTables).map { t =>
+      lshBucket(col(embCol), hyperplanes(nPlanes, d, seed = 11L + t))
+    }: _*)
+    // (id, emb, table, bucket) posting rows — nTables rows per vector
+    val posted = embs
+      .select(col(idCol), col(embCol), posexplode(buckets).as(Seq("table", "bucket")))
+    val q = posted.where(col(idCol) === queryId)
+      .select(col(embCol).as("qv"), col("table").as("qt"), col("bucket").as("qb"))
+    posted.join(broadcast(q),
+        col("table") === col("qt") && col("bucket") === col("qb"))
       .where(col(idCol) =!= queryId)
+      .select(col(idCol), col(embCol), col("qv"))
+      .dropDuplicates(idCol) // a candidate may match in several tables
       .select(col(idCol),
         round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

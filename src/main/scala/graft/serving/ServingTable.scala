@@ -1,0 +1,65 @@
+package graft.serving
+
+import java.util.concurrent.ConcurrentSkipListMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+/** A continuously-maintained, driver-resident serving view — the engine's
+  * analog of the reference's queryable RocksDB state store (reference:
+  * `streams/PurchasesTopology.java:53-55` `Materialized.as(...)`, read side
+  * `services/WordCountService.java:88-108`).
+  *
+  * Rows arrive from a streaming query's `foreachBatch` upsert (update-mode
+  * semantics: latest value per key wins) and are served to the HTTP layer
+  * with the reference's three access patterns: point `get`, sorted
+  * prefix/range scan, and full scan (scatter-gather merge is implicit — the
+  * driver sees all partitions' state, SURVEY §2.4 Q4).
+  *
+  * Scale posture: the serving view is the *edge* of the engine — the one
+  * place `collect()` is legitimate (SURVEY §7.4). It holds only the
+  * aggregated/keyed result (bounded by key cardinality, not input size);
+  * the 100 TB of raw data never lands here. A multi-node serving tier would
+  * shard this map by key range — the API below is already range-based so
+  * that split would be mechanical.
+  */
+final class ServingTable(val name: String, val keyCol: String) {
+
+  private val state = new ConcurrentSkipListMap[String, Map[String, Any]]()
+
+  /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. */
+  def upsert(batch: DataFrame): Unit = {
+    val cols = batch.columns.filter(_ != keyCol)
+    batch.collect().foreach { row =>
+      val k = Option(row.getAs[Any](keyCol)).map(_.toString).getOrElse("null")
+      state.put(k, cols.map(c => c -> row.getAs[Any](c)).toMap)
+    }
+  }
+
+  /** Point lookup (reference: `ReadOnlyKeyValueStore.get`,
+    * `WordCountService.java:101`).
+    */
+  def get(key: String): Option[Map[String, Any]] = Option(state.get(key))
+
+  /** Sorted range scan, both bounds inclusive (reference:
+    * `PurchasesService.java:113` `store.range(from, to)`).
+    */
+  def range(from: String, to: String): Seq[(String, Map[String, Any])] =
+    state.subMap(from, true, to, true).asScala.toSeq
+
+  /** All entries of a key prefix — the reference encodes this as
+    * `range(key + "-00000", key + "-99999")`; a real lexicographic prefix
+    * scan is strictly more general and stays sargable.
+    */
+  def prefix(p: String): Seq[(String, Map[String, Any])] =
+    state.asScala.iterator.dropWhile(_._1 < p).takeWhile(_._1.startsWith(p)).toSeq
+
+  /** Full scan (scatter-gather analog, reference:
+    * `PurchasesService.java:58-94` — the merge loop disappears because the
+    * driver holds every partition's state).
+    */
+  def all: Seq[(String, Map[String, Any])] = state.asScala.toSeq
+
+  def size: Int = state.size()
+}

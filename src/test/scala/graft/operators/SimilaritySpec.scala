@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.cosine_sim
+
+/** ANN quality + dimension-safety checks (VERDICT r1 #6): the LSH path must
+  * (a) work at the data's true dimensionality with no hardcoded width, and
+  * (b) recall a meaningful fraction of the exact top-k — measured against
+  * [[Similarity.bruteForceTopK]] on the sf0.001 embeddings fixture.
+  */
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val embs = graft.core.Tables.load(spark, sfDir, "embeddings")
+
+  test("inferDim matches the fixture's embedding width") {
+    val d = Similarity.inferDim(embs, "embedding")
+    d shouldBe embs.select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0)
+    d should be > 0
+  }
+
+  test("lshTopK recall vs exact top-k on the fixture") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding", 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    approx.size shouldBe k // the union of buckets holds at least k candidates
+    val recall = (exact & approx).size.toDouble / k
+    withClue(s"recall $recall (exact=$exact approx=$approx): ") {
+      recall should be >= 0.7
+    }
+  }
+
+  test("more planes shrink the candidate bucket (the scale lever)") {
+    val d = Similarity.inferDim(embs, "embedding")
+    def bucketSize(nPlanes: Int): Long = {
+      val planes = Similarity.hyperplanes(nPlanes, d)
+      val withBucket = embs.withColumn("b", Similarity.lshBucket(col("embedding"), planes))
+      val qb = withBucket.where(col("vec_id") === 0L).select("b").head().getInt(0)
+      withBucket.where(col("b") === qb).count()
+    }
+    val n = embs.count()
+    val b2 = bucketSize(2)
+    val b4 = bucketSize(4)
+    b2 should be < n
+    b4 should be < b2 // each extra plane halves the expected bucket
+  }
+
+  test("cosine_sim rejects mismatched dimensions instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(cosine_sim(col("a"), col("b"))).collect()
+    }
+    // may surface bare or wrapped in SparkException depending on codegen path
+    (Option(ex.getMessage).getOrElse("") + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .should(include("dimension mismatch"))
+  }
+
+  test("cosine_sim agrees with a plain-Scala reference on the fixture") {
+    val rows = embs.limit(50).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = rows(0L)
+    def ref(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val viaExpr = Similarity.bruteForceTopK(embs.limit(50), "vec_id", "embedding", 0L, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaExpr.foreach { case (id, sim) =>
+      sim shouldBe (math.rint(ref(q, rows(id)) * 10000) / 10000.0 +- 1e-9)
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.Eventually
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.time.{Seconds, Span}
+
+import graft.SparkSpec
+
+/** R2 offset audit + P5 peek/observe, exercised on *running* queries.
+  *
+  * Audit (reference: `interceptors/FailProofInterceptor.java:21-44` mirrors
+  * consumed offsets to an audit topic; E2E `InterceptorTests.java:120-207`):
+  * [[AuditListener]] captures each micro-batch's per-source end offsets from
+  * `StreamingQueryProgress` — asserted here against a real MemoryStream run.
+  *
+  * Peek (reference: `WordCountTopology.java:35` logs each record pass-through):
+  * `df.observe` metrics — counted on the stream without altering the plan.
+  */
+class AuditObserveSpec extends AnyFunSuite with Matchers with Eventually with SparkSpec {
+
+  test("AuditListener captures per-batch source offsets from a running query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val audit = new AuditListener("graft-test-app").attach(spark)
+    val input = MemoryStream[String]
+    val query = Topologies.wordCount(input.toDF()).writeStream
+      .outputMode("update").format("noop")
+      .option("checkpointLocation", checkpoint())
+      .start()
+
+    try {
+      input.addData("first wave of records")
+      query.processAllAvailable()
+      input.addData("second wave")
+      query.processAllAvailable()
+
+      // listener events are delivered asynchronously
+      val drained = eventually(timeout(Span(20, Seconds))) {
+        val d = audit.drain()
+        d.size should be >= 2
+        d
+      }
+      all(drained.map(_.appId)) shouldBe "graft-test-app"
+      drained.map(_.batchId).distinct.size should be >= 2
+      all(drained.map(_.source)) should include("MemoryStream")
+      // offsets advance monotonically across batches for the same source
+      val offs = drained.sortBy(_.batchId).map(_.endOffset.toLong)
+      offs shouldBe offs.sorted
+    } finally {
+      query.stop()
+      spark.streams.removeListener(audit)
+    }
+  }
+
+  test("peek/observe counts records in-flight without changing results (batch)") {
+    import spark.implicits._
+    val obs = Observation("peek")
+    val df = Seq("a b", "b c").toDF("value")
+    val out = Topologies.wordCount(df.observe(obs, count(lit(1)).as("records")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+    obs.get("records") shouldBe 2L
+  }
+
+  test("streaming observe metrics surface in query progress") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[String]
+    val query = Topologies.wordCount(
+        input.toDF().observe("peek", count(lit(1)).as("records")))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", checkpoint())
+      .start()
+
+    try {
+      input.addData("one two", "three")
+      query.processAllAvailable()
+      val observed = eventually(timeout(Span(20, Seconds))) {
+        val ps = query.recentProgress.filter(_.observedMetrics.containsKey("peek"))
+        ps should not be empty
+        ps.last.observedMetrics.get("peek")
+      }
+      observed.getAs[Long]("records") shouldBe 2L
+    } finally query.stop()
+  }
+}
