@@ -314,7 +314,33 @@ object SparkEntry {
       val (ok, _) = Topologies.uppercaseSplit(
         t(s, d, "documents").select(col("doc_id"), col("text").as("value")))
       ok.select(col("doc_id"), col("value").as("v")).orderBy(col("doc_id"))
-    })
+    }),
+
+    // ---- session + sliding event-time windows (SURVEY §2.6) ----
+    "q42_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "q43_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ---- record-metadata columns (P6) via the io/ source abstraction ----
+    "q44_metadata_cols" -> ((s, d) =>
+      graft.io.FileSource(s"$d/documents.parquet", withMetadata = true)
+        .read(s)
+        .select(col("doc_id"), col("partition"), col("offset"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB twin for each oracle-able query (column names + ordering match
@@ -569,6 +595,46 @@ object SparkEntry {
 
     "q41_uppercase_topology" ->
       """SELECT doc_id, upper(text) AS v FROM documents
-         WHERE NOT contains(text, 'quack') ORDER BY doc_id"""
+         WHERE NOT contains(text, 'quack') ORDER BY doc_id""",
+
+    // gaps-and-islands twin of session_window: a row starts a new session
+    // when it is >= 5 minutes after its predecessor (Spark's session end is
+    // exclusive, so an event exactly at last_ts+gap opens a new session);
+    // session_end = last event + gap, matching Spark's window.end
+    "q42_session_window" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // 1h window sliding by 30m = each event in exactly 2 windows: the ones
+    // starting at its 30m bucket and 30m before it
+    "q43_sliding_window" ->
+      """SELECT ws AS window_start, event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+           FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the fixture file is written in doc_id order, so the durable file
+    // offset (_metadata.row_index) equals the 0-based rank of doc_id
+    "q44_metadata_cols" ->
+      """SELECT doc_id, 0 AS partition,
+           row_number() OVER (ORDER BY doc_id) - 1 AS offset
+         FROM documents ORDER BY doc_id"""
   )
 }
