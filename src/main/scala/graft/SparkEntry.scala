@@ -239,16 +239,17 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.02)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q28_dedup_minhash" -> ((s, d) => // rows-only: hash family not SQL-portable
+    "q28_dedup_minhash" -> ((s, d) => // oracle recomputes the md5 hash family
       Dedup.minhashLshCandidates(
         t(s, d, "documents").where(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 3, k = 16, rowsPerBand = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q29_simhash" -> ((s, d) => // rows-only: 64-bit simhash fingerprints
+    "q29_simhash" -> ((s, d) => // fingerprints as unsigned hex (portable)
       t(s, d, "documents")
         .select(col("doc_id"),
-          GraftFunctions.simhash64(TextFunctions.words(col("text"))).as("fp"))
+          format_string("%016x",
+            GraftFunctions.simhash64(TextFunctions.words(col("text")))).as("fp"))
         .orderBy(col("doc_id"))),
 
     "q30_dedup_embedding" -> ((s, d) =>
@@ -343,10 +344,80 @@ object SparkEntry {
         .orderBy(col("doc_id")))
   )
 
+  /** DuckDB twin of q28: recomputes the md5-based minhash signatures with
+    * the SAME LCG coefficients as [[graft.functions.MinHashSignature]]
+    * (embedded below as literals — both sides derive from
+    * `HashFamilies.coefficients(16, 7L)`), buckets band-wise (rowsPerBand=1:
+    * bucket = signature value) and joins for candidate pairs.
+    */
+  private def q28Oracle: String = {
+    val coeffs = graft.functions.HashFamilies.coefficients(16, 7L)
+    val p = graft.functions.HashFamilies.Prime
+    val sigCols = coeffs.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * h + $b) % $p) AS s$j" }
+      .mkString(",\n             ")
+    val sigList = coeffs.indices.map(j => s"s$j").mkString("[", ", ", "]")
+    s"""WITH dd AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+            FROM documents WHERE doc_id % 5 = 0)
+          WHERE len(w) >= 3),
+        base AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(unnest(sh)), 1, 16)) AS UBIGINT) % $p AS h
+          FROM dd),
+        sig AS (
+          SELECT doc_id,
+             $sigCols
+          FROM base GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, unnest($sigList) AS bucket,
+            unnest(range(0, ${coeffs.length})) AS band
+          FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
+    * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
+    * (both engines lowercase, zero-padded).
+    */
+  private def q29Oracle: String = {
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(",\n             ")
+    val fp = (0 until 64)
+      .map { j =>
+        val pow = java.lang.Long.toHexString(1L << j)
+        s"CASE WHEN c$j > 0 THEN CAST('0x$pow' AS UBIGINT) ELSE CAST('0x0' AS UBIGINT) END"
+      }
+      .mkString(" + ")
+    s"""WITH h AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(unnest(
+              list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''))), 1, 16))
+              AS UBIGINT) AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+             $votes
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, lpad(lower(hex($fp)), 16, '0') AS fp
+        FROM c ORDER BY doc_id"""
+  }
+
   /** DuckDB twin for each oracle-able query (column names + ordering match
     * the Spark side exactly; see determinism rules in the class doc).
     */
   def oracleSql: Map[String, String] = Map(
+    "q28_dedup_minhash" -> q28Oracle,
+    "q29_simhash" -> q29Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->

@@ -1,9 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic hash families used by the dedup operators (SURVEY §2.6
   * north-star extensions). Both expressions are per-row, allocation-light
@@ -26,11 +29,35 @@ object HashFamilies {
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (Prime - 1) + 1 }
     Array.fill(k)((next(), next()))
   }
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Engine-portable 64-bit token hash: the first 8 bytes of md5(s),
+    * big-endian, as a Long bit pattern (value is *unsigned* — use
+    * `Long.remainderUnsigned` / `>>>` on it). Chosen over xxhash64 because
+    * every SQL engine ships md5, so an independent oracle can recompute
+    * identical minhash/simhash values:
+    * DuckDB `CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)` yields the
+    * same bit pattern.
+    */
+  def md5Long(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(bytes).getLong
+  }
+
+  /** [[md5Long]] reduced mod [[Prime]] on the unsigned value. */
+  def md5Mod(s: UTF8String): Long =
+    java.lang.Long.remainderUnsigned(md5Long(s), Prime)
 }
 
 /** MinHash signature: `array<string>` shingles -> `array<long>` of k minimums
-  * of universal-hash permutations `(a_i * xxhash64(s) + b_i) mod p`.
+  * of universal-hash permutations `(a_i * md5_64(s) + b_i) mod p`.
   * Empty/short inputs produce an empty signature (callers filter).
+  * The md5 base hash makes signatures reproducible by any SQL engine
+  * (see [[HashFamilies.md5Long]]) — the DuckDB oracle recomputes them.
   */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
@@ -48,8 +75,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     val baseHashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      baseHashes(i) = java.lang.Math.floorMod(h, HashFamilies.Prime)
+      baseHashes(i) = HashFamilies.md5Mod(arr.getUTF8String(i))
       i += 1
     }
     val sig = new Array[Long](k)
@@ -74,7 +100,8 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 }
 
 /** 64-bit SimHash over `array<string>` tokens: per bit position, sum +1/-1
-  * votes of each token's xxhash64 bit; the sign becomes the output bit.
+  * votes of each token's md5-derived hash bit; the sign becomes the output
+  * bit. md5 base hash for engine portability ([[HashFamilies.md5Long]]).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -88,7 +115,7 @@ case class SimHash64(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val h = HashFamilies.md5Long(arr.getUTF8String(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

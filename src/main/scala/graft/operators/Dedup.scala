@@ -96,10 +96,14 @@ object Dedup {
         GraftFunctions.minhash(TextFunctions.wordShingles(col("w"), n), k, seed).as("sig"))
 
     // band indexes are static, so the per-band slice bounds stay literal and
-    // the whole signature->bands step remains a single codegen'd projection
+    // the whole signature->bands step remains a single codegen'd projection.
+    // rowsPerBand == 1: the bucket IS the signature value (portable — the
+    // DuckDB oracle recomputes it); wider bands compress via xxhash64.
     val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      val bucket =
+        if (rowsPerBand == 1) element_at(col("sig"), b + 1)
+        else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
