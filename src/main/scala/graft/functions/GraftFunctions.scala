@@ -38,6 +38,16 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles",
+      {
+        case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
+        case Seq(child) => WordShingles(child, 3)
+        case other =>
+          throw new IllegalArgumentException(
+            s"word_shingles(words, n literal); got ${other.size} args")
+      },
+      "built-in")
   }
 
   /** Cosine similarity between two array<float|double> columns. */

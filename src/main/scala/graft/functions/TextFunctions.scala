@@ -21,12 +21,13 @@ object TextFunctions {
   def words(text: Column): Column =
     filter(split(lower(text), "\\W+"), w => w =!= "")
 
-  /** Distinct n-word shingles; callers must pre-filter size(words) >= n
-    * (ANSI mode: element_at(_, 0) from a negative sequence is an error).
+  /** Distinct n-word shingles; callers must pre-filter size(words) >= n.
+    * Imperative [[WordShingles]] expression — the equivalent
+    * `array_distinct(transform(sequence(...), ...))` is evaluated
+    * interpreted and dominated the dedup pipeline (see its Scaladoc).
     */
   def wordShingles(ws: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(0), size(ws) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+    call_function("word_shingles", ws, lit(n))
 
   /** Whitespace token count (BIGINT). */
   def wsTokenCount(text: Column): Column =
