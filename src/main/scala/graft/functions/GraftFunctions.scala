@@ -16,38 +16,49 @@ object GraftFunctions {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  /** Name -> expression builder for every graft function; consumed by both
+    * [[register]] (per-session, tests/tools) and
+    * [[graft.GraftExtensions]] (cluster-wide via `spark.sql.extensions`).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> { exprs =>
+      CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1)))
+    },
+    "minhash" -> {
+      case Seq(child, Literal(k: Int, _), Literal(seed: Long, _)) =>
+        MinHashSignature(child, k, seed)
+      case Seq(child, Literal(k: Int, _)) =>
+        MinHashSignature(child, k, 7L)
+      case Seq(child) =>
+        MinHashSignature(child, 16, 7L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"minhash(tokens, k literal, seed literal); got ${other.size} args")
+    },
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "word_shingles" -> {
+      case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
+      case Seq(child) => WordShingles(child, 3)
+      case other =>
+        throw new IllegalArgumentException(
+          s"word_shingles(words, n literal); got ${other.size} args")
+    },
+    "hyperplane_buckets" -> {
+      case Seq(child, Literal(nTables: Int, _), Literal(nPlanes: Int, _),
+          Literal(dim: Int, _), Literal(seed: Long, _)) =>
+        HyperplaneBuckets(asDoubleArray(child),
+          HashFamilies.planeFamilies(nTables, nPlanes, dim, seed))
+      case other =>
+        throw new IllegalArgumentException(
+          "hyperplane_buckets(emb, nTables, nPlanes, dim, seed literals); " +
+            s"got ${other.size} args")
+    })
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1))),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash",
-      {
-        case Seq(child, Literal(k: Int, _), Literal(seed: Long, _)) =>
-          MinHashSignature(child, k, seed)
-        case Seq(child, Literal(k: Int, _)) =>
-          MinHashSignature(child, k, 7L)
-        case Seq(child) =>
-          MinHashSignature(child, 16, 7L)
-        case other =>
-          throw new IllegalArgumentException(
-            s"minhash(tokens, k literal, seed literal); got ${other.size} args")
-      },
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "word_shingles",
-      {
-        case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
-        case Seq(child) => WordShingles(child, 3)
-        case other =>
-          throw new IllegalArgumentException(
-            s"word_shingles(words, n literal); got ${other.size} args")
-      },
-      "built-in")
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Cosine similarity between two array<float|double> columns. */
@@ -59,4 +70,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Per-table sign-LSH bucket ids (array<int>, one element per table). */
+  def hyperplane_buckets(emb: Column, nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long = 11L): Column =
+    call_function("hyperplane_buckets", emb,
+      lit(nTables), lit(nPlanes), lit(dim), lit(seed))
 }

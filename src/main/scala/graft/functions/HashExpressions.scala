@@ -51,6 +51,23 @@ object HashFamilies {
   /** [[md5Long]] reduced mod [[Prime]] on the unsigned value. */
   def md5Mod(s: UTF8String): Long =
     java.lang.Long.remainderUnsigned(md5Long(s), Prime)
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1])
+    * for sign-LSH bucketing ([[HyperplaneBuckets]]).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** One plane family per table, distinct seeds → independent buckets. */
+  def planeFamilies(nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + t))
 }
 
 /** MinHash signature: `array<string>` shingles -> `array<long>` of k minimums

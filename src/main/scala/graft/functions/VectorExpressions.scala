@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Cosine similarity over two `array<double>` columns as a native Catalyst
@@ -18,6 +18,51 @@ import org.apache.spark.sql.types._
   * Mismatched lengths THROW: silently truncating to min(len) would compute
   * similarity over a prefix and return plausible-but-wrong neighbors.
   */
+/** All hyperplane-LSH bucket ids of an embedding in one pass: for each of
+  * `nTables` tables, the sign pattern of `nPlanes` fixed hyperplane dot
+  * products packs into an int bucket. Replaces nTables*nPlanes separate
+  * `cosine_sim(emb, lit(plane))` calls — sign-LSH needs only the dot
+  * product's sign, so the norms those calls compute are wasted, and one
+  * loop reads the embedding once instead of 48 times.
+  *
+  * `planes` is indexed [table][plane][dim]; dimension mismatch with the
+  * input THROWS (same contract as [[CosineSimilarity]]).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val fam = planes(t)
+      var bucket = 0
+      var j = 0
+      while (j < fam.length) {
+        val p = fam(j)
+        if (p.length != n)
+          throw new IllegalArgumentException(
+            s"hyperplane_buckets: dimension mismatch ${p.length} vs $n")
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += p(i) * v.getDouble(i); i += 1 }
+        if (dot > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -157,9 +157,8 @@ object Dedup {
   def embeddingNearDupPairsLsh(embs: DataFrame, idCol: String, embCol: String,
       threshold: Double, nPlanes: Int = 4, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else Similarity.inferDim(embs, embCol)
-    val planes = Similarity.hyperplanes(nPlanes, d)
     val bucketed = embs.withColumn("__lsh_bucket",
-      Similarity.lshBucket(col(embCol), planes))
+      element_at(GraftFunctions.hyperplane_buckets(col(embCol), 1, nPlanes, d), 1))
     embeddingNearDupPairs(bucketed, idCol, embCol, "__lsh_bucket", threshold)
   }
 

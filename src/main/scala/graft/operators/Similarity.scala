@@ -20,14 +20,8 @@ import graft.functions.GraftFunctions.cosine_sim
 object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1]). */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] = {
-    var s = seed
-    def next(): Double = {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    Array.fill(nPlanes)(Array.fill(dim)(next()))
-  }
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] =
+    graft.functions.HashFamilies.hyperplanes(nPlanes, dim, seed)
 
   /** Sign-pattern LSH bucket id for an embedding column. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
@@ -72,10 +66,11 @@ object Similarity {
       queryId: Long, k: Int, nPlanes: Int = 4, nTables: Int = 12,
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(embs, embCol)
-    // one plane family per table, distinct seeds → independent buckets
-    val buckets = array((0 until nTables).map { t =>
-      lshBucket(col(embCol), hyperplanes(nPlanes, d, seed = 11L + t))
-    }: _*)
+    // all tables' buckets in ONE pass over the vector (HyperplaneBuckets):
+    // sign-LSH needs only dot-product signs, so per-plane cosine_sim calls
+    // would re-read the embedding and compute norms 4*nTables times over
+    val buckets = graft.functions.GraftFunctions
+      .hyperplane_buckets(col(embCol), nTables, nPlanes, d)
     // (id, emb, table, bucket) posting rows — nTables rows per vector
     val posted = embs
       .select(col(idCol), col(embCol), posexplode(buckets).as(Seq("table", "bucket")))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** `spark.sql.extensions=graft.GraftExtensions` must make every graft
+  * function callable from plain SQL in a fresh session — the deployment
+  * path for a real cluster (no per-session register call).
+  *
+  * Extensions apply at SparkSession construction, so the test clears the
+  * active/default session to force a genuinely new one (sharing the JVM's
+  * SparkContext), then restores the shared session for later suites.
+  * `spark.sql.extensions` is a *static* conf read from the SparkContext —
+  * it cannot take effect on a reused context — so the test injects through
+  * the equivalent programmatic `withExtensions(new GraftExtensions)` path.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("extension-injected functions resolve in SQL") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val sim = spark.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+        .head().getDouble(0)
+      sim shouldBe 1.0 +- 1e-12
+
+      val sh = spark.sql(
+        "SELECT word_shingles(array('a','b','c','d'), 2) AS sh")
+        .head().getSeq[String](0)
+      sh shouldBe Seq("a b", "b c", "c d")
+
+      val fp = spark.sql("SELECT simhash64(array('alpha','beta')) AS fp").head().getLong(0)
+      val mh = spark.sql("SELECT minhash(array('alpha','beta'), 4, 7L) AS mh")
+        .head().getSeq[Long](0)
+      mh should have length 4
+      fp should not be 0L
+    } finally {
+      // do NOT stop: the SparkContext is shared with every other suite
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
