@@ -1,6 +1,7 @@
 package graft.serving
 
-import java.net.InetSocketAddress
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -12,14 +13,21 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *     (reference: `services/WordCountService.java:39-41,88-108`)
   *   - `GET /purchases/{key}`  → `{"{key}-{product}": {"count":n,"total":t}, ...}`
   *     — prefix range scan + merge (reference:
-  *     `services/PurchasesService.java:58-94,100-123`; the scatter-gather
-  *     fan-out and `X-Provenance-Enabled` loop guard disappear because the
-  *     driver holds all state — there is no remote peer to loop through)
+  *     `services/PurchasesService.java:58-94,100-123`)
   *   - `GET /metadata` and `/metadata/{store}` → `{"{host:port}": ["store", ...]}`
   *     (reference: `services/MetadataService.java:31-34,48-60`)
   *
+  * Single-instance mode (the default) serves everything locally — the
+  * driver sees all state. [[shard]] enables the reference's two-instance
+  * topology (Q3/Q4, reference `app1/app2.properties`): each instance owns
+  * the keys hashing to its index; a point lookup for a foreign key answers
+  * **302 redirect** to the owner (`WordCountService.java:47-65`), and a
+  * prefix scan **fans out** to every peer and merges, with the
+  * `X-Provenance-Enabled` header as the loop guard
+  * (`PurchasesService.java:58-94`, guard at `:68`).
+  *
   * Built on the JDK's `com.sun.net.httpserver` — no dependencies. JSON is
-  * emitted by a 30-line serializer because the payloads are flat maps of
+  * emitted by a small serializer because the payloads are flat maps of
   * numbers/strings; pulling a JSON library for that would be the tail
   * wagging the dog.
   */
@@ -27,9 +35,25 @@ final class HttpApi(serving: Serving, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  /** (selfIndex, all instance addresses) when sharded; None = single node. */
+  @volatile private var routing: Option[(Int, IndexedSeq[String])] = None
+
+  private lazy val client = HttpClient.newHttpClient()
+
   /** Bound address, e.g. "127.0.0.1:43210" (port 0 = ephemeral, for tests). */
   def address: String =
     s"127.0.0.1:${server.getAddress.getPort}"
+
+  /** Enable sharded routing: this instance is `peers(selfIndex)`. All
+    * instances must be configured with the SAME peer list order so
+    * [[HttpApi.ownerOf]] agrees everywhere (the reference gets the same
+    * agreement from Kafka's partitioner via `queryMetadataForKey`,
+    * `WordCountService.java:110-112`).
+    */
+  def shard(selfIndex: Int, peers: IndexedSeq[String]): this.type = {
+    require(selfIndex >= 0 && selfIndex < peers.size, "selfIndex out of range")
+    routing = Some((selfIndex, peers)); this
+  }
 
   // ---- JSON emission (flat values: numbers, strings, maps thereof) ----
 
@@ -71,16 +95,27 @@ final class HttpApi(serving: Serving, port: Int = 0) {
 
   /** `/wordcount/{key}`: singleton `{key: count}`, 404 when absent —
     * mirrors the reference's `Collections.singletonMap(key, store.get(key))`
-    * (`WordCountService.java:101-107`).
+    * (`WordCountService.java:101-107`). Sharded: a key owned elsewhere
+    * answers 302 with the owner's URL (`WordCountService.java:55-64`).
     */
   server.createContext("/wordcount/", { ex =>
-    val out = for {
-      key <- pathKey(ex, "/wordcount/")
-      t <- serving.table("wordcount")
-      row <- t.get(key)
-    } yield Map(key -> row.getOrElse("count", null))
-    out match {
-      case Some(m) => respond(ex, 200, jsonVal(m))
+    pathKey(ex, "/wordcount/") match {
+      case Some(key) =>
+        routing match {
+          case Some((self, peers)) if HttpApi.ownerOf(key, peers.size) != self =>
+            val owner = peers(HttpApi.ownerOf(key, peers.size))
+            ex.getResponseHeaders.set("Location", s"http://$owner/wordcount/$key")
+            respond(ex, 302, "{}")
+          case _ =>
+            val out = for {
+              t <- serving.table("wordcount")
+              row <- t.get(key)
+            } yield Map(key -> row.getOrElse("count", null))
+            out match {
+              case Some(m) => respond(ex, 200, jsonVal(m))
+              case None => respond(ex, 404, "{}")
+            }
+        }
       case None => respond(ex, 404, "{}")
     }
   })
@@ -88,33 +123,105 @@ final class HttpApi(serving: Serving, port: Int = 0) {
   /** `/purchases/{customer}`: all `{customer}-{product}` entries via sorted
     * prefix scan — mirrors `store.range(key+"-00000", key+"-99999")`
     * (`PurchasesService.java:113-121`), generalized to a true prefix.
+    * Sharded: composite keys spread across instances, so the query
+    * scatter-gathers — local scan plus an HTTP fan-out to every peer with
+    * `X-Provenance-Enabled: true`; a request carrying that header answers
+    * from local state only, which is exactly the reference's recursion
+    * guard (`PurchasesService.java:68,77-79`).
     */
   server.createContext("/purchases/", { ex =>
-    val out = for {
-      key <- pathKey(ex, "/purchases/")
-      t <- serving.table("purchases")
-    } yield t.prefix(key + "-").map { case (k, row) => k -> row }.toMap
-    out match {
-      case Some(m) if m.nonEmpty => respond(ex, 200, jsonVal(m))
-      case Some(_) => respond(ex, 404, "{}")
+    pathKey(ex, "/purchases/") match {
+      case Some(key) =>
+        val local = serving.table("purchases")
+          .map(_.prefix(key + "-").toMap).getOrElse(Map.empty)
+        val guarded = ex.getRequestHeaders.containsKey("X-Provenance-Enabled")
+        val merged = routing match {
+          case Some((self, peers)) if !guarded =>
+            val remote = peers.indices.filter(_ != self).flatMap { i =>
+              fetchEntries(s"http://${peers(i)}/purchases/$key")
+            }
+            local.map { case (k, v) => k -> jsonVal(v) } ++ remote
+          case _ => local.map { case (k, v) => k -> jsonVal(v) }
+        }
+        if (merged.isEmpty) respond(ex, 404, "{}")
+        else respond(ex, 200, merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}"))
       case None => respond(ex, 404, "{}")
     }
   })
 
+  /** GET a peer's guarded prefix scan; returns (key, rawJsonValue) pairs. */
+  private def fetchEntries(url: String): Seq[(String, String)] = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .header("X-Provenance-Enabled", "true").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (res.statusCode() != 200) Nil else HttpApi.parseEntries(res.body())
+  }
+
   /** `/metadata` and `/metadata/{store}`: host → store-names map —
-    * mirrors `MetadataService.java:48-60`; one host here (the driver).
+    * mirrors `MetadataService.java:48-60`. Sharded: lists every instance
+    * (the reference lists all hosts owning the store).
     */
   server.createContext("/metadata", { ex =>
+    val hosts: Seq[String] = routing match {
+      case Some((_, peers)) => peers
+      case None => Seq(address)
+    }
     pathKey(ex, "/metadata/") match {
       case Some(store) =>
         val names = serving.storeNames.filter(_ == store)
         if (names.isEmpty) respond(ex, 404, "{}")
-        else respond(ex, 200, jsonVal(Map(address -> names)))
+        else respond(ex, 200, jsonVal(hosts.map(_ -> names).toMap))
       case None =>
-        respond(ex, 200, jsonVal(Map(address -> serving.storeNames)))
+        respond(ex, 200, jsonVal(hosts.map(_ -> serving.storeNames).toMap))
     }
   })
 
   def start(): this.type = { server.start(); this }
   def stop(): Unit = server.stop(0)
+}
+
+object HttpApi {
+
+  /** Deterministic key → instance index; every instance must agree.
+    * (Reference analog: the store serializer's partition hash,
+    * `WordCountService.java:110-112`.)
+    */
+  def ownerOf(key: String, nInstances: Int): Int = {
+    var h = 0
+    var i = 0
+    while (i < key.length) { h = 31 * h + key.charAt(i); i += 1 }
+    java.lang.Math.floorMod(h, nInstances)
+  }
+
+  /** Split a flat one-level JSON object body `{"k":v,...}` into
+    * (key, rawValue) pairs — values may themselves be objects (depth-aware
+    * split on top-level commas). Sufficient for the serving payloads; not a
+    * general JSON parser.
+    */
+  def parseEntries(body: String): Seq[(String, String)] = {
+    val inner = body.trim.stripPrefix("{").stripSuffix("}").trim
+    if (inner.isEmpty) return Nil
+    val parts = Vector.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var start = 0
+    for (i <- inner.indices) {
+      val c = inner.charAt(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ',' if depth == 0 => parts += inner.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += inner.substring(start)
+    parts.result().map { kv =>
+      val idx = kv.indexOf(':')
+      val rawKey = kv.substring(0, idx).trim
+      (rawKey.stripPrefix("\"").stripSuffix("\""), kv.substring(idx + 1).trim)
+    }
+  }
 }
