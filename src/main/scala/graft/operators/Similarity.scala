@@ -79,10 +79,13 @@ object Similarity {
     posted.join(broadcast(q),
         col("table") === col("qt") && col("bucket") === col("qb"))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), col(embCol), col("qv"))
-      .dropDuplicates(idCol) // a candidate may match in several tables
       .select(col(idCol),
         round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      // a candidate can match in several tables; its sim is identical in
+      // each, so max() dedups via a HashAggregate — dropDuplicates on the
+      // (id, embedding) row would force a SortAggregate carrying the whole
+      // vector through first()
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
