@@ -341,6 +341,11 @@ object SparkEntry {
       graft.io.FileSource(s"$d/documents.parquet", withMetadata = true)
         .read(s)
         .select(col("doc_id"), col("partition"), col("offset"))
+        .orderBy(col("doc_id"))),
+
+    // ---- composed training-data cleaning pipeline (north-star E2E) ----
+    "q45_training_pipeline" -> ((s, d) =>
+      graft.pipelines.TrainingData.clean(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")))
   )
 
@@ -706,6 +711,63 @@ object SparkEntry {
     "q44_metadata_cols" ->
       """SELECT doc_id, 0 AS partition,
            row_number() OVER (ORDER BY doc_id) - 1 AS offset
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // composed pipeline twin: exact dedup -> lang/quality gates -> df-capped
+    // n-gram near-dup removal (drop larger id of each >= 0.5 pair) -> tokens
+    "q45_training_pipeline" ->
+      """WITH uniq AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IN (
+             SELECT min(doc_id) FROM documents
+             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
+         feat AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM uniq),
+         scored AS (
+           SELECT doc_id, text, w,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(0.5 * (len(list_distinct(w)) / len(w))
+                 + 0.3 * (s_en / len(w))
+                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           FROM feat WHERE len(w) > 0),
+         gated AS (
+           SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
+         dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM gated WHERE len(w) >= 3),
+         posting AS (SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         removed AS (
+           SELECT DISTINCT id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5)
+         SELECT doc_id, lang_pred, n_words, quality,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM gated WHERE doc_id NOT IN (SELECT id_b FROM removed)
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** The composed training-data cleaning pipeline — the north-star use case
+  * end-to-end: every stage is one of the engine's operators, chained as a
+  * single declarative plan so Catalyst sees (and optimizes) the whole
+  * dataflow at once.
+  *
+  * Stages:
+  *   1. exact dedup on normalized text (min-id representative) —
+  *      [[Dedup.exactDedup]];
+  *   2. language gate (n-gram marker argmax) — [[TextFunctions.langId]];
+  *   3. quality gate (diversity + stopword + length score) —
+  *      [[TextFunctions.qualityScore]];
+  *   4. near-duplicate removal: df-capped n-gram Jaccard pairs
+  *      ([[Dedup.ngramJaccardPairs]]); of each >= threshold pair the larger
+  *      id is dropped (greedy keep-smallest — deterministic and cheap; a
+  *      connected-component pass would keep strictly more docs at the cost
+  *      of an iterative join);
+  *   5. per-doc token accounting for the surviving corpus.
+  *
+  * Scale shape: stages 1-3 and 5 are map-only or single hash-aggregate;
+  * stage 4 is the inverted-index join (sub-quadratic, df-capped). Nothing
+  * collects; the output is a plan over the input DataFrame.
+  */
+object TrainingData {
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minQuality: Double = 0.26,
+      nearDupThreshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    // 1. exact dedup
+    val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
+
+    // 2+3. language + quality gates (words computed once, shared)
+    val gated = unique
+      .select(col(idCol), col(textCol),
+        TextFunctions.langId(col(textCol)).as("lang_pred"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol), col(textCol), col("lang_pred"),
+        size(col("w")).cast("long").as("n_words"),
+        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
+      .where(col("lang_pred") === lang && col("quality") >= minQuality)
+
+    // 4. near-dup removal among survivors (greedy keep-smallest-id)
+    val dupIds = Dedup.ngramJaccardPairs(
+        gated.select(col(idCol), col(textCol)), idCol, textCol,
+        n = 3, threshold = nearDupThreshold, maxDf = maxDf)
+      .select(col("id_b").as(idCol)).distinct()
+    val survivors = gated.join(dupIds, Seq(idCol), "left_anti")
+
+    // 5. token accounting
+    survivors.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
+      TextFunctions.wsTokenCount(col(textCol)).as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col(textCol)).as("bpe_tokens"))
+  }
+}
