@@ -95,9 +95,10 @@ class ShardedServingSpec extends AnyFunSuite with Matchers with SparkSpec {
       HttpApi.parseEntries(guarded0.body()).size +
         HttpApi.parseEntries(guarded1.body()).size shouldBe purchases.size
 
-      // metadata lists both instances
+      // metadata lists both instances (body keys sorted lexically)
+      val sortedPeers = peers.sorted
       get(client, peers(0), "/metadata").body() shouldBe
-        s"""{"${peers(0)}":["purchases","wordcount"],"${peers(1)}":["purchases","wordcount"]}"""
+        s"""{"${sortedPeers(0)}":["purchases","wordcount"],"${sortedPeers(1)}":["purchases","wordcount"]}"""
     } finally apis.foreach(_.stop())
   }
 
