@@ -27,6 +27,12 @@ import graft.operators.Dedup
   * Scale shape: stages 1-3 and 5 are map-only or single hash-aggregate;
   * stage 4 is the inverted-index join (sub-quadratic, df-capped). Nothing
   * collects; the output is a plan over the input DataFrame.
+  *
+  * The gated subset feeds five plan branches (pair join sides, df count,
+  * anti-join, final projection); DataFrame self-references duplicate the
+  * subtree, so at real scale `persist()` the gated DataFrame (or write it
+  * to an intermediate table) before stage 4 — deliberately left to the
+  * caller, since cache lifecycle belongs to the job, not the library.
   */
 object TrainingData {
 

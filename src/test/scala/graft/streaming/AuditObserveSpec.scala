@@ -51,6 +51,14 @@ class AuditObserveSpec extends AnyFunSuite with Matchers with Eventually with Sp
       // offsets advance monotonically across batches for the same source
       val offs = drained.sortBy(_.batchId).map(_.endOffset.toLong)
       offs shouldBe offs.sorted
+
+      // R2 parity: mirror the drained audit rows to a durable side table
+      // (the reference produces them to an `audit-offsets` topic)
+      val auditDir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+      drained.toDS().toDF().write.mode("overwrite").parquet(auditDir)
+      val mirrored = spark.read.parquet(auditDir)
+      mirrored.count() shouldBe drained.size.toLong
+      mirrored.columns.sorted shouldBe Array("appId", "batchId", "endOffset", "source")
     } finally {
       query.stop()
       spark.streams.removeListener(audit)

@@ -57,4 +57,38 @@ class WatermarkWindowSpec extends AnyFunSuite with Matchers with SparkSpec {
       emitted shouldBe Vector((ts(0), 3L, 6.0))
     } finally query.stop()
   }
+
+  test("streaming session window merges gap-bounded activity per key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(String, Timestamp)]
+    val sessions = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "2 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user"), col("session_window.start").as("ss"), col("cnt"))
+
+    var emitted = Vector.empty[(String, Timestamp, Long)]
+    val query = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted ++= b.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      }.start()
+
+    try {
+      // u1: events at 10:00/10:03/10:06 chain into ONE session (gaps < 5m);
+      // a later event at 10:20 is > 5m after 10:06 → a new session
+      input.addData(("u1", ts(0)), ("u1", ts(3)), ("u1", ts(6)), ("u2", ts(1)))
+      query.processAllAvailable()
+      input.addData(("u1", ts(20)))
+      query.processAllAvailable()
+      // push the watermark far past every session end to flush them all
+      input.addData(("u3", ts(59)))
+      query.processAllAvailable()
+
+      emitted.sortBy(e => (e._1, e._2.getTime)).map(e => (e._1, e._2, e._3)) shouldBe
+        Vector(("u1", ts(0), 3L), ("u1", ts(20), 1L), ("u2", ts(1), 1L))
+    } finally query.stop()
+  }
 }
