@@ -5,13 +5,17 @@ import org.apache.spark.sql.expressions.Aggregator
 
 import graft.model.CountAndTotal
 
-/** Buffer for [[CountAndTotalAggregator]]: the running total is an exact
-  * BigDecimal (scale 9, HALF_UP — the same rounding Spark's double->decimal
-  * Cast uses) so merge order across partitions cannot perturb the Double
-  * result. A plain Double accumulator would make the aggregate
-  * non-deterministic under shuffle at any real scale.
+/** Buffer for [[CountAndTotalAggregator]]: the running total is exact
+  * fixed-point at scale 9, held as two longs (whole `units` + fractional
+  * `nanos`, same sign, |nanos| < 1e9). Exact arithmetic means merge order
+  * across partitions cannot perturb the Double result — a plain Double
+  * accumulator would make the aggregate non-deterministic under shuffle at
+  * any real scale. All-primitive fields keep the buffer on the UnsafeRow
+  * fast path; the previous BigDecimal-backed buffer paid a boxed
+  * allocation per input row (q25 ran ~1.9x its built-in twin q08).
+  * Headroom: |units| < 2^63 ≈ 9.2e18 — thousands of years of 100 TB days.
   */
-final case class CountAndTotalBuffer(count: Long, total: BigDecimal)
+final case class CountAndTotalBuffer(count: Long, units: Long, nanos: Long)
 
 /** The reference's only user-defined aggregate, re-expressed on Spark's
   * public typed-Aggregator surface (SURVEY §2.3 A2 / §4.2; reference:
@@ -21,21 +25,46 @@ final case class CountAndTotalBuffer(count: Long, total: BigDecimal)
   * partial/final two-phase split as built-in aggregates.
   */
 class CountAndTotalAggregator extends Aggregator[Double, CountAndTotalBuffer, CountAndTotal] {
-  private val Scale = 9
 
-  private def dec(v: Double): BigDecimal =
-    BigDecimal(v).setScale(Scale, BigDecimal.RoundingMode.HALF_UP)
+  private val Nano = 1000000000L
 
-  override def zero: CountAndTotalBuffer = CountAndTotalBuffer(0L, BigDecimal(0).setScale(Scale))
+  /** HALF_UP total nanos of `v` — matches `BigDecimal(v).setScale(9,
+    * HALF_UP)` for |v| < ~4e6: the double product's relative error
+    * (~|v|*1e9*2^-52) is far below the 0.5 rounding threshold there, and
+    * +0.5-then-floor reproduces HALF_UP's round-half-away-from-zero
+    * (`math.rint` would round half to even and diverge on exact halves).
+    */
+  private def toNanos(v: Double): Long = {
+    val scaled = v * 1e9
+    if (scaled >= 0) math.floor(scaled + 0.5).toLong
+    else -math.floor(-scaled + 0.5).toLong
+  }
 
-  override def reduce(b: CountAndTotalBuffer, quantity: Double): CountAndTotalBuffer =
-    CountAndTotalBuffer(b.count + 1, b.total + dec(quantity))
+  /** Normalize so units/nanos share sign and |nanos| < 1e9. */
+  private def norm(count: Long, units: Long, nanos: Long): CountAndTotalBuffer = {
+    var u = units + nanos / Nano
+    var n = nanos % Nano
+    if (n > 0 && u < 0) { u += 1; n -= Nano }
+    else if (n < 0 && u > 0) { u -= 1; n += Nano }
+    CountAndTotalBuffer(count, u, n)
+  }
+
+  override def zero: CountAndTotalBuffer = CountAndTotalBuffer(0L, 0L, 0L)
+
+  override def reduce(b: CountAndTotalBuffer, quantity: Double): CountAndTotalBuffer = {
+    val t = toNanos(quantity)
+    norm(b.count + 1, b.units + t / Nano, b.nanos + t % Nano)
+  }
 
   override def merge(a: CountAndTotalBuffer, b: CountAndTotalBuffer): CountAndTotalBuffer =
-    CountAndTotalBuffer(a.count + b.count, a.total + b.total)
+    norm(a.count + b.count, a.units + b.units, a.nanos + b.nanos)
 
   override def finish(b: CountAndTotalBuffer): CountAndTotal =
-    CountAndTotal(b.count, b.total.toDouble)
+    // one BigDecimal per GROUP (not per row): correctly-rounded Double of
+    // the exact decimal units + nanos*1e-9
+    CountAndTotal(b.count,
+      java.math.BigDecimal.valueOf(b.units)
+        .add(java.math.BigDecimal.valueOf(b.nanos, 9)).doubleValue())
 
   override def bufferEncoder: Encoder[CountAndTotalBuffer] = Encoders.product[CountAndTotalBuffer]
   override def outputEncoder: Encoder[CountAndTotal] = Encoders.product[CountAndTotal]
