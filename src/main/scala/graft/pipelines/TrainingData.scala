@@ -30,20 +30,23 @@ import graft.operators.Dedup
   *
   * The gated subset feeds five plan branches (pair join sides, df count,
   * anti-join, final projection); DataFrame self-references duplicate the
-  * subtree, so at real scale `persist()` the gated DataFrame (or write it
-  * to an intermediate table) before stage 4 — deliberately left to the
-  * caller, since cache lifecycle belongs to the job, not the library.
+  * subtree, so `cacheIntermediate` (default on) persists the gated set
+  * (MEMORY_AND_DISK — it is strictly smaller than the input corpus) and
+  * every branch reads the materialized rows instead of re-running dedup +
+  * regex scoring five times. Pass false when the caller manages its own
+  * intermediate storage (e.g. writes the gated set to a table).
   */
 object TrainingData {
 
   def clean(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 0.26,
-      nearDupThreshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+      nearDupThreshold: Double = 0.5, maxDf: Int = 100,
+      cacheIntermediate: Boolean = true): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
 
     // 2+3. language + quality gates (words computed once, shared)
-    val gated = unique
+    val gatedPlan = unique
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))
@@ -52,6 +55,10 @@ object TrainingData {
         size(col("w")).cast("long").as("n_words"),
         TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
       .where(col("lang_pred") === lang && col("quality") >= minQuality)
+    val gated =
+      if (cacheIntermediate)
+        gatedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gatedPlan
 
     // 4. near-dup removal among survivors (greedy keep-smallest-id)
     val dupIds = Dedup.ngramJaccardPairs(
