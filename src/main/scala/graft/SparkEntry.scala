@@ -346,7 +346,24 @@ object SparkEntry {
     // ---- composed training-data cleaning pipeline (north-star E2E) ----
     "q45_training_pipeline" -> ((s, d) =>
       graft.pipelines.TrainingData.clean(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- cube (A4: grouping-set aggregates beyond rollup) ----
+    "q46_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- VariantType JSON path (SURVEY §1.2: schema-less JSON idiom) ----
+    "q47_variant_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+          // variant round-trip: parse once, render normalized
+          to_json(parse_json(col("props"))).as("props_norm"))
+        .orderBy(col("event_id")))
   )
 
   /** DuckDB twin of q28: recomputes the md5-based minhash signatures with
@@ -768,6 +785,19 @@ object SparkEntry {
            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM gated WHERE doc_id NOT IN (SELECT id_b FROM removed)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q47_variant_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json(props) AS VARCHAR) AS props_norm
+         FROM events ORDER BY event_id"""
   )
 }
