@@ -105,11 +105,14 @@ object SparkEntry {
         .orderBy(col("k"))),
 
     // ---- aggregations (A4: rollup / multi-aggregate) ----
+    // totals here reach ~1e10 where DuckDB's decimal->double cast is not
+    // correctly rounded (1-ulp divergence vs BigDecimal.doubleValue seen at
+    // sf0.1) — keep the sums DECIMAL end-to-end, exact in both engines
     "q09_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
+        .agg(sum(col("l_quantity").cast("decimal(38,9)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,9)")).as("sum_price"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
@@ -473,8 +476,8 @@ object SparkEntry {
 
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_price,
            count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
