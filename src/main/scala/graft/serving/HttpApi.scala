@@ -150,14 +150,19 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
-  /** GET a peer's guarded prefix scan; returns (key, rawJsonValue) pairs. */
-  private def fetchEntries(url: String): Seq[(String, String)] = {
-    val res = client.send(
-      HttpRequest.newBuilder(URI.create(url))
-        .header("X-Provenance-Enabled", "true").GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (res.statusCode() != 200) Nil else HttpApi.parseEntries(res.body())
-  }
+  /** GET a peer's guarded prefix scan; returns (key, rawJsonValue) pairs.
+    * Best-effort: an unreachable peer contributes nothing instead of
+    * failing the whole merge (its keys reappear once it returns — same
+    * availability posture as the reference's per-host okhttp loop).
+    */
+  private def fetchEntries(url: String): Seq[(String, String)] =
+    try {
+      val res = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("X-Provenance-Enabled", "true").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (res.statusCode() != 200) Nil else HttpApi.parseEntries(res.body())
+    } catch { case _: java.io.IOException | _: InterruptedException => Nil }
 
   /** `/metadata` and `/metadata/{store}`: host → store-names map —
     * mirrors `MetadataService.java:48-60`. Sharded: lists every instance

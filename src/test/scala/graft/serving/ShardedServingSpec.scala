@@ -108,4 +108,39 @@ class ShardedServingSpec extends AnyFunSuite with Matchers with SparkSpec {
     owners.distinct.sorted shouldBe Seq(0, 1, 2, 3)
     keys.map(HttpApi.ownerOf(_, 4)) shouldBe owners // deterministic
   }
+
+  test("scatter-gather degrades to local state when a peer is down") {
+    import spark.implicits._
+    val serving = new Serving
+    serving.register(new ServingTable("purchases", "k"))
+    serving.table("purchases").get.upsert(Seq(("7-100", 2L, 5.0)).toDF("k", "count", "total"))
+
+    val api = new HttpApi(serving).start()
+    // peer 1 points at a closed port — requests to it must not break the merge
+    api.shard(0, IndexedSeq(api.address, "127.0.0.1:1"))
+    try {
+      val res = get(client, api.address, "/purchases/7")
+      res.statusCode() shouldBe 200
+      res.body() shouldBe """{"7-100":{"count":2,"total":5}}"""
+    } finally api.stop()
+  }
+
+  test("parseEntries round-trips generated flat and nested bodies") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val entryGen = for {
+      k <- keyGen
+      v <- Gen.oneOf(
+        Gen.chooseNum(0L, 999999L).map(_.toString),
+        Gen.chooseNum(0L, 99L).flatMap(c => Gen.chooseNum(0L, 999L).map(t =>
+          s"""{"count":$c,"total":$t}""")))
+    } yield (k, v)
+    val prop = Prop.forAll(Gen.listOf(entryGen).map(_.toMap)) { entries =>
+      val body = entries.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      HttpApi.parseEntries(body).toMap == entries
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
