@@ -366,7 +366,14 @@ object SparkEntry {
           try_variant_get(parse_json(col("props")), "$.k", "int").as("k"),
           // variant round-trip: parse once, render normalized
           to_json(parse_json(col("props"))).as("props_norm"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ---- skew-salted aggregation: must equal the plain GROUP BY ----
+    "q48_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+        t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "o_custkey", "o_totalprice")
+        .orderBy(col("o_custkey")))
   )
 
   /** DuckDB twin of q28: recomputes the md5-based minhash signatures with
@@ -801,6 +808,12 @@ object SparkEntry {
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k,
            CAST(json(props) AS VARCHAR) AS props_norm
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    // the salted two-phase plan must be indistinguishable from GROUP BY
+    "q48_salted_agg" ->
+      """SELECT o_custkey, count(*) AS "count",
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }
