@@ -151,15 +151,32 @@ object Dedup {
   /** Embedding near-dup pairs blocked on random-hyperplane LSH buckets —
     * the scale path when no natural blocking column exists: bucket ids come
     * from the data itself, so the pair join still shuffles on a key instead
-    * of cross-joining. Approximate: pairs straddling a bucket boundary are
-    * missed (raise nPlanes for precision, lower for recall).
+    * of cross-joining.
+    *
+    * OR-amplified like [[Similarity.lshTopK]]: a pair is a candidate when
+    * it shares a bucket in ANY of `nTables` independent plane families —
+    * one table alone recalls ~p^nPlanes of true pairs (p = per-plane
+    * collision prob), which measured at only ~0.2 on the fixture; the
+    * union lifts that to 1-(1-p^nPlanes)^nTables. Candidates are verified
+    * with exact cosine, so precision stays 1.0; recall is the dial
+    * (`nTables` up = recall up, candidate volume up).
     */
   def embeddingNearDupPairsLsh(embs: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nPlanes: Int = 4, dim: Int = -1): DataFrame = {
+      threshold: Double, nPlanes: Int = 4, nTables: Int = 8,
+      dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else Similarity.inferDim(embs, embCol)
-    val bucketed = embs.withColumn("__lsh_bucket",
-      element_at(GraftFunctions.hyperplane_buckets(col(embCol), 1, nPlanes, d), 1))
-    embeddingNearDupPairs(bucketed, idCol, embCol, "__lsh_bucket", threshold)
+    val posted = embs.select(col(idCol), col(embCol),
+      posexplode(GraftFunctions.hyperplane_buckets(col(embCol), nTables, nPlanes, d))
+        .as(Seq("table", "bucket")))
+    posted.as("a")
+      .join(posted.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(GraftFunctions.cosine_sim(col(s"a.$embCol"), col(s"b.$embCol")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      // a pair can collide in several tables; sim is identical in each
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim")).as("sim"))
   }
 
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
