@@ -89,4 +89,59 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
+    * LSH variant trades against: k-means partitions the corpus into
+    * `nList` cells; a query probes only the `nProbe` cells whose centroids
+    * are closest to it and ranks those candidates exactly.
+    *
+    * Index build: MLlib KMeans (fixed seed, few iterations — a coarse
+    * quantizer does not need convergence). At 100 TB the cell id becomes
+    * the table's partition key, so a query reads nProbe/nList of the data;
+    * the centroid table is tiny (nList × dim) and broadcast-joined.
+    * Returns (idCol, sim) like [[bruteForceTopK]]/[[lshTopK]].
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, nList: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // L2-normalize before clustering: KMeans is Euclidean, ranking is
+    // cosine — on the unit sphere the two orders agree
+    val vectorized = new Normalizer().setP(2.0)
+      .setInputCol("__raw").setOutputCol("__vec")
+      .transform(embs.withColumn("__raw",
+        array_to_vector(col(embCol).cast("array<double>"))))
+    val model = new KMeans()
+      .setK(nList).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(vectorized)
+    val assigned = model.transform(vectorized)
+      .select(col(idCol), col(embCol), col("__cell"))
+
+    // centroids ranked by cosine to the query vector → probe set
+    val centroids = model.clusterCenters.map(_.toArray)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col(embCol).cast("array<double>").as("qv")).head()
+      .getSeq[Double](0).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, q) }.take(nProbe).map(_._2)
+
+    val qv = assigned.where(col(idCol) === queryId).select(col(embCol).as("qv"))
+    assigned
+      .where(col("__cell").isin(probeCells.toIndexedSeq: _*)) // partition prune at scale
+      .join(broadcast(qv))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -71,6 +71,30 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("ivfTopK: full probe equals brute force; recall rises with probes") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", 0L, k,
+        nList = 16, nProbe = nProbe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      ivf.size shouldBe k
+      (exact & ivf).size.toDouble / k
+    }
+
+    // probing every cell IS the exact scan — must match brute force
+    recallAt(16) shouldBe 1.0
+    // more probes never hurt; a quarter of the cells must beat nothing
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    withClue(s"recall@4=$r4 recall@8=$r8: ") {
+      r8 should be >= r4
+      r4 should be > 0.0
+    }
+  }
+
   test("cosine_sim rejects mismatched dimensions instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
