@@ -86,9 +86,13 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     ex.close()
   }
 
+  /** Path parameter after `prefix`, percent-decoded (the reference's
+    * Javalin layer decodes path params the same way).
+    */
   private def pathKey(ex: HttpExchange, prefix: String): Option[String] = {
     val p = ex.getRequestURI.getPath.stripPrefix(prefix)
-    if (p.isEmpty || p.contains("/")) None else Some(p)
+    if (p.isEmpty || p.contains("/")) None
+    else Some(java.net.URLDecoder.decode(p, UTF_8))
   }
 
   // ---- routes ----

@@ -67,6 +67,12 @@ class HttpApiSpec extends AnyFunSuite with Matchers with SparkSpec {
       wcQuery.processAllAvailable()
       get(api.address, "/wordcount/fox") shouldBe (200, """{"fox":4}""")
 
+      // URL-encoded keys decode like the reference's Javalin path params
+      // (underscore is a \w char, so the tokenizer keeps the word whole)
+      words.addData("snake_case words here")
+      wcQuery.processAllAvailable()
+      get(api.address, "/wordcount/snake%5Fcase") shouldBe (200, """{"snake_case":1}""")
+
       // metadata listing: host -> store names
       val (mStatus, mBody) = get(api.address, "/metadata")
       mStatus shouldBe 200
