@@ -373,7 +373,19 @@ object SparkEntry {
       graft.operators.Skew.saltedAgg(
         t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
         "o_custkey", "o_totalprice")
-        .orderBy(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    // ---- as-of join: purchase -> latest click attribution per user ----
+    "q49_asof_join" -> ((s, d) => {
+      val events = t(s, d, "events")
+      graft.operators.AsOfJoin.asOf(
+        events.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        events.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", asOfCol = "click_value")
+        .orderBy(col("event_id"))
+    })
   )
 
   /** DuckDB twin of q28: recomputes the md5-based minhash signatures with
@@ -814,6 +826,14 @@ object SparkEntry {
     "q48_salted_agg" ->
       """SELECT o_custkey, count(*) AS "count",
            CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
-         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window form
+    "q49_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id"""
   )
 }
