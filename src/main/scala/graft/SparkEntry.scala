@@ -385,6 +385,29 @@ object SparkEntry {
           .select(col("user_id"), col("ts"), col("value")),
         "user_id", "ts", "value", asOfCol = "click_value")
         .orderBy(col("event_id"))
+    }),
+
+    // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
+    "q50_pricing_summary" -> ((s, d) => {
+      // exact decimal sum, then ONE double division — Spark's decimal
+      // division would re-round at its own result scale
+      def davg(c: Column, cnt: Column): Column =
+        sum(c.cast("decimal(38,9)")).cast("double") / cnt
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      val cnt = count(lit(1))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity"), cnt).as("avg_qty"),
+          davg(col("l_extendedprice"), cnt).as("avg_price"),
+          davg(col("l_discount"), cnt).as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -834,6 +857,21 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id"""
+         ORDER BY l.event_id""",
+
+    // averages as exact-decimal-sum / count so shuffle order cannot drift
+    "q50_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,9))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""
   )
 }
