@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan regression guard over the WHOLE battery: the plan shapes
+  * audited by hand in round 2 (no cartesian products, no accidental
+  * nested-loop joins, broadcast where intended, top-k without a global
+  * sort) are pinned here so an edit that silently degrades a plan fails
+  * the suite, not the benchmark.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    var plan = df.queryExecution.executedPlan
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        plan = a.executedPlan
+      case _ =>
+    }
+    plan.toString
+  }
+
+  /** Queries whose design intentionally broadcast-joins a ONE-ROW side
+    * with no join condition (the query vector) — that plans as a
+    * BroadcastNestedLoopJoin over a single row, which is exactly right.
+    */
+  private val singleRowBroadcast = Set(
+    "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join")
+
+  test("no battery query plans a cartesian product or stray nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !singleRowBroadcast.contains(name)
+      if (cartesian || bnlj) Some(s"$name: cartesian=$cartesian bnlj=$bnlj") else None
+    }
+    offenders shouldBe empty
+  }
+
+  test("flagship join broadcasts the dimension side") {
+    planOf(SparkEntry.queries("q14_join_multiway")(spark, sfDir)) should
+      include("BroadcastHashJoin")
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    planOf(SparkEntry.queries("q20_topk")(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
+  test("filters reach the parquet scan (pushdown)") {
+    val plan = planOf(SparkEntry.queries("q03_filter")(spark, sfDir))
+    plan should include("PushedFilters")
+    plan should include("GreaterThan(l_quantity")
+  }
+}
