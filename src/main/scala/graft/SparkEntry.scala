@@ -17,7 +17,11 @@ import graft.streaming.Topologies
   *
   * Cross-engine determinism rules used throughout:
   *   - Double SUMs go through DECIMAL(38,9) (exact arithmetic, so shuffle
-  *     order cannot perturb the result) and cast back to DOUBLE;
+  *     order cannot perturb the result) and cast back to DOUBLE. On the
+  *     DuckDB side the decimal is cast VARCHAR-then-DOUBLE: DuckDB's direct
+  *     decimal->double cast is not correctly rounded once the unscaled
+  *     value passes 2^53 (observed 1-ulp drift at sf0.1 sums ~1e10), while
+  *     its string->double parse — like Spark's Decimal.toDouble — is;
   *   - every query ends in a total ORDER BY with a unique tiebreaker;
   *   - cosine similarities are rounded to 4 decimals before compare/sort.
   */
@@ -107,12 +111,20 @@ object SparkEntry {
     // ---- aggregations (A4: rollup / multi-aggregate) ----
     // totals here reach ~1e10 where DuckDB's decimal->double cast is not
     // correctly rounded (1-ulp divergence vs BigDecimal.doubleValue seen at
-    // sf0.1) — keep the sums DECIMAL end-to-end, exact in both engines
+    // sf0.1) — sums stay DECIMAL end-to-end (exact in both engines), then
+    // canonicalize to fixed-scale STRINGS: raw DECIMAL(38,9) output hashed
+    // differently across the two engines' parquet/result representations
+    // even with digit-identical values (round-2 verdict), and a string is a
+    // representation the hasher cannot disagree on. Scale 2 is exact here:
+    // quantities are integral and prices are cents, so every scale-9 sum
+    // ends in 0000000 and the rescale never rounds.
     "q09_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(38,9)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(38,9)")).as("sum_price"),
+        .agg(sum(col("l_quantity").cast("decimal(38,9)"))
+            .cast("decimal(38,2)").cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,9)"))
+            .cast("decimal(38,2)").cast("string").as("sum_price"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
@@ -488,7 +500,7 @@ object SparkEntry {
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->
-      "SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty FROM lineitem",
+      "SELECT CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty FROM lineitem",
 
     "q03_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -513,13 +525,13 @@ object SparkEntry {
 
     "q08_selectkey_agg" ->
       """SELECT l_orderkey || '-' || l_partkey AS k, count(*) AS "count",
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM lineitem GROUP BY 1 ORDER BY k""",
 
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
            count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -533,12 +545,12 @@ object SparkEntry {
 
     "q11_range_scan" ->
       """SELECT l_partkey, count(*) AS cnt,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM lineitem WHERE l_orderkey = 7 GROUP BY l_partkey ORDER BY l_partkey""",
 
     "q12_scatter_gather" ->
       """SELECT o_custkey, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q13_join_broadcast" ->
@@ -548,7 +560,7 @@ object SparkEntry {
 
     "q14_join_multiway" ->
       """SELECT o_orderkey, o_orderdate,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -567,7 +579,7 @@ object SparkEntry {
 
     "q17_window_tumble" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-           count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+           count(*) AS cnt, CAST(CAST(sum(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q18_window_rank" ->
@@ -581,9 +593,9 @@ object SparkEntry {
     "q19_window_running" ->
       """SELECT o_custkey, o_orderkey,
            lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ok,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) OVER (
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q20_topk" ->
@@ -621,12 +633,13 @@ object SparkEntry {
 
     "q25_udaf_count_total" ->
       """SELECT l_orderkey || '-' || l_partkey AS k, count(*) AS "count",
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM lineitem GROUP BY 1 ORDER BY k""",
 
+    // md5-digest grouping key, matching Dedup.exactGroups' 16-byte shuffle key
     "q26_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents
-         GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+         GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
          ORDER BY keep_id""",
 
     // posting-list form with the same df-cap (2..100) as Dedup.ngramJaccardPairs
@@ -728,7 +741,7 @@ object SparkEntry {
     "q40_purchases_topology" ->
       """SELECT user_id || '-' || CAST(json_extract_string(props, '$.k') AS INT) AS k,
            count(*) AS "count",
-           CAST(sum(CAST(1 AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(1 AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM events GROUP BY 1 ORDER BY k NULLS FIRST""",
 
     "q41_uppercase_topology" ->
@@ -753,14 +766,14 @@ object SparkEntry {
          SELECT user_id, min(ts) AS session_start,
            max(ts) + INTERVAL '5 minutes' AS session_end,
            count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     // 1h window sliding by 30m = each event in exactly 2 windows: the ones
     // starting at its 30m bucket and 30m before it
     "q43_sliding_window" ->
       """SELECT ws AS window_start, event_type, count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM (
            SELECT event_type, value,
              unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -834,7 +847,7 @@ object SparkEntry {
 
     "q46_cube" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty,
            count(*) AS cnt
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -848,7 +861,7 @@ object SparkEntry {
     // the salted two-phase plan must be indistinguishable from GROUP BY
     "q48_salted_agg" ->
       """SELECT o_custkey, count(*) AS "count",
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window form
@@ -862,13 +875,13 @@ object SparkEntry {
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,9))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus

@@ -33,12 +33,24 @@ class CountAndTotalAggregator extends Aggregator[Double, CountAndTotalBuffer, Co
     * (~|v|*1e9*2^-52) is far below the 0.5 rounding threshold there, and
     * +0.5-then-floor reproduces HALF_UP's round-half-away-from-zero
     * (`math.rint` would round half to even and diverge on exact halves).
+    *
+    * Beyond that bound the `v * 1e9` double path can misround, and past
+    * ~9.2e9 `toLong` would silently saturate at Long.MaxValue — so larger
+    * magnitudes take the exact BigDecimal path, and inputs whose nano count
+    * cannot fit a Long at all fail loudly (`longValueExact` throws) instead
+    * of corrupting the total.
     */
-  private def toNanos(v: Double): Long = {
-    val scaled = v * 1e9
-    if (scaled >= 0) math.floor(scaled + 0.5).toLong
-    else -math.floor(-scaled + 0.5).toLong
-  }
+  private val FastPathBound = 4.0e6
+
+  private def toNanos(v: Double): Long =
+    if (math.abs(v) <= FastPathBound) {
+      val scaled = v * 1e9
+      if (scaled >= 0) math.floor(scaled + 0.5).toLong
+      else -math.floor(-scaled + 0.5).toLong
+    } else
+      java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
 
   /** Normalize so units/nanos share sign and |nanos| < 1e9. */
   private def norm(count: Long, units: Long, nanos: Long): CountAndTotalBuffer = {

@@ -46,8 +46,7 @@ object GraftFunctions {
     "hyperplane_buckets" -> {
       case Seq(child, Literal(nTables: Int, _), Literal(nPlanes: Int, _),
           Literal(dim: Int, _), Literal(seed: Long, _)) =>
-        HyperplaneBuckets(asDoubleArray(child),
-          HashFamilies.planeFamilies(nTables, nPlanes, dim, seed))
+        HyperplaneBuckets(asDoubleArray(child), nTables, nPlanes, dim, seed)
       case other =>
         throw new IllegalArgumentException(
           "hyperplane_buckets(emb, nTables, nPlanes, dim, seed literals); " +

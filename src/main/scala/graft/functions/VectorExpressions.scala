@@ -25,11 +25,21 @@ import org.apache.spark.sql.types._
   * product's sign, so the norms those calls compute are wasted, and one
   * loop reads the embedding once instead of 48 times.
   *
-  * `planes` is indexed [table][plane][dim]; dimension mismatch with the
-  * input THROWS (same contract as [[CosineSimilarity]]).
+  * Dimension mismatch with the input THROWS (same contract as
+  * [[CosineSimilarity]]).
+  *
+  * The case-class fields are the GENERATING PARAMETERS, not the plane
+  * arrays: arrays compare by reference, so two textually identical calls
+  * would never be `semanticEquals` and Catalyst could not common them up
+  * (subexpression elimination, cached-plan matching). Primitive fields give
+  * structural equality for free; the planes derive lazily per task.
   */
-case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+case class HyperplaneBuckets(child: Expression, nTables: Int, nPlanes: Int,
+    dim: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    HashFamilies.planeFamilies(nTables, nPlanes, dim, seed)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"

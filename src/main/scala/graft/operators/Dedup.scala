@@ -19,10 +19,18 @@ object Dedup {
 
   /** Exact duplicate groups on a normalized key: keeps the smallest id as the
     * canonical representative. One shuffle (hash aggregate on the key).
+    *
+    * The grouping key is the 16-byte md5 [[TextFunctions.fingerprint]] of the
+    * normalized text, NOT the normalized text itself: the aggregate's
+    * exchange then carries fixed-size digests instead of the corpus bytes —
+    * at 100 TB that is the difference between shuffling ~gigabytes and
+    * shuffling the whole corpus. md5 collisions (~2^-64 at billions of docs)
+    * would merge two distinct texts; callers needing a guarantee can verify
+    * survivors' texts post-hoc.
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .groupBy(TextFunctions.normalized(col(textCol)).as("norm_text"))
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Exact dedup: one surviving row per normalized text (deterministic:

@@ -35,6 +35,16 @@ final class HttpApi(serving: Serving, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // Multi-threaded dispatch is load-bearing, not a tuning choice: with the
+  // JDK server's default single-threaded executor, two sharded instances
+  // scatter-gathering at each other would each block in client.send while
+  // the peer's only serving thread is itself blocked — a distributed
+  // deadlock. A cached pool (plus the fan-out timeout in fetchEntries)
+  // makes that impossible; the reference's Javalin layer is multi-threaded
+  // for the same reason.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
+
   /** (selfIndex, all instance addresses) when sharded; None = single node. */
   @volatile private var routing: Option[(Int, IndexedSeq[String])] = None
 
@@ -108,7 +118,10 @@ final class HttpApi(serving: Serving, port: Int = 0) {
         routing match {
           case Some((self, peers)) if HttpApi.ownerOf(key, peers.size) != self =>
             val owner = peers(HttpApi.ownerOf(key, peers.size))
-            ex.getResponseHeaders.set("Location", s"http://$owner/wordcount/$key")
+            // re-encode: `key` is percent-DECODED here, and a raw space/'%'/
+            // '?'/non-ASCII char would make the redirect URL invalid
+            ex.getResponseHeaders.set("Location",
+              s"http://$owner/wordcount/${HttpApi.encodePath(key)}")
             respond(ex, 302, "{}")
           case _ =>
             val out = for {
@@ -142,7 +155,7 @@ final class HttpApi(serving: Serving, port: Int = 0) {
         val merged = routing match {
           case Some((self, peers)) if !guarded =>
             val remote = peers.indices.filter(_ != self).flatMap { i =>
-              fetchEntries(s"http://${peers(i)}/purchases/$key")
+              fetchEntries(s"http://${peers(i)}/purchases/${HttpApi.encodePath(key)}")
             }
             local.map { case (k, v) => k -> jsonVal(v) } ++ remote
           case _ => local.map { case (k, v) => k -> jsonVal(v) }
@@ -157,12 +170,16 @@ final class HttpApi(serving: Serving, port: Int = 0) {
   /** GET a peer's guarded prefix scan; returns (key, rawJsonValue) pairs.
     * Best-effort: an unreachable peer contributes nothing instead of
     * failing the whole merge (its keys reappear once it returns — same
-    * availability posture as the reference's per-host okhttp loop).
+    * availability posture as the reference's per-host okhttp loop). The
+    * timeout bounds how long a fan-out can hold this instance's serving
+    * thread (HttpTimeoutException is an IOException → treated as
+    * unreachable).
     */
   private def fetchEntries(url: String): Seq[(String, String)] =
     try {
       val res = client.send(
         HttpRequest.newBuilder(URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(5))
           .header("X-Provenance-Enabled", "true").GET().build(),
         HttpResponse.BodyHandlers.ofString())
       if (res.statusCode() != 200) Nil else HttpApi.parseEntries(res.body())
@@ -188,10 +205,16 @@ final class HttpApi(serving: Serving, port: Int = 0) {
   })
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object HttpApi {
+
+  /** Percent-encode one path segment (URLEncoder is form-encoding; its '+'
+    * for space is wrong in a path).
+    */
+  def encodePath(segment: String): String =
+    java.net.URLEncoder.encode(segment, UTF_8).replace("+", "%20")
 
   /** Deterministic key → instance index; every instance must agree.
     * (Reference analog: the store serializer's partition hash,

@@ -53,7 +53,9 @@ final class ServingTable(val name: String, val keyCol: String) {
     * scan is strictly more general and stays sargable.
     */
   def prefix(p: String): Seq[(String, Map[String, Any])] =
-    state.asScala.iterator.dropWhile(_._1 < p).takeWhile(_._1.startsWith(p)).toSeq
+    // tailMap positions at the prefix in O(log n); a dropWhile from the
+    // first key would make every prefix scan O(total keys)
+    state.tailMap(p, true).asScala.iterator.takeWhile(_._1.startsWith(p)).toSeq
 
   /** Full scan (scatter-gather analog, reference:
     * `PurchasesService.java:58-94` — the merge loop disappears because the
