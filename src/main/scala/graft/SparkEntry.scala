@@ -87,12 +87,14 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
-    "q06_json_mutate" -> ((s, d) => // P2: add processed=true to dynamic JSON
+    // P2: add processed=true to dynamic JSON, schema-lessly — every field
+    // the document happens to carry survives with its exact JSON type
+    // (map<string,variant> round-trip), not just the fields we know about
+    "q06_json_mutate" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
-          to_json(struct(
-            get_json_object(col("props"), "$.k").cast("int").as("k"),
-            lit(true).as("processed"))).as("enriched"))
+          graft.functions.JsonFunctions.jsonSetFields(col("props"),
+            "processed" -> parse_json(lit("true"))).as("enriched"))
         .orderBy(col("event_id"))),
 
     // ---- word count topology: P3 flatMap + A1 count ----
@@ -277,7 +279,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
-    "q32_ann_lsh" -> ((s, d) => // rows-only: LSH bucketing not SQL-portable
+    "q32_ann_lsh" -> ((s, d) => // full oracle: q32Oracle re-derives the buckets
       Similarity.lshTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
@@ -463,6 +465,47 @@ object SparkEntry {
         ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB twin of q32: recomputes the sign-LSH bucketing with the SAME
+    * LCG hyperplanes as [[graft.functions.HyperplaneBuckets]] (embedded as
+    * double literals — both sides derive from
+    * `HashFamilies.planeFamilies(12, 4, 64, 11L)`; `Double.toString` emits
+    * the shortest round-tripping form, so DuckDB parses back the identical
+    * bit pattern). Per table the bucket is the 4-bit dot-product sign
+    * pattern; candidates share the query's bucket in ANY table
+    * (OR-amplification), ranked by exact cosine. The embedding width is
+    * pinned to the fixture's 64 — a width change breaks loudly (dimension
+    * mismatch on the Spark side, wrong-length dot product here).
+    */
+  private def q32Oracle: String = {
+    val nPlanes = 4; val nTables = 12; val dim = 64; val seed = 11L
+    val fams = graft.functions.HashFamilies.planeFamilies(nTables, nPlanes, dim, seed)
+    def planeList(p: Array[Double]) =
+      p.map(_.toString).mkString("[", ", ", "]")
+    val bucketExprs = fams.zipWithIndex.map { case (fam, tbl) =>
+      val terms = fam.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${planeList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"($terms) AS b$tbl"
+    }.mkString(",\n           ")
+    val bucketList = (0 until nTables).map(tbl => s"b$tbl").mkString("[", ", ", "]")
+    s"""WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, v,
+           $bucketExprs
+          FROM emb),
+        posted AS (
+          SELECT vec_id, v, unnest(range(0, $nTables)) AS tbl,
+            unnest($bucketList) AS bucket
+          FROM bucketed),
+        q AS (SELECT tbl, bucket, v AS qv FROM posted WHERE vec_id = 0)
+        SELECT p.vec_id, max(round(list_cosine_similarity(p.v, q.qv), 4)) AS sim
+        FROM posted p JOIN q ON p.tbl = q.tbl AND p.bucket = q.bucket
+        WHERE p.vec_id <> 0
+        GROUP BY p.vec_id
+        ORDER BY sim DESC, vec_id LIMIT 10"""
+  }
+
   /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
     * (both engines lowercase, zero-padded).
@@ -497,6 +540,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q28_dedup_minhash" -> q28Oracle,
     "q29_simhash" -> q29Oracle,
+    "q32_ann_lsh" -> q32Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->

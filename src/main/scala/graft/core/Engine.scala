@@ -32,6 +32,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // JSON mutation ([[graft.functions.JsonFunctions.jsonSetFields]])
+      // models a document as map<string,variant>; LAST_WIN makes
+      // map_concat overwrite an existing key IN PLACE (keeping its
+      // position), which is exactly RFC 7386 merge-patch's update
+      // semantics — the default EXCEPTION policy would throw instead
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // fixture events.parquet is TIMESTAMP(NANOS); read as long, rebuilt
       // to a micros timestamp in Tables.load (see Tables.rebuildNanosTs)

@@ -17,7 +17,9 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     os -- qs shouldBe empty // an orphan oracle would silently never run
     all(qs.toSeq) should fullyMatch regex "q\\d+_[a-z0-9_]+"
     // rows-only queries are the two documented ones
-    (qs -- os) shouldBe Set("q32_ann_lsh", "q39_multimodal_decode")
+    // q39 is the single legitimately oracle-less query (its decode fields
+    // come from the documented multimodal stub); everything else must pair
+    (qs -- os) shouldBe Set("q39_multimodal_decode")
   }
 
   test("oracle SQL is syntactically loadable (no stray quotes breaking the dump)") {
