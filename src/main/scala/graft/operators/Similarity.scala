@@ -90,6 +90,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the sign-LSH posting index as a parquet table PARTITIONED BY
+    * (table, bucket) — the 100 TB path [[lshTopK]]'s Scaladoc promises: the
+    * bucketing pass runs once at index-build time, and a query then prunes
+    * to its own `nTables` partition directories instead of re-bucketing the
+    * corpus per query. Pair with [[lshTopKIndexed]].
+    */
+  def writeLshIndex(embs: DataFrame, idCol: String, embCol: String,
+      path: String, nPlanes: Int = 4, nTables: Int = 12, dim: Int = -1,
+      seed: Long = 11L): Unit = {
+    val d = if (dim > 0) dim else inferDim(embs, embCol)
+    embs
+      .select(col(idCol), col(embCol).cast("array<double>").as(embCol),
+        posexplode(graft.functions.GraftFunctions
+          .hyperplane_buckets(col(embCol), nTables, nPlanes, d))
+          .as(Seq("table", "bucket")))
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+  }
+
+  /** The query vector's per-table buckets, computed driver-side with the
+    * SAME plane family as the index build (tiny: nTables * nPlanes dots).
+    */
+  def queryBuckets(qv: Array[Double], nPlanes: Int = 4, nTables: Int = 12,
+      seed: Long = 11L): Array[Int] = {
+    val fams = graft.functions.HashFamilies.planeFamilies(
+      nTables, nPlanes, qv.length, seed)
+    fams.map { fam =>
+      fam.zipWithIndex.foldLeft(0) { case (acc, (p, j)) =>
+        require(p.length == qv.length,
+          s"queryBuckets: dimension mismatch ${p.length} vs ${qv.length}")
+        var dot = 0.0; var i = 0
+        while (i < qv.length) { dot += p(i) * qv(i); i += 1 }
+        if (dot > 0) acc | (1 << j) else acc
+      }
+    }
+  }
+
+  /** ANN top-k against a [[writeLshIndex]] table: the (table, bucket)
+    * predicate is a pure partition filter, so the scan reads at most
+    * `nTables` partition directories — at 100 TB that is the difference
+    * between touching ~nTables/2^nPlanes of the corpus and all of it.
+    * Candidates are ranked by exact cosine like [[lshTopK]].
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, embCol: String, qv: Array[Double], queryId: Long, k: Int,
+      nPlanes: Int = 4, nTables: Int = 12, seed: Long = 11L): DataFrame = {
+    val buckets = queryBuckets(qv, nPlanes, nTables, seed)
+    val pruned = spark.read.parquet(indexPath)
+      .where(buckets.zipWithIndex.map { case (b, tbl) =>
+        col("table") === tbl && col("bucket") === b
+      }.reduce(_ || _))
+    pruned
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_sim(col(embCol), typedlit(qv.toSeq)), 4).as("sim"))
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
     * LSH variant trades against: k-means partitions the corpus into
     * `nList` cells; a query probes only the `nProbe` cells whose centroids

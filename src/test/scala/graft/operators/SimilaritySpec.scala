@@ -95,6 +95,41 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("persisted LSH index: pruned scan reads only the probe partitions, results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index-").toString
+    Similarity.writeLshIndex(embs, "vec_id", "embedding", dir)
+
+    val qv = embs.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val indexed = Similarity.lshTopKIndexed(spark, dir, "vec_id", "embedding",
+      qv, queryId = 0L, k = 10)
+
+    // identical ranking to the index-free path (same planes, same buckets)
+    val direct = Similarity.lshTopK(embs, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe direct
+
+    // the scan must touch at most nTables of the (table, bucket) partition
+    // directories — this IS the 100 TB claim, asserted on the plan
+    val totalPartitions = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("table="))
+      .map(_.listFiles().count(_.getName.startsWith("bucket="))).sum
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val selected = scans(indexed.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount).sum
+    withClue(s"selected $selected of $totalPartitions partitions: ") {
+      selected should be <= 12 // nTables
+      selected should be < totalPartitions
+    }
+  }
+
   test("cosine_sim rejects mismatched dimensions instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
