@@ -52,6 +52,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       include("TakeOrderedAndProject")
   }
 
+  /** Exchange-count ceilings for the queries the round-2 driver bench
+    * flagged >2x baseline: their plans were re-audited (round-3) as the
+    * shapes we want — any edit that grows a plan's shuffle count now fails
+    * here, before it fails the benchmark. Counts are from sf0.001 plans;
+    * AQE may coalesce at runtime but never adds exchanges.
+    */
+  private val exchangeCeilings = Map(
+    "q26_dedup_exact" -> 2, // fingerprint hash-agg + final sort
+    "q42_session_window" -> 2, // session agg + final sort
+    "q43_sliding_window" -> 2, // window agg + final sort
+    "q44_metadata_cols" -> 1, // map-only + final sort
+    "q45_training_pipeline" -> 9) // dedup agg, semi, df gate, pair join, anti, sort
+
+  test("regressed-in-r2 queries keep their audited shuffle budgets") {
+    val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      val n = "Exchange".r.findAllIn(plan).length
+      if (n > cap) Some(s"$name: $n exchanges > audited $cap") else None
+    }
+    over shouldBe empty
+  }
+
   test("filters reach the parquet scan (pushdown)") {
     val plan = planOf(SparkEntry.queries("q03_filter")(spark, sfDir))
     plan should include("PushedFilters")
