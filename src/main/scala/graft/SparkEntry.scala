@@ -401,6 +401,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- per-language quality: stopword share matched to each doc's own
+    // predicted language (multilingual-corpus fix for q34's English-only
+    // weighting) ----
+    "q51_quality_multilang" -> ((s, d) =>
+      TextAnalysis.qualityByLang(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- transitive-closure near-dup grouping: min-reachable-id label per
+    // doc over the q27 candidate pair graph (iterative label propagation;
+    // oracle recomputes it with a recursive CTE) ----
+    "q52_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(
+          t(s, d, "documents").where(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 3, threshold = 0.02))
+        .orderBy(col("id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -915,6 +932,70 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+
+    // lang decision duplicated from q33; stopword hits selected BY the
+    // decided language, mirroring TextFunctions.qualityScoreByLang
+    "q51_quality_multilang" ->
+      """WITH feat AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM documents),
+         langd AS (
+           SELECT *,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred
+           FROM feat WHERE len(w) > 0)
+         SELECT doc_id, lang_pred, CAST(len(w) AS BIGINT) AS n_words,
+           round(0.5 * (len(list_distinct(w)) / len(w))
+               + 0.3 * ((CASE lang_pred WHEN 'en' THEN s_en WHEN 'de' THEN s_de
+                         WHEN 'fr' THEN s_fr WHEN 'es' THEN s_es ELSE 0 END) / len(w))
+               + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+         FROM langd ORDER BY doc_id""",
+
+    // q27's candidate pairs -> undirected edges -> recursive min-label
+    // reachability; min(comp) per id is the component's smallest member
+    "q52_dedup_components" ->
+      """WITH RECURSIVE dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id % 5 = 0)
+           WHERE len(w) >= 3),
+         posting AS (
+           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id)
+         SELECT id, min(comp) AS comp FROM cc GROUP BY id ORDER BY id""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->

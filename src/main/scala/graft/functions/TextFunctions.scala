@@ -74,11 +74,35 @@ object TextFunctions {
   /** Quality score in [0,1]: lexical diversity + stopword share + length
     * credit. Mirrors the oracle SQL token-for-token (left-to-right Double
     * arithmetic). Callers must pre-filter size(words) > 0.
+    *
+    * `stopPattern` is the stopword-marker regex used for the stopword-share
+    * term; the default is the English marker set (the battery's historical
+    * behavior). For a multilingual corpus use [[qualityScoreByLang]] so each
+    * document is scored against ITS OWN language's stopwords — English-only
+    * weighting systematically under-scores well-formed non-English prose.
     */
-  def qualityScore(ws: Column, text: Column): Column = {
+  def qualityScore(ws: Column, text: Column,
+      stopPattern: String = LangMarkers.head._2): Column = {
     val nWords = size(ws)
     val diversity = size(array_distinct(ws)) / nWords
-    val stopRatio = markerHits(text, LangMarkers.head._2) / nWords
+    val stopRatio = markerHits(text, stopPattern) / nWords
+    val lenScore = least(lit(1.0), nWords / lit(250.0))
+    round(lit(0.5) * diversity + lit(0.3) * stopRatio + lit(0.2) * lenScore, 6)
+  }
+
+  /** [[qualityScore]] with the stopword term matched to a per-row language
+    * column (as produced by [[langId]]): a French document's stopword share
+    * counts French markers, not English ones. Unknown language ('und')
+    * contributes zero stopword share — its quality rests on diversity and
+    * length alone.
+    */
+  def qualityScoreByLang(ws: Column, text: Column, lang: Column): Column = {
+    val nWords = size(ws)
+    val diversity = size(array_distinct(ws)) / nWords
+    val hits = LangMarkers.foldRight(lit(0L): Column) { case ((l, p), acc) =>
+      when(lang === l, markerHits(text, p)).otherwise(acc)
+    }
+    val stopRatio = hits / nWords
     val lenScore = least(lit(1.0), nWords / lit(250.0))
     round(lit(0.5) * diversity + lit(0.3) * stopRatio + lit(0.2) * lenScore, 6)
   }

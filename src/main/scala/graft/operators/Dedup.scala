@@ -187,6 +187,75 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(max(col("sim")).as("sim"))
   }
 
+  /** Connected components over near-dup candidate pairs: every document is
+    * labeled with the SMALLEST id transitively reachable through the pair
+    * graph. This is the transitive-closure dedup semantics (a cluster of
+    * mutual near-dups collapses to one representative) the greedy
+    * drop-every-`id_b` pass in [[graft.pipelines.TrainingData]] approximates:
+    * greedy keeps a doc whose only pair-partners are larger ids even when it
+    * is transitively connected to a smaller survivor, so component survivors
+    * are always a SUBSET of greedy survivors (stricter dedup).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each pass,
+    * every vertex takes the min of its own label, its neighbors' labels
+    * (edge join + min aggregate), and then its label's OWN label (a
+    * label-table self-join — "comp of my comp"). The jump halves the
+    * remaining distance to the component minimum each pass, so convergence
+    * is O(log diameter) passes, not O(diameter) — plain one-hop propagation
+    * stalled on the fixture's widest component, whose diameter exceeds any
+    * reasonable fixed pass budget. Per pass the label frame is
+    * localCheckpoint'ed: without it the self-referencing plan doubles each
+    * iteration and the driver, not the data, becomes the bottleneck.
+    * Throws if `maxIter` passes do not reach the fixpoint (2^maxIter
+    * diameter headroom — loud beats silently-wrong labels). Returns
+    * (id, comp).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val merged = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // pointer jump: comp values are themselves vertex ids, so follow one
+      // more hop through the (complete) label table and keep the smaller.
+      // The jump side is re-projected under fresh names — a plain
+      // .as(alias) self-join of the same plan instance trips attribute
+      // dedup during planning
+      val next = merged
+        .join(merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
+          col("comp") === col("__jid"))
+        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter passes")
+    labels
+  }
+
+  /** Ids to DROP under component dedup: every component member except its
+    * min-id representative (the drop-side twin of the greedy pass's
+    * `id_b` set, for [[graft.pipelines.TrainingData]]'s anti-join).
+    */
+  def componentDropIds(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id"))
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

@@ -23,6 +23,19 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_words"),
         qualityScore(col("w"), col(textCol)).as("quality"))
 
+  /** [[quality]] with the stopword term matched to each document's OWN
+    * predicted language (multilingual corpora; English-only weighting
+    * under-scores well-formed non-English prose).
+    */
+  def qualityByLang(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol),
+        langId(col(textCol)).as("lang_pred"), words(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol), col("lang_pred"),
+        size(col("w")).cast("long").as("n_words"),
+        qualityScoreByLang(col("w"), col(textCol), col("lang_pred")).as("quality"))
+
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       wsTokenCount(col(textCol)).as("ws_tokens"),

@@ -61,10 +61,19 @@ object TrainingData {
     f.delete(): Unit
   }
 
+  /** `componentDedup = false` (default): greedy keep-smallest — drop the
+    * larger id of each >= threshold pair (cheap, one anti-join; keeps a doc
+    * whose only partners are larger ids even when transitively connected to
+    * a smaller survivor). `true`: transitive-closure dedup — drop every
+    * component member except its min id ([[Dedup.connectedComponents]]);
+    * strictly-stricter survivors at the cost of the iterative label
+    * propagation.
+    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 0.26,
       nearDupThreshold: Double = 0.5, maxDf: Int = 100,
-      cacheIntermediate: Boolean = true): DataFrame = {
+      cacheIntermediate: Boolean = true,
+      componentDedup: Boolean = false): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
 
@@ -80,11 +89,13 @@ object TrainingData {
       .where(col("lang_pred") === lang && col("quality") >= minQuality)
     val gated = if (cacheIntermediate) spill(gatedPlan) else gatedPlan
 
-    // 4. near-dup removal among survivors (greedy keep-smallest-id)
-    val dupIds = Dedup.ngramJaccardPairs(
-        gated.select(col(idCol), col(textCol)), idCol, textCol,
-        n = 3, threshold = nearDupThreshold, maxDf = maxDf)
-      .select(col("id_b").as(idCol)).distinct()
+    // 4. near-dup removal among survivors
+    val pairs = Dedup.ngramJaccardPairs(
+      gated.select(col(idCol), col(textCol)), idCol, textCol,
+      n = 3, threshold = nearDupThreshold, maxDf = maxDf)
+    val dupIds =
+      if (componentDedup) Dedup.componentDropIds(pairs).select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
     val survivors = gated.join(dupIds, Seq(idCol), "left_anti")
 
     // 5. token accounting

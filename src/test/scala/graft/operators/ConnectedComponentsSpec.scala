@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** [[Dedup.connectedComponents]] (iterative min-label propagation) checked
+  * EXACTLY against a driver-side union-find on the same pair sets — fixture
+  * pairs plus random graphs — and the documented containment between the
+  * two near-dup strategies (component survivors ⊆ greedy survivors).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def viaSpark(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation equals union-find on the fixture's near-dup pairs") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairDf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.02)
+    val pairs = pairDf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    viaSpark(pairs) shouldBe unionFind(pairs)
+  }
+
+  test("property: equals union-find on random graphs (incl. chains and stars)") {
+    val graph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 20)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    val prop = Prop.forAll(graph) { pairs =>
+      pairs.isEmpty || viaSpark(pairs) == unionFind(pairs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a long chain converges (diameter > one propagation pass)") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    viaSpark(chain) shouldBe (0L to 9L).map(_ -> 0L).toMap
+  }
+
+  test("component survivors are a subset of greedy survivors in the pipeline") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def survivors(component: Boolean): Set[Long] =
+      graft.pipelines.TrainingData.clean(docs, "doc_id", "text",
+        nearDupThreshold = 0.02, componentDedup = component)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val comp = survivors(component = true)
+    val greedy = survivors(component = false)
+    comp.subsetOf(greedy) shouldBe true
+    comp should not be empty
+  }
+}
