@@ -418,6 +418,39 @@ object SparkEntry {
           "doc_id", "text", n = 3, threshold = 0.02))
         .orderBy(col("id"))),
 
+    // ---- grouping sets via the SQL-TEXT surface (A4 completion; also
+    // exercises spark.sql + temp-view registration end-to-end) ----
+    "q53_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+                 count(*) AS cnt
+               FROM lineitem_v
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // ---- multi-distinct aggregates (Expand-based plan; A4 completion) ----
+    "q54_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("dparts"),
+          count_distinct(col("l_suppkey")).as("dsupps"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- exact percentiles (continuous + discrete). Exact `percentile`
+    // holds per-group values, so at 100 TB the production path is
+    // approx_percentile (t-digest, not cross-engine hash-matchable — its
+    // accuracy is gated in ApproxAggSpec instead); the exact form is what
+    // the oracle can verify digit-for-digit ----
+    "q55_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p25_price"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -996,6 +1029,30 @@ object SparkEntry {
            UNION
            SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id)
          SELECT id, min(comp) AS comp FROM cc GROUP BY id ORDER BY id""",
+
+    "q53_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q54_distinct_agg" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS dparts,
+           count(DISTINCT l_suppkey) AS dsupps,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // quantile_cont/quantile_disc match Spark's exact percentile /
+    // percentile_disc definitions bit-for-bit (probed incl. interpolation)
+    "q55_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_disc(l_extendedprice, 0.25) AS p25_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->
