@@ -451,6 +451,66 @@ object SparkEntry {
             .as("p25_price"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- outer joins: full outer (both-side null preservation via
+    // coalesce) + left join whose aggregate skips unmatched nulls ----
+    "q56_outer_joins" -> ((s, d) => {
+      val custByNation = t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("c_cnt"))
+      val suppByNation = t(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("s_cnt"))
+      val ordersByNation = t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_nationkey").as("nk3"))
+        .agg(count(col("o_orderkey")).as("n_orders")) // count() skips nulls
+      custByNation.join(suppByNation, col("nk") === col("nk2"), "full")
+        .select(coalesce(col("nk"), col("nk2")).as("nk"),
+          col("c_cnt"), col("s_cnt"))
+        .join(ordersByNation, col("nk") === col("nk3"), "left")
+        .select(col("nk"), col("c_cnt"), col("s_cnt"), col("n_orders"))
+        .orderBy(col("nk"))
+    }),
+
+    // ---- window-function frame variants: dense_rank / ntile / lead /
+    // first+last over an explicit unbounded frame ----
+    "q57_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("dr"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("first_ok"),
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- pivot (groupBy().pivot() -> one column per pivoted key) ----
+    "q58_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- higher-order array functions (transform/filter/aggregate/sort/
+    // slice) over the tokenized documents ----
+    "q59_array_funcs" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(
+          col("doc_id"),
+          size(filter(col("ws"), w => length(w) > 4)).cast("long").as("n_long_words"),
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
+          array_max(transform(col("ws"), w => length(w))).cast("long").as("max_word_len"),
+          concat_ws(",", slice(sort_array(col("ws")), 1, 3)).as("first3_sorted"))
+        .orderBy(col("doc_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1053,6 +1113,50 @@ object SparkEntry {
            quantile_cont(l_extendedprice, 0.9) AS p90_price,
            quantile_disc(l_extendedprice, 0.25) AS p25_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q56_outer_joins" ->
+      """SELECT COALESCE(c.nk, s.nk2) AS nk, c.c_cnt, s.s_cnt, o.n_orders
+         FROM (SELECT c_nationkey AS nk, count(*) AS c_cnt
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS s_cnt
+               FROM supplier GROUP BY 1) s ON c.nk = s.nk2
+         LEFT JOIN (SELECT c_nationkey AS nk3, count(o_orderkey) AS n_orders
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY 1) o ON COALESCE(c.nk, s.nk2) = o.nk3
+         ORDER BY nk""",
+
+    "q57_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER w AS INT) AS dr,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lead(o_orderkey) OVER w AS next_ok,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q58_pivot" ->
+      """SELECT l_returnflag,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q59_array_funcs" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(w, x -> len(x) > 4)) AS BIGINT) AS n_long_words,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars,
+           CAST(list_max(list_transform(w, x -> len(x))) AS BIGINT) AS max_word_len,
+           array_to_string(list_sort(w)[1:3], ',') AS first3_sorted
+         FROM (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents)
+         WHERE len(w) > 0 ORDER BY doc_id""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->
