@@ -37,21 +37,60 @@ object Multimodal {
     * one iterator per partition, so a real decoder would amortize codec
     * setup across the whole batch rather than paying it per row.
     *
-    * STUB: the container has no image/audio codecs, so the decode step is a
-    * deterministic fake derived from payload bytes (NOT a real decoder). The
-    * Spark-side plumbing — schema, typed Dataset, partition-batched
-    * iteration, metadata struct — is the real, tested surface; swap
-    * `fakeDecode` for a JNI/javacv call in production.
+    * The metadata parse is REAL for formats whose headers are plain bytes:
+    * WAV (RIFF chunk walk → duration from data size / byte rate) and BMP
+    * (BITMAPINFOHEADER → width/height), implemented below with no codec
+    * dependency and exact-value tested. Payloads with no recognized magic
+    * (or a corrupt header) fall back to the deterministic fake — pixel/PCM
+    * decoding of compressed formats still needs a codec the container
+    * doesn't ship; swap the fallback for a JNI/javacv call in production.
+    * A corrupt header degrades to the fake instead of failing the stage —
+    * the poison-pill posture (§2.5) applied to media.
     */
   def decode(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       // per-partition setup would open the codec once, here
       records.map { r =>
-        val (w, h, d) = fakeDecode(r.payload)
+        val (w, h, d) = parseHeader(r.payload).getOrElse(fakeDecode(r.payload))
         MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, d)
       }
     }
+  }
+
+  /** Real header metadata for headers that are plain bytes. WAV →
+    * (0, 0, duration_ms); BMP → (width, |height|, 0) (negative BMP height
+    * encodes top-down row order, not size). None = unrecognized or corrupt.
+    */
+  private[operators] def parseHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def i32(o: Int): Int = u32(o).toInt
+    def tag(o: Int): String = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+        // chunk walk: need fmt's byteRate and the data chunk's size
+        var pos = 12
+        var byteRate = 0L
+        var dataBytes = -1L
+        while (pos + 8 <= p.length && (byteRate == 0 || dataBytes < 0)) {
+          val id = tag(pos)
+          val size = u32(pos + 4)
+          if (id == "fmt " && pos + 20 <= p.length) byteRate = u32(pos + 16)
+          else if (id == "data") dataBytes = size
+          pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        if (byteRate > 0 && dataBytes >= 0)
+          Some((0, 0, (dataBytes * 1000 / byteRate).toInt))
+        else None
+      } else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
+        val w = i32(18)
+        val h = math.abs(i32(22))
+        if (w > 0 && h > 0) Some((w, h, 0)) else None
+      } else None
+    } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
   }
 
   /** Deterministic fake decode: metadata from payload length + a byte mix. */
@@ -78,7 +117,7 @@ object Multimodal {
     require(everyMs > 0, "everyMs must be positive")
     media.mapPartitions { records =>
       records.flatMap { r =>
-        val (w, h, d) = fakeDecode(r.payload)
+        val (w, h, d) = parseHeader(r.payload).getOrElse(fakeDecode(r.payload))
         val n = math.min(((d + everyMs - 1) / everyMs), maxFrames)
         (0 until n).iterator.map(i => MediaFrame(r.media_id, i, i * everyMs, w, h))
       }
