@@ -511,6 +511,14 @@ object SparkEntry {
           concat_ws(",", slice(sort_array(col("ws")), 1, 3)).as("first3_sorted"))
         .orderBy(col("doc_id"))),
 
+    // ---- REAL media decode under oracle: synthesize a to-spec WAV per
+    // doc_id, parse it with the RIFF chunk walk, and let the oracle
+    // recompute the expected metadata arithmetically ----
+    "q60_multimodal_wav" -> ((s, d) =>
+      Multimodal.syntheticWavPipeline(s, t(s, d, "documents"), "doc_id")
+        .select(col("media_id"), col("n_bytes"), col("duration_ms"))
+        .orderBy(col("media_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1157,6 +1165,21 @@ object SparkEntry {
              list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
            FROM documents)
          WHERE len(w) > 0 ORDER BY doc_id""",
+
+    // mirrors Multimodal.syntheticWavPipeline's parameter derivation and
+    // the parser's duration formula (floor division); byteRate =
+    // sampleRate * channels * 2 for 16-bit PCM
+    "q60_multimodal_wav" ->
+      """SELECT doc_id AS media_id,
+           CAST(44 + data_bytes AS BIGINT) AS n_bytes,
+           CAST((data_bytes * 1000) // (sample_rate * channels * 2) AS INT) AS duration_ms
+         FROM (
+           SELECT doc_id,
+             8000 + (doc_id % 8) * 1000 AS sample_rate,
+             1 + (doc_id % 2) AS channels,
+             1000 + (doc_id % 50) * 100 AS data_bytes
+           FROM documents)
+         ORDER BY media_id""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->

@@ -161,6 +161,45 @@ object Multimodal {
     }
   }
 
+  /** Canonical 44-byte PCM WAV header + zeroed data — a to-spec synthetic
+    * payload builder (used by the q60 battery query and the decode tests,
+    * single source of truth for the byte layout).
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataBytes: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataBytes); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1.toShort); buf.putShort(channels.toShort)
+    buf.putInt(sampleRate); buf.putInt(byteRate)
+    buf.putShort((channels * bitsPerSample / 8).toShort)
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes); buf.putInt(dataBytes)
+    buf.array()
+  }
+
+  /** Synthesize a deterministic WAV per id and run it through the REAL
+    * header parser — the decode path's oracle-checkable slice: an oracle
+    * can recompute the expected duration arithmetically (data bytes * 1000
+    * `div` byte rate) without touching bytes, so a parser regression
+    * hash-mismatches. Parameters derive from the id (varied sample rates,
+    * mono/stereo, varied data sizes).
+    */
+  def syntheticWavPipeline(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sampleRate = 8000 + (id % 8).toInt * 1000
+        val channels = 1 + (id % 2).toInt
+        val dataBytes = 1000 + (id % 50).toInt * 100
+        MediaRecord(id, "audio", syntheticWav(sampleRate, channels, 16, dataBytes))
+      })
+    decode(media).toDF()
+  }
+
   /** End-to-end stub pipeline over the documents table: text bytes stand in
     * for media payloads; output is the typed metadata view.
     */
