@@ -96,15 +96,22 @@ object Similarity {
     * to its own `nTables` partition directories instead of re-bucketing the
     * corpus per query. Pair with [[lshTopKIndexed]].
     */
+  /** The (id, emb, table, bucket) posting projection — shared by the batch
+    * index build and streaming index maintenance; works unchanged on a
+    * streaming DataFrame (pure per-row expressions, no aggregation).
+    */
+  def lshPostings(embs: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int = 4, nTables: Int = 12, dim: Int, seed: Long = 11L): DataFrame =
+    embs.select(col(idCol), col(embCol).cast("array<double>").as(embCol),
+      posexplode(graft.functions.GraftFunctions
+        .hyperplane_buckets(col(embCol), nTables, nPlanes, dim))
+        .as(Seq("table", "bucket")))
+
   def writeLshIndex(embs: DataFrame, idCol: String, embCol: String,
       path: String, nPlanes: Int = 4, nTables: Int = 12, dim: Int = -1,
       seed: Long = 11L): Unit = {
     val d = if (dim > 0) dim else inferDim(embs, embCol)
-    embs
-      .select(col(idCol), col(embCol).cast("array<double>").as(embCol),
-        posexplode(graft.functions.GraftFunctions
-          .hyperplane_buckets(col(embCol), nTables, nPlanes, d))
-          .as(Seq("table", "bucket")))
+    lshPostings(embs, idCol, embCol, nPlanes, nTables, d, seed)
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
   }
 
