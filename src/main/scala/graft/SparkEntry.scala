@@ -489,12 +489,16 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // ---- pivot (groupBy().pivot() -> one column per pivoted key) ----
+    // ---- pivot (groupBy().pivot() -> one column per pivoted key). An
+    // EMPTY cell pivots to NULL in Spark but counts to 0 in the oracle's
+    // conditional-aggregation twin — fill to 0 so the two agree on any
+    // fixture (the current one happens to populate every cell) ----
     "q58_pivot" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
         .orderBy(col("l_returnflag"))),
 
     // ---- higher-order array functions (transform/filter/aggregate/sort/

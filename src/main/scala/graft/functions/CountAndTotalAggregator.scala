@@ -43,7 +43,12 @@ class CountAndTotalAggregator extends Aggregator[Double, CountAndTotalBuffer, Co
   private val FastPathBound = 4.0e6
 
   private def toNanos(v: Double): Long =
-    if (math.abs(v) <= FastPathBound) {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      // the old double path silently folded NaN to 0 via NaN.toLong;
+      // non-finite quantities are data corruption — same loud contract as
+      // the overflow case below
+      throw new ArithmeticException(s"CountAndTotal input is not finite: $v")
+    else if (math.abs(v) <= FastPathBound) {
       val scaled = v * 1e9
       if (scaled >= 0) math.floor(scaled + 0.5).toLong
       else -math.floor(-scaled + 0.5).toLong

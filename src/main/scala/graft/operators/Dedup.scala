@@ -208,7 +208,14 @@ object Dedup {
     * iteration and the driver, not the data, becomes the bottleneck.
     * Throws if `maxIter` passes do not reach the fixpoint (2^maxIter
     * diameter headroom — loud beats silently-wrong labels). Returns
-    * (id, comp).
+    * (id, comp); docs with no pair never enter the graph (correct for
+    * dedup: no pair ⇒ survivor).
+    *
+    * NOTE this is an eager, action-like builder: the fixed point cannot be
+    * expressed as one lazy plan, so calling it RUNS the propagation jobs
+    * (localCheckpoint + convergence probes) and the returned frame reads
+    * the materialized labels. Plan-only consumers pay the computation at
+    * construction.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

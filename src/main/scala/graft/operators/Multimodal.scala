@@ -52,40 +52,49 @@ object Multimodal {
     media.mapPartitions { records =>
       // per-partition setup would open the codec once, here
       records.map { r =>
-        val (w, h, d) = parseHeader(r.payload).getOrElse(fakeDecode(r.payload))
+        val (w, h, d) = parseHeader(r.kind, r.payload).getOrElse(fakeDecode(r.payload))
         MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, d)
       }
     }
   }
 
-  /** Real header metadata for headers that are plain bytes. WAV →
-    * (0, 0, duration_ms); BMP → (width, |height|, 0) (negative BMP height
-    * encodes top-down row order, not size). None = unrecognized or corrupt.
+  /** Real header metadata for headers that are plain bytes, GATED ON the
+    * record's declared kind — magic-sniffing every blob would mis-parse
+    * e.g. a text payload that happens to start with "BM" (the record
+    * carries a kind precisely so decode can dispatch). "audio" → WAV
+    * (0, 0, duration_ms); "image" → BMP (width, |height|, 0) (negative BMP
+    * height encodes top-down row order, not size). None = kind without a
+    * dependency-free parser, unrecognized magic, or corrupt header.
     */
-  private[operators] def parseHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
-    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+  private[operators] def parseHeader(kind: String,
+      p: Array[Byte]): Option[(Int, Int, Int)] = {
     def u32(o: Int): Long =
       (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
         ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
     def i32(o: Int): Int = u32(o).toInt
     def tag(o: Int): String = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     try {
-      if (p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      if (kind == "audio" && p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
         // chunk walk: need fmt's byteRate and the data chunk's size
         var pos = 12
         var byteRate = 0L
         var dataBytes = -1L
-        while (pos + 8 <= p.length && (byteRate == 0 || dataBytes < 0)) {
+        var ok = true
+        while (ok && pos + 8 <= p.length && (byteRate == 0 || dataBytes < 0)) {
           val id = tag(pos)
           val size = u32(pos + 4)
           if (id == "fmt " && pos + 20 <= p.length) byteRate = u32(pos + 16)
           else if (id == "data") dataBytes = size
-          pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          // a corrupt size that is negative-as-Int or runs past the buffer
+          // would stall or cycle the walk — treat the header as broken
+          if (size > p.length) ok = false
+          else pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
         }
-        if (byteRate > 0 && dataBytes >= 0)
+        if (ok && byteRate > 0 && dataBytes >= 0)
           Some((0, 0, (dataBytes * 1000 / byteRate).toInt))
         else None
-      } else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
+      } else if (kind == "image" && p.length >= 26 &&
+          p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
         val w = i32(18)
         val h = math.abs(i32(22))
         if (w > 0 && h > 0) Some((w, h, 0)) else None
@@ -117,7 +126,7 @@ object Multimodal {
     require(everyMs > 0, "everyMs must be positive")
     media.mapPartitions { records =>
       records.flatMap { r =>
-        val (w, h, d) = parseHeader(r.payload).getOrElse(fakeDecode(r.payload))
+        val (w, h, d) = parseHeader(r.kind, r.payload).getOrElse(fakeDecode(r.payload))
         val n = math.min(((d + everyMs - 1) / everyMs), maxFrames)
         (0 until n).iterator.map(i => MediaFrame(r.media_id, i, i * everyMs, w, h))
       }

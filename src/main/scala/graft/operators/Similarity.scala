@@ -104,7 +104,7 @@ object Similarity {
       nPlanes: Int = 4, nTables: Int = 12, dim: Int, seed: Long = 11L): DataFrame =
     embs.select(col(idCol), col(embCol).cast("array<double>").as(embCol),
       posexplode(graft.functions.GraftFunctions
-        .hyperplane_buckets(col(embCol), nTables, nPlanes, dim))
+        .hyperplane_buckets(col(embCol), nTables, nPlanes, dim, seed))
         .as(Seq("table", "bucket")))
 
   def writeLshIndex(embs: DataFrame, idCol: String, embCol: String,

@@ -130,6 +130,22 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("persisted LSH index honors a non-default seed end-to-end") {
+    // regression: lshPostings once dropped the seed, so an index built with
+    // seed 42 was bucketed under seed 11 while queries probed with 42 —
+    // recall silently collapsed. Identical-vector lookup proves build and
+    // probe use the same plane family.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-seed-").toString
+    Similarity.writeLshIndex(embs, "vec_id", "embedding", dir, seed = 42L)
+    val qv = embs.where(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val top = Similarity.lshTopKIndexed(spark, dir, "vec_id", "embedding",
+      qv, queryId = -1L, k = 1, seed = 42L).collect()
+    top.head.getLong(0) shouldBe 3L // its own bucket must contain it
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-9
+  }
+
   test("cosine_sim rejects mismatched dimensions instead of truncating") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
