@@ -523,6 +523,33 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("duration_ms"))
         .orderBy(col("media_id"))),
 
+    // ---- bag-semantics set ops (unionAll / exceptAll / intersectAll keep
+    // duplicate multiplicity, unlike q21-q23's set semantics) ----
+    "q61_bag_set_ops" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      a.unionAll(b).groupBy(col("nk")).agg(count(lit(1)).as("u_cnt"))
+        .join(a.exceptAll(b).groupBy(col("nk")).agg(count(lit(1)).as("e_cnt")),
+          Seq("nk"), "left")
+        .join(a.intersectAll(b).groupBy(col("nk")).agg(count(lit(1)).as("i_cnt")),
+          Seq("nk"), "left")
+        .orderBy(col("nk"))
+    }),
+
+    // ---- null-safe equality (<=>): a NULL key matches a NULL key, unlike
+    // plain = which drops both ----
+    "q62_nullsafe_join" -> ((s, d) => {
+      val a = t(s, d, "events")
+        .groupBy(nullif(col("user_id") % 7, lit(3)).as("ka"))
+        .agg(count(lit(1)).as("a_cnt"))
+      val b = t(s, d, "orders")
+        .groupBy(nullif(col("o_custkey") % 7, lit(3)).as("kb"))
+        .agg(count(lit(1)).as("b_cnt"))
+      a.join(b, col("ka") <=> col("kb"))
+        .select(col("ka"), col("a_cnt"), col("b_cnt"))
+        .orderBy(col("ka").asc_nulls_first)
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1184,6 +1211,28 @@ object SparkEntry {
              1000 + (doc_id % 50) * 100 AS data_bytes
            FROM documents)
          ORDER BY media_id""",
+
+    "q61_bag_set_ops" ->
+      """WITH a AS (SELECT c_nationkey AS nk FROM customer),
+         b AS (SELECT s_nationkey AS nk FROM supplier),
+         u AS (SELECT nk, count(*) AS u_cnt FROM (
+                 SELECT nk FROM a UNION ALL SELECT nk FROM b) GROUP BY nk),
+         e AS (SELECT nk, count(*) AS e_cnt FROM (
+                 SELECT nk FROM a EXCEPT ALL SELECT nk FROM b) GROUP BY nk),
+         i AS (SELECT nk, count(*) AS i_cnt FROM (
+                 SELECT nk FROM a INTERSECT ALL SELECT nk FROM b) GROUP BY nk)
+         SELECT u.nk, u.u_cnt, e.e_cnt, i.i_cnt
+         FROM u LEFT JOIN e ON u.nk = e.nk LEFT JOIN i ON u.nk = i.nk
+         ORDER BY u.nk""",
+
+    "q62_nullsafe_join" ->
+      """SELECT a.ka, a.a_cnt, b.b_cnt
+         FROM (SELECT nullif(user_id % 7, 3) AS ka, count(*) AS a_cnt
+               FROM events GROUP BY 1) a
+         JOIN (SELECT nullif(o_custkey % 7, 3) AS kb, count(*) AS b_cnt
+               FROM orders GROUP BY 1) b
+           ON a.ka IS NOT DISTINCT FROM b.kb
+         ORDER BY ka NULLS FIRST""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->
