@@ -41,6 +41,42 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Cross-RUN exact dedup for continuous corpus ingestion: a persistent
+    * fingerprint table at `fpTablePath` remembers every text ever accepted;
+    * each call collapses in-batch duplicates (min-id representative),
+    * anti-joins the batch against the remembered fingerprints, APPENDS the
+    * novel fingerprints, and returns only the novel documents. Feed it from
+    * `foreachBatch` for streaming ingestion.
+    *
+    * Order of operations matters and is why the novel set spills first:
+    * the returned frame must not re-evaluate its anti-join AFTER the
+    * fingerprint append (it would then see its own fingerprints and filter
+    * itself to empty), so novel ids+fingerprints are materialized to a
+    * session-temp table, the append reads from that materialization, and
+    * the returned plan joins `docs` against it — immune to when the caller
+    * executes it. At 100 TB the fingerprint table is 16 bytes/doc and the
+    * anti-join shuffles digests, not text.
+    */
+  def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
+      fpTablePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val withFp = docs.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    // in-batch collapse: (fp, min id) pairs
+    val batchReps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    val seen =
+      try spark.read.parquet(fpTablePath).select(col("fp"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
+      }
+    val novel = graft.io.Spill(
+      batchReps.join(seen, Seq("fp"), "left_anti"), "graft-novel-")
+    novel.select(col("fp")).write.mode("append").parquet(fpTablePath)
+    docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
     * explode distinct shingles, self-join on the shingle (this is the only
     * shuffle that grows with corpus size), count co-occurrences = |A∩B|,

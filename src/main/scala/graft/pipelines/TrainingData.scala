@@ -43,44 +43,7 @@ import graft.operators.Dedup
   */
 object TrainingData {
 
-  /** Spill a DataFrame to a session-temp parquet dir and read it back;
-    * the directory is removed by a JVM shutdown hook (the plan returned by
-    * [[clean]] may be materialized by the caller at any later point, so
-    * eager deletion is impossible).
-    *
-    * The base directory comes from `spark.graft.spill.dir` when set — on a
-    * real cluster that MUST point at storage every executor can reach
-    * (HDFS/S3/...); a driver-local temp path would scatter partition files
-    * across executors' local disks and lose them. The local-temp default
-    * is correct only for `local[*]` sessions. Note spill executes the
-    * gated subplan eagerly at clean()-construction time — materialization
-    * is the point.
-    */
-  private def spill(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val dir = spark.conf.getOption("spark.graft.spill.dir") match {
-      case Some(base) =>
-        val d = s"${base.stripSuffix("/")}/graft-gated-${java.util.UUID.randomUUID()}"
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          val p = new org.apache.hadoop.fs.Path(d)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true): Unit
-        }))
-        d
-      case None =>
-        val d = java.nio.file.Files.createTempDirectory("graft-gated-")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d.toFile)))
-        d.toString
-    }
-    df.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def spill(df: DataFrame): DataFrame = graft.io.Spill(df, "graft-gated-")
 
   /** `componentDedup = false` (default): greedy keep-smallest — drop the
     * larger id of each >= threshold pair (cheap, one anti-join; keeps a doc

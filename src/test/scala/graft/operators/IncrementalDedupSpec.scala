@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Cross-run exact dedup: the fingerprint table remembers accepted texts
+  * across calls, in-batch duplicates collapse to the min id, and the
+  * returned frame is stable no matter when the caller materializes it
+  * (the append-then-reread hazard).
+  */
+class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("novel docs pass, repeats are rejected across batches") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-fp-").toString + "/fp"
+
+    val batch1 = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "lorem ipsum dolor"),
+      (3L, "THE  QUICK   brown FOX"), // normalized dup of 1 -> min id kept
+      (4L, "completely new text")
+    ).toDF("doc_id", "text")
+    val out1 = Dedup.incrementalExactDedup(batch1, "doc_id", "text", table)
+    out1.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 4L)
+
+    val batch2 = Seq(
+      (10L, "lorem ipsum dolor"),      // seen in batch 1 -> rejected
+      (11L, "the quick brown fox"),    // seen -> rejected
+      (12L, "genuinely unseen text")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalExactDedup(batch2, "doc_id", "text", table)
+    // materialize LATE (after the fingerprint append) — must still be stable
+    out2.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+
+    // fingerprint table holds exactly the four accepted texts
+    spark.read.parquet(table).count() shouldBe 4
+
+    // a third batch of only repeats yields nothing
+    val out3 = Dedup.incrementalExactDedup(
+      Seq((20L, "genuinely unseen text")).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+    out3.count() shouldBe 0
+  }
+}
