@@ -550,6 +550,21 @@ object SparkEntry {
         .orderBy(col("ka").asc_nulls_first)
     }),
 
+    // ---- cheap-filter -> exact-verify: the n-gram candidate pairs get an
+    // exact edit-distance check (the standard two-stage near-dup pattern:
+    // sub-quadratic candidate generation, exact metric only on survivors) ----
+    "q63_edit_distance" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.02)
+      pairs
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1233,6 +1248,40 @@ object SparkEntry {
                FROM orders GROUP BY 1) b
            ON a.ka IS NOT DISTINCT FROM b.kb
          ORDER BY ka NULLS FIRST""",
+
+    // q27's candidate CTE + exact levenshtein on each surviving pair
+    "q63_edit_distance" ->
+      """WITH dd AS (
+           SELECT doc_id, text,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (
+             SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id % 5 = 0)
+           WHERE len(w) >= 3),
+         posting AS (
+           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02)
+         SELECT p.id_a, p.id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+         FROM pairs p
+         JOIN dd a ON a.doc_id = p.id_a
+         JOIN dd b ON b.doc_id = p.id_b
+         ORDER BY id_a, id_b""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->
