@@ -41,6 +41,23 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** [[exactDedup]] in ONE pass: row_number over the fingerprint, keep
+    * rank 1 — one scan and one (sort-based) shuffle, where the semi-join
+    * form scans the input twice and shuffles twice. Same survivors
+    * (min-id per normalized text; ScalaCheck-pinned). Trade: the window
+    * sorts within partitions while the join form stays hash-based — on a
+    * corpus with a few enormous duplicate groups the hash aggregate's
+    * map-side partial collapse can still win, which is why both forms
+    * exist.
+    */
+  def exactDedupOnePass(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Cross-RUN exact dedup for continuous corpus ingestion: a persistent
     * fingerprint table at `fpTablePath` remembers every text ever accepted;
     * each call collapses in-batch duplicates (min-id representative),

@@ -12,6 +12,16 @@ import graft.SparkSpec
   */
 class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
 
+  test("one-pass window dedup equals the semi-join form on the fixture") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaJoin = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaWindow = Dedup.exactDedupOnePass(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    viaWindow shouldBe viaJoin
+    viaWindow should not be empty
+  }
+
   test("novel docs pass, repeats are rejected across batches") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-fp-").toString + "/fp"
