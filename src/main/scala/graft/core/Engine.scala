@@ -52,6 +52,10 @@ object Engine {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // session-level optimizer rules (the cluster path injects the same
+    // rule via GraftExtensions.injectOptimizerRule)
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.LevenshteinPrefilter)
     spark
   }
 }

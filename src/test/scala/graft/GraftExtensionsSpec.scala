@@ -44,6 +44,32 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         .head().getSeq[Long](0)
       mh should have length 4
       fp should not be 0L
+
+      // the injected optimizer rule guards edit-distance filters with the
+      // O(1) length lower bound, once (idempotent under fixpoint), without
+      // changing results (parquet input — a local relation would be
+      // constant-folded before the rule can show)
+      import org.apache.spark.sql.functions.{col, levenshtein, lit}
+      val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(col("p_partkey"), col("p_brand"))
+      val filtered = part.where(levenshtein(col("p_brand"), lit("Brand#11")) <= 1)
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      opt should include("abs((length(p_brand")
+      "abs\\(\\(length".r.findAllIn(opt).length shouldBe 1
+
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = part.collect()
+        .filter(r => lev(r.getString(1), "Brand#11") <= 1)
+        .map(_.getLong(0)).toSet
+      filtered.select("p_partkey").collect().map(_.getLong(0)).toSet shouldBe expected
+      expected should not be empty
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.clearActiveSession()
