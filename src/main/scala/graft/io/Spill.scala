@@ -17,20 +17,41 @@ import org.apache.spark.sql.DataFrame
   */
 object Spill {
 
+  // ONE shutdown hook draining a registry of cleanup closures — a hook per
+  // spill would grow the JVM's hook set (and pin a Thread each) without
+  // bound in a long-running streaming driver
+  private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var c = cleanups.poll()
+      while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
+    }))
+
+  private def onExit(cleanup: () => Unit): Unit = { hookInstalled; cleanups.add(cleanup): Unit }
+
+  /** Release every spill directory created so far — callable from
+    * long-running drivers between epochs once prior spilled frames are no
+    * longer referenced (exit-time cleanup still covers the rest).
+    */
+  def releaseAll(): Unit = {
+    var c = cleanups.poll()
+    while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
+  }
+
   def apply(df: DataFrame, prefix: String = "graft-spill-"): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption("spark.graft.spill.dir") match {
       case Some(base) =>
         val d = s"${base.stripSuffix("/")}/$prefix${java.util.UUID.randomUUID()}"
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        onExit(() => {
           val p = new org.apache.hadoop.fs.Path(d)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true): Unit
-        }))
+          p.getFileSystem(hadoopConf).delete(p, true): Unit
+        })
         d
       case None =>
         val d = java.nio.file.Files.createTempDirectory(prefix)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d.toFile)))
+        onExit(() => deleteRecursively(d.toFile))
         d.toString
     }
     df.write.mode("overwrite").parquet(dir)

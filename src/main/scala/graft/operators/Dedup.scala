@@ -43,10 +43,13 @@ object Dedup {
 
   /** [[exactDedup]] in ONE pass: row_number over the fingerprint, keep
     * rank 1 — one scan and one (sort-based) shuffle, where the semi-join
-    * form scans the input twice and shuffles twice. Same survivors
-    * (min-id per normalized text; ScalaCheck-pinned). Trade: the window
-    * sorts within partitions while the join form stays hash-based — on a
-    * corpus with a few enormous duplicate groups the hash aggregate's
+    * form scans the input twice and shuffles twice. Same surviving IDS
+    * (min-id per normalized text; fixture-pinned) — with one multiplicity
+    * caveat on dirty inputs: if the SAME id appears in several physical
+    * rows, the join form keeps every row of a surviving id while this form
+    * keeps exactly one (arbitrary among equal (fp, id) rows). Trade: the
+    * window sorts within partitions while the join form stays hash-based —
+    * on a corpus with a few enormous duplicate groups the hash aggregate's
     * map-side partial collapse can still win, which is why both forms
     * exist.
     */
@@ -61,28 +64,39 @@ object Dedup {
   /** Cross-RUN exact dedup for continuous corpus ingestion: a persistent
     * fingerprint table at `fpTablePath` remembers every text ever accepted;
     * each call collapses in-batch duplicates (min-id representative),
-    * anti-joins the batch against the remembered fingerprints, APPENDS the
+    * anti-joins the batch against the remembered fingerprints, writes the
     * novel fingerprints, and returns only the novel documents. Feed it from
-    * `foreachBatch` for streaming ingestion.
+    * `foreachBatch` for streaming ingestion, passing the micro-batch id.
     *
-    * Order of operations matters and is why the novel set spills first:
-    * the returned frame must not re-evaluate its anti-join AFTER the
-    * fingerprint append (it would then see its own fingerprints and filter
-    * itself to empty), so novel ids+fingerprints are materialized to a
-    * session-temp table, the append reads from that materialization, and
-    * the returned plan joins `docs` against it — immune to when the caller
-    * executes it. At 100 TB the fingerprint table is 16 bytes/doc and the
-    * anti-join shuffles digests, not text.
+    * RETRY SAFETY: each call's fingerprints land in their own
+    * `batch=<id>/` subdirectory (overwritten, not appended) and the "seen"
+    * set EXCLUDES the current id — so when Structured Streaming retries a
+    * failed micro-batch, the replay does not anti-join against its own
+    * first attempt's fingerprints (which would silently drop the batch's
+    * documents forever: marked seen, never emitted). A replay returns the
+    * identical novel set and idempotently rewrites the same directory.
+    * Callers without a batch id get a random one (no replay exists to
+    * collide with).
+    *
+    * Order of operations inside a call: the novel set is materialized to a
+    * session-temp table BEFORE the fingerprint write, so the returned plan
+    * (a semi join against that materialization) cannot re-evaluate its
+    * anti-join after the write no matter when the caller executes it. At
+    * 100 TB the fingerprint table is 16 bytes/doc and the anti-join
+    * shuffles digests, not text.
     */
   def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
-      fpTablePath: String): DataFrame = {
+      fpTablePath: String, batchId: String = null): DataFrame = {
     val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
     val withFp = docs.select(col(idCol),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
     // in-batch collapse: (fp, min id) pairs
     val batchReps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     val seen =
-      try spark.read.parquet(fpTablePath).select(col("fp"))
+      try spark.read.parquet(fpTablePath)
+        .where(col("batch") =!= bid).select(col("fp"))
       catch { case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -90,7 +104,8 @@ object Dedup {
       }
     val novel = graft.io.Spill(
       batchReps.join(seen, Seq("fp"), "left_anti"), "graft-novel-")
-    novel.select(col("fp")).write.mode("append").parquet(fpTablePath)
+    novel.select(col("fp")).write.mode("overwrite")
+      .parquet(s"$fpTablePath/batch=$bid")
     docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
   }
 

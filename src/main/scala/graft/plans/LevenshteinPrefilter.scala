@@ -45,20 +45,25 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
     case f @ Filter(cond, _) =>
       // transformUp: the rewrite embeds the matched node inside the
       // replacement, which transformDown would re-descend into forever
+      // the guard re-evaluates both operands, which is only sound when
+      // they are deterministic (a non-deterministic operand would be
+      // sampled independently by guard and comparison)
+      def ok(cond0: Expression, a: Expression, b: Expression): Boolean =
+        a.deterministic && b.deterministic && !guarded(cond0, a, b)
       val rewritten = cond.transformUp {
         // lev(a,b) <= k  /  lev(a,b) < k
         case cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal)
-            if !guarded(cond, a, b) =>
+            if ok(cond, a, b) =>
           And(LessThanOrEqual(lenBound(a, b), k), cmp)
         case cmp @ LessThan(Levenshtein(a, b, None), k: Literal)
-            if !guarded(cond, a, b) =>
+            if ok(cond, a, b) =>
           And(LessThanOrEqual(lenBound(a, b), k), cmp)
         // k >= lev(a,b)  /  k > lev(a,b)
         case cmp @ GreaterThanOrEqual(k: Literal, Levenshtein(a, b, None))
-            if !guarded(cond, a, b) =>
+            if ok(cond, a, b) =>
           And(LessThanOrEqual(lenBound(a, b), k), cmp)
         case cmp @ GreaterThan(k: Literal, Levenshtein(a, b, None))
-            if !guarded(cond, a, b) =>
+            if ok(cond, a, b) =>
           And(LessThanOrEqual(lenBound(a, b), k), cmp)
       }
       if (rewritten fastEquals cond) f else f.copy(condition = rewritten)

@@ -53,4 +53,26 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       "doc_id", "text", table)
     out3.count() shouldBe 0
   }
+
+  test("a retried micro-batch re-emits its own documents (retry safety)") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-fp2-").toString + "/fp"
+    val batch = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+
+    val first = Dedup.incrementalExactDedup(batch, "doc_id", "text", table, "7")
+    first.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+
+    // Structured Streaming replays batch 7 after a failed sink write: the
+    // replay must NOT anti-join against its own first attempt's
+    // fingerprints (that would mark the docs seen and emit them nowhere)
+    val replay = Dedup.incrementalExactDedup(batch, "doc_id", "text", table, "7")
+    replay.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+
+    // a LATER batch does see batch 7's fingerprints exactly once
+    val next = Dedup.incrementalExactDedup(
+      Seq((9L, "alpha beta"), (10L, "epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "8")
+    next.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(10L)
+    spark.read.parquet(table).select("fp").distinct().count() shouldBe 3
+  }
 }
