@@ -146,6 +146,71 @@ object Multimodal {
     }
   }
 
+  /** PAYLOAD-level resize — REAL for uncompressed 24-bit bottom-up BMP
+    * (nearest-neighbor sampling, rows re-padded to the 4-byte boundary,
+    * headers rewritten; no codec dependency), passthrough for everything
+    * else (compressed formats need a codec the container doesn't ship).
+    * Aspect-fit into (maxW, maxH), never upscaling. Runs per partition
+    * like [[decode]].
+    */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image") resizeBmp(r.payload, maxW, maxH)
+        .map(p => r.copy(payload = p)).getOrElse(r)
+      else r
+    })
+  }
+
+  /** Nearest-neighbor resize of an uncompressed 24bpp bottom-up BMP; None
+    * when the payload is not such a BMP (or would not shrink).
+    */
+  private[operators] def resizeBmp(p: Array[Byte], maxW: Int,
+      maxH: Int): Option[Array[Byte]] = {
+    def u32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    try {
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+      val dataOff = u32(10).toInt
+      val w = u32(18).toInt
+      val h = u32(22).toInt // bottom-up only (positive height)
+      val bpp = u16(28)
+      val compression = u32(30)
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+      val srcStride = (w * 3 + 3) & ~3
+      if (dataOff + srcStride.toLong * h > p.length) return None
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      if (scale >= 1.0) return None // never upscale; no-op passthrough
+      val nw = math.max(1, (w * scale).toInt)
+      val nh = math.max(1, (h * scale).toInt)
+      val dstStride = (nw * 3 + 3) & ~3
+      val out = java.nio.ByteBuffer.allocate(54 + dstStride * nh)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+      out.putInt(54 + dstStride * nh).putInt(0).putInt(54)
+      out.putInt(40).putInt(nw).putInt(nh)
+      out.putShort(1.toShort).putShort(24.toShort)
+      out.putInt(0).putInt(dstStride * nh) // BI_RGB, image size
+      out.putInt(0).putInt(0).putInt(0).putInt(0)
+      var y = 0
+      while (y < nh) {
+        val sy = math.min(h - 1, (y.toLong * h / nh).toInt)
+        var x = 0
+        while (x < nw) {
+          val sx = math.min(w - 1, (x.toLong * w / nw).toInt)
+          val src = dataOff + sy * srcStride + sx * 3
+          val dst = 54 + y * dstStride + x * 3
+          out.put(dst, p(src)); out.put(dst + 1, p(src + 1)); out.put(dst + 2, p(src + 2))
+          x += 1
+        }
+        y += 1
+      }
+      Some(out.array())
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Feature extraction: fixed-width float vector per payload — the
     * embedding-model stage of a multimodal pipeline. STUB features (byte
     * histogram folded to `dim`, L2-normalized — deterministic); REAL

@@ -70,6 +70,46 @@ class MultimodalDecodeSpec extends AnyFunSuite with Matchers with SparkSpec {
     noException should be thrownBy decodeOne(corrupt, "audio")
   }
 
+  test("BMP payload resize: real pixels, nearest-neighbor, headers rewritten") {
+    import spark.implicits._
+    // 4x2 24bpp bottom-up BMP with distinct per-pixel colors: pixel (x, y
+    // from top) = (B, G, R) = (x, y, 42)
+    val w = 4; val h = 2
+    val stride = (w * 3 + 3) & ~3
+    val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(stride * h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    for (yTop <- 0 until h; x <- 0 until w) {
+      val row = h - 1 - yTop // bottom-up storage
+      val o = 54 + row * stride + x * 3
+      buf.put(o, x.toByte); buf.put(o + 1, yTop.toByte); buf.put(o + 2, 42.toByte)
+    }
+    val src = buf.array()
+
+    val resized = Multimodal.resize(
+      Seq(MediaRecord(1L, "image", src)).toDS(), maxW = 2, maxH = 2)
+      .head().payload
+    // headers: 2x1 (aspect-fit 4x2 into 2x2, no upscale)
+    Multimodal.parseHeader("image", resized) shouldBe Some((2, 1, 0))
+    // nearest-neighbor: output pixel x=0 samples src x=0, x=1 samples x=2;
+    // single row samples top row (y=0) stored bottom-up at row 0 of 1
+    val dstStride = (2 * 3 + 3) & ~3
+    resized.length shouldBe (54 + dstStride * 1)
+    resized(54) shouldBe 0.toByte   // B of sampled (0, 0)
+    resized(54 + 3) shouldBe 2.toByte // B of sampled (2, 0)
+    resized(54 + 2) shouldBe 42.toByte // R channel carried
+
+    // non-BMP payloads pass through untouched
+    val plain = Multimodal.resize(
+      Seq(MediaRecord(2L, "image", "just text".getBytes)).toDS(), 2, 2)
+      .head().payload
+    new String(plain) shouldBe "just text"
+  }
+
   test("frameSample cardinality follows parsed WAV duration") {
     import spark.implicits._
     val frames = Multimodal.frameSample(
