@@ -565,6 +565,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- REAL media resize under oracle: synthesize a BMP per doc_id,
+    // resize the pixel bytes (nearest-neighbor), and let the oracle
+    // recompute the expected dimensions and byte count arithmetically ----
+    "q64_multimodal_resize" -> ((s, d) =>
+      Multimodal.syntheticBmpResizePipeline(s, t(s, d, "documents"),
+        "doc_id", maxW = 8, maxH = 8)
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
+        .orderBy(col("media_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1282,6 +1291,28 @@ object SparkEntry {
          JOIN dd a ON a.doc_id = p.id_a
          JOIN dd b ON b.doc_id = p.id_b
          ORDER BY id_a, id_b""",
+
+    // mirrors Multimodal.syntheticBmpResizePipeline: aspect-fit scale in
+    // identical double arithmetic (so the floor lands the same side of any
+    // ulp), 4-byte stride padding, 54-byte headers; scale >= 1 is the
+    // never-upscale passthrough branch (exercised when doc_id % 32 = 0)
+    "q64_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN scale >= 1.0 THEN w
+                ELSE greatest(1, CAST(floor(w * scale) AS INT)) END AS width,
+           CASE WHEN scale >= 1.0 THEN h
+                ELSE greatest(1, CAST(floor(h * scale) AS INT)) END AS height,
+           CAST(54 + (((CASE WHEN scale >= 1.0 THEN w
+                ELSE greatest(1, CAST(floor(w * scale) AS INT)) END) * 3 + 3) // 4) * 4
+             * (CASE WHEN scale >= 1.0 THEN h
+                ELSE greatest(1, CAST(floor(h * scale) AS INT)) END) AS BIGINT) AS n_bytes
+         FROM (
+           SELECT doc_id, w, h,
+             least(1.0, least(8.0 / w, 8.0 / h)) AS scale
+           FROM (
+             SELECT doc_id, 8 + doc_id % 32 AS w, 4 + doc_id % 16 AS h
+             FROM documents))
+         ORDER BY media_id""",
 
     // averages as exact-decimal-sum / count so shuffle order cannot drift
     "q50_pricing_summary" ->

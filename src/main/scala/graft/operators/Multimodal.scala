@@ -254,6 +254,48 @@ object Multimodal {
     buf.array()
   }
 
+  /** Uncompressed 24bpp bottom-up BMP with deterministic pixels — the
+    * synthetic payload builder for the resize-under-oracle query (q64) and
+    * the resize tests.
+    */
+  def syntheticBmp(w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(stride * h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 54 + y * stride + x * 3
+      buf.put(o, ((x + y) % 256).toByte)
+      buf.put(o + 1, (x % 256).toByte)
+      buf.put(o + 2, (y % 256).toByte)
+    }
+    buf.array()
+  }
+
+  /** Synthesize a deterministic BMP per id, run it through the REAL
+    * byte-level [[resize]], and decode the result — the resize path's
+    * oracle-checkable slice (twin of [[syntheticWavPipeline]]): expected
+    * output dimensions and byte counts follow arithmetically from the
+    * aspect-fit and stride formulas, so an oracle recomputes them without
+    * touching pixels.
+    */
+  def syntheticBmpResizePipeline(spark: SparkSession, ids: DataFrame,
+      idCol: String, maxW: Int, maxH: Int): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 32).toInt
+        val h = 4 + (id % 16).toInt
+        MediaRecord(id, "image", syntheticBmp(w, h))
+      })
+    decode(resize(media, maxW, maxH)).toDF()
+  }
+
   /** Synthesize a deterministic WAV per id and run it through the REAL
     * header parser — the decode path's oracle-checkable slice: an oracle
     * can recompute the expected duration arithmetically (data bytes * 1000
