@@ -42,14 +42,31 @@ object Bench {
     if (Files.isDirectory(Paths.get(warmupDir))) names.foreach(runOnce(_, warmupDir))
 
     val results = names.map(n => n -> runOnce(n, sfDir))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val line = jsonLine(results, sfDir)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     println(line)
     spark.stop()
+  }
+
+  /** The driver captures only the last ~2000 bytes of stdout; round 3's
+    * full-precision 64-query line was 2060 bytes and arrived truncated
+    * (`BENCH_r03.json` recorded `parsed: null`). Values are therefore
+    * emitted at millisecond precision, dropping to coarser precision if the
+    * battery ever grows past the budget — a sub-ms digit is rig noise
+    * anyway. `maxLen` leaves headroom for sbt's trailing `[success]` line
+    * inside the same capture window.
+    */
+  def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      maxLen: Int = 1850): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    def render(decimals: Int): String = {
+      val fmt = s"%.${decimals}f"
+      def num(v: Double) = fmt.formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    Iterator(3, 2, 1).map(render).find(_.length <= maxLen).getOrElse(render(1))
   }
 }

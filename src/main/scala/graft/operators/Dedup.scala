@@ -296,9 +296,17 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val merged = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(edges("src").as("id"), col("comp"), lit(null).cast("string").as("old"))
+      // The union threads each vertex's CURRENT label through the aggregate
+      // as `old` (labels contributes exactly one non-null old per id, so
+      // max() recovers it) — the convergence probe below then needs no join
+      // against the previous label table, saving a shuffle join + job per
+      // pass. Labels only decrease, so comp != old <=> something moved.
+      val merged = labels
+        .select(col("id"), col("comp"), col("comp").cast("string").as("old"))
+        .union(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
       // pointer jump: comp values are themselves vertex ids, so follow one
       // more hop through the (complete) label table and keep the smaller.
       // The jump side is re-projected under fresh names — a plain
@@ -307,13 +315,10 @@ object Dedup {
       val next = merged
         .join(merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
           col("comp") === col("__jid"))
-        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"))
+        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"), col("old"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("comp").cast("string") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     if (!converged)

@@ -28,4 +28,17 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
       sql.trim should not be empty
     }
   }
+
+  test("bench JSON line fits the driver's stdout tail capture") {
+    // The driver keeps only the last ~2000 bytes of Bench output (plus
+    // sbt's trailing "[success]" line inside the same window); round 3's
+    // 2060-byte line arrived truncated and was recorded unparsed. Pin the
+    // rendered line — worst-case 10.000+ second values for every current
+    // query name — under the budget so battery growth fails HERE first.
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
+    val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
+    line.length should be <= 1850
+    line should startWith("{\"metric\":\"total\"")
+    line should endWith("}")
+  }
 }
