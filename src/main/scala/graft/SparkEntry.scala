@@ -574,6 +574,124 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
         .orderBy(col("media_id"))),
 
+    // ---- correlated scalar subqueries (Catalyst decorrelation: each
+    // becomes an aggregated left join; the COUNT one must coalesce empty
+    // groups to 0, the classic COUNT-bug case) ----
+    "q65_subq" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey,
+                 (SELECT max(o_totalprice) FROM orders_v o
+                  WHERE o.o_custkey = c.c_custkey) AS max_price,
+                 (SELECT count(*) FROM orders_v o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+               FROM customer_v c
+               ORDER BY c_custkey""")
+    }),
+
+    // ---- CTE referenced twice: once as the output relation, once inside
+    // a scalar subquery over the same aggregate ----
+    "q66_cte" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""WITH co AS (
+                 SELECT o_custkey AS ck, count(*) AS cnt
+                 FROM orders_v GROUP BY o_custkey)
+               SELECT ck, cnt FROM co
+               WHERE cnt * 2 >= (SELECT max(cnt) FROM co)
+               ORDER BY ck""")
+    }),
+
+    // ---- unpivot: wide numeric columns to (attr, val) rows (oracle is the
+    // semantically identical UNION ALL) ----
+    "q67_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    // ---- map build/explode round-trip: per-nation segment counts packed
+    // into a map<string,long> via map_from_entries, then exploded back out
+    // (values are data-derived, so the oracle checks real plumbing) ----
+    "q68_map_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("nk"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("seg"), col("cnt"))))).as("m"))
+        .select(col("nk"), explode(col("m")))
+        .select(col("nk"), col("key").as("seg"), col("value").as("cnt"))
+        .orderBy(col("nk"), col("seg"))),
+
+    // ---- date/interval battery: trunc / last_day / add_months / datediff /
+    // year / quarter (month-arithmetic applied post-trunc, so both engines'
+    // end-of-month clamping rules are never exercised ambiguously) ----
+    "q69_dates" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+        .select(col("o_orderkey"), col("od"),
+          trunc(col("od"), "month").as("mon"),
+          last_day(col("od")).as("eom"),
+          add_months(trunc(col("od"), "month"), 2).as("mon2"),
+          datediff(lit("1998-12-31").cast("date"), col("od")).as("days_left"),
+          year(col("od")).as("yr"),
+          quarter(col("od")).as("qtr"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- ordered string aggregation (listagg): distinct segments per
+    // nation joined in sorted order ----
+    "q70_listagg" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .distinct()
+        .groupBy(col("nk"))
+        .agg(array_join(array_sort(collect_set(col("seg"))), ",").as("segs"),
+          count(lit(1)).as("n_seg"))
+        .orderBy(col("nk"))),
+
+    // ---- conditional aggregation (FILTER-clause semantics): counts and an
+    // exact decimal sum restricted by per-row predicates, next to the
+    // unrestricted count ----
+    "q71_condagg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("hi_cnt"),
+          count(when(col("l_discount") === 0, 1)).as("nodisc_cnt"),
+          sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+              .cast("decimal(38,9)"))
+            .cast("decimal(38,2)").cast("string").as("hi_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- pre-planned skew join: build side replicated per salt bucket,
+    // probe side salted — result provably identical to the plain join
+    // (oracle IS the plain join) ----
+    "q72_salted_join" -> ((s, d) => {
+      val probe = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val build = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val (p, b, cond) = graft.operators.Skew.saltedJoinKeys(probe, build, "l_orderkey")
+      p.join(b, cond)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(p("l_quantity")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- cross-run incremental dedup, first batch against an empty
+    // fingerprint table: novel set == exact-dedup survivors (the oracle);
+    // the persistent-table path itself (in-batch collapse + anti-join +
+    // fingerprint write) is what executes ----
+    "q73_dedup_incr" -> ((s, d) => {
+      // child path must NOT pre-exist: an existing-but-empty dir reads as a
+      // schema-less parquet table, not the PATH_NOT_FOUND first-batch case
+      val fpDir = java.nio.file.Files.createTempDirectory("graft-fp-")
+        .resolve("fp_table").toString
+      Dedup.incrementalExactDedup(t(s, d, "documents"), "doc_id", "text", fpDir)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1327,6 +1445,72 @@ object SparkEntry {
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q65_subq" ->
+      """SELECT c_custkey,
+           (SELECT max(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_price,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         ORDER BY c_custkey""",
+
+    "q66_cte" ->
+      """WITH co AS (
+           SELECT o_custkey AS ck, count(*) AS cnt
+           FROM orders GROUP BY o_custkey)
+         SELECT ck, cnt FROM co
+         WHERE cnt * 2 >= (SELECT max(cnt) FROM co)
+         ORDER BY ck""",
+
+    // semantically identical UNION ALL twin of the unpivot
+    "q67_unpivot" ->
+      """SELECT * FROM (
+           SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part)
+         ORDER BY p_partkey, attr""",
+
+    "q68_map_agg" ->
+      """SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS cnt
+         FROM customer GROUP BY 1, 2 ORDER BY nk, seg""",
+
+    "q69_dates" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 2 MONTH AS DATE) AS mon2,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_left,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr
+         FROM orders ORDER BY o_orderkey""",
+
+    "q70_listagg" ->
+      """SELECT nk, string_agg(seg, ',' ORDER BY seg) AS segs, count(*) AS n_seg
+         FROM (SELECT DISTINCT c_nationkey AS nk, c_mktsegment AS seg FROM customer)
+         GROUP BY nk ORDER BY nk""",
+
+    "q71_condagg" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS hi_cnt,
+           count(*) FILTER (WHERE l_discount = 0) AS nodisc_cnt,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9)))
+             FILTER (WHERE l_quantity > 25) AS DECIMAL(38,2)) AS VARCHAR) AS hi_price,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the salted join must equal the plain join — the oracle IS the plain join
+    "q72_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // first-batch novel set == exact-dedup survivors (min-id per normalized text)
+    "q73_dedup_incr" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+         GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY doc_id"""
   )
 }

@@ -63,7 +63,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q42_session_window" -> 2, // session agg + final sort
     "q43_sliding_window" -> 2, // window agg + final sort
     "q44_metadata_cols" -> 1, // map-only + final sort
-    "q45_training_pipeline" -> 9) // dedup agg, semi, df gate, pair join, anti, sort
+    "q45_training_pipeline" -> 9, // dedup agg, semi, df gate, pair join, anti, sort
+    // round-4 additions, audited at introduction:
+    "q67_unpivot" -> 1, // expand is map-side; only the final sort shuffles
+    "q68_map_agg" -> 3, // two-level agg + final sort
+    "q69_dates" -> 1, // map-only battery + final sort
+    "q70_listagg" -> 3, // distinct + collect agg + final sort
+    "q71_condagg" -> 2) // conditional agg + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
