@@ -692,6 +692,13 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- winnowing (MOSS) fingerprints: positional k-gram hashes, min per
+    // sliding window — the local-similarity fingerprint (q36 is the
+    // whole-document digest); oracle recomputes hash + selection exactly ----
+    "q74_winnow" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("fp"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1511,6 +1518,24 @@ object SparkEntry {
     "q73_dedup_incr" ->
       """SELECT min(doc_id) AS doc_id FROM documents
          GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // k=3, win=4: grams i in [1, len(w)-2]; windows j in [1, len(gh)-3],
+    // gh[j:j+3] is the inclusive 4-element slice; fixed-width lowercase hex
+    // makes list_min == numeric min, matching Spark's array_min
+    "q74_winnow" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_transform(range(1, len(w) - 1),
+             i -> substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16)) AS gh
+           FROM t WHERE len(w) >= 6),
+         f AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(gh) - 2),
+             j -> list_min(gh[j:j+3]))) AS fps
+           FROM g)
+         SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"""
   )
 }

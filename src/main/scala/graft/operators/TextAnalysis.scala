@@ -43,4 +43,39 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme): hash every k-word shingle IN POSITION ORDER, then keep
+    * the minimum hash of each sliding window of `win` consecutive gram
+    * hashes. Any shared run of >= win+k-1 words between two documents is
+    * guaranteed to contribute at least one common fingerprint, while only
+    * ~1/win of the gram hashes are kept — the local-similarity complement
+    * to [[fingerprint]]'s whole-document digest.
+    *
+    * Gram hashes are the first 16 hex chars of md5 — fixed-width lowercase
+    * hex, so the lexicographic min IS the numeric min and the DuckDB oracle
+    * recomputes the selection identically. (A Rabin-Karp rolling hash
+    * computes the same positional gram hashes incrementally; that is an
+    * executor-side constant-factor optimization the cross-engine-portable
+    * md5 stands in for.) Plan is map-only: explode of a per-row computed
+    * array, zero shuffles before any downstream grouping.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, win: Int = 4): DataFrame = {
+    require(k >= 1 && win >= 1, "k and win must be >= 1")
+    val toks = docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= k + win - 1)
+    // 0-based gram starts; Column(idx) array extraction is 0-based
+    val grams = transform(
+      sequence(lit(0), size(col("__ws")) - k),
+      i => substring(md5(concat_ws(" ",
+        (0 until k).map(o => col("__ws")(i + o)): _*)), 1, 16))
+    // 1-based window starts; slice() is 1-based
+    val mins = transform(
+      sequence(lit(1), size(col("__gh")) - (win - 1)),
+      j => array_min(slice(col("__gh"), j, lit(win))))
+    toks.select(col(idCol), grams.as("__gh"))
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
 }
