@@ -38,7 +38,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q09_rollup,q50_pricing_summary restricts the battery
+    // (local iteration tool; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     if (Files.isDirectory(Paths.get(warmupDir))) names.foreach(runOnce(_, warmupDir))
 
     val results = names.map(n => n -> runOnce(n, sfDir))
