@@ -699,6 +699,28 @@ object SparkEntry {
       TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"), col("fp"))),
 
+    // ---- range (band) join via bucketized equi-join: price-band neighbor
+    // pairs, provably identical to the theta join the oracle runs (the
+    // bucket id turns the pure range predicate into one hash shuffle
+    // instead of a BroadcastNestedLoopJoin) ----
+    "q75_range_join" -> ((s, d) => {
+      val part = t(s, d, "part")
+      graft.operators.RangeJoin.bandJoin(
+        part.where(col("p_partkey") % 10 === 0), part,
+        "p_retailprice", "p_partkey", "p_partkey", band = 2.5, step = 5.0)
+        .orderBy(col("anchor_id"), col("member_id"))
+    }),
+
+    // ---- deterministic train/val/test split: membership is a pure hash of
+    // the id (binary-exact cumulative bounds 0.5/0.75), so the oracle
+    // recomputes the exact same assignment ----
+    "q76_hash_split" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1536,6 +1558,28 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(range(1, len(gh) - 2),
              j -> list_min(gh[j:j+3]))) AS fps
            FROM g)
-         SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"""
+         SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""",
+
+    // the bucketized band join must equal the plain theta join
+    "q75_range_join" ->
+      """SELECT a.p_partkey AS anchor_id, b.p_partkey AS member_id
+         FROM part a JOIN part b
+           ON b.p_retailprice >= a.p_retailprice - 2.5
+          AND b.p_retailprice <= a.p_retailprice + 2.5
+         WHERE a.p_partkey % 10 = 0
+         ORDER BY anchor_id, member_id""",
+
+    // unit hash: first 8 md5 hex chars / 2^32 — exact dyadic rational,
+    // identical in both engines; bounds 0.5/0.75 are binary-exact
+    "q76_hash_split" ->
+      """SELECT CASE WHEN u < 0.5 THEN 'train'
+                     WHEN u < 0.75 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) / 4294967296.0 AS u
+               FROM documents)
+         GROUP BY 1 ORDER BY split"""
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling and dataset splitting for training
+  * pipelines. `df.sample()` draws from a per-partition RNG — re-running the
+  * job, changing partitioning, or adding an executor changes WHICH rows are
+  * sampled. Pipelines that must be re-runnable (and auditable: "why is this
+  * document in the training set?") hash a stable id instead: membership is
+  * a pure function of the row, independent of physical execution, identical
+  * on 1 core or 1000 executors, and cheap to recompute for audits.
+  *
+  * The unit hash is the first 8 hex chars of md5(id || salt) read as a
+  * 32-bit unsigned integer over 2^32 — uniform on [0,1), recomputable
+  * verbatim by the DuckDB oracle (and any other engine with md5). The salt
+  * string is the "seed": distinct salts give independent samples.
+  */
+object Sampling {
+
+  /** Uniform [0,1) hash of an id column. Exactly representable: an 8-hex
+    * integer and the 2^32 divisor are both exact doubles.
+    */
+  def unitHash(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(unitHash(col(idCol), salt) < lit(fraction))
+  }
+
+  /** Assign each row a split label by cumulative fraction ranges, e.g.
+    * Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25). Fractions must sum
+    * to 1; the last label absorbs the top of the range so floating-point
+    * rounding can never leave a row unlabeled. Adds a `split` column.
+    *
+    * NOTE for cross-engine checks: the cumulative bounds are plain double
+    * sums — prefer binary-exact fractions (0.5, 0.25, 0.125, ...) when an
+    * external system must recompute the same assignment from literals.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = unitHash(col(idCol), salt)
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.init.zip(bounds.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), hi), rest) =>
+      when(u < lit(hi), name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Deterministic hash sampling/splitting: membership must be a pure
+  * function of the id — stable across runs, partitioning, and cluster
+  * shape — with uniform coverage.
+  */
+class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("sample membership is invariant under repartitioning and re-execution") {
+    import spark.implicits._
+    val base = Sampling.hashSample(ids(5000), "id", 0.3).as[Long].collect().toSet
+    val repart = Sampling.hashSample(ids(5000).repartition(7), "id", 0.3)
+      .as[Long].collect().toSet
+    repart shouldBe base
+    Sampling.hashSample(ids(5000), "id", 0.3).as[Long].collect().toSet shouldBe base
+  }
+
+  test("sample size tracks the fraction (uniform hash)") {
+    val n = Sampling.hashSample(ids(10000), "id", 0.25).count()
+    n.toDouble should be(2500.0 +- 200.0)
+  }
+
+  test("split labels partition the input totally and track fractions") {
+    val out = Sampling.hashSplit(ids(10000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 10000L
+    counts("train").toDouble should be(8000.0 +- 300.0)
+    counts("val").toDouble should be(1000.0 +- 150.0)
+    counts("test").toDouble should be(1000.0 +- 150.0)
+  }
+
+  test("nested sampling: a smaller fraction is a subset of a larger one") {
+    import spark.implicits._
+    // u < 0.1 implies u < 0.3 — hash sampling supports monotone refinement
+    val small = Sampling.hashSample(ids(5000), "id", 0.1).as[Long].collect().toSet
+    val big = Sampling.hashSample(ids(5000), "id", 0.3).as[Long].collect().toSet
+    small.subsetOf(big) shouldBe true
+  }
+
+  test("distinct salts draw near-independent samples") {
+    import spark.implicits._
+    val a = Sampling.hashSample(ids(10000), "id", 0.3, salt = "a").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids(10000), "id", 0.3, salt = "b").as[Long].collect().toSet
+    val overlap = (a intersect b).size.toDouble
+    // independent 0.3-samples overlap ~0.09 of the universe
+    overlap should be(900.0 +- 300.0)
+  }
+
+  test("single-split degenerate case labels everything") {
+    Sampling.hashSplit(ids(100), "id", Seq("all" -> 1.0))
+      .where(col("split") === "all").count() shouldBe 100L
+  }
+}
