@@ -296,17 +296,9 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"), lit(null).cast("string").as("old"))
-      // The union threads each vertex's CURRENT label through the aggregate
-      // as `old` (labels contributes exactly one non-null old per id, so
-      // max() recovers it) — the convergence probe below then needs no join
-      // against the previous label table, saving a shuffle join + job per
-      // pass. Labels only decrease, so comp != old <=> something moved.
-      val merged = labels
-        .select(col("id"), col("comp"), col("comp").cast("string").as("old"))
-        .union(viaNeighbors)
-        .groupBy(col("id"))
-        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
+        .select(edges("src").as("id"), col("comp"))
+      val merged = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
       // pointer jump: comp values are themselves vertex ids, so follow one
       // more hop through the (complete) label table and keep the smaller.
       // The jump side is re-projected under fresh names — a plain
@@ -315,10 +307,21 @@ object Dedup {
       val next = merged
         .join(merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
           col("comp") === col("__jid"))
-        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"), col("old"))
+        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"))
         .localCheckpoint(true)
-      converged = next.where(col("comp").cast("string") =!= col("old")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      // Convergence probe: changed-rows join against the previous labels.
+      // Two alternatives were A/B-measured at sf0.1 (round 4) and kept OUT:
+      // threading the previous label through the pass as an extra column
+      // (widens every pass's largest shuffle) and gating the probe behind a
+      // per-pass hash-sum signature aggregate (trades the probe join for an
+      // extra driver action per pass). Both ran at-or-slower than this
+      // form; at this scale the cost driver is ACTIONS per pass, which
+      // amortize away at real data sizes (SURVEY §9 scale probe).
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
       iter += 1
     }
     if (!converged)
