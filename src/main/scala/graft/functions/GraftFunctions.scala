@@ -43,6 +43,14 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"word_shingles(words, n literal); got ${other.size} args")
     },
+    "winnow_fingerprints" -> {
+      case Seq(child, Literal(k: Int, _), Literal(win: Int, _)) =>
+        WinnowFingerprints(child, k, win)
+      case Seq(child) => WinnowFingerprints(child, 3, 4)
+      case other =>
+        throw new IllegalArgumentException(
+          s"winnow_fingerprints(words, k literal, win literal); got ${other.size} args")
+    },
     "hyperplane_buckets" -> {
       case Seq(child, Literal(nTables: Int, _), Literal(nPlanes: Int, _),
           Literal(dim: Int, _), Literal(seed: Long, _)) =>
@@ -69,6 +77,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Winnowing (MOSS) fingerprints of an array<string> token column. */
+  def winnow_fingerprints(tokens: Column, k: Int, win: Int): Column =
+    call_function("winnow_fingerprints", tokens, lit(k), lit(win))
 
   /** Per-table sign-LSH bucket ids (array<int>, one element per table). */
   def hyperplane_buckets(emb: Column, nTables: Int, nPlanes: Int, dim: Int,

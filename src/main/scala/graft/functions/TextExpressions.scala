@@ -47,3 +47,80 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Winnowing (MOSS) fingerprints of an `array<string>` token column:
+  * positional k-gram hashes, minimum per sliding window of `win`, distinct
+  * in first-occurrence order, rendered as 16-hex-char strings (the first 8
+  * bytes of md5 — [[HashFamilies.md5Long]] — so the DuckDB oracle
+  * recomputes the identical selection; fixed-width lowercase hex compares
+  * lexicographically exactly like the unsigned numeric hash).
+  *
+  * Semantically `array_distinct(transform(sequence(1, nGrams-win+1),
+  * j -> array_min(slice(gramHashes, j, win))))` over
+  * `transform(sequence(0, n-k), i -> substring(md5(concat_ws(' ', ...)), 1, 16))`
+  * — but the higher-order chain evaluates interpreted per ELEMENT and
+  * recomputes each window min from scratch (O(nGrams * win) comparisons
+  * plus lambda dispatch); this loop hashes each gram once and keeps a
+  * monotone deque for O(nGrams) total window minima, one eval per row
+  * (same CodegenFallback amortization argument as [[WordShingles]]).
+  *
+  * Inputs shorter than win+k-1 tokens yield an empty array.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, win: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+  require(win >= 1, "window width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val nGrams = n - k + 1
+    if (n < k + win - 1) return new GenericArrayData(Array.empty[Any])
+
+    val space = UTF8String.fromString(" ")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      hashes(i) = HashFamilies.md5Long(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+
+    // monotone deque of indices: front is always the window minimum
+    // (unsigned compare = fixed-width-hex string compare); popping equal
+    // values keeps the later index, which never changes the min VALUE
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    var idx = 0
+    while (idx < nGrams) {
+      while (tail > head &&
+          java.lang.Long.compareUnsigned(hashes(dq(tail - 1)), hashes(idx)) >= 0)
+        tail -= 1
+      dq(tail) = idx
+      tail += 1
+      if (dq(head) <= idx - win) head += 1
+      if (idx >= win - 1) seen.add(hashes(dq(head)))
+      idx += 1
+    }
+
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(f"${it.next().longValue()}%016x")
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -63,6 +63,22 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, win: Int = 4): DataFrame = {
     require(k >= 1 && win >= 1, "k and win must be >= 1")
+    docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= k + win - 1)
+      .select(col(idCol), explode(
+        graft.functions.GraftFunctions.winnow_fingerprints(
+          col("__ws"), k, win)).as("fp"))
+  }
+
+  /** Declarative higher-order twin of [[winnowFingerprints]] — the
+    * specification the imperative [[graft.functions.WinnowFingerprints]]
+    * expression is property-pinned against (`WinnowingSpec`). Interpreted
+    * lambda evaluation makes it the SLOW form; never put it in a hot path.
+    */
+  def winnowFingerprintsHof(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, win: Int = 4): DataFrame = {
+    require(k >= 1 && win >= 1, "k and win must be >= 1")
     val toks = docs
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .where(size(col("__ws")) >= k + win - 1)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -50,5 +51,25 @@ class WinnowingSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("deterministic across evaluations") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     fps(Seq(1L -> text)) shouldBe fps(Seq(1L -> text))
+  }
+
+  test("property: imperative expression equals the declarative HOF twin " +
+      "(values AND per-doc order)") {
+    import spark.implicits._
+    val word = Gen.oneOf((1 to 30).map(i => s"t$i"))
+    val doc = Gen.choose(6, 60).flatMap(n => Gen.listOfN(n, word))
+    val docs = Gen.listOfN(6, doc)
+    val prop = Prop.forAll(docs) { ds =>
+      val df = ds.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val fast = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, win)
+        .as[(Long, String)].collect().toSeq
+      val slow = TextAnalysis.winnowFingerprintsHof(df, "doc_id", "text", k, win)
+        .as[(Long, String)].collect().toSeq
+      fast == slow
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    withClue(res.status.toString)(res.passed shouldBe true)
   }
 }
