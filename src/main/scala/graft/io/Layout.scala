@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Data-layout writers — the storage-side half of scan performance. A scan
   * can only skip what the writer clustered: parquet keeps min/max stats
@@ -27,4 +28,54 @@ object Layout {
     df.repartitionByRange(numFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Bit-interleave (Morton / Z-curve) of two bucket-id columns, each in
+    * [0, 2^bits). Low bits of both inputs land in low bits of the output,
+    * so nearby (a, b) cells are nearby on the curve.
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Write `df` Z-ORDERED on two numeric columns: each column is linearly
+    * bucketed into 2^bits cells between its observed min/max
+    * (`width_bucket`), the cell ids are bit-interleaved into a Z-value,
+    * and files are range-partitioned + sorted on it. Unlike
+    * [[writeRangeSorted]] — which clusters ONE axis perfectly and leaves
+    * the other scattered — the Z-curve shrinks per-file min/max ranges on
+    * BOTH columns simultaneously (each by ~1/sqrt(numFiles) instead of one
+    * by 1/numFiles), so predicates on EITHER column skip files.
+    *
+    * Linear bucketing keeps the write one extra aggregate (global min/max)
+    * over a plain write; heavily skewed axes get uneven cells — pre-scale
+    * such a column (log, rank) before calling, the curve only needs a
+    * monotone cell id. Null cells sort first (one cluster), matching
+    * range-partitioner null handling.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bits: Int = 10): Unit = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    val row = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
+    val n = 1 << bits
+    // null-in => null-out (least() would otherwise promote nulls to the TOP
+    // cell); null z-values then range-partition first as one cluster.
+    // An all-null or empty axis degenerates to constant cell 0.
+    def cell(c: String, i: Int): Column =
+      if (row.isNullAt(i) || row.getDouble(i) == row.getDouble(i + 1))
+        when(col(c).isNotNull, lit(0L))
+      else when(col(c).isNotNull, least(lit(n.toLong - 1),
+        width_bucket(col(c).cast("double"),
+          lit(row.getDouble(i)), lit(row.getDouble(i + 1)), lit(n)) - 1))
+    val z = interleaveBits(cell(colA, 0), cell(colB, 2), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

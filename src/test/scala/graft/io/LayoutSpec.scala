@@ -38,4 +38,59 @@ class LayoutSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the full table round-trips
     spark.read.parquet(dir).count() shouldBe orders.count()
   }
+
+  test("interleaveBits matches a reference Morton encoding") {
+    import spark.implicits._
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 1L), (1023L, 1023L))
+    val out = cases.toDF("a", "b")
+      .select(Layout.interleaveBits(col("a"), col("b"), 10).as("z"))
+      .as[Long].collect()
+    out.toSeq shouldBe cases.map { case (a, b) => morton(a, b, 10) }
+  }
+
+  test("z-order shrinks per-file ranges on BOTH axes; single-axis sort does not") {
+    // Two independent uniform axes: a perfect single-axis sort leaves the
+    // other axis's per-file range at ~the global range, while the Z-curve
+    // shares the shrinkage between axes (~1/sqrt(numFiles) each).
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val df = (1 to 20000)
+      .map(_ => (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    Layout.writeZOrdered(df, s"$base/z", numFiles = 16, "x", "y", bits = 10)
+    Layout.writeRangeSorted(df, s"$base/linear", 16, col("x"))
+
+    def meanRange(dir: String, c: String): Double = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+      perFile / 100000.0 // fraction of the global range
+    }
+    // z-order: both axes clustered (16 files ~ 4x4 grid => ~1/4 each,
+    // loose gate at 0.55); linear sort: x tight but y unclustered (~1.0)
+    meanRange(s"$base/z", "x") should be < 0.55
+    meanRange(s"$base/z", "y") should be < 0.55
+    meanRange(s"$base/linear", "x") should be < 0.15
+    meanRange(s"$base/linear", "y") should be > 0.8
+
+    spark.read.parquet(s"$base/z").count() shouldBe 20000L
+  }
+
+  test("z-order keeps null axis values in the first files, not the top cell") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i % 100 == 0) None else Some(i.toLong), i.toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-znull-").toString + "/t"
+    Layout.writeZOrdered(df, dir, numFiles = 4, "x", "y", bits = 8)
+    val back = spark.read.parquet(dir)
+    back.where(col("x").isNull).count() shouldBe 10L
+    // nulls cluster: all null-x rows land in a single file
+    back.where(col("x").isNull).select(input_file_name()).distinct().count() shouldBe 1L
+  }
 }
