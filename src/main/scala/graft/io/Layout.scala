@@ -78,4 +78,38 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a parquet directory to ~`targetFileBytes` files (the
+    * small-files problem: streaming sinks and fine-grained partition
+    * writes accumulate kilobyte files whose per-file open/footer/task
+    * overhead eventually dominates scans; at 100 TB a 128 MB target keeps
+    * task count ≈ data/128 MB).
+    *
+    * NEVER reads and overwrites the source path in one lazy plan (that
+    * self-overwrite loses the data): the compacted copy lands in a temp
+    * sibling, then two renames swap it in. The swap window is not atomic
+    * for concurrent readers — run it when the table is not being queried,
+    * or layer a manifest/table format on top for online compaction.
+    * Returns the resulting file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp-$stamp")
+    val old = new org.apache.hadoop.fs.Path(s"$path.compact-old-$stamp")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(hPath, old)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hPath)) { // restore on failure, loudly
+      fs.rename(old, hPath)
+      sys.error(s"compact: cannot swap in compacted copy for $path")
+    }
+    fs.delete(old, true)
+    fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -82,6 +82,25 @@ class LayoutSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.parquet(s"$base/z").count() shouldBe 20000L
   }
 
+  test("compact collapses a many-small-files table and round-trips contents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString + "/t"
+    (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    parquetFiles should be >= 32
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+
+    val n = Layout.compact(spark, dir, targetFileBytes = 512L << 10)
+    n should be < 32
+    parquetFiles shouldBe n
+    spark.read.parquet(dir).as[(Long, String)].collect().toSet shouldBe before
+    // no leftover temp/backup dirs
+    new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).count(_.contains("compact-")) shouldBe 0
+  }
+
   test("z-order keeps null axis values in the first files, not the top cell") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (if (i % 100 == 0) None else Some(i.toLong), i.toLong))
