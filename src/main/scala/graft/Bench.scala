@@ -72,6 +72,6 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
-    Iterator(3, 2, 1).map(render).find(_.length <= maxLen).getOrElse(render(1))
+    Iterator(3, 2, 1, 0).map(render).find(_.length <= maxLen).getOrElse(render(0))
   }
 }

@@ -721,6 +721,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("split"))),
 
+    // ---- stratified deterministic sampling: per-language keep fractions
+    // (binary-exact: 0.25/1.0/0.5, default 0.125), membership a pure hash
+    // of doc_id — oracle recomputes language AND membership ----
+    "q77_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        t(s, d, "documents").select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "doc_id", "lang_pred",
+        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5), defaultFraction = 0.125)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang_pred"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1580,6 +1593,32 @@ object SparkEntry {
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS UBIGINT) / 4294967296.0 AS u
                FROM documents)
-         GROUP BY 1 ORDER BY split"""
+         GROUP BY 1 ORDER BY split""",
+
+    // language via the q33 marker battery, membership via the q76 unit
+    // hash; per-stratum fractions are binary-exact doubles
+    "q77_stratified" ->
+      """WITH lang AS (
+           SELECT doc_id,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred
+           FROM (
+             SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+             FROM documents))
+         SELECT lang_pred, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM lang
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) / 4294967296.0
+               < CASE lang_pred WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                                WHEN 'fr' THEN 0.5 ELSE 0.125 END
+         GROUP BY lang_pred ORDER BY lang_pred"""
   )
 }

@@ -32,6 +32,25 @@ object Sampling {
     df.where(unitHash(col(idCol), salt) < lit(fraction))
   }
 
+  /** Stratified deterministic sampling: a different keep-fraction per
+    * stratum (value of `stratumCol`), e.g. downsample boilerplate-heavy
+    * languages while keeping all of a rare one. Strata absent from
+    * `fractions` fall back to `defaultFraction` (0 = drop). Same unit-hash
+    * membership as [[hashSample]], so per-stratum samples stay invariant
+    * under partitioning and nested under fraction refinement.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (rest, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(rest)
+    }
+    df.where(unitHash(col(idCol), salt) < frac)
+  }
+
   /** Assign each row a split label by cumulative fraction ranges, e.g.
     * Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25). Fractions must sum
     * to 1; the last label absorbs the top of the range so floating-point

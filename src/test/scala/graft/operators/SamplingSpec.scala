@@ -63,4 +63,20 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     Sampling.hashSplit(ids(100), "id", Seq("all" -> 1.0))
       .where(col("split") === "all").count() shouldBe 100L
   }
+
+  test("stratified sampling applies per-stratum fractions; default drops") {
+    import spark.implicits._
+    val df = (0L until 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val out = Sampling.stratifiedHashSample(df, "id", "g",
+      Map("s0" -> 1.0, "s1" -> 0.25)) // s2 -> default 0.0
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("s0") shouldBe 3000L
+    counts("s1").toDouble should be(750.0 +- 150.0)
+    counts.get("s2") shouldBe None
+    // stratified membership == plain hashSample within each stratum
+    val plain = Sampling.hashSample(df.where(col("g") === "s1"), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    out.where(col("g") === "s1").select("id").as[Long].collect().toSet shouldBe plain
+  }
 }
