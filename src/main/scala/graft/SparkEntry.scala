@@ -734,6 +734,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang_pred"))),
 
+    // ---- boilerplate detector: shingles shared by many documents (the
+    // posting-list df tail the dedup cap drops is the ANSWER here) ----
+    "q78_boilerplate" -> ((s, d) =>
+      TextAnalysis.hotShingles(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minDf = 5)
+        .orderBy(col("df").desc, col("shingle"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1619,6 +1626,22 @@ object SparkEntry {
                  AS UBIGINT) / 4294967296.0
                < CASE lang_pred WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
                                 WHEN 'fr' THEN 0.5 ELSE 0.125 END
-         GROUP BY lang_pred ORDER BY lang_pred"""
+         GROUP BY lang_pred ORDER BY lang_pred""",
+
+    // distinct shingles per doc (as in q27's dd CTE), df = document count
+    "q78_boilerplate" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents)
+           WHERE len(w) >= 3)
+         SELECT shingle, count(*) AS df
+         FROM (SELECT doc_id, unnest(sh) AS shingle FROM dd)
+         GROUP BY shingle HAVING count(*) >= 5
+         ORDER BY df DESC, shingle"""
   )
 }

@@ -44,6 +44,23 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
 
+  /** Boilerplate detector: n-word shingles whose document frequency is at
+    * least `minDf` — license headers, navigation chrome, "terms and
+    * conditions" blocks surface as shingles shared by many documents. The
+    * same posting-list aggregation [[Dedup.ngramJaccardPairs]] caps its
+    * join with; here the hot tail IS the answer. One explode + one hash
+    * aggregate; the exchange carries (shingle, partial count) pairs.
+    */
+  def hotShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Long = 10): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col("doc_id"), explode(wordShingles(col("__w"), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS scheme): hash every k-word shingle IN POSITION ORDER, then keep
     * the minimum hash of each sliding window of `win` consecutive gram
