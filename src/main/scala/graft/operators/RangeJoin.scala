@@ -49,6 +49,27 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join: every (a, b) pair whose closed intervals
+    * intersect (`aLo <= bHi && bLo <= aHi`). Both sides explode to the
+    * buckets they span; a pair sharing k buckets would match k times, so
+    * the join keeps only the FIRST shared bucket — `greatest(bucketOf(aLo),
+    * bucketOf(bLo))` — which counts each pair exactly once WITHOUT a
+    * distinct (no second shuffle). Returns a.* ++ b.*; resolve column name
+    * collisions before calling.
+    */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, step: Double): DataFrame = {
+    require(step > 0, "step must be positive")
+    val ae = a.withColumn("__bucket",
+      explode(sequence(bucketOf(col(aLo), step), bucketOf(col(aHi), step))))
+    val be = b.withColumn("__bucket",
+      explode(sequence(bucketOf(col(bLo), step), bucketOf(col(bHi), step))))
+    ae.join(be, Seq("__bucket"))
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bucket") === greatest(bucketOf(col(aLo), step), bucketOf(col(bLo), step)))
+      .drop("__bucket")
+  }
+
   /** Band self-join: pairs (anchor, member) where the member's value lies
     * within ±`band` of the anchor's value. Anchors may be a filtered subset
     * (`anchors`), members the full set — the classic similarity-band shape.

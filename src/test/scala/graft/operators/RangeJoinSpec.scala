@@ -63,6 +63,30 @@ class RangeJoinSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("interval overlap equals the theta join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val as = (0L until 60L).map { i =>
+      val lo = rnd.nextDouble() * 100; (i, lo, lo + rnd.nextDouble() * 10)
+    }
+    val bs = (1000L until 1080L).map { i =>
+      val lo = rnd.nextDouble() * 100; (i, lo, lo + rnd.nextDouble() * 10)
+    }
+    val expected = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    expected should not be empty
+    for (step <- Seq(1.0, 8.0, 64.0)) {
+      val out = RangeJoin.intervalOverlap(
+        as.toDF("aid", "alo", "ahi"), "alo", "ahi",
+        bs.toDF("bid", "blo", "bhi"), "blo", "bhi", step)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      out.length shouldBe out.toSet.size // exactly-once: no bucket dups
+      out.toSet shouldBe expected
+    }
+  }
+
   test("points exactly on interval endpoints are included (inclusive bounds)") {
     import spark.implicits._
     val out = RangeJoin.pointInInterval(
