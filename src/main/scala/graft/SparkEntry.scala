@@ -741,6 +741,25 @@ object SparkEntry {
         n = 3, minDf = 5)
         .orderBy(col("df").desc, col("shingle"))),
 
+    // ---- interval-overlap join (bucketized, exactly-once per pair):
+    // anchor price intervals vs member price intervals; oracle is the
+    // plain theta join ----
+    "q79_interval_join" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val a = part.where(col("p_partkey") % 10 === 0).select(
+        col("p_partkey").as("anchor_id"),
+        (col("p_retailprice") - 2.5).as("alo"),
+        (col("p_retailprice") + 2.5).as("ahi"))
+      val b = part.where(col("p_partkey") % 10 =!= 0).select(
+        col("p_partkey").as("member_id"),
+        (col("p_retailprice") - 1.5).as("blo"),
+        (col("p_retailprice") + 1.5).as("bhi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+        step = 5.0)
+        .select(col("anchor_id"), col("member_id"))
+        .orderBy(col("anchor_id"), col("member_id"))
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1642,6 +1661,15 @@ object SparkEntry {
          SELECT shingle, count(*) AS df
          FROM (SELECT doc_id, unnest(sh) AS shingle FROM dd)
          GROUP BY shingle HAVING count(*) >= 5
-         ORDER BY df DESC, shingle"""
+         ORDER BY df DESC, shingle""",
+
+    // closed-interval intersection: alo <= bhi AND blo <= ahi
+    "q79_interval_join" ->
+      """SELECT a.p_partkey AS anchor_id, b.p_partkey AS member_id
+         FROM part a JOIN part b
+           ON a.p_retailprice - 2.5 <= b.p_retailprice + 1.5
+          AND b.p_retailprice - 1.5 <= a.p_retailprice + 2.5
+         WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 <> 0
+         ORDER BY anchor_id, member_id"""
   )
 }
