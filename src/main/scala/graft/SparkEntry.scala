@@ -760,6 +760,18 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("member_id"))
     }),
 
+    // ---- SCD-1 upsert (anti-join merge, no table format): doubled prices
+    // for every 7th order shadow the originals; oracle is the equivalent
+    // CASE projection since these updates touch existing keys only ----
+    "q80_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val updates = orders.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.io.Merge.upsert(orders, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1670,6 +1682,13 @@ object SparkEntry {
            ON a.p_retailprice - 2.5 <= b.p_retailprice + 1.5
           AND b.p_retailprice - 1.5 <= a.p_retailprice + 2.5
          WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 <> 0
-         ORDER BY anchor_id, member_id"""
+         ORDER BY anchor_id, member_id""",
+
+    // updates touch existing keys only, so merge == CASE projection
+    "q80_upsert" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders ORDER BY o_orderkey"""
   )
 }

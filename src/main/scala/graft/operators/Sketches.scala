@@ -45,4 +45,34 @@ object Sketches {
         .as("distinct_est"),
       sum(col("rows")).as("rows"))
   }
+
+  /** Count-Min frequency-sketch table: one binary CMS of `keyCol` per
+    * `grainCols` group. Point frequency questions ("how often did key X
+    * appear in slice Y / overall") then run against kilobytes per grain
+    * instead of the raw data; like the HLL table it is mergeable, so
+    * per-micro-batch appends compose. `eps`/`confidence` bound the
+    * one-sided error: estimate ∈ [true, true + eps * totalCount] with
+    * probability `confidence`.
+    */
+  def cmsSketchTable(df: DataFrame, keyCol: String,
+      eps: Double, confidence: Double, grainCols: String*): DataFrame =
+    df.groupBy(grainCols.map(col): _*)
+      .agg(
+        count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(7)).as("cms"),
+        count(lit(1)).as("rows"))
+
+  /** Estimate each requested key's frequency from a CMS sketch table,
+    * merging all grains' sketches. DRIVER-SIDE by design: the merge pulls
+    * one kilobyte-scale sketch per grain (bounded by grain cardinality,
+    * never input size) — the same serving-edge posture as `ServingTable`.
+    * Returns key -> estimate (one-sided: never under the true count).
+    */
+  def cmsLookup(sketchTable: DataFrame, keys: Seq[Any]): Map[Any, Long] = {
+    val sketches = sketchTable.select(col("cms")).collect()
+      .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    require(sketches.nonEmpty, "empty sketch table")
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    keys.map(k => k -> merged.estimateCount(k)).toMap
+  }
 }

@@ -44,4 +44,22 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkSpec {
     val sk = Sketches.hllSketchTable(events, "user_id", lgK = 12, "event_type")
     Sketches.hllRollup(sk).head().getLong(1) shouldBe events.count()
   }
+
+  test("CMS table answers point frequencies within the one-sided bound") {
+    val total = events.count()
+    val sk = Sketches.cmsSketchTable(events, "user_id",
+      eps = 0.0001, confidence = 0.99, "event_type")
+    val exact = events.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc).limit(5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmsLookup(sk, exact.keys.toSeq)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      e should be >= ex // CMS never underestimates
+      e should be <= ex + math.max(4L, (2 * 0.0001 * total).toLong)
+    }
+    // a key that never appeared estimates ~0 (within the additive bound)
+    Sketches.cmsLookup(sk, Seq(-999999L))(-999999L) should
+      be <= math.max(4L, (2 * 0.0001 * total).toLong)
+  }
 }
