@@ -99,17 +99,10 @@ object Layout {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp-$stamp")
-    val old = new org.apache.hadoop.fs.Path(s"$path.compact-old-$stamp")
-    spark.read.parquet(path).coalesce(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(hPath, old)) sys.error(s"compact: cannot move $path aside")
-    if (!fs.rename(tmp, hPath)) { // restore on failure, loudly
-      fs.rename(old, hPath)
-      sys.error(s"compact: cannot swap in compacted copy for $path")
+    Swap.swapInto(spark, path, "compact") { tmp =>
+      spark.read.parquet(path).coalesce(n)
+        .write.mode("overwrite").parquet(tmp)
     }
-    fs.delete(old, true)
     fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -17,12 +17,29 @@ object Merge {
     * pass tombstone rows in `updates` flagged by `tombstoneCol`; they win
     * the merge (shadowing the target row) and are then dropped, so a
     * delete is "upsert a tombstone".
+    *
+    * MULTIPLE UPDATE ROWS PER KEY (a CDC batch carrying several versions):
+    * pass `versionCol` and only the HIGHEST version per key enters the
+    * merge — without it every update row would survive and break the
+    * table's key uniqueness (lakehouse MERGE raises on multiple matches
+    * for the same reason). Callers without a version column must
+    * pre-collapse updates to one row per key.
     */
   def upsert(target: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      tombstoneCol: Option[String] = None): DataFrame = {
+      tombstoneCol: Option[String] = None,
+      versionCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
-    val merged = updates.unionByName(
-      target.join(updates.select(keyCols.map(col): _*).distinct(),
+    val ups = versionCol match {
+      case Some(v) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(v).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      case None => updates
+    }
+    val merged = ups.unionByName(
+      target.join(ups.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti"))
     tombstoneCol match {
       case Some(t) => merged.where(!coalesce(col(t), lit(false))).drop(t)
@@ -36,20 +53,12 @@ object Merge {
     * atomic for concurrent readers — same caveat as compact.
     */
   def upsertWrite(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], tombstoneCol: Option[String] = None): Unit = {
+      keyCols: Seq[String], tombstoneCol: Option[String] = None,
+      versionCol: Option[String] = None): Unit = {
     val target = spark.read.parquet(path)
-    val merged = upsert(target, updates, keyCols, tombstoneCol)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.merge-tmp-$stamp")
-    val old = new org.apache.hadoop.fs.Path(s"$path.merge-old-$stamp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(hPath, old)) sys.error(s"upsertWrite: cannot move $path aside")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(old, hPath)
-      sys.error(s"upsertWrite: cannot swap in merged copy for $path")
+    val merged = upsert(target, updates, keyCols, tombstoneCol, versionCol)
+    Swap.swapInto(spark, path, "merge") { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
     }
-    fs.delete(old, true)
   }
 }

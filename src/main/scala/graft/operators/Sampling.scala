@@ -71,6 +71,9 @@ object Sampling {
       lit(fractions.last._1)) { case (((name, _), hi), rest) =>
       when(u < lit(hi), name).otherwise(rest)
     }
-    df.withColumn("split", label)
+    // null ids: drop, matching hashSample/stratifiedHashSample — every
+    // when() is null-false, so without this filter all null-id rows would
+    // silently pile into the LAST split label
+    df.where(col(idCol).isNotNull).withColumn("split", label)
   }
 }

@@ -22,6 +22,7 @@ object RangeJoinProbe {
       .select(col("p_partkey"), col("p_retailprice")).cache()
     part.count()
 
+    val baseRows = part.count()
     Seq(1, 2, 4).foreach { m =>
       val df = (0 until m).map(i => part.select(
         (col("p_partkey") + lit(i * 10_000_000L)).as("p_partkey"),
@@ -31,7 +32,7 @@ object RangeJoinProbe {
       val n = RangeJoin.bandJoin(anchors, df, "p_retailprice",
         "p_partkey", "p_partkey", band = 2.5, step = 5.0).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"m=$m%d rows=${df.count()}%d pairs=$n%d secs=$secs%.2f")
+      println(f"m=$m%d rows=${m * baseRows}%d pairs=$n%d secs=$secs%.2f")
     }
     spark.stop()
   }

@@ -32,9 +32,11 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
   test("bench JSON line fits the driver's stdout tail capture") {
     // The driver keeps only the last ~2000 bytes of Bench output (plus
     // sbt's trailing "[success]" line inside the same window); round 3's
-    // 2060-byte line arrived truncated and was recorded unparsed. Pin the
-    // rendered line — worst-case 10.000+ second values for every current
-    // query name — under the budget so battery growth fails HERE first.
+    // 2060-byte line arrived truncated and was recorded unparsed. This
+    // pins the HARD byte budget only: jsonLine degrades precision
+    // 3->2->1->0 decimals by design as the battery grows, so the test
+    // fails only when even whole-second rendering cannot fit — the point
+    // where query names themselves must shrink.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
     line.length should be <= 1850

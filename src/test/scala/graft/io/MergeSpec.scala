@@ -49,6 +49,17 @@ class MergeSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.getName).count(_.contains("merge-")) shouldBe 0
   }
 
+  test("multi-version update batches collapse to the highest version per key") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "ver")
+    val updates = Seq((1L, "v1", 1L), (1L, "v2", 2L), (3L, "c", 1L))
+      .toDF("id", "v", "ver")
+    val out = upsert(target, updates, Seq("id"), versionCol = Some("ver"))
+      .select("id", "v").as[(Long, String)].collect()
+    out.map(_._1).sorted shouldBe out.map(_._1).distinct.sorted // one row/key
+    out.toSet shouldBe Set(1L -> "v2", 2L -> "b", 3L -> "c")
+  }
+
   test("idempotent: re-applying the same updates changes nothing") {
     import spark.implicits._
     val once = upsert(df(1L -> "a", 2L -> "b"), df(2L -> "B2"), Seq("id"))

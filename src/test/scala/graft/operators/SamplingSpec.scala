@@ -64,6 +64,14 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .where(col("split") === "all").count() shouldBe 100L
   }
 
+  test("null ids drop from splits (not silently assigned to the last label)") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("id")
+    val out = Sampling.hashSplit(df, "id", Seq("train" -> 0.5, "test" -> 0.5))
+    out.count() shouldBe 3L
+    out.where(col("id").isNull).count() shouldBe 0L
+  }
+
   test("stratified sampling applies per-stratum fractions; default drops") {
     import spark.implicits._
     val df = (0L until 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
