@@ -772,6 +772,15 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- lexical term statistics (BM25/TF-IDF inputs): exact-integer
+    // tf/df/doc_len per (doc, query term) — the double-valued scorer stays
+    // out of the hash oracle (cross-engine ln() is not bit-guaranteed)
+    // and is spec-gated instead ----
+    "q81_term_stats" -> ((s, d) =>
+      TextAnalysis.termStats(t(s, d, "documents"), "doc_id", "text",
+        Seq("data", "model", "table", "query"))
+        .orderBy(col("doc_id"), col("term"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1689,6 +1698,24 @@ object SparkEntry {
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
                 ELSE o_totalprice END AS o_totalprice
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+
+    "q81_term_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, len(w) AS doc_len, unnest(w) AS term
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents)),
+         tf AS (
+           SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len, term,
+             count(*) AS tf
+           FROM toks
+           WHERE term IN ('data', 'model', 'table', 'query')
+           GROUP BY doc_id, doc_len, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.doc_len
+         FROM tf JOIN df USING (term)
+         ORDER BY doc_id, term"""
   )
 }

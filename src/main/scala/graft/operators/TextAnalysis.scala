@@ -61,6 +61,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
 
+  /** Per-(doc, term) statistics for a fixed query-term set: term frequency
+    * in the document, the term's document frequency across the corpus, and
+    * the document length — the exact-integer inputs every lexical scorer
+    * (TF-IDF, BM25) consumes. One explode + two hash aggregates; the
+    * df side is a tiny per-term table broadcast back onto the tf rows.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "at least one term")
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
+        explode(col("__w")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = tokens.groupBy(col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("doc_len"))
+  }
+
+  /** BM25 relevance of each document to the query `terms` (k1/b standard
+    * defaults; Robertson-Spärck Jones idf with the +1 floor so common
+    * terms never score negative). Built on [[termStats]]; the only doubles
+    * are the final scoring arithmetic, so keep exact comparisons to the
+    * integer stats and treat scores as ranking keys.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val avgLen = docs
+      .select(size(words(col(textCol))).cast("double").as("l"))
+      .agg(avg(col("l"))).first().getDouble(0)
+    termStats(docs, idCol, textCol, terms)
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / lit(avgLen))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score")).as("bm25"), count(lit(1)).as("terms_hit"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS scheme): hash every k-word shingle IN POSITION ORDER, then keep
     * the minimum hash of each sliding window of `win` consecutive gram
