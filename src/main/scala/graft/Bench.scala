@@ -59,10 +59,13 @@ object Bench {
     * emitted at millisecond precision, dropping to coarser precision if the
     * battery ever grows past the budget — a sub-ms digit is rig noise
     * anyway. `maxLen` leaves headroom for sbt's trailing `[success]` line
-    * inside the same capture window.
+    * (~75 bytes) inside the same 2000-byte window: 1900 + 75 + newlines
+    * stays under capture, and at the current 81-query battery it is
+    * exactly the difference between 0.1 s and whole-second resolution in
+    * the driver's per-query record.
     */
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      maxLen: Int = 1850): String = {
+      maxLen: Int = 1900): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     def render(decimals: Int): String = {

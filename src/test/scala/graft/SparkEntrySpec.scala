@@ -39,7 +39,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // where query names themselves must shrink.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
-    line.length should be <= 1850
+    line.length should be <= 1900
     line should startWith("{\"metric\":\"total\"")
     line should endWith("}")
   }
