@@ -315,8 +315,8 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"))
         .orderBy(col("media_id"))),
 
-    "q39_multimodal_decode" -> ((s, d) => // rows-only: decode stub fields
-      Multimodal.documentMediaPipeline(s, t(s, d, "documents"))
+    "q39_multimodal_decode" -> ((s, d) => // full decode; oracle recomputes
+      Multimodal.documentMediaPipeline(s, t(s, d, "documents")) // the byte fold
         .orderBy(col("media_id"))),
 
     // ---- topology batch twins (SURVEY §3.1-3.2 lifecycle) ----
@@ -1161,6 +1161,66 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'image' AS kind,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
          FROM documents ORDER BY media_id""",
+
+    // Full cross-engine recompute of Multimodal.decode over text payloads:
+    // the deterministic fallback is a 64-byte signed-int32 fold
+    // (mix = mix*31 + signedByte, wrapping), and the kind=="image" BMP
+    // branch reads little-endian i32 width/height at offsets 18/22 when the
+    // payload starts with "BM". Bytes come from hex(encode(text)); int32
+    // wraparound is emulated with ((x+2^31) mod 2^32 + 2^32) mod 2^32 - 2^31
+    // and `mix >> 8` (arithmetic shift) as floor(mix / 256.0).
+    "q39_multimodal_decode" ->
+      """WITH raw AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, len,
+             list_transform(range(1, least(len, 64) + 1), i ->
+               (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS ub,
+             CASE WHEN len >= 26 THEN
+               list_transform(range(1, 27), i ->
+                 (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))
+             END AS hdr
+           FROM raw),
+         mixed AS (
+           SELECT doc_id, len, hdr,
+             list_reduce(
+               list_prepend(CAST(-1640531527 AS BIGINT),
+                 list_transform(ub, b ->
+                   CAST(CASE WHEN b > 127 THEN b - 256 ELSE b END AS BIGINT))),
+               (acc, b) -> ((acc * 31 + b + 2147483648) % 4294967296
+                 + 4294967296) % 4294967296 - 2147483648) AS mix
+           FROM bytes),
+         hdrparse AS (
+           SELECT doc_id, len, mix,
+             CASE WHEN hdr IS NOT NULL AND hdr[1] = 66 AND hdr[2] = 77 THEN
+               struct_pack(
+                 w := CASE WHEN hdr[19] + hdr[20]*256 + hdr[21]*65536
+                          + hdr[22]*16777216 >= 2147483648
+                   THEN hdr[19] + hdr[20]*256 + hdr[21]*65536
+                     + hdr[22]*16777216 - 4294967296
+                   ELSE hdr[19] + hdr[20]*256 + hdr[21]*65536
+                     + hdr[22]*16777216 END,
+                 h := abs(CASE WHEN hdr[23] + hdr[24]*256 + hdr[25]*65536
+                          + hdr[26]*16777216 >= 2147483648
+                   THEN hdr[23] + hdr[24]*256 + hdr[25]*65536
+                     + hdr[26]*16777216 - 4294967296
+                   ELSE hdr[23] + hdr[24]*256 + hdr[25]*65536
+                     + hdr[26]*16777216 END))
+             END AS bmp
+           FROM mixed)
+         SELECT doc_id AS media_id, 'image' AS kind, CAST(len AS BIGINT) AS n_bytes,
+           CASE WHEN bmp IS NOT NULL AND bmp.w > 0 AND bmp.h > 0 THEN bmp.w
+             ELSE 160 + CAST(((mix % 1760) + 1760) % 1760 AS INT) END AS width,
+           CASE WHEN bmp IS NOT NULL AND bmp.w > 0 AND bmp.h > 0 THEN bmp.h
+             ELSE 90 + CAST(((CAST(floor(mix / 256.0) AS BIGINT) % 990) + 990)
+               % 990 AS INT) END AS height,
+           CASE WHEN bmp IS NOT NULL AND bmp.w > 0 AND bmp.h > 0 THEN 0
+             ELSE 1000 + CAST((len * 40) % 600000 AS INT) END AS duration_ms
+         FROM hdrparse ORDER BY media_id""",
 
     "q40_purchases_topology" ->
       """SELECT user_id || '-' || CAST(json_extract_string(props, '$.k') AS INT) AS k,

@@ -90,16 +90,23 @@ object TextAnalysis {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val n = docs.count()
-    val avgLen = docs
+    // Corpus stats (N, avgdl) as a ONE-ROW aggregate broadcast into the
+    // plan — no driver-side count()/collect() round-trips, so the whole
+    // scorer stays one lazy plan (the 100 TB posture: corpus stats are a
+    // map-reduce over doc lengths, not two eager jobs per call). The
+    // conditionless join against the single stats row plans as a
+    // BroadcastNestedLoopJoin over one row, the same shape as the
+    // query-vector joins in Similarity.
+    val stats = docs
       .select(size(words(col(textCol))).cast("double").as("l"))
-      .agg(avg(col("l"))).first().getDouble(0)
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
     termStats(docs, idCol, textCol, terms)
+      .join(broadcast(stats))
       .withColumn("idf",
-        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("score",
         col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / lit(avgLen))))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("score")).as("bm25"), count(lit(1)).as("terms_hit"))
   }
