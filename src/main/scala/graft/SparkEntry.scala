@@ -1204,12 +1204,15 @@ object SparkEntry {
                      + hdr[22]*16777216 - 4294967296
                    ELSE hdr[19] + hdr[20]*256 + hdr[21]*65536
                      + hdr[22]*16777216 END,
-                 h := abs(CASE WHEN hdr[23] + hdr[24]*256 + hdr[25]*65536
+                 h := CASE WHEN hdr[23] + hdr[24]*256 + hdr[25]*65536
+                          + hdr[26]*16777216 = 2147483648
+                   THEN -1
+                   ELSE abs(CASE WHEN hdr[23] + hdr[24]*256 + hdr[25]*65536
                           + hdr[26]*16777216 >= 2147483648
                    THEN hdr[23] + hdr[24]*256 + hdr[25]*65536
                      + hdr[26]*16777216 - 4294967296
                    ELSE hdr[23] + hdr[24]*256 + hdr[25]*65536
-                     + hdr[26]*16777216 END))
+                     + hdr[26]*16777216 END) END)
              END AS bmp
            FROM mixed)
          SELECT doc_id AS media_id, 'image' AS kind, CAST(len AS BIGINT) AS n_bytes,

@@ -109,7 +109,8 @@ object Multimodal {
     while (i < math.min(payload.length, 64)) { mix = mix * 31 + payload(i); i += 1 }
     val w = 160 + math.floorMod(mix, 1760)
     val h = 90 + math.floorMod(mix >> 8, 990)
-    val d = 1000 + math.floorMod(payload.length * 40, 600000)
+    // Long math: length * 40 would wrap as Int past ~53.6 MB payloads
+    val d = 1000 + math.floorMod(payload.length.toLong * 40, 600000L).toInt
     (w, h, d)
   }
 

@@ -16,10 +16,9 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     os -- qs shouldBe empty // an orphan oracle would silently never run
     all(qs.toSeq) should fullyMatch regex "q\\d+_[a-z0-9_]+"
-    // rows-only queries are the two documented ones
-    // q39 is the single legitimately oracle-less query (its decode fields
-    // come from the documented multimodal stub); everything else must pair
-    (qs -- os) shouldBe Set("q39_multimodal_decode")
+    // every declared query must have a DuckDB oracle (q39 gained its
+    // byte-fold/BMP-header oracle in round 6, closing the last carve-out)
+    (qs -- os) shouldBe empty
   }
 
   test("oracle SQL is syntactically loadable (no stray quotes breaking the dump)") {
