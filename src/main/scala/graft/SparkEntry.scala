@@ -781,6 +781,16 @@ object SparkEntry {
         Seq("data", "model", "table", "query"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // corpus token-frequency audit over the REAL merges-table BPE
+    // (functions.Bpe): explode the token sequence, count per token. The
+    // oracle replays the identical merge rules in a recursive CTE, so a
+    // single mis-merged word anywhere in the corpus fails the hash.
+    "q82_bpe_vocab" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(GraftFunctions.bpe_tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -804,6 +814,45 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
+
+  /** DuckDB replay of [[graft.functions.Bpe]] — merge rules embedded as
+    * VALUES from the SAME Scala constant, applied in rank order with
+    * `replace()` to fixpoint per rank (a recursive CTE over the DISTINCT
+    * pre-tokens; state advances to the next rank only when a pass changes
+    * nothing). For a well-formed merges table this in-order replay equals
+    * the engine's min-rank greedy loop — the invariant `Bpe`'s constructor
+    * asserts and `BpeSpec` property-checks. Tokens are tracked as a
+    * space-separated string with sentinel spaces, so ` l r ` -> ` lr `
+    * substitution can never match across pre-token or token boundaries.
+    *
+    * Yields CTEs: `__bpe_words(doc_id, w)`, `__bpe_word_tokens(w, toks)`,
+    * `__bpe_doc_counts(doc_id, bpe_tokens)`. Callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private def bpeOracleCtes: String = {
+    val mergeValues = graft.functions.Bpe.Merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, ' $l $r ', ' $l$r ')" }
+      .mkString(", ")
+    s"""__bpe_merges(rank, pat, rep) AS (VALUES $mergeValues),
+         __bpe_words AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+           FROM documents),
+         __bpe_state AS (
+           SELECT w, 1 AS rank,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+           FROM (SELECT DISTINCT w FROM __bpe_words)
+           UNION ALL
+           SELECT w, CASE WHEN r2 <> s THEN rank ELSE rank + 1 END AS rank, r2 AS s
+           FROM (SELECT b.w, b.rank, b.s, replace(b.s, m.pat, m.rep) AS r2
+                 FROM __bpe_state b JOIN __bpe_merges m ON m.rank = b.rank)),
+         __bpe_word_tokens AS (
+           SELECT w, string_split(trim(s), ' ') AS toks
+           FROM __bpe_state WHERE rank = ${graft.functions.Bpe.Merges.size + 1}),
+         __bpe_doc_counts AS (
+           SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS bpe_tokens
+           FROM __bpe_words JOIN __bpe_word_tokens USING (w) GROUP BY doc_id)"""
+  }
 
   /** DuckDB twin of q28: recomputes the md5-based minhash signatures with
     * the SAME LCG coefficients as [[graft.functions.MinHashSignature]]
@@ -1143,10 +1192,12 @@ object SparkEntry {
          WHERE len(w) > 0 ORDER BY doc_id""",
 
     "q35_token_count" ->
-      """SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
-         FROM documents ORDER BY doc_id""",
+      s"""WITH RECURSIVE $bpeOracleCtes
+         SELECT d.doc_id AS doc_id,
+           CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+         FROM documents d LEFT JOIN __bpe_doc_counts c ON d.doc_id = c.doc_id
+         ORDER BY doc_id""",
 
     "q36_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
@@ -1278,18 +1329,19 @@ object SparkEntry {
     // composed pipeline twin: exact dedup -> lang/quality gates -> df-capped
     // n-gram near-dup removal (drop larger id of each >= 0.5 pair) -> tokens
     "q45_training_pipeline" ->
-      """WITH uniq AS (
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         uniq AS (
            SELECT doc_id, text FROM documents
            WHERE doc_id IN (
              SELECT min(doc_id) FROM documents
-             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
+             GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g'))),
          feat AS (
            SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
-             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
-             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
-             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
-             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in|is)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(le|les|et|est|que|une)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(el|los|y|es|por|una)\\b')) AS s_es
            FROM uniq),
          scored AS (
            SELECT doc_id, text, w,
@@ -1326,10 +1378,11 @@ object SparkEntry {
          removed AS (
            SELECT DISTINCT id_b FROM inter
            WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5)
-         SELECT doc_id, lang_pred, n_words, quality,
-           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
-         FROM gated WHERE doc_id NOT IN (SELECT id_b FROM removed)
+         SELECT g.doc_id AS doc_id, g.lang_pred, g.n_words, g.quality,
+           CAST(len(list_filter(string_split_regex(g.text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+         FROM gated g LEFT JOIN __bpe_doc_counts c ON g.doc_id = c.doc_id
+         WHERE g.doc_id NOT IN (SELECT id_b FROM removed)
          ORDER BY doc_id""",
 
     "q46_cube" ->
@@ -1779,6 +1832,14 @@ object SparkEntry {
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
          SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.doc_len
          FROM tf JOIN df USING (term)
-         ORDER BY doc_id, term"""
+         ORDER BY doc_id, term""",
+
+    "q82_bpe_vocab" ->
+      s"""WITH RECURSIVE $bpeOracleCtes
+         SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(wt.toks) AS t
+               FROM __bpe_words w JOIN __bpe_word_tokens wt USING (w))
+         GROUP BY t
+         ORDER BY n DESC, token"""
   )
 }

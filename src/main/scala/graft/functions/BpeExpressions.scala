@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer with an embedded merges table — the real
+  * greedy-merge algorithm (min-rank adjacent pair first, repeat until no
+  * table pair remains), not a regex proxy: token-budget accounting for an
+  * LLM pipeline must count what a merges-table tokenizer counts.
+  *
+  * Pre-tokenization uses [[TextFunctions.BpeTokenPattern]] (letter runs,
+  * digit runs, single punctuation — the pre-tokenizer every BPE applies
+  * before merging), then each pre-token is split to characters and merged
+  * bottom-up against [[Merges]].
+  *
+  * The table is WELL-FORMED by construction (and asserted): each merge's
+  * sides are single characters or outputs of strictly earlier merges, the
+  * invariant a trained table has (a pair over a token learned at step k is
+  * always learned after k). That invariant buys the oracle its replay: a
+  * new adjacency created by merge r involves the token merge r produced,
+  * so every pair it can form has rank > r and applying the merges IN RANK
+  * ORDER, each exhaustively, yields exactly the min-rank greedy result.
+  * The DuckDB oracle replays the same table that way with `replace()` to
+  * fixpoint per rank (a recursive CTE), and `BpeSpec` property-checks the
+  * two strategies against each other on arbitrary inputs.
+  */
+object Bpe {
+
+  /** Ranked merge rules (rank = position + 1), highest-priority first —
+    * a hand-built English-bigram table standing in for a trained one; the
+    * ALGORITHM is the deliverable, the table is a pluggable constant.
+    */
+  val Merges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "n"), ("a", "t"), ("o", "r"), ("e", "s"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("r", "o"), ("th", "e"), ("an", "d"),
+    ("in", "g"), ("i", "s"), ("i", "t"), ("a", "l"), ("c", "h"),
+    ("s", "e"), ("d", "e"), ("er", "s"), ("c", "on"), ("p", "ro"),
+    ("at", "i"), ("ati", "on"), ("the", "r"), ("es", "t"), ("ou", "r"),
+    ("en", "t"), ("m", "ent"), ("q", "u"), ("w", "h"), ("s", "h"),
+    ("o", "f"), ("t", "o"), ("ing", "s"))
+
+  // well-formedness: every side is a single char or an earlier output —
+  // the invariant the in-order == min-rank equivalence (and therefore the
+  // SQL oracle) rests on, so it fails fast at class load if ever broken
+  locally {
+    val produced = scala.collection.mutable.Set.empty[String]
+    Merges.foreach { case (l, r) =>
+      require(Seq(l, r).forall(s => s.length == 1 || produced.contains(s)),
+        s"merge ($l,$r) references a token no earlier merge produces")
+      produced += (l + r)
+    }
+  }
+
+  private val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
+
+  private[functions] val TokenPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(TextFunctions.BpeTokenPattern)
+
+  /** Greedy BPE of one pre-token: repeatedly merge every (leftmost-first,
+    * non-overlapping) occurrence of the lowest-ranked adjacent pair.
+    */
+  def encodeWord(word: String): Array[String] = {
+    var toks = {
+      val a = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
+      a
+    }
+    var more = toks.length >= 2
+    while (more) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else {
+        val (l, r) = Merges(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+        more = toks.length >= 2
+      }
+    }
+    toks
+  }
+
+  /** All BPE tokens of a text, in order. */
+  def tokens(text: String): Array[String] = {
+    val m = TokenPattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out ++= encodeWord(m.group())
+    out.toArray
+  }
+
+  /** Token count; `cache` (nullable) memoizes per-word counts — natural
+    * corpora repeat words heavily, so the greedy loop runs once per
+    * distinct word per executor instead of once per occurrence.
+    */
+  def countTokens(text: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]): Long = {
+    val m = TokenPattern.matcher(text)
+    var total = 0L
+    while (m.find()) {
+      val w = m.group()
+      val hit = if (cache == null) null else cache.get(w)
+      if (hit != null) total += hit.longValue()
+      else {
+        val n = encodeWord(w).length.toLong
+        // bounded: an adversarial all-unique-words corpus must not grow
+        // the executor heap — past the cap we just recompute
+        if (cache != null && cache.size < (1 << 16)) cache.put(w, n)
+        total += n
+      }
+    }
+    total
+  }
+}
+
+/** BIGINT BPE token count of a string column (see [[Bpe]]). Imperative
+  * expression, one eval per row — the regex pre-tokenizer plus the greedy
+  * merge loop per word doesn't decompose into codegen'd built-ins (the
+  * [[WordShingles]] amortization argument), and the per-word memo makes it
+  * cheaper than the two-built-in regex chain it replaced.
+  */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTokens(input.asInstanceOf[UTF8String].toString, cache)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The BPE token sequence itself (`array<string>`, document order) — the
+  * vocabulary-audit surface: explode + groupBy gives corpus token
+  * frequencies, the check a pipeline runs before trusting token budgets.
+  */
+case class BpeTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Bpe.tokens(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

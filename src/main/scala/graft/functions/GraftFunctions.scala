@@ -36,6 +36,8 @@ object GraftFunctions {
           s"minhash(tokens, k literal, seed literal); got ${other.size} args")
     },
     "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "bpe_token_count" -> (exprs => BpeTokenCount(exprs.head)),
+    "bpe_tokens" -> (exprs => BpeTokens(exprs.head)),
     "word_shingles" -> {
       case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
       case Seq(child) => WordShingles(child, 3)
@@ -77,6 +79,13 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Merges-table BPE token count of a string column (see [[Bpe]]). */
+  def bpe_token_count(text: Column): Column =
+    call_function("bpe_token_count", text)
+
+  /** The BPE token sequence of a string column (see [[Bpe]]). */
+  def bpe_tokens(text: Column): Column = call_function("bpe_tokens", text)
 
   /** Winnowing (MOSS) fingerprints of an array<string> token column. */
   def winnow_fingerprints(tokens: Column, k: Int, win: Int): Column =

@@ -33,10 +33,15 @@ object TextFunctions {
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
 
-  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  /** BPE pre-tokenizer: letter runs, digit runs, single punctuation. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Real BPE token count: pre-tokenize with [[BpeTokenPattern]], then
+    * greedy merges-table encoding per word ([[Bpe]]); the DuckDB oracle
+    * replays the identical merge rules.
+    */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+    GraftFunctions.bpe_token_count(text)
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =

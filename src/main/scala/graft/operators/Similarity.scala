@@ -156,58 +156,122 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
-    * LSH variant trades against: k-means partitions the corpus into
-    * `nList` cells; a query probes only the `nProbe` cells whose centroids
-    * are closest to it and ranks those candidates exactly.
-    *
-    * Index build: MLlib KMeans (fixed seed, few iterations — a coarse
-    * quantizer does not need convergence). At 100 TB the cell id becomes
-    * the table's partition key, so a query reads nProbe/nList of the data;
-    * the centroid table is tiny (nList × dim) and broadcast-joined.
-    * Returns (idCol, sim) like [[bruteForceTopK]]/[[lshTopK]].
+  /** KMeans cell assignment shared by the eager IVF path and the index
+    * build: L2-normalize before clustering (KMeans is Euclidean, ranking is
+    * cosine — on the unit sphere the two orders agree), fit a coarse
+    * quantizer with a fixed seed (few iterations — a coarse quantizer does
+    * not need convergence), and return each vector's cell id plus the
+    * centroid array. The centroids are nList × dim — tiny and driver-held
+    * by design, exactly like the LSH plane family in [[queryBuckets]].
     */
-  def ivfTopK(embs: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int, nList: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+  def ivfAssign(embs: DataFrame, idCol: String, embCol: String,
+      nList: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
-
-    // L2-normalize before clustering: KMeans is Euclidean, ranking is
-    // cosine — on the unit sphere the two orders agree
     val vectorized = new Normalizer().setP(2.0)
       .setInputCol("__raw").setOutputCol("__vec")
       .transform(embs.withColumn("__raw",
         array_to_vector(col(embCol).cast("array<double>"))))
     val model = new KMeans()
       .setK(nList).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .setFeaturesCol("__vec").setPredictionCol("cell")
       .fit(vectorized)
     val assigned = model.transform(vectorized)
-      .select(col(idCol), col(embCol), col("__cell"))
+      .select(col(idCol), col(embCol).cast("array<double>").as(embCol), col("cell"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
 
-    // centroids ranked by cosine to the query vector → probe set
-    val centroids = model.clusterCenters.map(_.toArray)
-    val q = assigned.where(col(idCol) === queryId)
-      .select(col(embCol).cast("array<double>").as("qv")).head()
-      .getSeq[Double](0).toArray
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c, q) }.take(nProbe).map(_._2)
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
 
-    val qv = assigned.where(col(idCol) === queryId).select(col(embCol).as("qv"))
-    assigned
-      .where(col("__cell").isin(probeCells.toIndexedSeq: _*)) // partition prune at scale
-      .join(broadcast(qv))
+  /** The `nProbe` cells whose centroids are cosine-closest to the query —
+    * driver-side math over the tiny centroid table (nList dot products),
+    * the IVF analog of [[queryBuckets]].
+    */
+  def ivfProbeCells(centroids: Array[Array[Double]], qv: Array[Double],
+      nProbe: Int): Array[Int] =
+    centroids.zipWithIndex.sortBy { case (c, _) => -cosArr(c, qv) }
+      .take(nProbe).map(_._2)
+
+  /** Exact cosine ranking of a pruned candidate set — shared tail of the
+    * eager and indexed IVF paths. The query vector rides along as a literal
+    * (one row's worth of doubles), so the scan is map-only into a top-k.
+    */
+  private def ivfRank(cands: DataFrame, idCol: String, embCol: String,
+      qv: Array[Double], queryId: Long, k: Int): DataFrame =
+    cands
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+        round(cosine_sim(col(embCol), typedlit(qv.toSeq)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+
+  /** IVF (inverted-file) ANN top-k, eager one-shot form — the
+    * coarse-quantizer scale path the LSH variant trades against: k-means
+    * partitions the corpus into `nList` cells; a query probes only the
+    * `nProbe` cells whose centroids are closest to it and ranks those
+    * candidates exactly. Returns (idCol, sim) like
+    * [[bruteForceTopK]]/[[lshTopK]].
+    *
+    * This form refits the quantizer per call — fine for ad-hoc
+    * exploration, wrong for repeated queries: build the index ONCE with
+    * [[writeIvfIndex]] and serve queries from [[ivfTopKIndexed]], where
+    * the cell id is a partition key and a query reads nProbe/nList of the
+    * data with zero driver-side fitting.
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, nList: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col(embCol)).head().getSeq[Double](0).toArray
+    val probeCells = ivfProbeCells(centroids, q, nProbe)
+    ivfRank(
+      assigned.where(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      idCol, embCol, q, queryId, k)
+  }
+
+  /** Persist the IVF index: posting rows PARTITIONED BY cell under
+    * `path/postings` (at 100 TB a probe is then a partition-directory
+    * filter reading nProbe/nList of the corpus) and the tiny centroid
+    * table (nList rows) under `path/centroids`. The KMeans fit — the
+    * expensive, driver-coordinated step — runs exactly once here instead
+    * of once per query; pair with [[ivfTopKIndexed]]. Mirror of
+    * [[writeLshIndex]]/[[lshTopKIndexed]].
+    */
+  def writeIvfIndex(embs: DataFrame, idCol: String, embCol: String,
+      path: String, nList: Int = 16, seed: Long = 42L): Unit = {
+    val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k against a [[writeIvfIndex]] table: the centroid read is
+    * nList rows (driver-side by design, like [[queryBuckets]]'s plane
+    * math); the posting scan's `cell IN (probes)` predicate is a pure
+    * partition filter, so at most `nProbe` partition directories are read
+    * and NO per-query KMeans fit or corpus pass happens. Candidates are
+    * ranked by exact cosine, identical to [[ivfTopK]] at equal
+    * nList/nProbe/seed.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, embCol: String, qv: Array[Double], queryId: Long, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val probeCells = ivfProbeCells(centroids, qv, nProbe)
+    val pruned = spark.read.parquet(s"$indexPath/postings")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    ivfRank(pruned, idCol, embCol, qv, queryId, k)
   }
 }

@@ -95,6 +95,51 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("persisted IVF index: pruned scan reads only nProbe cell partitions, ranking matches eager path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+    val (nList, nProbe, k) = (16, 4, 10)
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", dir, nList = nList)
+
+    val qv = embs.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      qv, queryId = 0L, k = k, nProbe = nProbe)
+
+    // identical ranking to the eager per-call-fit path: same seed + same
+    // data => same KMeans cells, so the probed candidate set is identical
+    val eager = Similarity.ivfTopK(embs, "vec_id", "embedding", 0L, k,
+      nList = nList, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe eager
+
+    // the posting scan must touch at most nProbe of the cell=N partition
+    // directories — the 100 TB claim, asserted on the executed plan
+    val totalCells = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("cell="))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val selected = scans(indexed.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount).sum
+    withClue(s"selected $selected of $totalCells cell partitions: ") {
+      selected should be <= nProbe
+      selected should be < totalCells
+    }
+
+    // the full-probe indexed query IS the exact scan
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      qv, queryId = 0L, k = k, nProbe = nList)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    full shouldBe exact
+  }
+
   test("persisted LSH index: pruned scan reads only the probe partitions, results identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index-").toString
     Similarity.writeLshIndex(embs, "vec_id", "embedding", dir)
