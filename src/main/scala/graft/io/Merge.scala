@@ -50,15 +50,46 @@ object Merge {
   /** Apply an upsert to a parquet path in place, via the same
     * temp-sibling + rename swap as [[Layout.compact]] (a lazy
     * read-then-overwrite of the same path would lose the table). Not
-    * atomic for concurrent readers — same caveat as compact.
+    * atomic for concurrent readers — same caveat as compact. A missing
+    * target is an empty table: the updates become its first contents.
     */
   def upsertWrite(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], tombstoneCol: Option[String] = None,
       versionCol: Option[String] = None): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      val merged = upsert(updates.limit(0), updates, keyCols, tombstoneCol, versionCol)
+      merged.write.mode("overwrite").parquet(path)
+      return
+    }
     val target = spark.read.parquet(path)
     val merged = upsert(target, updates, keyCols, tombstoneCol, versionCol)
     Swap.swapInto(spark, path, "merge") { tmp =>
       merged.write.mode("overwrite").parquet(tmp)
     }
   }
+
+  /** Continuous parquet upsert — the durable twin of
+    * [[graft.serving.Serving.maintain]]'s in-memory serving view: each
+    * micro-batch of an UPDATE-mode streaming aggregate (exactly the keys
+    * whose value changed) merges into the parquet table via
+    * [[upsertWrite]].
+    *
+    * Exactly-once to the table through stop/restart: the checkpoint
+    * replays at-least-once, and the merge is idempotent — a replayed
+    * micro-batch carries the same per-key latest values, so re-upserting
+    * it rewrites identical rows rather than duplicating or double-counting
+    * (the spec drives a kill/restart to pin this). The table stays one row
+    * per key, queryable by any reader between batches.
+    */
+  def maintainParquet(aggregated: DataFrame, path: String,
+      keyCols: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        upsertWrite(batch.sparkSession, path, batch, keyCols))
+      .start()
 }

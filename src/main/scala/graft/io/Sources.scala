@@ -88,16 +88,24 @@ final case class KafkaSource(
 
   private def reader(df: => DataFrame): DataFrame = frame(df)
 
+  /** Reader options for the batch path — exposed (with [[streamOptions]])
+    * so the environment-blocked wiring stays spec-assertable without the
+    * connector jar (`SourcesSinksSpec`): the option names/values are the
+    * contract that would otherwise rot silently as compile-only code.
+    */
+  def batchOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> subscribe)
+
+  /** [[batchOptions]] plus the start position — the reference's
+    * `AUTO_OFFSET_RESET_CONFIG` (S6) applies to the streaming consumer.
+    */
+  def streamOptions: Map[String, String] =
+    batchOptions + ("startingOffsets" -> startingOffsets)
+
   override def read(spark: SparkSession): DataFrame = reader(
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", subscribe)
-      .load())
+    spark.read.format("kafka").options(batchOptions).load())
 
   override def readStream(spark: SparkSession): DataFrame = reader(
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", subscribe)
-      .option("startingOffsets", startingOffsets)
-      .load())
+    spark.readStream.format("kafka").options(streamOptions).load())
 }

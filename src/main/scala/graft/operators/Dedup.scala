@@ -83,7 +83,9 @@ object Dedup {
     * (a semi join against that materialization) cannot re-evaluate its
     * anti-join after the write no matter when the caller executes it. At
     * 100 TB the fingerprint table is 16 bytes/doc and the anti-join
-    * shuffles digests, not text.
+    * shuffles digests, not text. One directory accrues per batch — fold
+    * them periodically with [[compactFingerprints]] or the seen-scan
+    * becomes a small-files bottleneck.
     */
   def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
       fpTablePath: String, batchId: String = null): DataFrame = {
@@ -107,6 +109,49 @@ object Dedup {
     novel.select(col("fp")).write.mode("overwrite")
       .parquet(s"$fpTablePath/batch=$bid")
     docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** Compact the [[incrementalExactDedup]] fingerprint table: every call
+    * adds a `batch=<id>/` directory, so at daily-batch cadence the "seen"
+    * scan degrades into a small-files read (per-file open/footer overhead
+    * dominating 16-byte rows). Folds all batch directories — EXCEPT
+    * `excludeBatch`, the possibly-in-flight id whose retry-safety contract
+    * requires its directory untouched — into one distinct-fp
+    * `batch=<compact-uuid>/` directory sized to `targetFileBytes`.
+    *
+    * Crash-safe in the direction that matters: the folded directory is
+    * written BEFORE the sources are deleted, and duplicate fingerprints
+    * across batch dirs never change results (the seen-set is a union), so
+    * a crash between write and delete only wastes space. Distinct-ness
+    * also makes re-running compaction idempotent. Returns the number of
+    * parquet data files under the table after compaction.
+    */
+  def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
+      fpTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(fpTablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFileCount: Int = {
+      val it = fs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val sources = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filterNot(p => excludeBatch != null && p.getName == s"batch=$excludeBatch")
+    if (sources.length <= 1) return dataFileCount
+    val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
+      .select(col("fp")).distinct()
+      .coalesce(nFiles)
+      .write.mode("overwrite")
+      .parquet(s"$fpTablePath/batch=compact-" +
+        java.util.UUID.randomUUID().toString.take(12))
+    sources.foreach(fs.delete(_, true))
+    dataFileCount
   }
 
   /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:

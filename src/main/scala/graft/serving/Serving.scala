@@ -39,8 +39,9 @@ final class Serving {
     * guarantee, SURVEY §3.1 step 4).
     */
   def maintain(aggregated: DataFrame, name: String, keyCol: String,
-      checkpointDir: String): StreamingQuery = {
-    val t = register(new ServingTable(name, keyCol))
+      checkpointDir: String,
+      maxEntries: Int = ServingTable.DefaultMaxEntries): StreamingQuery = {
+    val t = register(new ServingTable(name, keyCol, maxEntries))
     aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)

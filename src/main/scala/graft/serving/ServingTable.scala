@@ -23,16 +23,35 @@ import org.apache.spark.sql.DataFrame
   * the 100 TB of raw data never lands here. A multi-node serving tier would
   * shard this map by key range — the API below is already range-based so
   * that split would be mechanical.
+  *
+  * That posture is only safe while key cardinality actually IS bounded, so
+  * `maxEntries` makes the bound explicit: an upsert that would grow the
+  * table past it fails loud ([[ServingTable.CapacityExceeded]]) instead of
+  * slow-OOMing the driver on a high-cardinality key stream (the reference's
+  * RocksDB store is disk-backed and has no such failure mode — a map does).
+  * Updates to EXISTING keys never trip the guard; size the cap to the
+  * expected keyspace, or shard the serving tier when the keyspace outgrows
+  * one process.
   */
-final class ServingTable(val name: String, val keyCol: String) {
+final class ServingTable(val name: String, val keyCol: String,
+    val maxEntries: Int = ServingTable.DefaultMaxEntries) {
+
+  require(maxEntries > 0, "maxEntries must be positive")
 
   private val state = new ConcurrentSkipListMap[String, Map[String, Any]]()
 
-  /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. */
+  /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. Throws
+    * [[ServingTable.CapacityExceeded]] on the first NEW key past
+    * `maxEntries` (rows already applied stay applied — the maintenance
+    * query then fails its batch and surfaces the error, rather than
+    * retrying into the same wall).
+    */
   def upsert(batch: DataFrame): Unit = {
     val cols = batch.columns.filter(_ != keyCol)
     batch.collect().foreach { row =>
       val k = Option(row.getAs[Any](keyCol)).map(_.toString).getOrElse("null")
+      if (state.size() >= maxEntries && !state.containsKey(k))
+        throw new ServingTable.CapacityExceeded(name, maxEntries)
       state.put(k, cols.map(c => c -> row.getAs[Any](c)).toMap)
     }
   }
@@ -64,4 +83,20 @@ final class ServingTable(val name: String, val keyCol: String) {
   def all: Seq[(String, Map[String, Any])] = state.asScala.toSeq
 
   def size: Int = state.size()
+}
+
+object ServingTable {
+
+  /** Default key-cardinality bound: ~1M entries of a small aggregate row
+    * is on the order of a few hundred MB of driver heap — comfortably
+    * inside the default driver sizing, and two orders of magnitude above
+    * the reference demo's keyspaces.
+    */
+  val DefaultMaxEntries: Int = 1 << 20
+
+  final class CapacityExceeded(table: String, max: Int)
+      extends IllegalStateException(
+        s"serving table '$table' is full ($max entries): the key stream's " +
+          "cardinality exceeds the configured bound; raise maxEntries, " +
+          "aggregate to a coarser key, or shard the serving tier")
 }

@@ -89,4 +89,25 @@ class SourcesSinksSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.parquet(s"$dir/out").collect().map(_.getString(0)).sorted shouldBe
       Array("MOO", "OINK")
   }
+
+  test("KafkaSource reader options can't rot (S6 — execution environment-blocked)") {
+    // no spark-sql-kafka connector jar ships in this container, so the
+    // wiring is compile-only; this pins the OPTION CONTRACT the connector
+    // would receive (subscribe + the reference's AUTO_OFFSET_RESET analog)
+    val src = KafkaSource("broker:9092", "purchases", startingOffsets = "earliest")
+    src.streamOptions shouldBe Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "purchases",
+      "startingOffsets" -> "earliest")
+    src.batchOptions shouldBe (src.streamOptions - "startingOffsets")
+    KafkaSource("b:9092", "t").streamOptions("startingOffsets") shouldBe "latest"
+
+    // the read path must reach Spark's source RESOLUTION for format
+    // "kafka" with those options: absent the jar that is exactly the
+    // missing-provider error (anything else — an option or analysis
+    // error — would mean the wiring broke)
+    val ex = intercept[Throwable] { src.readStream(spark) }
+    ex.getMessage.toLowerCase should include("kafka")
+    ex.getMessage should (include("Failed to find") or include("FAILED_TO_FIND"))
+  }
 }

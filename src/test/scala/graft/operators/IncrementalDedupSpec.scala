@@ -54,6 +54,53 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out3.count() shouldBe 0
   }
 
+  test("compaction folds batch dirs without changing the novel set") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-fpc-").toString + "/fp"
+
+    // ten one-doc batches -> ten batch=<id> directories
+    (1 to 10).foreach { i =>
+      Dedup.incrementalExactDedup(
+        Seq((i.toLong, s"unique text number $i")).toDF("doc_id", "text"),
+        "doc_id", "text", table, s"b$i").count()
+    }
+    def batchDirs: Seq[String] = new java.io.File(table).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    batchDirs.size shouldBe 10
+
+    // the probe batch: one repeat (of batch b3), one novel doc
+    val probe = Seq((100L, "unique text number 3"), (101L, "never seen before"))
+      .toDF("doc_id", "text")
+    val before = Dedup.incrementalExactDedup(probe, "doc_id", "text", table, "probe")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    before shouldBe Set(101L)
+
+    // compact everything except the in-flight probe batch (retry safety:
+    // its directory must survive byte-identical so a replay stays stable)
+    val files = Dedup.compactFingerprints(spark, table, excludeBatch = "probe")
+    batchDirs.count(_ == "batch=probe") shouldBe 1
+    batchDirs.count(_.startsWith("batch=compact-")) shouldBe 1
+    batchDirs.size shouldBe 2
+    files should be < 11 // was >= 11 data files across 11 dirs
+
+    // identical decisions after compaction: the replayed probe batch and
+    // a fresh batch repeating old + probe-era texts
+    val replay = Dedup.incrementalExactDedup(probe, "doc_id", "text", table, "probe")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    replay shouldBe Set(101L)
+    val next = Dedup.incrementalExactDedup(
+      Seq((200L, "unique text number 7"), (201L, "never seen before"),
+        (202L, "fresh after compaction")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "after")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    next shouldBe Set(202L)
+
+    // idempotent: a second compaction folds probe+after+compact dirs and
+    // still rejects all known texts
+    Dedup.compactFingerprints(spark, table)
+    spark.read.parquet(table).select("fp").distinct().count() shouldBe 12
+  }
+
   test("a retried micro-batch re-emits its own documents (retry safety)") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-fp2-").toString + "/fp"
