@@ -255,6 +255,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** The centroid table of a [[writeIvfIndex]] index — nList rows, read to
+    * the driver by design (the IVF analog of the LSH plane family).
+    */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+
   /** ANN top-k against a [[writeIvfIndex]] table: the centroid read is
     * nList rows (driver-side by design, like [[queryBuckets]]'s plane
     * math); the posting scan's `cell IN (probes)` predicate is a pure
@@ -266,12 +275,49 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, embCol: String, qv: Array[Double], queryId: Long, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy("cell").select("centroid").collect()
-      .map(_.getSeq[Double](0).toArray)
-    val probeCells = ivfProbeCells(centroids, qv, nProbe)
+    val probeCells = ivfProbeCells(readIvfCentroids(spark, indexPath), qv, nProbe)
     val pruned = spark.read.parquet(s"$indexPath/postings")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
     ivfRank(pruned, idCol, embCol, qv, queryId, k)
   }
+
+  /** Cell id of an embedding against FIXED centroids, as pure column
+    * expressions — the maintenance-path twin of the KMeans model's
+    * predict, so it runs on streaming DataFrames (no model, no fit).
+    *
+    * Replicates the build-time assignment metric exactly: KMeans assigns
+    * by Euclidean distance between the L2-NORMALIZED vector x and centroid
+    * c, and with ||x|| = 1 the argmin of ||x - c||^2 is the argmin of
+    * ||c||^2 - 2 (x . c), where (x . c) = cosine(x, c) * ||c||. The
+    * ||c||-derived constants fold in driver-side; ties break to the first
+    * (lowest) cell like MLlib's findClosest.
+    */
+  def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = array(centroids.map { c =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      lit(cNorm * cNorm) - lit(2.0 * cNorm) * cosine_sim(emb, lit(c))
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** The (id, emb, cell) posting projection against fixed centroids —
+    * shared by [[appendIvfIndex]] and streaming index maintenance (append
+    * it into `indexPath/postings` partitioned by `cell` via the file
+    * sink, exactly like the LSH twin in `StreamingLshIndexSpec`).
+    */
+  def ivfPostings(embs: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    embs.select(col(idCol), col(embCol).cast("array<double>").as(embCol),
+      ivfCell(col(embCol), centroids).as("cell"))
+
+  /** Batch-append new vectors into an existing [[writeIvfIndex]] index
+    * WITHOUT refitting: cells come from the persisted centroids, so the
+    * new rows land in the same partition layout queries already prune on.
+    * (The coarse quantizer drifts as the corpus grows — rebuild with
+    * [[writeIvfIndex]] on a rebalance cadence, appends between rebuilds.)
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      embs: DataFrame, idCol: String, embCol: String): Unit =
+    ivfPostings(embs, idCol, embCol, readIvfCentroids(spark, indexPath))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
 }

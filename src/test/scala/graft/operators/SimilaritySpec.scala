@@ -140,6 +140,36 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     full shouldBe exact
   }
 
+  test("ivfCell (expression path) assigns every fixture vector to the KMeans cell") {
+    // the maintenance path must reproduce the BUILD assignment exactly, or
+    // appended vectors land in cells queries won't probe for them
+    val (assigned, centroids) = Similarity.ivfAssign(embs, "vec_id", "embedding", 16, 42L)
+    val viaModel = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaExpr = Similarity.ivfPostings(embs, "vec_id", "embedding", centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaExpr shouldBe viaModel
+  }
+
+  test("appendIvfIndex makes new vectors queryable without a refit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append-").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", dir)
+
+    val qv = embs.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    // append an exact copy of vector 7 under a new id: it must become the
+    // top hit of a pruned query (same cell as its twin, sim 1.0)
+    Similarity.appendIvfIndex(spark, dir,
+      Seq((9999L, qv)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val top = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      qv, queryId = 7L, k = 1).collect()
+    top.head.getLong(0) shouldBe 9999L
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-9
+  }
+
   test("persisted LSH index: pruned scan reads only the probe partitions, results identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index-").toString
     Similarity.writeLshIndex(embs, "vec_id", "embedding", dir)
