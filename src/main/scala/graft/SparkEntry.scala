@@ -791,6 +791,25 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))),
 
+    // benchmark decontamination (pair report): corpus docs containing
+    // >= 80% of a probe doc's distinct 3-gram shingles; probes drawn
+    // deterministically from the corpus (doc_id % 17) so self-pairs are
+    // excluded. Probe postings broadcast; corpus side stays map-only.
+    "q83_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationPairs(docs,
+        docs.where(col("doc_id") % 17 === 0), "doc_id", "text",
+        n = 3, threshold = 0.8, excludeSelfIds = true)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
+    // Gopher-style repetition gates: duplicate-bigram fraction and
+    // top-bigram share per doc — ONE map-only imperative expression
+    // (RepetitionStats), zero shuffles, vs explode+double-aggregate
+    "q84_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1840,6 +1859,46 @@ object SparkEntry {
          FROM (SELECT unnest(wt.toks) AS t
                FROM __bpe_words w JOIN __bpe_word_tokens wt USING (w))
          GROUP BY t
-         ORDER BY n DESC, token"""
+         ORDER BY n DESC, token""",
+
+    "q83_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM t WHERE len(w) >= 3),
+         probe AS (
+           SELECT doc_id AS probe_id, len(sh) AS probe_size, unnest(sh) AS shingle
+           FROM sh WHERE doc_id % 17 = 0),
+         corp AS (SELECT doc_id AS corpus_id, unnest(sh) AS shingle FROM sh),
+         pairs AS (
+           SELECT corpus_id, probe_id, probe_size, count(*) AS overlap
+           FROM corp JOIN probe USING (shingle)
+           WHERE corpus_id <> probe_id
+           GROUP BY 1, 2, 3)
+         SELECT corpus_id, probe_id, CAST(overlap AS BIGINT) AS overlap,
+           CAST(probe_size AS BIGINT) AS probe_size,
+           round(overlap / probe_size, 6) AS containment
+         FROM pairs WHERE round(overlap / probe_size, 6) >= 0.8
+         ORDER BY corpus_id, probe_id""",
+
+    "q84_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS gram
+           FROM t WHERE len(w) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                 count(*) AS distinct_grams, max(c) AS top_count
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, n_grams,
+           round(1.0 - distinct_grams / n_grams, 6) AS dup_gram_frac,
+           round(top_count / n_grams, 6) AS top_gram_share
+         FROM s ORDER BY doc_id"""
   )
 }

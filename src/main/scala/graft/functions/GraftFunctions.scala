@@ -45,6 +45,13 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"word_shingles(words, n literal); got ${other.size} args")
     },
+    "repetition_stats" -> {
+      case Seq(child, Literal(n: Int, _)) => RepetitionStats(child, n)
+      case Seq(child) => RepetitionStats(child, 2)
+      case other =>
+        throw new IllegalArgumentException(
+          s"repetition_stats(words, n literal); got ${other.size} args")
+    },
     "winnow_fingerprints" -> {
       case Seq(child, Literal(k: Int, _), Literal(win: Int, _)) =>
         WinnowFingerprints(child, k, win)
@@ -90,6 +97,12 @@ object GraftFunctions {
   /** Winnowing (MOSS) fingerprints of an array<string> token column. */
   def winnow_fingerprints(tokens: Column, k: Int, win: Int): Column =
     call_function("winnow_fingerprints", tokens, lit(k), lit(win))
+
+  /** Positional n-gram repetition stats of an array<string> word column:
+    * struct<n_grams, distinct_grams, top_count>.
+    */
+  def repetition_stats(words: Column, n: Int): Column =
+    call_function("repetition_stats", words, lit(n))
 
   /** Per-table sign-LSH bucket ids (array<int>, one element per table). */
   def hyperplane_buckets(emb: Column, nTables: Int, nPlanes: Int, dim: Int,

@@ -48,6 +48,58 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document n-gram repetition statistics of an `array<string>` word
+  * column: `struct<n_grams, distinct_grams, top_count>` over the
+  * POSITIONAL (non-distinct) n-gram multiset — the inputs of the
+  * Gopher-style repetition quality gates (duplicate-n-gram fraction,
+  * top-n-gram share), which flag the boilerplate-looping documents an
+  * LLM pipeline drops.
+  *
+  * Repetition is a per-document function, so this is deliberately ONE
+  * map-only expression instead of the explode → groupBy(doc, gram) →
+  * re-aggregate plan (two shuffles carrying every gram of the corpus; at
+  * 100 TB that shuffle IS the job). One hash map per row, one eval per
+  * row (the [[WordShingles]] CodegenFallback amortization argument).
+  *
+  * Inputs shorter than n words yield (0, 0, 0) — callers pre-filter.
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("distinct_grams", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+    val space = UTF8String.fromString(" ")
+    var top = 0
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val c = counts.merge(UTF8String.concatWs(space, parts: _*), 1, _ + _)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, counts.size.toLong, top.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing (MOSS) fingerprints of an `array<string>` token column:
   * positional k-gram hashes, minimum per sliding window of `win`, distinct
   * in first-occurrence order, rendered as 16-hex-char strings (the first 8

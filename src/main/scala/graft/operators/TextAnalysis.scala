@@ -111,6 +111,85 @@ object TextAnalysis {
       .agg(sum(col("score")).as("bm25"), count(lit(1)).as("terms_hit"))
   }
 
+  /** Gopher-style repetition quality stats per document: duplicate-n-gram
+    * fraction (1 - distinct/total over the POSITIONAL n-gram multiset) and
+    * top-n-gram share (count of the most frequent n-gram / total) — the
+    * signals that flag looping/boilerplate text an LLM pipeline drops.
+    *
+    * Repetition is a per-document function, so the whole operator is ONE
+    * map-only projection over the imperative
+    * [[graft.functions.RepetitionStats]] expression — zero shuffles, where
+    * the naive explode → groupBy(doc, gram) → re-aggregate plan shuffles
+    * every gram of the corpus twice. Documents shorter than n words are
+    * dropped (no gram multiset to measure).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "gram width must be >= 1")
+    docs
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.repetition_stats(col("__w"), n).as("__r"))
+      .select(col(idCol),
+        col("__r.n_grams").as("n_grams"),
+        round(lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"), 6)
+          .as("dup_gram_frac"),
+        round(col("__r.top_count") / col("__r.n_grams"), 6).as("top_gram_share"))
+  }
+
+  /** Benchmark decontamination, pair-report form: corpus documents whose
+    * distinct n-gram shingles CONTAIN at least `threshold` of a probe
+    * (benchmark) document's shingles. Containment — |corpus ∩ probe| /
+    * |probe| — is the right asymmetric metric here: a long training
+    * document that embeds a whole benchmark item must flag even though
+    * its Jaccard similarity is tiny.
+    *
+    * Scale shape: the probe side (benchmark suites — MBs, not TBs) is
+    * broadcast as an inverted index, so the 100 TB corpus side is scanned
+    * map-only; only MATCHED (corpus_id, probe_id) pairs enter the one
+    * aggregation shuffle. `excludeSelfIds` drops same-id pairs for the
+    * probes-drawn-from-corpus case (as in the battery query q83); leave
+    * it false when probe and corpus ids are different namespaces.
+    */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
+      excludeSelfIds: Boolean = false): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col(idCol), wordShingles(col("__w"), n).as("__sh"))
+    val probePost = shingled(probes)
+      .select(col(idCol).as("probe_id"), size(col("__sh")).as("probe_size"),
+        explode(col("__sh")).as("shingle"))
+    val corpusPost = shingled(corpus)
+      .select(col(idCol).as("corpus_id"), explode(col("__sh")).as("shingle"))
+    val pairs =
+      if (excludeSelfIds)
+        corpusPost.join(broadcast(probePost), Seq("shingle"))
+          .where(col("corpus_id") =!= col("probe_id"))
+      else corpusPost.join(broadcast(probePost), Seq("shingle"))
+    pairs
+      .groupBy(col("corpus_id"), col("probe_id"), col("probe_size"))
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("corpus_id"), col("probe_id"),
+        col("overlap").cast("long").as("overlap"),
+        col("probe_size").cast("long").as("probe_size"),
+        round(col("overlap") / col("probe_size"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** [[contaminationPairs]] applied: the corpus minus every document that
+    * contains a probe — the decontamination step run before training.
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    corpus.join(
+      contaminationPairs(corpus, probes, idCol, textCol, n, threshold)
+        .select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS scheme): hash every k-word shingle IN POSITION ORDER, then keep
     * the minimum hash of each sliding window of `win` consecutive gram
