@@ -69,7 +69,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q68_map_agg" -> 3, // two-level agg + final sort
     "q69_dates" -> 1, // map-only battery + final sort
     "q70_listagg" -> 3, // distinct + collect agg + final sort
-    "q71_condagg" -> 2) // conditional agg + final sort
+    "q71_condagg" -> 2, // conditional agg + final sort
+    // round-8 additions, audited at introduction:
+    "q82_bpe_vocab" -> 2, // token hash-agg + final sort
+    "q83_decontaminate" -> 3, // probe BroadcastExchange + pair agg + final sort
+    "q84_repetition" -> 1) // map-only RepetitionStats + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
@@ -78,6 +82,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
       if (n > cap) Some(s"$name: $n exchanges > audited $cap") else None
     }
     over shouldBe empty
+  }
+
+  test("decontamination broadcasts the probe side (corpus scan stays map-only)") {
+    val plan = planOf(SparkEntry.queries("q83_decontaminate")(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should include("BuildRight") // probes are the broadcast build side
   }
 
   test("filters reach the parquet scan (pushdown)") {
