@@ -24,6 +24,12 @@ import graft.operators.Dedup
   *      of an iterative join);
   *   5. per-doc token accounting for the surviving corpus.
   *
+  * Optional gates (off by default, so the q45 oracle semantics are the
+  * five stages above): `maxDupGramFrac` adds the Gopher-style repetition
+  * gate after quality (2b — map-only, rides the same projection), and
+  * `decontaminateProbes` drops survivors containing a benchmark doc
+  * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]).
+  *
   * Scale shape: stages 1-3 and 5 are map-only or single hash-aggregate;
   * stage 4 is the inverted-index join (sub-quadratic, df-capped). Nothing
   * collects; the output is a plan over the input DataFrame.
@@ -57,11 +63,17 @@ object TrainingData {
       lang: String = "en", minQuality: Double = 0.26,
       nearDupThreshold: Double = 0.5, maxDf: Int = 100,
       cacheIntermediate: Boolean = true,
-      componentDedup: Boolean = false): DataFrame = {
+      componentDedup: Boolean = false,
+      maxDupGramFrac: Double = 1.0,
+      decontaminateProbes: Option[DataFrame] = None,
+      contaminationThreshold: Double = 0.8): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
 
-    // 2+3. language + quality gates (words computed once, shared)
+    // 2+3. language + quality gates (words computed once, shared), plus
+    // the optional repetition gate (2b) — Gopher-style duplicate-bigram
+    // fraction; map-only like the other per-row gates, so it slots into
+    // the same projection at zero extra shuffles. Default 1.0 = disabled.
     val gatedPlan = unique
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
@@ -69,8 +81,13 @@ object TrainingData {
       .where(size(col("w")) > 0)
       .select(col(idCol), col(textCol), col("lang_pred"),
         size(col("w")).cast("long").as("n_words"),
-        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
+        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
+        graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
       .where(col("lang_pred") === lang && col("quality") >= minQuality)
+      .where(col("__r.n_grams") === 0 ||
+        (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
+          <= maxDupGramFrac)
+      .drop("__r")
     val gated = if (cacheIntermediate) spill(gatedPlan) else gatedPlan
 
     // 4. near-dup removal among survivors
@@ -80,7 +97,14 @@ object TrainingData {
     val dupIds =
       if (componentDedup) Dedup.componentDropIds(pairs).select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
-    val survivors = gated.join(dupIds, Seq(idCol), "left_anti")
+    val deduped = gated.join(dupIds, Seq(idCol), "left_anti")
+
+    // 4b. optional benchmark decontamination: drop survivors containing a
+    // probe doc (probe postings broadcast — see TextAnalysis scaladoc)
+    val survivors = decontaminateProbes.fold(deduped)(probes =>
+      graft.operators.TextAnalysis.decontaminate(
+        deduped, probes, idCol, textCol, n = 3,
+        threshold = contaminationThreshold))
 
     // 5. token accounting
     survivors.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),

@@ -1,0 +1,60 @@
+package graft.pipelines
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The optional cleaning gates compose without disturbing the oracle-pinned
+  * default pipeline: repetition (2b) and decontamination (4b) each drop
+  * exactly their planted offenders, and defaults leave the q45 semantics
+  * untouched (same survivors as the all-defaults call).
+  */
+class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // English-markered docs that pass the lang+quality gates
+  private def goodDoc(tail: String) =
+    "the data of a table is the thing to scan and filter and sort " + tail
+
+  test("repetition and decontamination gates drop exactly the planted offenders") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      // looping doc: passes diversity coarsely but bigram-repeats heavily
+      (2L, goodDoc("spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham")),
+      (3L, goodDoc("plus aggregates and buckets and ranges in the plan"))
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      // contained verbatim in doc 3's text
+      (900L, "aggregates and buckets and ranges")
+    ).toDF("doc_id", "text")
+
+    val defaults = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    defaults shouldBe Set(1L, 2L, 3L)
+
+    val repGated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, maxDupGramFrac = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    repGated shouldBe Set(1L, 3L) // the looping doc fails the 2b gate
+
+    val decontaminated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, maxDupGramFrac = 0.2,
+        decontaminateProbes = Some(probes))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    decontaminated shouldBe Set(1L) // doc 3 contains the benchmark item
+  }
+
+  test("defaults reproduce the q45 pipeline on the fixture") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaDefaults = TrainingData.clean(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // disabled gates are plan no-ops: identical survivor set
+    val viaDisabled = TrainingData.clean(docs, "doc_id", "text",
+        maxDupGramFrac = 1.0, decontaminateProbes = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    viaDisabled shouldBe viaDefaults
+    viaDefaults should not be empty
+  }
+}
