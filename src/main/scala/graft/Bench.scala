@@ -68,7 +68,10 @@ object Bench {
     // (OOM, nondeterministic bug) the min would otherwise mask
     val flaky = perQuery.count(ts => ts.exists(_ < 0) && ts.exists(_ >= 0))
     val line = jsonLine(results, sfDir, flaky)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // the FILE always gets full millisecond precision — only stdout pays
+    // the driver's tail-capture byte budget
+    Files.writeString(Paths.get("BENCH_LOCAL.json"),
+      jsonLine(results, sfDir, flaky, maxLen = Int.MaxValue) + "\n")
     println(line)
     spark.stop()
   }
@@ -79,21 +82,32 @@ object Bench {
     * emitted at millisecond precision, dropping to coarser precision if the
     * battery ever grows past the budget — a sub-ms digit is rig noise
     * anyway. `maxLen` leaves headroom for sbt's trailing `[success]` line
-    * (~75 bytes) inside the same 2000-byte window: 1900 + 75 + newlines
-    * stays under capture, and at the current 81-query battery it is
-    * exactly the difference between 0.1 s and whole-second resolution in
-    * the driver's per-query record.
+    * (~75 bytes) inside the same 2000-byte window: 1910 + 75 + newlines
+    * = 1987 stays under capture. Three byte-savers keep
+    * the 84-query battery at 0.1 s resolution instead of falling off the
+    * whole-second cliff: trailing ".0"/".00" are stripped per value
+    * (still valid JSON numbers), `sf` is the directory BASENAME (sf0.1),
+    * which is all the grading record needs, and `flaky` is emitted only
+    * when nonzero (absent means 0; `failed` stays unconditional for
+    * existing consumers). `BENCH_LOCAL.json` always carries the
+    * full-precision line.
     */
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      flaky: Int = 0, maxLen: Int = 1900): String = {
+      flaky: Int = 0, maxLen: Int = 1910): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val sf = Paths.get(sfDir).getFileName.toString
     def render(decimals: Int): String = {
       val fmt = s"%.${decimals}f"
-      def num(v: Double) = fmt.formatLocal(java.util.Locale.ROOT, v)
+      def num(v: Double) = {
+        val s = fmt.formatLocal(java.util.Locale.ROOT, v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
       val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"queries":$qs,"sf":"$sfDir"}"""
+      val flakyField = if (flaky > 0) s""","flaky":$flaky""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed$flakyField,"queries":$qs,"sf":"$sf"}"""
     }
     Iterator(3, 2, 1, 0).map(render).find(_.length <= maxLen).getOrElse(render(0))
   }

@@ -38,8 +38,15 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // where query names themselves must shrink.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
-    line.length should be <= 1900
+    line.length should be <= 1910
     line should startWith("{\"metric\":\"total\"")
     line should endWith("}")
+    // a realistic full-battery result must keep 0.1 s resolution — the
+    // r08 squeeze (sf basename, zero-flaky omission, trailing-zero strip)
+    // exists exactly so the driver's per-query record is not whole-second
+    val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.488)
+    val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
+    rLine should include(":0.5") // sub-second values keep a decimal digit
+    rLine.length should be <= 1910
   }
 }
