@@ -810,6 +810,18 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text", n = 2)
         .orderBy(col("doc_id"))),
 
+    // greedy sequential sequence packing (token-budget training sequences
+    // per shard): the assignment is a pure function of (shard, id order,
+    // ws token counts) — one shard exchange + a partition-local forward
+    // pass — so the oracle replays it exactly with a recursive CTE
+    "q85_seq_pack" -> ((s, d) =>
+      graft.operators.Packing.packGreedy(
+        t(s, d, "documents")
+          .withColumn("shard", col("doc_id") % 8)
+          .withColumn("tokens", TextFunctions.wsTokenCount(col("text"))),
+        "doc_id", "tokens", "shard", budget = 256L)
+        .orderBy(col("doc_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1899,6 +1911,25 @@ object SparkEntry {
          SELECT doc_id, n_grams,
            round(1.0 - distinct_grams / n_grams, 6) AS dup_gram_frac,
            round(top_count / n_grams, 6) AS top_gram_share
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+
+    "q85_seq_pack" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id % 8 AS shard, doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+           FROM documents),
+         packed AS (
+           SELECT shard, doc_id, tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum, CAST(0 AS BIGINT) AS seq_pos
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.shard, b.doc_id, b.tokens, b.rn,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
+           FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+         SELECT doc_id, shard, seq_id, seq_pos, tokens > 256 AS oversize
+         FROM packed ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Greedy sequential sequence packing: budget is respected, order is
+  * preserved, the assignment is invariant under physical partitioning,
+  * and oversize documents are isolated and flagged.
+  */
+class PackingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def docs(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "tokens", "shard")
+  }
+
+  private def pack(rows: Seq[(Long, Long, Long)], budget: Long,
+      repart: Option[Int] = None) = {
+    val base = docs(rows)
+    val df = repart.map(base.repartition(_)).getOrElse(base)
+    Packing.packGreedy(df, "id", "tokens", "shard", budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(_._1)
+  }
+
+  test("every sequence stays within budget; order and adjacency preserved") {
+    val rows = (0L until 100L).map(i => (i, 10L + i % 7, i % 3))
+    val out = pack(rows, budget = 50)
+    val tokens = rows.map(r => r._1 -> r._2).toMap
+    // per (shard, seq) token sums never exceed the budget
+    val bySeq = out.groupBy(a => (a._2, a._3))
+    bySeq.values.foreach { as =>
+      as.map(a => tokens(a._1)).sum should be <= 50L
+      // positions are 0..n-1 in ascending id order
+      as.sortBy(_._1).map(_._4) shouldBe (0L until as.length.toLong)
+    }
+    // seq ids per shard are contiguous from 0 and ascending with id
+    out.groupBy(_._2).values.foreach { as =>
+      val seqs = as.sortBy(_._1).map(_._3)
+      seqs.distinct shouldBe (0L to seqs.max)
+      seqs shouldBe seqs.sorted
+    }
+  }
+
+  test("assignment is a pure function of the data: invariant under partitioning") {
+    val rows = (0L until 500L).map(i => (i, 5L + (i * 31) % 40, i % 8))
+    val a = pack(rows, budget = 128)
+    val b = pack(rows, budget = 128, repart = Some(1))
+    val c = pack(rows, budget = 128, repart = Some(13))
+    b shouldBe a
+    c shouldBe a
+  }
+
+  test("oversize documents get their own sequence and are flagged") {
+    // doc 2 exceeds the budget alone; neighbours must not share its bin
+    val rows = Seq((0L, 30L, 0L), (1L, 30L, 0L), (2L, 150L, 0L),
+      (3L, 30L, 0L), (4L, 30L, 0L))
+    val out = pack(rows, budget = 100)
+    val byId = out.map(a => a._1 -> a).toMap
+    byId(2L)._5 shouldBe true
+    out.filter(_._5).map(_._1) shouldBe Seq(2L)
+    // 0,1 pack together; 2 alone; 3,4 together
+    byId(0L)._3 shouldBe byId(1L)._3
+    byId(3L)._3 shouldBe byId(4L)._3
+    Seq(byId(0L)._3, byId(2L)._3, byId(3L)._3).distinct.length shouldBe 3
+  }
+
+  test("sequences never cross shards") {
+    val rows = (0L until 60L).map(i => (i, 10L, i % 4))
+    val out = pack(rows, budget = 1000)
+    // one giant budget: each shard still packs into its own seq 0
+    out.groupBy(_._2).values.foreach { as =>
+      as.map(_._3).distinct shouldBe Seq(0L)
+    }
+    out.groupBy(a => (a._2, a._3)).keySet.size shouldBe 4
+  }
+
+  test("sequenceStats reports docs and token fill per sequence") {
+    val rows = Seq((0L, 40L, 0L), (1L, 40L, 0L), (2L, 40L, 0L))
+    val base = docs(rows)
+    val assignment = Packing.packGreedy(base, "id", "tokens", "shard", 100)
+    val stats = Packing.sequenceStats(assignment, base, "id", "tokens")
+      .orderBy(col("shard"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats shouldBe Array((0L, 0L, 2L, 80L), (0L, 1L, 1L, 40L))
+  }
+}
