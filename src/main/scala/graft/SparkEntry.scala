@@ -822,6 +822,28 @@ object SparkEntry {
         "doc_id", "tokens", "shard", budget = 256L)
         .orderBy(col("doc_id"))),
 
+    // rule-based PII scrub (emails / phones / IPv4) over text composed
+    // deterministically from customer columns; per-rule counts + md5 of
+    // the redacted text. Map-only regex built-ins; the rules use the
+    // Java-regex/RE2 common subset so the oracle replays the exact
+    // redaction.
+    "q86_pii_redact" -> ((s, d) => {
+      val k = col("c_custkey")
+      val phone = concat_ws("-",
+        (lit(10) + k % 90).cast("string"),
+        (lit(100) + k % 900).cast("string"),
+        (lit(100) + (k * 7) % 900).cast("string"),
+        (lit(1000) + k % 9000).cast("string"))
+      val txt = concat(col("c_name"), lit("@corp.example call "), phone,
+        lit(" from 10.0."), (k % 256).cast("string"), lit("."),
+        (k % 100).cast("string"), lit(" segment "), col("c_mktsegment"))
+      graft.operators.Pii.scrub(
+        t(s, d, "customer").select(col("c_custkey"), txt.as("txt")), "txt")
+        .select(col("c_custkey"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), md5(col("txt_redacted")).as("redacted_md5"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1930,6 +1952,28 @@ object SparkEntry {
              CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
            FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
          SELECT doc_id, shard, seq_id, seq_pos, tokens > 256 AS oversize
-         FROM packed ORDER BY doc_id"""
+         FROM packed ORDER BY doc_id""",
+
+    "q86_pii_redact" ->
+      """WITH t AS (
+           SELECT c_custkey,
+             c_name || '@corp.example call ' ||
+             CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||
+             CAST(100 + c_custkey % 900 AS VARCHAR) || '-' ||
+             CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+             CAST(1000 + c_custkey % 9000 AS VARCHAR) ||
+             ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+             CAST(c_custkey % 100 AS VARCHAR) ||
+             ' segment ' || c_mktsegment AS txt
+           FROM customer)
+         SELECT c_custkey,
+           CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+         FROM t ORDER BY c_custkey"""
   )
 }
