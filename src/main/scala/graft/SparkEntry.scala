@@ -844,6 +844,17 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // symmetric int8 embedding quantization (the 1-byte/dim ANN storage
+    // path): every step is IEEE-exact (double widening, one division, one
+    // multiply-add, floor), so the oracle recomputes the identical codes —
+    // per-vector code sum and saturation count hash-match bit-for-bit
+    "q87_quantize_int8" -> ((s, d) =>
+      graft.operators.Quantization.quantize(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy(col("vec_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -1974,6 +1985,27 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
-         FROM t ORDER BY c_custkey"""
+         FROM t ORDER BY c_custkey""",
+
+    "q87_quantize_int8" ->
+      """WITH t AS (
+           SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             embedding
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, embedding,
+             CASE WHEN maxabs IS NULL OR maxabs = 0 THEN 0.0
+                  ELSE 127.0 / maxabs END AS scale
+           FROM t),
+         q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q
+           FROM s)
+         SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+         FROM q ORDER BY vec_id"""
   )
 }

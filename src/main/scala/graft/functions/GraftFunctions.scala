@@ -60,6 +60,8 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"winnow_fingerprints(words, k literal, win literal); got ${other.size} args")
     },
+    "int8_pack" -> (exprs => Int8Pack(exprs.head)),
+    "cosine_int8" -> (exprs => CosineInt8(exprs(0), exprs(1))),
     "hyperplane_buckets" -> {
       case Seq(child, Literal(nTables: Int, _), Literal(nPlanes: Int, _),
           Literal(dim: Int, _), Literal(seed: Long, _)) =>
@@ -103,6 +105,13 @@ object GraftFunctions {
     */
   def repetition_stats(words: Column, n: Int): Column =
     call_function("repetition_stats", words, lit(n))
+
+  /** Pack int8 codes (array<int> in [-128,127]) into binary, 1 byte/dim. */
+  def int8_pack(q: Column): Column = call_function("int8_pack", q)
+
+  /** Cosine over two int8-packed vectors (exact integer dot and norms). */
+  def cosine_int8(a: Column, b: Column): Column =
+    call_function("cosine_int8", a, b)
 
   /** Per-table sign-LSH bucket ids (array<int>, one element per table). */
   def hyperplane_buckets(emb: Column, nTables: Int, nPlanes: Int, dim: Int,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{cosine_int8, int8_pack}
+
+/** Symmetric per-vector int8 quantization of an embedding column — the
+  * storage-compression path for similarity search at scale (4 bytes/dim
+  * float32 -> 1 byte/dim, so a 100 TB embedding table scans a quarter of
+  * the bytes; see [[graft.functions.Int8Pack]]).
+  *
+  * The code assignment is `q_i = floor(x_i * scale + 0.5)` with
+  * `scale = 127 / max_i |x_i|` — explicit half-up rounding written as
+  * floor so every step (float->double widening, one double division, one
+  * multiply-add, floor) is IEEE-exact and an external engine replays the
+  * identical integers; the DuckDB oracle recomputes the codes
+  * bit-for-bit. A zero (or empty) vector gets scale 0 and all-zero codes
+  * rather than a divide-by-zero.
+  *
+  * Cosine is invariant under per-vector scaling, so ranking by cosine
+  * over the codes needs no dequantization and no scale column — the
+  * search path reads ONLY the packed bytes.
+  */
+object Quantization {
+
+  /** Adds `scale` (double) and `q` (array<int>, values in [-127, 127]) for
+    * `embCol` (array<float|double>). Built from higher-order built-ins —
+    * map-only, no shuffle, and exactly replayable by an external engine.
+    */
+  def quantize(df: DataFrame, embCol: String): DataFrame = {
+    val embD = transform(col(embCol), _.cast("double"))
+    val maxabs = array_max(transform(embD, x => abs(x)))
+    val scale = when(maxabs.isNull || maxabs === 0.0, lit(0.0))
+      .otherwise(lit(127.0) / maxabs)
+    df.withColumn("scale", scale)
+      .withColumn("q",
+        transform(embD, x => floor(x * col("scale") + lit(0.5)).cast("int")))
+  }
+
+  /** [[quantize]] + pack the codes to 1-byte-per-dim binary storage in
+    * `outCol`, dropping the intermediate code array.
+    */
+  def quantizePacked(df: DataFrame, embCol: String,
+      outCol: String = "qb"): DataFrame =
+    quantize(df, embCol)
+      .withColumn(outCol, int8_pack(col("q")))
+      .drop("q")
+
+  /** Exact cosine top-k over int8-packed vectors: same shape as
+    * [[Similarity.bruteForceTopK]] (broadcast one-row query +
+    * TakeOrderedAndProject), but the scan reads 1-byte codes and the
+    * per-row kernel is the integer-dot [[graft.functions.CosineInt8]].
+    */
+  def quantizedTopK(packed: DataFrame, idCol: String, qbCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = packed.where(col(idCol) === queryId).select(col(qbCol).as("qv"))
+    packed.join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_int8(col(qbCol), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}
