@@ -855,6 +855,16 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // fixed-size token chunking with stride (overlapping windows for
+    // training / embedding-indexing): map-only sequence+explode+slice,
+    // zero shuffles; the oracle reconstructs every chunk's exact text
+    "q88_chunk" -> ((s, d) =>
+      graft.operators.Chunking.chunk(t(s, d, "documents"), "doc_id", "text",
+        size = 24, stride = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- TPC-H Q1 pricing summary (canonical scan+filter+multi-agg) ----
     "q50_pricing_summary" -> ((s, d) => {
       // exact decimal sum, then ONE double division — Spark's decimal
@@ -2006,6 +2016,19 @@ object SparkEntry {
          SELECT vec_id,
            CAST(list_sum(q) AS BIGINT) AS q_sum,
            CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
-         FROM q ORDER BY vec_id"""
+         FROM q ORDER BY vec_id""",
+
+    "q88_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, unnest(range(0, len(w), 16)) AS start, w
+           FROM t WHERE len(w) > 0)
+         SELECT doc_id,
+           CAST(start // 16 AS BIGINT) AS chunk_id,
+           CAST(len(w[start+1 : start+24]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[start+1 : start+24], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id"""
   )
 }
