@@ -91,24 +91,41 @@ object Bench {
     * when nonzero (absent means 0; `failed` stays unconditional for
     * existing consumers). `BENCH_LOCAL.json` always carries the
     * full-precision line.
+    *
+    * When even those cannot hold millisecond precision (the battery
+    * outgrew full names at 88 queries), the keys degrade BEFORE the
+    * values: every battery name starts with a unique `qNN` ordinal, so
+    * the per-query keys shrink to that prefix (documented in BASELINE.md;
+    * map back by prefix) and the values keep millisecond resolution —
+    * precision lost to whole-second rounding is unrecoverable, a
+    * shortened name is not. Shortening is skipped entirely if the
+    * prefixes ever stopped being unique; whole-second full names remain
+    * the last resort.
     */
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
       flaky: Int = 0, maxLen: Int = 1910): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val sf = Paths.get(sfDir).getFileName.toString
-    def render(decimals: Int): String = {
+    def shortKey(k: String) = k.takeWhile(_ != '_')
+    val shortOk = results.map(r => shortKey(r._1)).distinct.size == results.size
+    def render(decimals: Int, shorten: Boolean): String = {
       val fmt = s"%.${decimals}f"
       def num(v: Double) = {
         val s = fmt.formatLocal(java.util.Locale.ROOT, v)
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         else s
       }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-        .mkString("{", ",", "}")
+      val qs = results.map { case (k, v) =>
+        "\"" + (if (shorten) shortKey(k) else k) + "\":" + num(v)
+      }.mkString("{", ",", "}")
       val flakyField = if (flaky > 0) s""","flaky":$flaky""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed$flakyField,"queries":$qs,"sf":"$sf"}"""
     }
-    Iterator(3, 2, 1, 0).map(render).find(_.length <= maxLen).getOrElse(render(0))
+    val attempts = Seq(3 -> false, 2 -> false, 1 -> false) ++
+      (if (shortOk) Seq(3 -> true, 2 -> true, 1 -> true, 0 -> true) else Nil) :+
+      (0 -> false)
+    attempts.iterator.map { case (d, s) => render(d, s) }
+      .find(_.length <= maxLen).getOrElse(render(0, shortOk))
   }
 }

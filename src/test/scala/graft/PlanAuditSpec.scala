@@ -73,7 +73,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // round-8 additions, audited at introduction:
     "q82_bpe_vocab" -> 2, // token hash-agg + final sort
     "q83_decontaminate" -> 3, // probe BroadcastExchange + pair agg + final sort
-    "q84_repetition" -> 1) // map-only RepetitionStats + final sort
+    "q84_repetition" -> 1, // map-only RepetitionStats + final sort
+    "q85_seq_pack" -> 2, // ONE shard repartition + final sort
+    "q86_pii_redact" -> 1, // map-only regex battery + final sort
+    "q87_quantize_int8" -> 1, // map-only HOF quantization + final sort
+    "q88_chunk" -> 1) // map-only sequence+explode+slice + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -41,12 +41,17 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     line.length should be <= 1910
     line should startWith("{\"metric\":\"total\"")
     line should endWith("}")
-    // a realistic full-battery result must keep 0.1 s resolution — the
-    // r08 squeeze (sf basename, zero-flaky omission, trailing-zero strip)
-    // exists exactly so the driver's per-query record is not whole-second
+    // a realistic full-battery result must keep sub-second resolution —
+    // past 84 queries full names no longer fit at 0.1 s, so the keys
+    // degrade to their unique qNN ordinals BEFORE the values lose
+    // precision (BASELINE.md documents the prefix mapping)
     val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.488)
     val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
-    rLine should include(":0.5") // sub-second values keep a decimal digit
+    rLine should include(":0.488") // millisecond resolution survives
     rLine.length should be <= 1910
+    // the shortened keys stay unique and keep their ordinal
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    prefixes.distinct.size shouldBe prefixes.size
+    rLine should include("\"q85\":")
   }
 }
