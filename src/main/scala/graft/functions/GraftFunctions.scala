@@ -60,6 +60,7 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"winnow_fingerprints(words, k literal, win literal); got ${other.size} args")
     },
+    "int8_quantize" -> (exprs => Int8Quantize(asDoubleArray(exprs.head))),
     "int8_pack" -> (exprs => Int8Pack(exprs.head)),
     "cosine_int8" -> (exprs => CosineInt8(exprs(0), exprs(1))),
     "hyperplane_buckets" -> {
@@ -105,6 +106,9 @@ object GraftFunctions {
     */
   def repetition_stats(words: Column, n: Int): Column =
     call_function("repetition_stats", words, lit(n))
+
+  /** One-pass int8 quantization: struct<scale: double, q: array<int>>. */
+  def int8_quantize(emb: Column): Column = call_function("int8_quantize", emb)
 
   /** Pack int8 codes (array<int> in [-128,127]) into binary, 1 byte/dim. */
   def int8_pack(q: Column): Column = call_function("int8_pack", q)

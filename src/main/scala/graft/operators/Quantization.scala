@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{cosine_int8, int8_pack}
+import graft.functions.GraftFunctions.{cosine_int8, int8_pack, int8_quantize}
 
 /** Symmetric per-vector int8 quantization of an embedding column — the
   * storage-compression path for similarity search at scale (4 bytes/dim
@@ -25,10 +25,24 @@ import graft.functions.GraftFunctions.{cosine_int8, int8_pack}
 object Quantization {
 
   /** Adds `scale` (double) and `q` (array<int>, values in [-127, 127]) for
-    * `embCol` (array<float|double>). Built from higher-order built-ins —
-    * map-only, no shuffle, and exactly replayable by an external engine.
+    * `embCol` (array<float|double>). One pass over each vector via the
+    * imperative [[graft.functions.Int8Quantize]] expression — map-only, no
+    * shuffle, no per-row lambda materializations — with arithmetic exactly
+    * replayable by an external engine (property-pinned against
+    * [[quantizeHof]], the declarative twin the oracle mirrors).
     */
-  def quantize(df: DataFrame, embCol: String): DataFrame = {
+  def quantize(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("_iq", int8_quantize(col(embCol)))
+      .withColumn("scale", col("_iq.scale"))
+      .withColumn("q", col("_iq.q"))
+      .drop("_iq")
+
+  /** Declarative higher-order twin of [[quantize]] — three built-in HOFs
+    * (transform/array_max/transform) spelling out the identical IEEE
+    * steps. Kept as the parity reference for the imperative expression
+    * and as the literal shape the DuckDB oracle transcribes.
+    */
+  def quantizeHof(df: DataFrame, embCol: String): DataFrame = {
     val embD = transform(col(embCol), _.cast("double"))
     val maxabs = array_max(transform(embD, x => abs(x)))
     val scale = when(maxabs.isNull || maxabs === 0.0, lit(0.0))

@@ -32,6 +32,15 @@ class QuantizationSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(1).getAs[Seq[Int]]("q") shouldBe Seq(0, 0)
   }
 
+  test("imperative Int8Quantize is value-identical to the HOF twin") {
+    val imp = Quantization.quantize(embs, "embedding")
+      .select(col("vec_id"), col("scale"), col("q"))
+    val hof = Quantization.quantizeHof(embs, "embedding")
+      .select(col("vec_id"), col("scale"), col("q"))
+    imp.exceptAll(hof).count() shouldBe 0L
+    hof.exceptAll(imp).count() shouldBe 0L
+  }
+
   test("max-magnitude component always maps to +/-127 (no overflow)") {
     val out = Quantization.quantize(embs, "embedding")
       .select(array_max(transform(col("q"), x => abs(x))).as("m"))
