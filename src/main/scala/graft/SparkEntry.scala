@@ -855,6 +855,15 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // BPE tokenizer TRAINING, distributed step: the word histogram under
+    // the BPE pre-tokenizer is the only corpus-proportional pass (one
+    // hash aggregate shuffling (word,count) pairs, never corpus text);
+    // the driver-side greedy merge loop over it is bounded by distinct
+    // words and spec-gated (BpeTrainingSpec)
+    "q89_bpe_train_hist" -> ((s, d) =>
+      graft.operators.BpeTraining.wordHistogram(t(s, d, "documents"), "text",
+        maxDistinctWords = 50)),
+
     // fixed-size token chunking with stride (overlapping windows for
     // training / embedding-indexing): map-only sequence+explode+slice,
     // zero shuffles; the oracle reconstructs every chunk's exact text
@@ -2029,6 +2038,12 @@ object SparkEntry {
            CAST(start // 16 AS BIGINT) AS chunk_id,
            CAST(len(w[start+1 : start+24]) AS BIGINT) AS n_tokens,
            md5(array_to_string(w[start+1 : start+24], ' ')) AS chunk_md5
-         FROM c ORDER BY doc_id, chunk_id"""
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    "q89_bpe_train_hist" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 50"""
   )
 }

@@ -46,24 +46,111 @@ object Bpe {
   // well-formedness: every side is a single char or an earlier output —
   // the invariant the in-order == min-rank equivalence (and therefore the
   // SQL oracle) rests on, so it fails fast at class load if ever broken
-  locally {
-    val produced = scala.collection.mutable.Set.empty[String]
-    Merges.foreach { case (l, r) =>
-      require(Seq(l, r).forall(s => s.length == 1 || produced.contains(s)),
-        s"merge ($l,$r) references a token no earlier merge produces")
-      produced += (l + r)
-    }
-  }
+  locally { validateWellFormed(Merges) }
 
   private val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
 
   private[functions] val TokenPattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(TextFunctions.BpeTokenPattern)
 
+  /** The well-formedness check the embedded table passes at class load,
+    * exposed for TRAINED tables: every merge side must be a single char
+    * or the output of a strictly earlier merge. Tables produced by
+    * [[trainFromCounts]] satisfy it by construction; validating at the
+    * seam keeps a hand-edited table from silently breaking the in-order
+    * oracle-replay equivalence.
+    */
+  def validateWellFormed(merges: Seq[(String, String)]): Unit = {
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (l, r) =>
+      require(Seq(l, r).forall(s => s.length == 1 || produced.contains(s)),
+        s"merge ($l,$r) references a token no earlier merge produces")
+      produced += (l + r)
+    }
+  }
+
+  /** Learn a merges table from a word histogram — the classic BPE
+    * training loop (count weighted adjacent pairs, merge the most
+    * frequent, repeat), run at the DRIVER over the histogram: training
+    * cost is bounded by DISTINCT words (a language-sized constant, capped
+    * upstream), not by corpus size — the corpus-proportional work is the
+    * one hash aggregate that builds the histogram
+    * ([[graft.operators.BpeTraining.wordHistogram]]).
+    *
+    * Deterministic: ties break on (count desc, pair lexicographic), so
+    * the same histogram always yields the same table regardless of map
+    * iteration order. Stops early when no pair reaches `minCount`
+    * (learning a pair seen once is memorizing, not compressing).
+    *
+    * Each round recounts all pairs — O(nMerges x histogram tokens) — the
+    * right trade below a few thousand merges; production trainers keep
+    * an incremental pair index for 30k+ vocabularies.
+    */
+  def trainFromCounts(wordCounts: Iterable[(String, Long)], nMerges: Int,
+      minCount: Long = 2L): Vector[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    require(minCount >= 1, "minCount must be >= 1")
+    var words: Array[(Array[String], Long)] = wordCounts.iterator.map {
+      case (w, c) => (w.map(String.valueOf).toArray, c)
+    }.toArray
+    val learned = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < minCount) done = true
+        else {
+          learned += pair
+          words = words.map { case (toks, c) =>
+            (mergePair(toks, pair._1, pair._2), c)
+          }
+          k += 1
+        }
+      }
+    }
+    learned.result()
+  }
+
+  /** Leftmost-first non-overlapping merge of one pair in a token array
+    * (the same replacement step [[encodeWord]] applies).
+    */
+  private def mergePair(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+        out += l + r; j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy BPE of one pre-token under an arbitrary (validated) table. */
+  def encodeWordWith(word: String,
+      rank: Map[(String, String), Int],
+      merges: IndexedSeq[(String, String)]): Array[String] =
+    encodeWordImpl(word, rank, merges)
+
   /** Greedy BPE of one pre-token: repeatedly merge every (leftmost-first,
     * non-overlapping) occurrence of the lowest-ranked adjacent pair.
     */
-  def encodeWord(word: String): Array[String] = {
+  def encodeWord(word: String): Array[String] =
+    encodeWordImpl(word, rank, Merges)
+
+  private def encodeWordImpl(word: String,
+      rank: Map[(String, String), Int],
+      merges: IndexedSeq[(String, String)]): Array[String] = {
     var toks = {
       val a = new Array[String](word.length)
       var i = 0
@@ -81,7 +168,7 @@ object Bpe {
       }
       if (best == Int.MaxValue) more = false
       else {
-        val (l, r) = Merges(best)
+        val (l, r) = merges(best)
         val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
         var j = 0
         while (j < toks.length) {
