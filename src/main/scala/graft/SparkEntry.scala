@@ -855,6 +855,26 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // end-to-end training-data PREP: the q45 cleaning pipeline's
+    // survivors -> fixed-size chunking -> greedy sequence packing, one
+    // declarative plan from raw corpus to training sequences. Chunk key
+    // cid = doc_id*1000 + chunk_id keeps packing order == (doc, chunk)
+    // order so the oracle replays the whole chain exactly.
+    "q90_prep_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val survivors = graft.pipelines.TrainingData.clean(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      val chunks = graft.operators.Chunking.chunk(
+        survivors.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "doc_id", "text", size = 24, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+          (col("doc_id") % 4).as("shard"),
+          col("n_tokens").as("tokens"))
+      graft.operators.Packing.packGreedy(chunks, "cid", "tokens", "shard",
+        budget = 96L)
+        .orderBy(col("cid"))
+    }),
+
     // BPE tokenizer TRAINING, distributed step: the word histogram under
     // the BPE pre-tokenizer is the only corpus-proportional pass (one
     // hash aggregate shuffling (word,count) pairs, never corpus text);
@@ -2044,6 +2064,85 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
                FROM documents)
-         GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q90_prep_e2e" ->
+      """WITH RECURSIVE uniq AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IN (
+             SELECT min(doc_id) FROM documents
+             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
+         feat AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM uniq),
+         scored AS (
+           SELECT doc_id, text, w,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred,
+             round(0.5 * (len(list_distinct(w)) / len(w))
+                 + 0.3 * (s_en / len(w))
+                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           FROM feat WHERE len(w) > 0),
+         gated AS (
+           SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
+         dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM gated WHERE len(w) >= 3),
+         posting AS (SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         removed AS (
+           SELECT DISTINCT id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5),
+         surv AS (
+           SELECT g.doc_id, g.text FROM gated g
+           WHERE g.doc_id NOT IN (SELECT id_b FROM removed)),
+         tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wt
+           FROM surv),
+         ch AS (
+           SELECT doc_id, unnest(range(0, len(wt), 24)) AS start, wt
+           FROM tok WHERE len(wt) > 0),
+         chunks AS (
+           SELECT doc_id * 1000 + (start // 24) AS cid, doc_id % 4 AS shard,
+             CAST(len(wt[start+1 : start+24]) AS BIGINT) AS tokens
+           FROM ch),
+         base AS (
+           SELECT shard, cid, tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY cid) AS rn
+           FROM chunks),
+         packed AS (
+           SELECT shard, cid, tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum, CAST(0 AS BIGINT) AS seq_pos
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.shard, b.cid, b.tokens, b.rn,
+             CASE WHEN p.cum + b.tokens <= 96 THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= 96 THEN p.cum + b.tokens ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= 96 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
+           FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+         SELECT cid, shard, seq_id, seq_pos, tokens > 96 AS oversize
+         FROM packed ORDER BY cid"""
   )
 }

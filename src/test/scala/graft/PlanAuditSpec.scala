@@ -78,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q86_pii_redact" -> 1, // map-only regex battery + final sort
     "q87_quantize_int8" -> 1, // map-only HOF quantization + final sort
     "q88_chunk" -> 1, // map-only sequence+explode+slice + final sort
-    "q89_bpe_train_hist" -> 1) // word hash-agg; top-k via TakeOrdered, no sort shuffle
+    "q89_bpe_train_hist" -> 1, // word hash-agg; top-k via TakeOrdered, no sort shuffle
+    "q90_prep_e2e" -> 12) // q45's cleaning subplan (9) + survivor-text join + pack repartition + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
