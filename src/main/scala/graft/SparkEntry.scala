@@ -855,6 +855,20 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // corpus mixing to per-source token budgets: ONE tiny per-source
+    // aggregate broadcast onto a map-only hash filter (no corpus
+    // shuffle); membership is the q76 unit hash, so the oracle replays
+    // totals, fractions, AND membership exactly
+    "q91_source_mix" -> ((s, d) =>
+      graft.operators.Mixing.mixToTokenBudget(
+        t(s, d, "documents"), "doc_id", "source", "n_chars",
+        budgets = Map("src0" -> 999999999L, "src1" -> 4000L),
+        defaultBudget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("kept_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))),
+
     // end-to-end training-data PREP: the q45 cleaning pipeline's
     // survivors -> fixed-size chunking -> greedy sequence packing, one
     // declarative plan from raw corpus to training sequences. Chunk key
@@ -2065,6 +2079,28 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q91_source_mix" ->
+      """WITH tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+           FROM documents GROUP BY source),
+         f AS (
+           SELECT source, total,
+             CASE source WHEN 'src0' THEN 999999999
+                         WHEN 'src1' THEN 4000
+                         ELSE 2000 END AS budget
+           FROM tot),
+         kept AS (
+           SELECT d.source, d.doc_id, d.n_chars
+           FROM documents d JOIN f USING (source)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) / 4294967296.0
+             < (CASE WHEN f.total <= f.budget THEN 1.0
+                     ELSE CAST(f.budget AS DOUBLE) / CAST(f.total AS DOUBLE) END))
+         SELECT source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY source ORDER BY source""",
 
     "q90_prep_e2e" ->
       """WITH RECURSIVE uniq AS (

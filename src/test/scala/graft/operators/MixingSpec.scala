@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Corpus mixing: under-budget sources pass whole, over-budget sources
+  * thin to ~budget token mass, membership is deterministic and NESTED
+  * under budget increases (re-cutting a mix never drops a kept doc).
+  */
+class MixingSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // two sources: "small" (100 docs x 10 tokens), "big" (1000 x 10)
+  private def corpus = {
+    import spark.implicits._
+    ((0L until 100L).map(i => (i, "small", 10L)) ++
+      (1000L until 2000L).map(i => (i, "big", 10L)))
+      .toDF("doc_id", "source", "tokens")
+  }
+
+  test("under-budget sources pass through whole") {
+    val out = Mixing.mixToTokenBudget(corpus, "doc_id", "source", "tokens",
+      budgets = Map("small" -> 10_000L), defaultBudget = 10_000L)
+    out.where(col("source") === "small").count() shouldBe 100L
+    out.where(col("source") === "big").count() shouldBe 1000L
+  }
+
+  test("over-budget sources thin to ~budget token mass") {
+    val out = Mixing.mixToTokenBudget(corpus, "doc_id", "source", "tokens",
+      budgets = Map.empty, defaultBudget = 2500L)
+    // small (1000 tokens) is under budget: whole
+    out.where(col("source") === "small").count() shouldBe 100L
+    // big (10000 tokens): expect ~250 docs (2500 tokens / 10 per doc)
+    val kept = out.where(col("source") === "big").count()
+    kept.toDouble shouldBe 250.0 +- 60.0
+  }
+
+  test("membership is deterministic and nested under budget increases") {
+    def mix(budget: Long) = Mixing.mixToTokenBudget(corpus, "doc_id",
+      "source", "tokens", Map.empty, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at2k = mix(2000L)
+    mix(2000L) shouldBe at2k // re-run identical
+    val at5k = mix(5000L)
+    at2k.subsetOf(at5k) shouldBe true // raising a budget only adds docs
+  }
+
+  test("zero budget drops over-budget sources entirely") {
+    val out = Mixing.mixToTokenBudget(corpus, "doc_id", "source", "tokens",
+      Map("small" -> 10_000L), defaultBudget = 0L)
+    out.where(col("source") === "big").count() shouldBe 0L
+    out.where(col("source") === "small").count() shouldBe 100L
+  }
+
+  test("distinct salts cut independent mixes") {
+    def mix(salt: String) = Mixing.mixToTokenBudget(corpus, "doc_id",
+      "source", "tokens", Map.empty, 5000L, salt = salt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = mix("a"); val b = mix("b")
+    a should not be b
+  }
+}
