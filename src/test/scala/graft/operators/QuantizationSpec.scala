@@ -76,6 +76,40 @@ class QuantizationSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("quantized LSH index: same pruning, ~8x smaller, recall holds") {
+    import java.nio.file.{Files, Paths}
+    def dirBytes(p: String): Long = {
+      val root = Paths.get(p)
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+    val floatIdx = Files.createTempDirectory("graft-lsh-f").toString
+    val quantIdx = Files.createTempDirectory("graft-lsh-q").toString
+    Similarity.writeLshIndex(embs, "vec_id", "embedding", floatIdx)
+    Similarity.writeLshIndexQuantized(embs, "vec_id", "embedding", quantIdx)
+
+    val qv = embs.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val k = 10
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.lshTopKIndexedQuantized(spark, quantIdx,
+      "vec_id", qv, 0L, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    val float = Similarity.lshTopKIndexed(spark, floatIdx,
+      "vec_id", "embedding", qv, 0L, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // recall vs exact matches the float-index gate, and the two index
+    // paths agree closely (int8 cosine error < 0.01)
+    (exact & quant).size.toDouble / k should be >= 0.7
+    (float & quant).size.toDouble / k should be >= 0.8
+    // the quantized index stores 1 byte/dim vs 8: bulk is the vector
+    // column, so on-disk size must drop by well over half
+    dirBytes(quantIdx).toDouble should be < 0.5 * dirBytes(floatIdx)
+  }
+
   test("int8_pack rejects out-of-range codes instead of clamping") {
     import spark.implicits._
     val bad = Seq((0L, Seq(1, 200))).toDF("id", "q")
