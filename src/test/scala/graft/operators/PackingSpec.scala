@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -78,6 +79,34 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkSpec {
       as.map(_._3).distinct shouldBe Seq(0L)
     }
     out.groupBy(a => (a._2, a._3)).keySet.size shouldBe 4
+  }
+
+  test("distributed assignment equals the sequential reference on arbitrary corpora") {
+    // the spec of packGreedy IS the per-shard sequential fold; property-
+    // check the distributed path against a direct transcription of it
+    // (zero-token docs, oversize docs, and ragged shards all included)
+    val corpusGen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 10000L)
+        tok <- Gen.choose(0L, 50L)
+        shard <- Gen.choose(0L, 3L)
+      } yield (id, tok, shard)).map(_.distinctBy(_._1)))
+    val budget = 40L
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val expected = rows.groupBy(_._3).flatMap { case (shard, rs) =>
+        var seq = 0L; var cum = 0L; var pos = 0L; var first = true
+        rs.sortBy(_._1).map { case (id, tok, _) =>
+          if (first) { first = false; seq = 0; cum = tok; pos = 0 }
+          else if (cum + tok <= budget) { cum += tok; pos += 1 }
+          else { seq += 1; cum = tok; pos = 0 }
+          (id, shard, seq, pos, tok > budget)
+        }
+      }.toSet
+      pack(rows.map(r => (r._1, r._2, r._3)), budget).toSet == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("sequenceStats reports docs and token fill per sequence") {
