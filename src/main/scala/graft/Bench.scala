@@ -122,8 +122,12 @@ object Bench {
       val flakyField = if (flaky > 0) s""","flaky":$flaky""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed$flakyField,"queries":$qs,"sf":"$sf"}"""
     }
-    val attempts = Seq(3 -> false, 2 -> false, 1 -> false) ++
-      (if (shortOk) Seq(3 -> true, 2 -> true, 1 -> true, 0 -> true) else Nil) :+
+    // keys degrade BEFORE values: full names at full precision first,
+    // then unique-prefix keys at full precision down through coarser
+    // ones; coarser full-name renders only when shortening is unavailable
+    val attempts = Seq(3 -> false) ++
+      (if (shortOk) Seq(3 -> true, 2 -> true, 1 -> true, 0 -> true)
+       else Seq(2 -> false, 1 -> false)) :+
       (0 -> false)
     attempts.iterator.map { case (d, s) => render(d, s) }
       .find(_.length <= maxLen).getOrElse(render(0, shortOk))

@@ -872,8 +872,11 @@ object SparkEntry {
     // end-to-end training-data PREP: the q45 cleaning pipeline's
     // survivors -> fixed-size chunking -> greedy sequence packing, one
     // declarative plan from raw corpus to training sequences. Chunk key
-    // cid = doc_id*1000 + chunk_id keeps packing order == (doc, chunk)
-    // order so the oracle replays the whole chain exactly.
+    // cid = doc_id*1e6 + chunk_id keeps packing order == (doc, chunk)
+    // order so the oracle replays the whole chain exactly (unique while
+    // chunk_id < 1e6, i.e. docs under 24M ws tokens at stride 24 — far
+    // beyond any real document; a collision would make the order
+    // non-total and the assignment engine-dependent).
     "q90_prep_e2e" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val survivors = graft.pipelines.TrainingData.clean(docs, "doc_id", "text")
@@ -881,7 +884,7 @@ object SparkEntry {
       val chunks = graft.operators.Chunking.chunk(
         survivors.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
         "doc_id", "text", size = 24, stride = 24)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
           (col("doc_id") % 4).as("shard"),
           col("n_tokens").as("tokens"))
       graft.operators.Packing.packGreedy(chunks, "cid", "tokens", "shard",
@@ -2161,7 +2164,7 @@ object SparkEntry {
            SELECT doc_id, unnest(range(0, len(wt), 24)) AS start, wt
            FROM tok WHERE len(wt) > 0),
          chunks AS (
-           SELECT doc_id * 1000 + (start // 24) AS cid, doc_id % 4 AS shard,
+           SELECT doc_id * 1000000 + (start // 24) AS cid, doc_id % 4 AS shard,
              CAST(len(wt[start+1 : start+24]) AS BIGINT) AS tokens
            FROM ch),
          base AS (

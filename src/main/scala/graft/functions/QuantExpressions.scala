@@ -45,7 +45,10 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val x = math.abs(a.getDouble(i))
-      if (x > maxabs) maxabs = x
+      // NaN parity with the HOF twin: array_max treats NaN as largest,
+      // so a NaN element must poison maxabs (-> scale NaN, codes 0) here
+      // too, not be skipped by the > comparison
+      if (x > maxabs || java.lang.Double.isNaN(x)) maxabs = x
       i += 1
     }
     val scale = if (maxabs == 0.0) 0.0 else 127.0 / maxabs
@@ -74,7 +77,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |double $maxabs = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = Math.abs($a.getDouble($i));
-         |  if ($x > $maxabs) $maxabs = $x;
+         |  if ($x > $maxabs || Double.isNaN($x)) $maxabs = $x;
          |}
          |double $scale = ($maxabs == 0.0) ? 0.0 : 127.0 / $maxabs;
          |int[] $q = new int[$n];

@@ -29,9 +29,17 @@ object TextFunctions {
   def wordShingles(ws: Column, n: Int): Column =
     call_function("word_shingles", ws, lit(n))
 
+  /** Whitespace tokens (array<string>, empty tokens dropped) — THE
+    * whitespace-tokenization definition: chunking, packing token counts,
+    * and their DuckDB oracles all transcribe this one semantics, so it
+    * must not fork.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
   /** Whitespace token count (BIGINT). */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+    size(wsTokens(text)).cast("long")
 
   /** BPE pre-tokenizer: letter runs, digit runs, single punctuation. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.wsTokens
+
 /** Fixed-size token chunking with stride — the standard preprocessing step
   * between cleaning and sequence assembly in an LLM pipeline: long
   * documents become overlapping windows of at most `size` tokens, starting
@@ -22,10 +24,6 @@ import org.apache.spark.sql.functions._
   * nothing. `chunk_id` = start / stride, contiguous from 0 per document.
   */
 object Chunking {
-
-  /** Whitespace tokens of `text` (empty tokens dropped). */
-  private def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Chunk `textCol` into windows of `size` tokens every `stride` tokens.
     * Output: `idCol`, `chunk_id` (long, from 0 per doc), `n_tokens`

@@ -182,10 +182,19 @@ object Similarity {
     * cosine geometry.
     */
   def quantizeQuery(qv: Array[Double]): Array[Byte] = {
+    // a NaN query is caller error — fail loud here rather than let it
+    // silently quantize differently from the index side's Int8Quantize
+    require(!qv.exists(_.isNaN), "quantizeQuery: query vector contains NaN")
     var maxabs = 0.0
     qv.foreach(x => maxabs = math.max(maxabs, math.abs(x)))
     val scale = if (maxabs == 0.0) 0.0 else 127.0 / maxabs
-    qv.map(x => math.floor(x * scale + 0.5).toByte)
+    qv.map { x =>
+      val q = math.floor(x * scale + 0.5)
+      // same contract as Int8Pack: out of range throws, never clamps
+      require(q >= Byte.MinValue && q <= Byte.MaxValue,
+        s"quantizeQuery: code $q outside [-128, 127]")
+      q.toByte
+    }
   }
 
   /** ANN top-k against a [[writeLshIndexQuantized]] table: identical
