@@ -855,6 +855,14 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // column profiling (the know-your-data pass): one scan, all
+    // aggregates in a single agg, map-only stack unpivot; exact distinct
+    // counts so the oracle replays every cell
+    "q92_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(t(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // corpus mixing to per-source token budgets: ONE tiny per-source
     // aggregate broadcast onto a map-only hash filter (no corpus
     // shuffle); membership is the q76 unit hash, so the oracle replays
@@ -2082,6 +2090,26 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q92_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS n_nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+           FROM documents
+           UNION ALL
+           SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', count(*) - count(source), count(DISTINCT source),
+             CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+         SELECT col_name, (SELECT count(*) FROM documents) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+         FROM p ORDER BY col_name""",
 
     "q91_source_mix" ->
       """WITH tot AS (

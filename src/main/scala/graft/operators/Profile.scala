@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the "know your data before training on it" pass: per
+  * column, the null count, distinct count, and min/max (rendered as
+  * strings so mixed-type profiles share one schema), plus the table row
+  * count on every row for context.
+  *
+  * Shape: ONE scan. All per-column aggregates run in a single `agg` (one
+  * aggregation over the table), and the wide one-row result is unpivoted
+  * to a row per column with a map-only `stack`. Exact distinct counts
+  * plan through Spark's Expand (a data duplication per distinct column) —
+  * the right default for profile-sized column lists and the only form an
+  * external engine can replay exactly; pass `approxDistinct = true` at
+  * 100 TB to swap in `approx_count_distinct` (HLL, no Expand), the same
+  * trade [[Sketches]] documents, spec-gated for tolerance rather than
+  * oracle-gated.
+  */
+object Profile {
+
+  def profile(df: DataFrame, columns: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "at least one column to profile")
+    columns.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    def nDistinct(c: Column): Column =
+      if (approxDistinct) approx_count_distinct(c) else count_distinct(c)
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: columns.flatMap(c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        nDistinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the one-row wide result: stack is map-only over one row
+    val stackArgs = columns.map(c =>
+      s"'$c', __nulls_$c, __distinct_$c, __min_$c, __max_$c").mkString(", ")
+    wide.select(col("__rows").as("n_rows"), expr(
+      s"stack(${columns.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+}

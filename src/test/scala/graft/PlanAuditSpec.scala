@@ -80,7 +80,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q88_chunk" -> 1, // map-only sequence+explode+slice + final sort
     "q89_bpe_train_hist" -> 1, // word hash-agg; top-k via TakeOrdered, no sort shuffle
     "q90_prep_e2e" -> 12, // q45's cleaning subplan (9) + survivor-text join + pack repartition + final sort
-    "q91_source_mix" -> 4) // per-source totals agg + its broadcast + report agg + final sort
+    "q91_source_mix" -> 4, // per-source totals agg + its broadcast + report agg + final sort
+    "q92_profile" -> 3) // ONE multi-distinct agg (Expand, 2 exchanges) + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Column profiling: exact cell values on a known fixture (nulls,
+  * distincts, string-rendered min/max), the approx variant's tolerance,
+  * and input validation.
+  */
+class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 20),
+      (3L, Some("b"), 20),
+      (4L, Some("a"), 30)
+    ).toDF("id", "tag", "score")
+  }
+
+  test("exact profile cells on a known fixture") {
+    val rows = Profile.profile(fixture, Seq("id", "tag", "score"))
+      .orderBy(col("col_name")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    rows shouldBe Array(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("score", 4L, 0L, 3L, "10", "30"),
+      ("tag", 4L, 1L, 2L, "a", "b"))
+  }
+
+  test("approx variant tracks exact distincts on real data") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cols = Seq("doc_id", "lang", "source")
+    def distincts(approx: Boolean) =
+      Profile.profile(docs, cols, approxDistinct = approx)
+        .orderBy(col("col_name")).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = distincts(false)
+    val approx = distincts(true)
+    cols.foreach { c =>
+      approx(c).toDouble shouldBe (exact(c).toDouble +- (exact(c) * 0.05 + 1))
+    }
+  }
+
+  test("unknown and empty column lists are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      Profile.profile(fixture, Seq("nope"))
+    an[IllegalArgumentException] should be thrownBy
+      Profile.profile(fixture, Nil)
+  }
+}
