@@ -40,6 +40,57 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers with SparkSpec 
     })
   }
 
+  test("Int8Quantize codegen path == interpreted nullSafeEval on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+    check(Prop.forAll(vecGen) { vec =>
+      val df = Seq(Tuple1(vec.toArray)).toDF("emb")
+      val row = df.select(GraftFunctions.int8_quantize(col("emb")).as("s"))
+        .select(col("s.scale"), col("s.q")).head()
+      val viaDf = (row.getDouble(0), row.getSeq[Int](1).toList)
+      val interp = Int8Quantize(null).nullSafeEval(
+        new GenericArrayData(vec.toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val viaEval = (interp.getDouble(0),
+        interp.getArray(1).toIntArray().toList)
+      viaDf == viaEval
+    })
+  }
+
+  test("Int8Quantize NaN semantics match the HOF twin (NaN poisons the scale)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1.0, Double.NaN))).toDF("emb")
+    val imp = graft.operators.Quantization.quantize(df, "emb")
+      .select(col("scale"), col("q")).head()
+    val hof = graft.operators.Quantization.quantizeHof(df, "emb")
+      .select(col("scale"), col("q")).head()
+    imp.getDouble(0).isNaN shouldBe true
+    hof.getDouble(0).isNaN shouldBe true
+    imp.getSeq[Int](1) shouldBe hof.getSeq[Int](1)
+  }
+
+  test("cosine_int8 over packed codes == reference integer-dot cosine") {
+    import spark.implicits._
+    val codesGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-127, 127)))
+    check(Prop.forAll(codesGen, codesGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(GraftFunctions.cosine_int8(
+        GraftFunctions.int8_pack(col("a")),
+        GraftFunctions.int8_pack(col("b")))).head().getDouble(0)
+      val dot = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      val na = a.map(x => x.toLong * x).sum
+      val nb = b.map(x => x.toLong * x).sum
+      val want = if (na == 0L || nb == 0L) 0.0
+        else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      got == want
+    })
+  }
+
   test("md5Long matches MessageDigest reference bytes") {
     import org.apache.spark.unsafe.types.UTF8String
     check(Prop.forAll(wordGen) { s =>
