@@ -345,6 +345,46 @@ object Similarity {
     ivfRank(pruned, idCol, embCol, qv, queryId, k)
   }
 
+  /** [[writeIvfIndex]] with int8-quantized postings — the IVF twin of
+    * [[writeLshIndexQuantized]]: same cell partitioning and centroid
+    * table, but posting vectors stored as packed codes (1 byte/dim vs 8),
+    * so a probe reads ~an eighth of the bytes. Centroids stay float (the
+    * tiny driver-side table is not a scan cost).
+    */
+  def writeIvfIndexQuantized(embs: DataFrame, idCol: String, embCol: String,
+      path: String, nList: Int = 16, seed: Long = 42L): Unit = {
+    import graft.functions.GraftFunctions.{int8_pack, int8_quantize}
+    val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
+    assigned
+      .withColumn("qb", int8_pack(int8_quantize(col(embCol)).getField("q")))
+      .drop(embCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k against a [[writeIvfIndexQuantized]] table: identical
+    * centroid probing and partition pruning to [[ivfTopKIndexed]],
+    * candidates ranked by the integer-dot cosine over packed codes.
+    */
+  def ivfTopKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, qv: Array[Double], queryId: Long,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_int8
+    val probeCells = ivfProbeCells(readIvfCentroids(spark, indexPath), qv, nProbe)
+    val qb = quantizeQuery(qv)
+    spark.read.parquet(s"$indexPath/postings")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_int8(col("qb"), lit(qb)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Cell id of an embedding against FIXED centroids, as pure column
     * expressions — the maintenance-path twin of the KMeans model's
     * predict, so it runs on streaming DataFrames (no model, no fit).

@@ -110,6 +110,27 @@ class QuantizationSpec extends AnyFunSuite with Matchers with SparkSpec {
     dirBytes(quantIdx).toDouble should be < 0.5 * dirBytes(floatIdx)
   }
 
+  test("quantized IVF index agrees with the float IVF index") {
+    import java.nio.file.Files
+    val floatIdx = Files.createTempDirectory("graft-ivf-f").toString
+    val quantIdx = Files.createTempDirectory("graft-ivf-q").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", floatIdx)
+    Similarity.writeIvfIndexQuantized(embs, "vec_id", "embedding", quantIdx)
+
+    val qv = embs.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    val k = 10
+    val float = Similarity.ivfTopKIndexed(spark, floatIdx, "vec_id",
+      "embedding", qv, 0L, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.ivfTopKIndexedQuantized(spark, quantIdx,
+      "vec_id", qv, 0L, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    quant.size shouldBe k
+    // same cells probed (same centroids/seed); int8 cosine error < 0.01
+    // keeps the candidate ranking nearly identical
+    (float & quant).size.toDouble / k should be >= 0.8
+  }
+
   test("int8_pack rejects out-of-range codes instead of clamping") {
     import spark.implicits._
     val bad = Seq((0L, Seq(1, 200))).toDF("id", "q")
