@@ -2011,7 +2011,7 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
 
     "q85_seq_pack" ->
-      """WITH RECURSIVE base AS (
+      """WITH RECURSIVE base AS MATERIALIZED (
            SELECT doc_id % 8 AS shard, doc_id,
              CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tokens,
              row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
@@ -2195,7 +2195,7 @@ object SparkEntry {
            SELECT doc_id * 1000000 + (start // 24) AS cid, doc_id % 4 AS shard,
              CAST(len(wt[start+1 : start+24]) AS BIGINT) AS tokens
            FROM ch),
-         base AS (
+         base AS MATERIALIZED (
            SELECT shard, cid, tokens,
              row_number() OVER (PARTITION BY shard ORDER BY cid) AS rn
            FROM chunks),
