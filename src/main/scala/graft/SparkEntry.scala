@@ -283,6 +283,14 @@ object SparkEntry {
       Similarity.lshTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // metadata-filtered vector search: exact top-k among docs passing a
+    // lang filter (semi-join pre-filter -> guaranteed k, exact recall);
+    // the query vector comes from the unfiltered table
+    "q93_filtered_ann" -> ((s, d) =>
+      Similarity.filteredTopK(t(s, d, "embeddings"),
+        t(s, d, "documents").where(col("lang") === "de"),
+        "vec_id", "doc_id", "embedding", queryId = 0L, k = 10)),
+
     // ---- text analysis (north star) ----
     "q33_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
@@ -1288,6 +1296,15 @@ object SparkEntry {
          SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
              CAST(qv AS DOUBLE[])), 4) AS sim
          FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "q93_filtered_ann" ->
+      """WITH allowed AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'de'),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             CAST(qv AS DOUBLE[])), 4) AS sim
+         FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id, q
+         WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
 
     "q33_lang_id" ->

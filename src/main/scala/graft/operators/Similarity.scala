@@ -41,6 +41,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED exact top-k — the production vector-search shape
+    * ("nearest neighbors among German docs"): candidates are pre-filtered
+    * by a semi-join against the allowed-id set, then ranked exactly.
+    * Pre-filtering (vs post-filtering an ANN candidate list) guarantees k
+    * results whenever k allowed vectors exist and keeps recall exact —
+    * the right default because metadata filters are usually selective,
+    * which makes the exact scan cheap. `broadcastFilter` (default true)
+    * broadcasts the id set; pass false when the filter output is itself
+    * huge (the join then shuffles both sides on the id).
+    *
+    * The query vector is looked up in the UNFILTERED table: the query
+    * need not satisfy the filter ("docs like this English one, but in
+    * German").
+    */
+  def filteredTopK(embs: DataFrame, allowed: DataFrame, idCol: String,
+      allowedIdCol: String, embCol: String, queryId: Long, k: Int,
+      broadcastFilter: Boolean = true): DataFrame = {
+    val ids = allowed.select(col(allowedIdCol).as(idCol)).distinct()
+    val cands = embs.join(if (broadcastFilter) broadcast(ids) else ids, idCol)
+    val q = embs.where(col(idCol) === queryId).select(col(embCol).as("qv"))
+    cands.join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding width, inferred from the data when the caller doesn't know
     * it statically (one-row lookup; cheap next to any similarity join).
     */

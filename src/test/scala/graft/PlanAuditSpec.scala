@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     * BroadcastNestedLoopJoin over a single row, which is exactly right.
     */
   private val singleRowBroadcast = Set(
-    "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join")
+    "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -81,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q89_bpe_train_hist" -> 1, // word hash-agg; top-k via TakeOrdered, no sort shuffle
     "q90_prep_e2e" -> 12, // q45's cleaning subplan (9) + survivor-text join + pack repartition + final sort
     "q91_source_mix" -> 4, // per-source totals agg + its broadcast + report agg + final sort
-    "q92_profile" -> 3) // ONE multi-distinct agg (Expand, 2 exchanges) + final sort
+    "q92_profile" -> 3, // ONE multi-distinct agg (Expand, 2 exchanges) + final sort
+    "q93_filtered_ann" -> 3) // broadcast id-filter + broadcast query vector + TakeOrdered
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

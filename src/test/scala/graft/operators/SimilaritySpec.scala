@@ -38,6 +38,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("filteredTopK: exact top-k restricted to the allowed set") {
+    import spark.implicits._
+    val allowed = embs.where(col("vec_id") % 3 === 1)
+      .select(col("vec_id").as("doc_id"))
+    val got = Similarity.filteredTopK(embs, allowed, "vec_id", "doc_id",
+      "embedding", queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // reference: brute-force over everything, then filter + take 5
+    val want = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L,
+      k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 % 3 == 1).take(5)
+    got shouldBe want
+    // the query vector (vec 0, not in the allowed set) was still usable
+    got.map(_._1).foreach(id => id % 3 shouldBe 1)
+  }
+
   test("more planes shrink the candidate bucket (the scale lever)") {
     val d = Similarity.inferDim(embs, "embedding")
     def bucketSize(nPlanes: Int): Long = {
