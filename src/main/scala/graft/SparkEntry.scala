@@ -283,6 +283,21 @@ object SparkEntry {
       Similarity.lshTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
 
+    // top-k per group via a bounded typed Aggregator: the shuffle carries
+    // at most k (score,id) pairs per group per map task (partial
+    // aggregation), where the row_number window idiom the oracle runs
+    // shuffles and sorts the whole table
+    "q94_topk_per_group" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, d, "part")
+        .groupBy(col("p_brand"))
+        .agg(topk(col("p_retailprice"), col("p_partkey")).as("ids"))
+        .select(col("p_brand"), posexplode(col("ids")).as(Seq("rank", "p_partkey")))
+        .select(col("p_brand"), (col("rank") + 1).cast("long").as("rank"),
+          col("p_partkey"))
+        .orderBy(col("p_brand"), col("rank"))
+    }),
+
     // metadata-filtered vector search: exact top-k among docs passing a
     // lang filter (semi-join pre-filter -> guaranteed k, exact recall);
     // the query vector comes from the unfiltered table
@@ -1297,6 +1312,14 @@ object SparkEntry {
              CAST(qv AS DOUBLE[])), 4) AS sim
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "q94_topk_per_group" ->
+      """SELECT p_brand, CAST(rank AS BIGINT) AS rank, p_partkey
+         FROM (SELECT p_brand, p_partkey,
+                 row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rank
+               FROM part)
+         WHERE rank <= 3 ORDER BY p_brand, rank""",
 
     "q93_filtered_ann" ->
       """WITH allowed AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'de'),

@@ -82,7 +82,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q90_prep_e2e" -> 12, // q45's cleaning subplan (9) + survivor-text join + pack repartition + final sort
     "q91_source_mix" -> 4, // per-source totals agg + its broadcast + report agg + final sort
     "q92_profile" -> 3, // ONE multi-distinct agg (Expand, 2 exchanges) + final sort
-    "q93_filtered_ann" -> 3) // broadcast id-filter + broadcast query vector + TakeOrdered
+    "q93_filtered_ann" -> 3, // broadcast id-filter + broadcast query vector + TakeOrdered
+    "q94_topk_per_group" -> 2) // partial/final ObjectHashAggregate pair + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
