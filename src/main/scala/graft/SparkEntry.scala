@@ -298,6 +298,18 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rank"))
     }),
 
+    // batched ANN (candidate generation): k nearest corpus neighbors for
+    // EVERY query at once — LSH bucket equi-join (never all-pairs), one
+    // cosine per surviving pair, pair-dedupe, bounded top-k aggregate
+    // per query; ranking on the 4dp sim with id tiebreak so the oracle
+    // replays buckets, pairs, and ranks exactly
+    "q95_batch_ann" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.batchLshTopK(embs, embs.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // metadata-filtered vector search: exact top-k among docs passing a
     // lang filter (semi-join pre-filter -> guaranteed k, exact recall);
     // the query vector comes from the unfiltered table
@@ -1056,7 +1068,11 @@ object SparkEntry {
     * pinned to the fixture's 64 — a width change breaks loudly (dimension
     * mismatch on the Spark side, wrong-length dot product here).
     */
-  private def q32Oracle: String = {
+  /** The shared `posted` CTE prefix for the LSH oracles (q32, q95): every
+    * vector's per-table sign-LSH bucket, derived in SQL from the SAME
+    * hyperplane family the engine uses.
+    */
+  private def lshPostedCte: String = {
     val nPlanes = 4; val nTables = 12; val dim = 64; val seed = 11L
     val fams = graft.functions.HashFamilies.planeFamilies(nTables, nPlanes, dim, seed)
     def planeList(p: Array[Double]) =
@@ -1068,7 +1084,7 @@ object SparkEntry {
       s"($terms) AS b$tbl"
     }.mkString(",\n           ")
     val bucketList = (0 until nTables).map(tbl => s"b$tbl").mkString("[", ", ", "]")
-    s"""WITH emb AS (
+    s"""emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         bucketed AS (
           SELECT vec_id, v,
@@ -1077,14 +1093,35 @@ object SparkEntry {
         posted AS (
           SELECT vec_id, v, unnest(range(0, $nTables)) AS tbl,
             unnest($bucketList) AS bucket
-          FROM bucketed),
+          FROM bucketed)"""
+  }
+
+  private def q32Oracle: String =
+    s"""WITH $lshPostedCte,
         q AS (SELECT tbl, bucket, v AS qv FROM posted WHERE vec_id = 0)
         SELECT p.vec_id, max(round(list_cosine_similarity(p.v, q.qv), 4)) AS sim
         FROM posted p JOIN q ON p.tbl = q.tbl AND p.bucket = q.bucket
         WHERE p.vec_id <> 0
         GROUP BY p.vec_id
         ORDER BY sim DESC, vec_id LIMIT 10"""
-  }
+
+  private def q95Oracle: String =
+    s"""WITH $lshPostedCte,
+        q AS (SELECT vec_id AS query_id, tbl, bucket, v AS qv
+              FROM posted WHERE vec_id % 50 = 0),
+        pairs AS (
+          SELECT q.query_id, p.vec_id,
+            max(round(list_cosine_similarity(p.v, q.qv), 4)) AS sim
+          FROM posted p JOIN q ON p.tbl = q.tbl AND p.bucket = q.bucket
+          WHERE p.vec_id <> q.query_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rank
+          FROM pairs)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
@@ -1121,6 +1158,7 @@ object SparkEntry {
     "q28_dedup_minhash" -> q28Oracle,
     "q29_simhash" -> q29Oracle,
     "q32_ann_lsh" -> q32Oracle,
+    "q95_batch_ann" -> q95Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->

@@ -69,6 +69,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED ANN — k nearest corpus neighbors for EVERY query vector at
+    * once (candidate generation: near-dup mining, retrieval eval sets,
+    * cross-corpus linking). Per-query loops don't scale past a handful of
+    * queries; this runs the whole batch as one plan:
+    *
+    *   corpus postings ⋈ query postings on (table, bucket)   — the LSH
+    *   candidate join, never all-pairs — then one exact cosine per
+    *   surviving pair, a pair-dedupe (a pair can match in several
+    *   tables), and a bounded [[graft.functions.TopKAggregator]] per
+    *   query, so the final shuffle carries at most k pairs per query per
+    *   map task.
+    *
+    * Ranking uses the 4-decimal-rounded similarity with an ascending-id
+    * tiebreak — deterministic under any partitioning and exactly
+    * replayable by an external engine (the DuckDB oracle re-derives
+    * buckets from the same hyperplane family).
+    *
+    * Returns (query_id, rank, idCol) with rank 1..k per query.
+    */
+  def batchLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nPlanes: Int = 4, nTables: Int = 12,
+      dim: Int = -1, seed: Long = 11L): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(corpus, embCol)
+    val cp = lshPostings(corpus, idCol, embCol, nPlanes, nTables, d, seed)
+    val qp = lshPostings(queries, idCol, embCol, nPlanes, nTables, d, seed)
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"),
+        col("table"), col("bucket"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k))
+    cp.join(qp, Seq("table", "bucket"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("sim")).as("sim")) // a pair may match in several tables
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col(idCol)).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank", idCol)))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
+
   /** Embedding width, inferred from the data when the caller doesn't know
     * it statically (one-row lookup; cheap next to any similarity join).
     */

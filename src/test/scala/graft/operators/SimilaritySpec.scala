@@ -55,6 +55,22 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     got.map(_._1).foreach(id => id % 3 shouldBe 1)
   }
 
+  test("batchLshTopK: each query's batch ranking equals its per-query lshTopK") {
+    val queries = embs.where(col("vec_id") % 400 === 0) // a few query vectors
+    val batch = Similarity.batchLshTopK(embs, queries, "vec_id", "embedding",
+      k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    batch.keySet should not be empty
+    batch.foreach { case (q, ids) =>
+      val single = Similarity.lshTopK(embs, "vec_id", "embedding", q, k = 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      withClue(s"query $q: ") { ids shouldBe single }
+    }
+  }
+
   test("more planes shrink the candidate bucket (the scale lever)") {
     val d = Similarity.inferDim(embs, "embedding")
     def bucketSize(nPlanes: Int): Long = {
