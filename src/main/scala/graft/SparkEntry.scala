@@ -298,6 +298,16 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rank"))
     }),
 
+    // text -> tensor prep: fixed-length BPE id sequences (UNK=1, PAD=0)
+    // per doc — the step that feeds training; map-only imperative
+    // expression, oracle replays tokenization, vocab lookup, truncation,
+    // and padding exactly
+    "q96_encode_ids" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.bpe_encode_ids(col("text"), 24).as("ids"))
+        .orderBy(col("doc_id"))),
+
     // batched ANN (candidate generation): k nearest corpus neighbors for
     // EVERY query at once — LSH bucket equi-join (never all-pairs), one
     // cosine per surviving pair, pair-dedupe, bounded top-k aggregate
@@ -1096,6 +1106,43 @@ object SparkEntry {
           FROM bucketed)"""
   }
 
+  /** DuckDB twin of q96: replay the BPE state machine ([[bpeOracleCtes]]),
+    * flatten per-doc token sequences in word order, map through the
+    * embedded vocab (UNK=1), truncate to 24 and pad with 0.
+    */
+  private def q96Oracle: String = {
+    val vocabValues = graft.functions.Bpe.Vocab.zipWithIndex.map {
+      case (t, i) => s"(${i + 2}, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH RECURSIVE $bpeOracleCtes,
+       __vocab(id, tok) AS (VALUES $vocabValues),
+       wlist AS (
+         SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
+         FROM documents),
+       wpos AS (
+         SELECT doc_id, unnest(range(1, len(ws)+1)) AS p, ws
+         FROM wlist WHERE len(ws) > 0),
+       w2 AS (SELECT doc_id, p, ws[p] AS w FROM wpos),
+       seq AS (
+         SELECT doc_id, flatten(list(wt.toks ORDER BY p)) AS toks
+         FROM w2 JOIN __bpe_word_tokens wt USING (w)
+         GROUP BY doc_id),
+       tpos AS (
+         SELECT doc_id, unnest(range(1, least(len(toks), 24)+1)) AS tp, toks
+         FROM seq),
+       tid AS (
+         SELECT x.doc_id, x.tp, CAST(coalesce(v.id, 1) AS INTEGER) AS id
+         FROM (SELECT doc_id, tp, toks[tp] AS t FROM tpos) x
+         LEFT JOIN __vocab v ON v.tok = x.t),
+       ids AS (
+         SELECT doc_id, list_resize(list(id ORDER BY tp), 24, CAST(0 AS INTEGER)) AS ids
+         FROM tid GROUP BY doc_id)
+       SELECT d.doc_id,
+         coalesce(i.ids, list_resize(CAST([] AS INTEGER[]), 24, CAST(0 AS INTEGER))) AS ids
+       FROM documents d LEFT JOIN ids i ON d.doc_id = i.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   private def q32Oracle: String =
     s"""WITH $lshPostedCte,
         q AS (SELECT tbl, bucket, v AS qv FROM posted WHERE vec_id = 0)
@@ -1159,6 +1206,7 @@ object SparkEntry {
     "q29_simhash" -> q29Oracle,
     "q32_ann_lsh" -> q32Oracle,
     "q95_batch_ann" -> q95Oracle,
+    "q96_encode_ids" -> q96Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->

@@ -183,6 +183,38 @@ object Bpe {
     toks
   }
 
+  /** The id vocabulary over [[Merges]]: id 0 = PAD, id 1 = UNK, ids 2..95
+    * the printable ASCII characters (codepoints 33-126), then the merge
+    * outputs in rank order. Merge outputs are always >= 2 chars so the
+    * two ranges cannot collide; any token outside the table (non-ASCII
+    * input) maps to UNK rather than failing — the standard tokenizer
+    * contract.
+    */
+  val Vocab: Vector[String] =
+    (33 to 126).map(_.toChar.toString).toVector ++ Merges.map { case (l, r) => l + r }
+
+  private val vocabId: Map[String, Int] =
+    Vocab.zipWithIndex.map { case (t, i) => (t, i + 2) }.toMap
+
+  /** Text -> fixed-length id sequence: BPE-encode, map tokens to [[Vocab]]
+    * ids (UNK = 1 for out-of-vocabulary), truncate to `maxLen`, pad with
+    * PAD = 0 — the tensor-prep step between tokenization and training.
+    */
+  def encodeIds(text: String, maxLen: Int): Array[Int] = {
+    val out = new Array[Int](maxLen) // PAD-initialized
+    var i = 0
+    val m = TokenPattern.matcher(text)
+    while (i < maxLen && m.find()) {
+      val toks = encodeWord(m.group())
+      var j = 0
+      while (j < toks.length && i < maxLen) {
+        out(i) = vocabId.getOrElse(toks(j), 1)
+        i += 1; j += 1
+      }
+    }
+    out
+  }
+
   /** All BPE tokens of a text, in order. */
   def tokens(text: String): Array[String] = {
     val m = TokenPattern.matcher(text)
@@ -232,6 +264,26 @@ case class BpeTokenCount(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     Bpe.countTokens(input.asInstanceOf[UTF8String].toString, cache)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fixed-length BPE id sequence of a string column (`array<int>` of
+  * exactly `maxLen`: ids, UNK=1 for out-of-vocabulary, PAD=0 tail) — the
+  * text -> tensor step. Same imperative-expression rationale as
+  * [[BpeTokenCount]].
+  */
+case class BpeEncodeIds(child: Expression, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxLen > 0, "maxLen must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Bpe.encodeIds(input.asInstanceOf[UTF8String].toString, maxLen))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

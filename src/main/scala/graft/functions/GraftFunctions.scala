@@ -38,6 +38,12 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "bpe_token_count" -> (exprs => BpeTokenCount(exprs.head)),
     "bpe_tokens" -> (exprs => BpeTokens(exprs.head)),
+    "bpe_encode_ids" -> {
+      case Seq(child, Literal(maxLen: Int, _)) => BpeEncodeIds(child, maxLen)
+      case other =>
+        throw new IllegalArgumentException(
+          s"bpe_encode_ids(text, maxLen literal); got ${other.size} args")
+    },
     "word_shingles" -> {
       case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
       case Seq(child) => WordShingles(child, 3)
@@ -96,6 +102,10 @@ object GraftFunctions {
 
   /** The BPE token sequence of a string column (see [[Bpe]]). */
   def bpe_tokens(text: Column): Column = call_function("bpe_tokens", text)
+
+  /** Fixed-length BPE id sequence (UNK=1, PAD=0) of a string column. */
+  def bpe_encode_ids(text: Column, maxLen: Int): Column =
+    call_function("bpe_encode_ids", text, lit(maxLen))
 
   /** Winnowing (MOSS) fingerprints of an array<string> token column. */
   def winnow_fingerprints(tokens: Column, k: Int, win: Int): Column =

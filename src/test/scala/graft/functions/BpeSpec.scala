@@ -93,6 +93,25 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
     })
   }
 
+  test("encodeIds: vocab mapping, truncation, padding, UNK") {
+    // "the 42 cats!" tokens: the, 4, 2, c, at, s, !
+    def id(tok: String): Int = Bpe.Vocab.indexOf(tok) + 2
+    val expect = Seq("the", "4", "2", "c", "at", "s", "!").map(id)
+    Bpe.encodeIds("the 42 cats!", 10).toSeq shouldBe (expect ++ Seq(0, 0, 0))
+    // truncation keeps the prefix
+    Bpe.encodeIds("the 42 cats!", 3).toSeq shouldBe expect.take(3)
+    // out-of-vocabulary (non-ASCII) maps to UNK = 1, never throws
+    Bpe.encodeIds("é", 2).toSeq shouldBe Seq(1, 0)
+    // empty text is all padding
+    Bpe.encodeIds("", 4).toSeq shouldBe Seq(0, 0, 0, 0)
+    // length is always exactly maxLen, and a larger budget's prefix is
+    // the smaller budget's whole output (truncation = prefix)
+    check(Prop.forAll(textGen) { t =>
+      val a = Bpe.encodeIds(t, 8); val b = Bpe.encodeIds(t, 16)
+      a.length == 8 && b.length == 16 && b.take(8).sameElements(a)
+    })
+  }
+
   test("hand-checked merges") {
     Bpe.encodeWord("the").toSeq shouldBe Seq("the")
     Bpe.encodeWord("theater").toSeq shouldBe Seq("the", "at", "er")
