@@ -298,6 +298,29 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rank"))
     }),
 
+    // the final training artifact: pack documents by REAL BPE token
+    // budget, then materialize each training sequence's concatenated id
+    // stream (order = pack order). Group concat is order-deterministic
+    // via array_sort(collect_list(struct(seq_pos, ids))) — collect_list
+    // alone is partitioning-dependent
+    "q97_pack_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("tokens", GraftFunctions.bpe_token_count(col("text")))
+        .where(col("tokens") > 0) // zero-token docs have nothing to pack
+      val assign = graft.operators.Packing.packGreedy(docs, "doc_id",
+        "tokens", "shard", budget = 256L)
+      val ids = docs.select(col("doc_id"),
+        GraftFunctions.bpe_ids(col("text")).as("ids"))
+      assign.join(ids, "doc_id")
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          flatten(transform(
+            array_sort(collect_list(struct(col("seq_pos"), col("ids")))),
+            x => x.getField("ids"))).as("ids"))
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
     // text -> tensor prep: fixed-length BPE id sequences (UNK=1, PAD=0)
     // per doc — the step that feeds training; map-only imperative
     // expression, oracle replays tokenization, vocab lookup, truncation,
@@ -1143,6 +1166,57 @@ object SparkEntry {
        ORDER BY d.doc_id"""
   }
 
+  /** DuckDB twin of q97: per-doc id sequences (the q96 machinery, no
+    * truncation), packing over the REAL BPE token counts (the q85
+    * recursion, MATERIALIZED feeder), then order-preserving group concat.
+    */
+  private def q97Oracle: String = {
+    val vocabValues = graft.functions.Bpe.Vocab.zipWithIndex.map {
+      case (t, i) => s"(${i + 2}, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH RECURSIVE $bpeOracleCtes,
+       __vocab(id, tok) AS (VALUES $vocabValues),
+       wlist AS (
+         SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
+         FROM documents),
+       wpos AS (
+         SELECT doc_id, unnest(range(1, len(ws)+1)) AS p, ws
+         FROM wlist WHERE len(ws) > 0),
+       w2 AS (SELECT doc_id, p, ws[p] AS w FROM wpos),
+       seq AS (
+         SELECT doc_id, flatten(list(wt.toks ORDER BY p)) AS toks
+         FROM w2 JOIN __bpe_word_tokens wt USING (w)
+         GROUP BY doc_id),
+       tpos AS (
+         SELECT doc_id, unnest(range(1, len(toks)+1)) AS tp, toks
+         FROM seq),
+       tid AS (
+         SELECT x.doc_id, x.tp, CAST(coalesce(v.id, 1) AS INTEGER) AS id
+         FROM (SELECT doc_id, tp, toks[tp] AS t FROM tpos) x
+         LEFT JOIN __vocab v ON v.tok = x.t),
+       docids AS MATERIALIZED (
+         SELECT doc_id, list(id ORDER BY tp) AS ids FROM tid GROUP BY doc_id),
+       base AS MATERIALIZED (
+         SELECT doc_id % 8 AS shard, doc_id, bpe_tokens AS tokens,
+           row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+         FROM __bpe_doc_counts),
+       packed AS (
+         SELECT shard, doc_id, tokens, rn,
+           CAST(0 AS BIGINT) AS seq_id, tokens AS cum, CAST(0 AS BIGINT) AS seq_pos
+         FROM base WHERE rn = 1
+         UNION ALL
+         SELECT b.shard, b.doc_id, b.tokens, b.rn,
+           CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+           CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens ELSE b.tokens END,
+           CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
+         FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+       SELECT p.shard, p.seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         flatten(list(d.ids ORDER BY p.seq_pos)) AS ids
+       FROM packed p JOIN docids d USING (doc_id)
+       GROUP BY p.shard, p.seq_id
+       ORDER BY p.shard, p.seq_id"""
+  }
+
   private def q32Oracle: String =
     s"""WITH $lshPostedCte,
         q AS (SELECT tbl, bucket, v AS qv FROM posted WHERE vec_id = 0)
@@ -1207,6 +1281,7 @@ object SparkEntry {
     "q32_ann_lsh" -> q32Oracle,
     "q95_batch_ann" -> q95Oracle,
     "q96_encode_ids" -> q96Oracle,
+    "q97_pack_ids" -> q97Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",
 
     "q02_typed_scan" ->

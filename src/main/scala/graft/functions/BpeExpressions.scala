@@ -215,6 +215,20 @@ object Bpe {
     out
   }
 
+  /** Text -> full (unpadded) id sequence — the building block sequence
+    * packing concatenates; [[encodeIds]] is this plus truncate/pad.
+    */
+  def encodeIdsAll(text: String): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val m = TokenPattern.matcher(text)
+    while (m.find()) {
+      val toks = encodeWord(m.group())
+      var j = 0
+      while (j < toks.length) { out += vocabId.getOrElse(toks(j), 1); j += 1 }
+    }
+    out.toArray
+  }
+
   /** All BPE tokens of a text, in order. */
   def tokens(text: String): Array[String] = {
     val m = TokenPattern.matcher(text)
@@ -284,6 +298,23 @@ case class BpeEncodeIds(child: Expression, maxLen: Int)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       Bpe.encodeIds(input.asInstanceOf[UTF8String].toString, maxLen))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Full (unpadded) BPE id sequence of a string column (`array<int>`) —
+  * what sequence packing concatenates; [[BpeEncodeIds]] truncates/pads.
+  */
+case class BpeIds(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Bpe.encodeIdsAll(input.asInstanceOf[UTF8String].toString))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

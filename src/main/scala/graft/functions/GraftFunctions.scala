@@ -38,6 +38,7 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "bpe_token_count" -> (exprs => BpeTokenCount(exprs.head)),
     "bpe_tokens" -> (exprs => BpeTokens(exprs.head)),
+    "bpe_ids" -> (exprs => BpeIds(exprs.head)),
     "bpe_encode_ids" -> {
       case Seq(child, Literal(maxLen: Int, _)) => BpeEncodeIds(child, maxLen)
       case other =>
@@ -102,6 +103,9 @@ object GraftFunctions {
 
   /** The BPE token sequence of a string column (see [[Bpe]]). */
   def bpe_tokens(text: Column): Column = call_function("bpe_tokens", text)
+
+  /** Full (unpadded) BPE id sequence of a string column. */
+  def bpe_ids(text: Column): Column = call_function("bpe_ids", text)
 
   /** Fixed-length BPE id sequence (UNK=1, PAD=0) of a string column. */
   def bpe_encode_ids(text: Column, maxLen: Int): Column =

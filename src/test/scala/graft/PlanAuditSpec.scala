@@ -85,7 +85,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q93_filtered_ann" -> 3, // broadcast id-filter + broadcast query vector + TakeOrdered
     "q94_topk_per_group" -> 2, // partial/final ObjectHashAggregate pair + final sort
     "q95_batch_ann" -> 4, // query-posting broadcast + pair dedupe + topk agg + final sort
-    "q96_encode_ids" -> 1) // map-only BpeEncodeIds + final sort
+    "q96_encode_ids" -> 1, // map-only BpeEncodeIds + final sort
+    "q97_pack_ids" -> 5) // pack repartition + assignment-ids join + group concat + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

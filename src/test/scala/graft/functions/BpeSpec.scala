@@ -110,6 +110,14 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
       val a = Bpe.encodeIds(t, 8); val b = Bpe.encodeIds(t, 16)
       a.length == 8 && b.length == 16 && b.take(8).sameElements(a)
     })
+    // the unpadded form is encodeIds without the truncate/pad, and its
+    // length is the token count
+    check(Prop.forAll(textGen) { t =>
+      val all = Bpe.encodeIdsAll(t)
+      all.length == Bpe.tokens(t).length &&
+        Bpe.encodeIds(t, math.max(1, all.length))
+          .take(all.length).sameElements(all)
+    })
   }
 
   test("hand-checked merges") {
