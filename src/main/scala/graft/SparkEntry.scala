@@ -304,14 +304,18 @@ object SparkEntry {
     // via array_sort(collect_list(struct(seq_pos, ids))) — collect_list
     // alone is partitioning-dependent
     "q97_pack_ids" -> ((s, d) => {
+      // encode ONCE and derive the count as size(ids) — token count ==
+      // id-sequence length by construction (BpeSpec pins it), and the
+      // greedy merge loop is the dominant per-row cost, so recomputing
+      // it per consuming branch would double the query's work
       val docs = t(s, d, "documents")
         .withColumn("shard", col("doc_id") % 8)
-        .withColumn("tokens", GraftFunctions.bpe_token_count(col("text")))
+        .withColumn("ids", GraftFunctions.bpe_ids(col("text")))
+        .withColumn("tokens", size(col("ids")).cast("long"))
         .where(col("tokens") > 0) // zero-token docs have nothing to pack
       val assign = graft.operators.Packing.packGreedy(docs, "doc_id",
         "tokens", "shard", budget = 256L)
-      val ids = docs.select(col("doc_id"),
-        GraftFunctions.bpe_ids(col("text")).as("ids"))
+      val ids = docs.select(col("doc_id"), col("ids"))
       assign.join(ids, "doc_id")
         .groupBy(col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1129,16 +1133,20 @@ object SparkEntry {
           FROM bucketed)"""
   }
 
-  /** DuckDB twin of q96: replay the BPE state machine ([[bpeOracleCtes]]),
-    * flatten per-doc token sequences in word order, map through the
-    * embedded vocab (UNK=1), truncate to 24 and pad with 0.
+  /** Shared token-id CTE chain for the BPE-id oracles (q96, q97):
+    * embedded vocab, word split in document order, per-word token
+    * sequences from the BPE recursion flattened in word order, then
+    * position-indexed ids through the vocab (UNK=1). `truncate` bounds
+    * the positions (q96's fixed window); None keeps every token (q97).
+    * One definition so a fix to the word-order or UNK logic can't land
+    * in one oracle and not the other.
     */
-  private def q96Oracle: String = {
+  private def bpeIdCtes(truncate: Option[Int]): String = {
     val vocabValues = graft.functions.Bpe.Vocab.zipWithIndex.map {
       case (t, i) => s"(${i + 2}, '${t.replace("'", "''")}')"
     }.mkString(", ")
-    s"""WITH RECURSIVE $bpeOracleCtes,
-       __vocab(id, tok) AS (VALUES $vocabValues),
+    val bound = truncate.map(n => s"least(len(toks), $n)").getOrElse("len(toks)")
+    s"""__vocab(id, tok) AS (VALUES $vocabValues),
        wlist AS (
          SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
          FROM documents),
@@ -1151,12 +1159,21 @@ object SparkEntry {
          FROM w2 JOIN __bpe_word_tokens wt USING (w)
          GROUP BY doc_id),
        tpos AS (
-         SELECT doc_id, unnest(range(1, least(len(toks), 24)+1)) AS tp, toks
+         SELECT doc_id, unnest(range(1, $bound+1)) AS tp, toks
          FROM seq),
        tid AS (
          SELECT x.doc_id, x.tp, CAST(coalesce(v.id, 1) AS INTEGER) AS id
          FROM (SELECT doc_id, tp, toks[tp] AS t FROM tpos) x
-         LEFT JOIN __vocab v ON v.tok = x.t),
+         LEFT JOIN __vocab v ON v.tok = x.t)"""
+  }
+
+  /** DuckDB twin of q96: replay the BPE state machine ([[bpeOracleCtes]]),
+    * derive per-position token ids ([[bpeIdCtes]] truncated to 24), pad
+    * with 0.
+    */
+  private def q96Oracle: String = {
+    s"""WITH RECURSIVE $bpeOracleCtes,
+       ${bpeIdCtes(truncate = Some(24))},
        ids AS (
          SELECT doc_id, list_resize(list(id ORDER BY tp), 24, CAST(0 AS INTEGER)) AS ids
          FROM tid GROUP BY doc_id)
@@ -1171,29 +1188,8 @@ object SparkEntry {
     * recursion, MATERIALIZED feeder), then order-preserving group concat.
     */
   private def q97Oracle: String = {
-    val vocabValues = graft.functions.Bpe.Vocab.zipWithIndex.map {
-      case (t, i) => s"(${i + 2}, '${t.replace("'", "''")}')"
-    }.mkString(", ")
     s"""WITH RECURSIVE $bpeOracleCtes,
-       __vocab(id, tok) AS (VALUES $vocabValues),
-       wlist AS (
-         SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
-         FROM documents),
-       wpos AS (
-         SELECT doc_id, unnest(range(1, len(ws)+1)) AS p, ws
-         FROM wlist WHERE len(ws) > 0),
-       w2 AS (SELECT doc_id, p, ws[p] AS w FROM wpos),
-       seq AS (
-         SELECT doc_id, flatten(list(wt.toks ORDER BY p)) AS toks
-         FROM w2 JOIN __bpe_word_tokens wt USING (w)
-         GROUP BY doc_id),
-       tpos AS (
-         SELECT doc_id, unnest(range(1, len(toks)+1)) AS tp, toks
-         FROM seq),
-       tid AS (
-         SELECT x.doc_id, x.tp, CAST(coalesce(v.id, 1) AS INTEGER) AS id
-         FROM (SELECT doc_id, tp, toks[tp] AS t FROM tpos) x
-         LEFT JOIN __vocab v ON v.tok = x.t),
+       ${bpeIdCtes(truncate = None)},
        docids AS MATERIALIZED (
          SELECT doc_id, list(id ORDER BY tp) AS ids FROM tid GROUP BY doc_id),
        base AS MATERIALIZED (

@@ -26,9 +26,14 @@ class TopKAggregator(k: Int)
   require(k > 0, "k must be positive")
 
   // (score, id) ranks before (score', id') when score > score', or
-  // scores tie and id < id'
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // scores tie and id < id'. Double.compare is the IEEE-754 total order
+  // (NaN greater than every value, matching Spark's sort ordering), so
+  // NaN scores rank deterministically instead of failing both > and ==
+  // and making the result arrival-order-dependent.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(a._1, b._1)
+    cmp > 0 || (cmp == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

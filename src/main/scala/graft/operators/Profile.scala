@@ -26,16 +26,23 @@ object Profile {
     columns.foreach(c => require(df.columns.contains(c), s"no column $c"))
     def nDistinct(c: Column): Column =
       if (approxDistinct) approx_count_distinct(c) else count_distinct(c)
+    // Backquote wherever a name is parsed (col() reads dots as struct
+    // access; expr() chokes on dashes) so columns that aren't bare
+    // identifiers profile correctly.
+    def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+    // count(when(...)) so an empty table profiles to 0 nulls, not NULL
+    // (sum over zero rows is NULL); matches the count(*)-count(col) oracle.
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: columns.flatMap(c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        nDistinct(col(c)).as(s"__distinct_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        count(when(col(bq(c)).isNull, lit(1))).as(s"__nulls_$c"),
+        nDistinct(col(bq(c))).as(s"__distinct_$c"),
+        min(col(bq(c))).cast("string").as(s"__min_$c"),
+        max(col(bq(c))).cast("string").as(s"__max_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the one-row wide result: stack is map-only over one row
     val stackArgs = columns.map(c =>
-      s"'$c', __nulls_$c, __distinct_$c, __min_$c, __max_$c").mkString(", ")
+      s"'${c.replace("'", "''")}', ${bq(s"__nulls_$c")}, ${bq(s"__distinct_$c")}, " +
+        s"${bq(s"__min_$c")}, ${bq(s"__max_$c")}").mkString(", ")
     wide.select(col("__rows").as("n_rows"), expr(
       s"stack(${columns.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),

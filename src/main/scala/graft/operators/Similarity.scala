@@ -382,7 +382,15 @@ object Similarity {
     val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings")
-    val spark = embs.sparkSession
+    writeCentroids(embs.sparkSession, path, centroids)
+  }
+
+  /** Persist the nList-row centroid table under `path/centroids` — the
+    * layout [[readIvfCentroids]] depends on, shared by the float and
+    * quantized index writers so it can't drift between them.
+    */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Array[Array[Double]]): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
@@ -429,11 +437,7 @@ object Similarity {
       .withColumn("qb", int8_pack(int8_quantize(col(embCol)).getField("q")))
       .drop(embCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
-    val spark = embs.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(embs.sparkSession, path, centroids)
   }
 
   /** ANN top-k against a [[writeIvfIndexQuantized]] table: identical

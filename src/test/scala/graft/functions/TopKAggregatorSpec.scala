@@ -51,4 +51,16 @@ class TopKAggregatorSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(("a", 2.0, 9L), ("a", 2.0, 3L), ("a", 2.0, 7L)), k = 2, parts = 3)
     out("a") shouldBe Seq(3L, 7L)
   }
+
+  test("NaN scores rank deterministically (total order: NaN largest)") {
+    // NaN fails both > and == — a naive comparator would make the result
+    // arrival-order-dependent and let a NaN buffer tail block better
+    // rows. Double.compare total-orders NaN above everything, matching
+    // Spark's sort, so the result is the same under every partitioning.
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", Double.NaN, 3L),
+      ("a", 9.0, 4L))
+    (1 to 4).foreach { parts =>
+      viaAggregator(rows, k = 2, parts)("a") shouldBe Seq(3L, 4L)
+    }
+  }
 }

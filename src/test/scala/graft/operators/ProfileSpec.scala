@@ -47,6 +47,25 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("empty input profiles to zero counts, not NULLs") {
+    val rows = Profile.profile(fixture.where(lit(false)), Seq("tag"))
+      .collect()
+    rows should have length 1
+    val r = rows.head
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ("tag", 0L, 0L, 0L)
+    r.isNullAt(4) shouldBe true // no min/max on zero rows
+  }
+
+  test("column names that are not bare identifiers survive the unpivot") {
+    val df = fixture.withColumnRenamed("tag", "tag-v2")
+      .withColumnRenamed("score", "the.score")
+    val rows = Profile.profile(df, Seq("tag-v2", "the.score"))
+      .orderBy(col("col_name")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    rows shouldBe Array(("tag-v2", 1L, 2L), ("the.score", 0L, 3L))
+  }
+
   test("unknown and empty column lists are rejected") {
     an[IllegalArgumentException] should be thrownBy
       Profile.profile(fixture, Seq("nope"))
