@@ -927,6 +927,15 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // bigram-LM perplexity quality filter (CCNet/Gopher style): add-one
+    // self-trained model, mean bits per bigram per doc — two hash
+    // aggregates for the model, one count join to score; "surprising"
+    // text (spam, garbage encodings) surfaces as high bits
+    "q98_lm_bits" -> ((s, d) =>
+      graft.operators.NgramLm.selfScoreBits(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // column profiling (the know-your-data pass): one scan, all
     // aggregates in a single agg, map-only stack unpivot; exact distinct
     // counts so the oracle replays every cell
@@ -2287,6 +2296,26 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q98_lm_bits" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+           FROM documents),
+         big AS (
+           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                 FROM toks WHERE len(ws) >= 2)),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(ws) AS w FROM toks)),
+         scored AS (
+           SELECT b.doc_id, -log2((cb.cb + 1.0) / (cu.cu + v.v)) AS bits
+           FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(bits), 4) AS bits
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q92_profile" ->
       """WITH p AS (
