@@ -927,6 +927,22 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // PageRank over the customer-supplier interaction graph (crawl-
+    // source weighting): 2 shuffle joins + 1 hash agg per iteration,
+    // contributions summed in DECIMAL(38,18) so ranks are bit-identical
+    // under any partitioning AND bit-replayable by the oracle's
+    // unrolled iterations
+    "q99_pagerank" -> ((s, d) => {
+      val ol = t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      val edges = ol.select(col("c").as("src"), col("p").as("dst"))
+        .union(ol.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Graphs.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // bigram-LM perplexity quality filter (CCNet/Gopher style): add-one
     // self-trained model, mean bits per bigram per doc — two hash
     // aggregates for the model, one count join to score; "surprising"
@@ -1220,6 +1236,38 @@ object SparkEntry {
        FROM packed p JOIN docids d USING (doc_id)
        GROUP BY p.shard, p.seq_id
        ORDER BY p.shard, p.seq_id"""
+  }
+
+  /** DuckDB twin of q99: the same customer-supplier edge derivation, then
+    * PageRank's three iterations UNROLLED as chained CTEs — each step
+    * replays the engine's expressions exactly (double division, the
+    * DECIMAL(38,18) contribution sum that makes ranks order-independent,
+    * the in-plan (1 - 0.85) so the teleport base lands on the identical
+    * double). Bit-for-bit rank parity, no tolerance.
+    */
+  private def q99Oracle: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (
+           SELECT e.dst AS node, sum(CAST(p.rank / d.outdeg AS DECIMAL(38,18))) AS s
+           FROM pr${k - 1} p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+           GROUP BY e.dst),
+         pr$k AS (
+           SELECT nd.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN c$k c ON c.node = nd.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ol AS (
+           SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM ol UNION SELECT p, c FROM ol),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+                 FROM nodes CROSS JOIN nn),
+         $iters
+         SELECT node, round(rank, 9) AS rank FROM pr3 ORDER BY node"""
   }
 
   private def q32Oracle: String =
@@ -2296,6 +2344,8 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q99_pagerank" -> q99Oracle,
 
     "q98_lm_bits" ->
       """WITH toks AS (

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over edge tables. [[Dedup.connectedComponents]]
+  * covers the union-find family (pointer jumping); this adds the
+  * random-walk family — PageRank — used in corpus curation to weight
+  * crawl sources by link structure (a page linked by important pages is
+  * important) before sampling.
+  *
+  * Shape at 100 TB: each iteration is two shuffle joins (rank×out-degree,
+  * then along edges) and one hash aggregate — the classic synchronous
+  * PageRank step, linear in |E| per iteration with no driver actions; the
+  * node count enters as a one-row broadcast. The driver only composes the
+  * K-step plan (K is small and fixed); in a long-running production loop
+  * each iteration's result would be checkpointed to cut lineage, exactly
+  * like the connected-components pass documented in SURVEY §9.
+  *
+  * Determinism: per-edge contributions are cast to DECIMAL(38,18) before
+  * summing, so the per-node sum is EXACT and independent of partitioning
+  * and merge order — the same trick the q08 oracle uses for double
+  * aggregation. Reruns and external engines (the DuckDB oracle unrolls
+  * the same iterations) reproduce ranks bit-for-bit.
+  */
+object Graphs {
+
+  /** Synchronous PageRank over `edges` (columns `src`, `dst`; duplicate
+    * edges are collapsed). Damping-factor random walk with uniform
+    * teleport: r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u)/outdeg(u).
+    * Dangling mass is dropped (the standard simplified form — ranks then
+    * sum to < 1 when sinks exist, which ranking use-cases don't care
+    * about). Returns (node, rank) after `iterations` steps.
+    *
+    * The deduplicated edge table feeds every iteration plus the node and
+    * out-degree derivations, so `cacheEdges` (default on) materializes it
+    * once to a session-temp parquet ([[graft.io.Spill]], the
+    * TrainingData pattern — a spill releases on JVM exit where a persist
+    * of a lazily-returned plan leaks for the session); without it a
+    * K-iteration run re-derives the edges ~2K+2 times from source.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85, cacheEdges: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val e = if (cacheEdges) graft.io.Spill(ePlan, "graft-pr-edges-") else ePlan
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = nodes.agg(count(lit(1)).as("n")) // one row; broadcast by size
+    // (1-d) computed IN the plan so the oracle's (1 - 0.85) lands on the
+    // identical double — a 0.15 literal parses to a different one
+    val base = (lit(1.0) - lit(damping)) / col("n")
+    var ranks = nodes.crossJoin(n)
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .join(e, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).cast("decimal(38,18)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.crossJoin(n)
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) *
+            coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+}
