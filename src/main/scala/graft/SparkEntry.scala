@@ -927,6 +927,15 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // weighted sampling without replacement (A-ES): 5 docs per language,
+    // inclusion odds proportional to n_chars, membership a pure hash —
+    // the bounded top-k aggregate carries 5 pairs per group per task;
+    // oracle replays the hash, key, and ranking exactly
+    "q100_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedTopK(
+        t(s, d, "documents"), "doc_id", "n_chars", "lang", k = 5)
+        .orderBy(col("lang"), col("rank"))),
+
     // PageRank over the customer-supplier interaction graph (crawl-
     // source weighting): 2 shuffle joins + 1 hash agg per iteration,
     // contributions summed in DECIMAL(38,18) so ranks are bit-identical
@@ -2346,6 +2355,16 @@ object SparkEntry {
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
 
     "q99_pagerank" -> q99Oracle,
+
+    "q100_weighted_sample" ->
+      """SELECT lang, rank, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+           FROM (SELECT lang, doc_id,
+                   ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) / 4294967296.0) / n_chars AS key
+                 FROM documents WHERE n_chars > 0))
+         WHERE rank <= 5 ORDER BY lang, rank""",
 
     "q98_lm_bits" ->
       """WITH toks AS (

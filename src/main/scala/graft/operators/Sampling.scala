@@ -76,4 +76,35 @@ object Sampling {
     // silently pile into the LAST split label
     df.where(col(idCol).isNotNull).withColumn("split", label)
   }
+
+  /** Weighted sampling without replacement, deterministic: k items per
+    * group, each item's inclusion probability proportional to
+    * `weightCol` (Efraimidis-Spirakis A-ES — rank items by
+    * ln(u)/w descending with u the [[unitHash]]; the k largest keys ARE
+    * a weighted sample without replacement). The standard "sample
+    * high-quality documents more often, but never twice" draw for
+    * training-mix construction.
+    *
+    * Same determinism contract as every sampler here: membership is a
+    * pure function of (id, weight, salt) — re-runs, repartitioning, and
+    * external engines reproduce it exactly (no RNG state). The per-group
+    * top-k runs through the bounded
+    * [[graft.functions.TopKAggregator]], so the shuffle carries k
+    * (key, id) pairs per group per map task, never the corpus.
+    * Non-positive or null weights are dropped (weight 0 = never sample).
+    * Output: (group, rank, id), rank 1-based by descending key.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      groupCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    df.where(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol).cast("long").as("__id"),
+        (log(unitHash(col(idCol), salt)) / col(weightCol)).as("__key"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("__key"), col("__id")).as("__ids"))
+      .select(col(groupCol), posexplode(col("__ids")).as(Seq("rank", idCol)))
+      .select(col(groupCol), (col("rank") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
 }

@@ -87,4 +87,35 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("id").as[Long].collect().toSet
     out.where(col("g") === "s1").select("id").as[Long].collect().toSet shouldBe plain
   }
+
+  private def weightedDraw(weights: Seq[(Long, Long)], k: Int, salt: String,
+      parts: Int = 3): Seq[Long] = {
+    import spark.implicits._
+    val df = weights.map { case (id, w) => (id, w, "g") }
+      .toDF("id", "w", "grp").repartition(parts)
+    Sampling.weightedTopK(df, "id", "w", "grp", k, salt)
+      .orderBy(col("rank")).select("id").as[Long].collect().toSeq
+  }
+
+  test("weighted sample is deterministic and partitioning-invariant") {
+    val ws = (0L until 200L).map(i => i -> (i % 7 + 1))
+    val ref = weightedDraw(ws, k = 10, salt = "s", parts = 1)
+    ref should have length 10
+    (2 to 5).foreach(p => weightedDraw(ws, 10, "s", p) shouldBe ref)
+  }
+
+  test("inclusion tracks weight across salts (A-ES proportionality)") {
+    // one heavy item (w=400) among 40 light ones (w=1): across many
+    // independent draws the heavy item must appear nearly always, and
+    // any FIXED light item only occasionally
+    val ws = (1L to 40L).map(_ -> 1L) :+ (99L -> 400L)
+    val draws = (1 to 30).map(s => weightedDraw(ws, k = 3, salt = s"$s"))
+    draws.count(_.contains(99L)) should be >= 27
+    draws.count(_.contains(7L)).toDouble should be <= 10.0
+  }
+
+  test("weighted sample: groups smaller than k, zero/negative weights drop") {
+    val out = weightedDraw(Seq(1L -> 5L, 2L -> 0L, 3L -> -4L), k = 5, "x")
+    out shouldBe Seq(1L) // only the positive-weight row is sampleable
+  }
 }
