@@ -88,7 +88,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q94_topk_per_group" -> 2, // partial/final ObjectHashAggregate pair + final sort
     "q95_batch_ann" -> 4, // query-posting broadcast + pair dedupe + topk agg + final sort
     "q96_encode_ids" -> 1, // map-only BpeEncodeIds + final sort
-    "q97_pack_ids" -> 5) // pack repartition + assignment-ids join + group concat + final sort
+    "q97_pack_ids" -> 5, // pack repartition + assignment-ids join + group concat + final sort
+    "q98_lm_bits" -> 10, // bigram agg, context rollup, count join, vocab agg, per-doc agg + sort
+    "q99_pagerank" -> 29, // edge dedup + 3 iterations x (degree join + edge join + contrib agg) + sort
+    "q100_weighted_sample" -> 2) // partial/final bounded top-k agg + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
