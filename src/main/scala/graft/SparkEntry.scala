@@ -927,6 +927,17 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // token-distribution drift between two corpus slices: per-token JSD
+    // contributions — each side collapses to (token, count) in one hash
+    // agg (the corpora never meet), totals are one-row broadcasts,
+    // deterministic rounded-value+token cutoff
+    "q101_token_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Drift.tokenJsd(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", topK = 40)
+    }),
+
     // weighted sampling without replacement (A-ES): 5 docs per language,
     // inclusion odds proportional to n_chars, membership a pure hash —
     // the bounded top-k aggregate carries 5 pairs per group per task;
@@ -2355,6 +2366,35 @@ object SparkEntry {
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
 
     "q99_pagerank" -> q99Oracle,
+
+    "q101_token_drift" ->
+      """WITH ca AS (
+           SELECT word AS token, count(*) AS cnt_a FROM (
+             SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+             FROM documents WHERE doc_id % 2 = 0)
+           WHERE word <> '' GROUP BY 1),
+         cb AS (
+           SELECT word AS token, count(*) AS cnt_b FROM (
+             SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+             FROM documents WHERE doc_id % 2 = 1)
+           WHERE word <> '' GROUP BY 1),
+         j AS (
+           SELECT coalesce(ca.token, cb.token) AS token,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+         tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM j)
+         SELECT token, cnt_a, cnt_b,
+           round(
+             0.5 * (CASE WHEN cnt_a > 0 THEN (CAST(cnt_a AS DOUBLE)/ta)
+               * log2((CAST(cnt_a AS DOUBLE)/ta)
+                 / ((CAST(cnt_a AS DOUBLE)/ta + CAST(cnt_b AS DOUBLE)/tb)/2.0))
+               ELSE 0.0 END)
+             + 0.5 * (CASE WHEN cnt_b > 0 THEN (CAST(cnt_b AS DOUBLE)/tb)
+               * log2((CAST(cnt_b AS DOUBLE)/tb)
+                 / ((CAST(cnt_a AS DOUBLE)/ta + CAST(cnt_b AS DOUBLE)/tb)/2.0))
+               ELSE 0.0 END), 6) AS jsd_bits
+         FROM j CROSS JOIN tot
+         ORDER BY jsd_bits DESC, token LIMIT 40""",
 
     "q100_weighted_sample" ->
       """SELECT lang, rank, doc_id FROM (
