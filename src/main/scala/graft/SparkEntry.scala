@@ -927,6 +927,14 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // per-doc token entropy (gibberish / degenerate-repetition signal):
+    // two hash aggregates, H = log2(n) - sum(c*log2 c)/n so one grouping
+    // level computes total and sum together
+    "q102_token_entropy" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenEntropy(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // token-distribution drift between two corpus slices: per-token JSD
     // contributions — each side collapses to (token, count) in one hash
     // agg (the corpora never meet), totals are one-row broadcasts,
@@ -2366,6 +2374,17 @@ object SparkEntry {
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
 
     "q99_pagerank" -> q99Oracle,
+
+    "q102_token_entropy" ->
+      """WITH tc AS (
+           SELECT doc_id, word, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS word
+             FROM documents)
+           WHERE word <> '' GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits
+         FROM tc GROUP BY doc_id ORDER BY doc_id""",
 
     "q101_token_drift" ->
       """WITH ca AS (

@@ -82,6 +82,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("doc_len"))
   }
 
+  /** Per-document token-distribution entropy in bits — the gibberish /
+    * degenerate-repetition signal the ratio heuristics miss: random
+    * character soup maxes entropy, a document stuck repeating one token
+    * drives it to 0, natural prose sits in between. Two hash aggregates
+    * ((doc, token) counts, then per-doc), linear in corpus tokens, using
+    * H = log2(n) - Σ c·log2(c) / n so one grouping level computes both
+    * the total and the sum. Rounded to 4 decimals: the per-term doubles
+    * carry engine-specific last-ulp log2 differences (measured: Spark and
+    * DuckDB log2 disagree in the last ulp on ~28% of integer inputs), so
+    * the oracle matches on the rounded value, same contract as the q98
+    * perplexity scorer. Documents with no tokens are absent.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("__slc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log2(col("n_tokens").cast("double"))
+          - col("__slc") / col("n_tokens"), 4).as("entropy_bits"))
+
   /** BM25 relevance of each document to the query `terms` (k1/b standard
     * defaults; Robertson-Spärck Jones idf with the +1 floor so common
     * terms never score negative). Built on [[termStats]]; the only doubles

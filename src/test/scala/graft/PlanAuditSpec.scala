@@ -92,7 +92,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q98_lm_bits" -> 10, // bigram agg, context rollup, count join, vocab agg, per-doc agg + sort
     "q99_pagerank" -> 29, // edge dedup + 3 iterations x (degree join + edge join + contrib agg) + sort
     "q100_weighted_sample" -> 2, // partial/final bounded top-k agg + final sort
-    "q101_token_drift" -> 8) // two token aggs, two total aggs, vocab join, TakeOrdered
+    "q101_token_drift" -> 8, // two token aggs, two total aggs, vocab join, TakeOrdered
+    "q102_token_entropy" -> 3) // (doc,token) agg + per-doc agg + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

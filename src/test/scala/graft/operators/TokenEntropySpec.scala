@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Token entropy: the degenerate (0-bit), uniform (log2 n), and
+  * hand-computed mixed cases, plus empty-doc absence and partitioning
+  * invariance.
+  */
+class TokenEntropySpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def entropy(texts: (Long, String)*): Map[Long, (Long, Double)] = {
+    import spark.implicits._
+    TextAnalysis.tokenEntropy(
+        texts.toDF("doc_id", "text").repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+  }
+
+  test("degenerate repetition is 0 bits; uniform tokens hit log2 n") {
+    val out = entropy(1L -> "spam spam spam spam", 2L -> "a b c d",
+      3L -> "a a b", 4L -> "...") // 4: punctuation only -> no tokens
+    out(1L) shouldBe ((4L, 0.0))
+    out(2L) shouldBe ((4L, 2.0)) // log2(4)
+    // H = log2(3) - (2*log2(2) + 1*log2(1))/3 = 1.584963 - 0.666667
+    out(3L) shouldBe ((3L, 0.9183))
+    out.contains(4L) shouldBe false
+  }
+
+  test("entropy is invariant under partitioning") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => i -> s"w$i x y w$i z ${"r " * (i % 5).toInt}")
+    val ref = entropy(docs: _*)
+    (1 to 4).foreach { p =>
+      val out = TextAnalysis.tokenEntropy(
+          docs.toDF("doc_id", "text").repartition(p), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      out shouldBe ref
+    }
+  }
+}
