@@ -927,6 +927,16 @@ object SparkEntry {
           size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // embedding-space drift: centroid cosine between two slices — each
+    // slice collapses to dim rows in one decimal-exact hash aggregate
+    // (cos of sums == cos of means, scale-invariant), one-row output
+    "q103_embedding_drift" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      graft.operators.Drift.embeddingCentroidCos(
+        embs.where(col("vec_id") % 2 === 0),
+        embs.where(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     // per-doc token entropy (gibberish / degenerate-repetition signal):
     // two hash aggregates, H = log2(n) - sum(c*log2 c)/n so one grouping
     // level computes total and sum together
@@ -2374,6 +2384,27 @@ object SparkEntry {
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
 
     "q99_pagerank" -> q99Oracle,
+
+    "q103_embedding_drift" ->
+      """WITH ea AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+         eb AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),
+         da AS (
+           SELECT i AS dim, sum(CAST(embedding[i] AS DECIMAL(38,12))) AS sa
+           FROM (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i FROM ea)
+           GROUP BY i),
+         db AS (
+           SELECT i AS dim, sum(CAST(embedding[i] AS DECIMAL(38,12))) AS sb
+           FROM (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i FROM eb)
+           GROUP BY i),
+         dots AS (
+           SELECT sum(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) AS ab,
+             sum(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) AS aa,
+             sum(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) AS bb
+           FROM da JOIN db USING (dim))
+         SELECT (SELECT count(*) FROM ea) AS n_a,
+           (SELECT count(*) FROM eb) AS n_b,
+           round(ab / sqrt(aa * bb), 6) AS centroid_cos
+         FROM dots""",
 
     "q102_token_entropy" ->
       """WITH tc AS (

@@ -52,4 +52,36 @@ object Drift {
       cntName: String): DataFrame =
     df.select(explode(words(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as(cntName))
+
+  /** Embedding-space drift: cosine similarity between the centroids of
+    * two corpus slices (1 = same direction, 0 = orthogonal) — catches a
+    * semantic shift token counts can't see (same vocabulary, different
+    * topics). Output: one row (n_a, n_b, centroid_cos).
+    *
+    * Computed as the cosine of the per-dimension SUM vectors — identical
+    * to the cosine of the means (cosine is scale-invariant), so no
+    * count division enters the aggregate. Each slice collapses to
+    * `dim` rows in one hash aggregate (explode + group by dimension);
+    * the sums are DECIMAL(38,12)-exact, so they are order-independent
+    * and engine-replayable (the q99 trick), and the final cosine is
+    * arithmetic over `dim` values. Rounded to 6 decimals.
+    */
+  def embeddingCentroidCos(a: DataFrame, b: DataFrame,
+      embCol: String): DataFrame = {
+    def dimSums(df: DataFrame, sName: String) =
+      df.select(posexplode(col(embCol)).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum(col("x").cast("decimal(38,12)")).as(sName))
+    val na = a.agg(count(lit(1)).as("n_a")) // one row; broadcast
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    dimSums(a, "sa").join(dimSums(b, "sb"), Seq("dim"))
+      .select(col("sa").cast("double").as("sa"),
+        col("sb").cast("double").as("sb"))
+      .agg(sum(col("sa") * col("sb")).as("ab"),
+        sum(col("sa") * col("sa")).as("aa"),
+        sum(col("sb") * col("sb")).as("bb"))
+      .crossJoin(na).crossJoin(nb)
+      .select(col("n_a"), col("n_b"),
+        round(col("ab") / sqrt(col("aa") * col("bb")), 6).as("centroid_cos"))
+  }
 }

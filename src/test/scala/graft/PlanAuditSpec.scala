@@ -31,7 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     */
   private val singleRowBroadcast = Set(
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
-    "q98_lm_bits", "q99_pagerank", "q101_token_drift")
+    "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q99_pagerank" -> 29, // edge dedup + 3 iterations x (degree join + edge join + contrib agg) + sort
     "q100_weighted_sample" -> 2, // partial/final bounded top-k agg + final sort
     "q101_token_drift" -> 8, // two token aggs, two total aggs, vocab join, TakeOrdered
-    "q102_token_entropy" -> 3) // (doc,token) agg + per-doc agg + final sort
+    "q102_token_entropy" -> 3, // (doc,token) agg + per-doc agg + final sort
+    "q103_embedding_drift" -> 8) // two dim-sum aggs + dim join + final agg + two count aggs
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -39,6 +39,34 @@ class DriftSpec extends AnyFunSuite with Matchers with SparkSpec {
     disjoint.map(_._4).sum shouldBe 1.0 +- 1e-5
   }
 
+  private def cos(a: Seq[Seq[Float]], b: Seq[Seq[Float]],
+      parts: Int = 2): (Long, Long, Double) = {
+    import spark.implicits._
+    val da = a.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding").repartition(parts)
+    val db = b.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding").repartition(parts)
+    val r = Drift.embeddingCentroidCos(da, db, "embedding").collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("centroid cosine: identical, orthogonal, opposite, and mixed slices") {
+    cos(Seq(Seq(1f, 2f), Seq(3f, 4f)), Seq(Seq(1f, 2f), Seq(3f, 4f)))._3 shouldBe 1.0
+    cos(Seq(Seq(1f, 0f)), Seq(Seq(0f, 1f)))._3 shouldBe 0.0
+    cos(Seq(Seq(1f, 0f)), Seq(Seq(-2f, 0f)))._3 shouldBe -1.0
+    // centroids (1,1) vs (2,0): 2 / (sqrt(2)*2) = 0.707107
+    val (na, nb, c) = cos(Seq(Seq(1f, 0f), Seq(1f, 2f)), Seq(Seq(2f, 0f)))
+    (na, nb) shouldBe ((2L, 1L))
+    c shouldBe 0.707107
+  }
+
+  test("centroid cosine is partitioning-invariant") {
+    val a = (1 to 40).map(i => Seq(i.toFloat, (i % 7).toFloat, 1f))
+    val b = (1 to 30).map(i => Seq((i % 5).toFloat, i.toFloat, 2f))
+    val ref = cos(a, b, parts = 1)
+    (2 to 4).foreach(p => cos(a, b, p) shouldBe ref)
+  }
+
   test("result (including the top-k cutoff) is partitioning-invariant") {
     val a = (1 to 50).map(i => s"tok$i common common")
     val b = (26 to 75).map(i => s"tok$i common rare$i")
