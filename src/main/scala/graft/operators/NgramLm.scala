@@ -36,8 +36,12 @@ object NgramLm {
 
   /** Mean bits-per-bigram of each document under an add-one bigram model
     * `model` ([[train]] output) with vocabulary size `vocab` (distinct
-    * token count of the TRAINING corpus). Documents with fewer than two
-    * tokens have no bigrams and are absent from the result.
+    * token count of the TRAINING corpus). Bigrams and contexts ABSENT
+    * from the model fall back to the add-one floor (left joins,
+    * count 0): p = 1/(c(w1·)+V) — dropping them instead (an inner join)
+    * would score off-reference text as LOW surprise, inverting the
+    * filter. Documents with fewer than two tokens have no bigrams and
+    * are absent from the result.
     */
   def scoreBits(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, vocab: DataFrame): DataFrame = {
@@ -45,11 +49,12 @@ object NgramLm {
     val cu = model.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     bigrams(docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
         keep = Seq("doc_id"))
-      .join(model, Seq("w1", "w2"))
-      .join(cu, Seq("w1"))
+      .join(model, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
       .crossJoin(vocab) // one row; broadcast by size
       .select(col("doc_id"),
-        (-log2((col("cb") + 1).cast("double") / (col("cu") + col("v")))).as("bits"))
+        (-log2((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("v")))).as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 4).as("bits"))
   }

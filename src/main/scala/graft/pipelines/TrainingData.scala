@@ -66,7 +66,9 @@ object TrainingData {
       componentDedup: Boolean = false,
       maxDupGramFrac: Double = 1.0,
       decontaminateProbes: Option[DataFrame] = None,
-      contaminationThreshold: Double = 0.8): DataFrame = {
+      contaminationThreshold: Double = 0.8,
+      maxLmBits: Option[Double] = None,
+      lmReference: Option[DataFrame] = None): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
 
@@ -106,8 +108,26 @@ object TrainingData {
         deduped, probes, idCol, textCol, n = 3,
         threshold = contaminationThreshold))
 
+    // 4c. optional perplexity gate (the CCNet pattern): drop survivors
+    // whose mean bits-per-bigram under a bigram LM exceeds maxLmBits.
+    // The model trains on lmReference when given (CCNet's
+    // clean-reference setup) or on the survivors themselves (outlier
+    // filtering). Anti-join against the OVER-threshold ids so documents
+    // too short to score (< 2 tokens) pass through rather than vanish.
+    val lmGated = maxLmBits.fold(survivors) { bits =>
+      val corpus = lmReference.getOrElse(
+        survivors.select(col(idCol), col(textCol)))
+      val tooSurprising = graft.operators.NgramLm
+        .scoreBits(survivors, idCol, textCol,
+          graft.operators.NgramLm.train(corpus, textCol),
+          graft.operators.NgramLm.vocabSize(corpus, textCol))
+        .where(col("bits") > bits)
+        .select(col("doc_id").as(idCol))
+      survivors.join(tooSurprising, Seq(idCol), "left_anti")
+    }
+
     // 5. token accounting
-    survivors.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
+    lmGated.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
       TextFunctions.wsTokenCount(col(textCol)).as("ws_tokens"),
       TextFunctions.bpeTokenCount(col(textCol)).as("bpe_tokens"))
   }

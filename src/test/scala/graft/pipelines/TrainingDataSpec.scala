@@ -52,9 +52,58 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // disabled gates are plan no-ops: identical survivor set
     val viaDisabled = TrainingData.clean(docs, "doc_id", "text",
-        maxDupGramFrac = 1.0, decontaminateProbes = None)
+        maxDupGramFrac = 1.0, decontaminateProbes = None, maxLmBits = None)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     viaDisabled shouldBe viaDefaults
     viaDefaults should not be empty
+  }
+
+  test("perplexity gate (4c) drops the statistical outlier, keeps prose") {
+    import spark.implicits._
+    // distinct tails keep all 13 docs through exact dedup; the outlier's
+    // bigrams occur nowhere else. Threshold derived from the measured
+    // scores (midpoint), so the test pins the ORDERING the gate relies
+    // on, not a magic constant.
+    val docs = (1L to 12L).map(i =>
+      (i, goodDoc(s"with joins and windows over rows and groups number $i"))) :+
+      (50L, goodDoc("zq xv qj vx jz xq zj vq qx jv zx vj qz xj"))
+    val df = docs.toDF("doc_id", "text")
+    val bits = graft.operators.NgramLm.selfScoreBits(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val proseMax = (bits - 50L).values.max
+    bits(50L) should be > proseMax
+    val thr = (bits(50L) + proseMax) / 2
+    val all = TrainingData.clean(df, "doc_id", "text",
+        cacheIntermediate = false, nearDupThreshold = 1.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    all should contain(50L)
+    val gated = TrainingData.clean(df, "doc_id", "text",
+        cacheIntermediate = false, nearDupThreshold = 1.01,
+        maxLmBits = Some(thr))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (all -- gated) shouldBe Set(50L) // exactly the outlier drops
+  }
+
+  test("perplexity gate scores against a reference corpus when given") {
+    import spark.implicits._
+    val reference = (1L to 10L).map(i =>
+      (i, goodDoc("with joins and windows over rows and groups here")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("zq xv qj vx jz xq zj vq qx jv zx vj qz xj"))
+    ).toDF("doc_id", "text")
+    val model = graft.operators.NgramLm.train(reference, "text")
+    val vocab = graft.operators.NgramLm.vocabSize(reference, "text")
+    val bits = graft.operators.NgramLm
+      .scoreBits(docs, "doc_id", "text", model, vocab)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    bits(2L) should be > bits(1L) // off-reference text IS more surprising
+    val thr = (bits(1L) + bits(2L)) / 2
+    val gated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, nearDupThreshold = 1.01,
+        maxLmBits = Some(thr), lmReference = Some(reference))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(1L) // in-distribution passes, off-reference drops
   }
 }
