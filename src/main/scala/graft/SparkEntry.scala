@@ -937,6 +937,16 @@ object SparkEntry {
         embs.where(col("vec_id") % 2 === 1), "embedding")
     }),
 
+    // duplicate-SPAN detection (substring-level dedup, Lee et al. 2022):
+    // corpus-wide 8-token-window counts carried as md5-prefix fingerprints,
+    // semi-join back, spans merged by the gaps-and-islands identity the
+    // oracle replicates verbatim — catches boilerplate embedded inside
+    // otherwise-unique documents that document-level dedup misses
+    "q104_dup_spans" -> ((s, d) =>
+      graft.operators.Dedup.duplicateSpans(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // per-doc token entropy (gibberish / degenerate-repetition signal):
     // two hash aggregates, H = log2(n) - sum(c*log2 c)/n so one grouping
     // level computes total and sum together
@@ -2405,6 +2415,27 @@ object SparkEntry {
            (SELECT count(*) FROM eb) AS n_b,
            round(ab / sqrt(aa * bb), 6) AS centroid_cos
          FROM dots""",
+
+    // positions are 1-based here vs Spark's 0-based posexplode — only
+    // position DIFFERENCES enter the span identity, so the shift cancels
+    "q104_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS fp
+           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 6, 1))) AS i)),
+         dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
+         hits AS (
+           SELECT doc_id, pos,
+             pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+           FROM grams SEMI JOIN dup USING (fp))
+         SELECT doc_id,
+           CAST(count(CASE WHEN gap IS NULL OR gap > 8 THEN 1 END) AS BIGINT) AS dup_spans,
+           CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS dup_tokens
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
     "q102_token_entropy" ->
       """WITH tc AS (

@@ -52,6 +52,12 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"word_shingles(words, n literal); got ${other.size} args")
     },
+    "gram_fingerprints" -> {
+      case Seq(child, Literal(k: Int, _)) => GramFingerprints(child, k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"gram_fingerprints(words, k literal); got ${other.size} args")
+    },
     "repetition_stats" -> {
       case Seq(child, Literal(n: Int, _)) => RepetitionStats(child, n)
       case Seq(child) => RepetitionStats(child, 2)

@@ -100,6 +100,52 @@ case class RepetitionStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL k-gram fingerprints of an `array<string>` token column:
+  * element i is the [[HashFamilies.md5Long]] of the k-gram starting at
+  * token i, rendered as a 16-hex-char string (= `substr(md5(gram), 1, 16)`,
+  * the same oracle-replicable encoding [[WinnowFingerprints]] uses). Unlike
+  * [[WordShingles]] the output is NOT distinct and keeps positional order,
+  * so `posexplode` recovers (position, fingerprint) — the input of
+  * duplicate-SPAN detection, where overlap merging needs the positions.
+  *
+  * Semantically `transform(sequence(0, size-k), i ->
+  * substring(md5(concat_ws(' ', slice(w, i+1, k))), 1, 16))`, replaced by
+  * one imperative loop for the same reason as [[WordShingles]]: the
+  * higher-order form evaluates interpreted per element and dominated the
+  * dedup pipeline when measured.
+  *
+  * Inputs shorter than k tokens yield an empty array.
+  */
+case class GramFingerprints(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements() - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val h = HashFamilies.md5Long(UTF8String.concatWs(space, parts: _*))
+      out(i) = UTF8String.fromString(f"$h%016x")
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing (MOSS) fingerprints of an `array<string>` token column:
   * positional k-gram hashes, minimum per sliding window of `win`, distinct
   * in first-occurrence order, rendered as 16-hex-char strings (the first 8

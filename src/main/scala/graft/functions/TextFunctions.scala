@@ -29,6 +29,12 @@ object TextFunctions {
   def wordShingles(ws: Column, n: Int): Column =
     call_function("word_shingles", ws, lit(n))
 
+  /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
+    * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).
+    */
+  def gramFingerprints(ws: Column, k: Int): Column =
+    call_function("gram_fingerprints", ws, lit(k))
+
   /** Whitespace tokens (array<string>, empty tokens dropped) — THE
     * whitespace-tokenization definition: chunking, packing token counts,
     * and their DuckDB oracles all transcribe this one semantics, so it

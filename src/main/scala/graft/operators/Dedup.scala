@@ -384,6 +384,90 @@ object Dedup {
       .where(col("id") =!= col("comp"))
       .select(col("id"))
 
+  /** Duplicate-SPAN detection — substring-level dedup in the posture of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): a k-token window whose exact text occurs at least `minCount`
+    * times ANYWHERE in the corpus (across documents or repeated within one)
+    * marks every token position it covers as duplicated; overlapping or
+    * adjacent marked windows merge into maximal spans. Document-level dedup
+    * ([[exactDedup]], [[minHashLshPairs]]) misses exactly this: boilerplate
+    * headers, license blocks, and templated paragraphs embedded inside
+    * otherwise-unique documents.
+    *
+    * Returns one row per document containing at least one duplicated
+    * window: (idCol, dup_spans = merged span count, dup_tokens = tokens
+    * covered by at least one duplicated window).
+    *
+    * 100 TB shape: the corpus-wide window count is ONE hash aggregate whose
+    * exchange carries 16-hex-char md5-prefix fingerprints
+    * ([[TextFunctions.gramFingerprints]]), never gram text; the join back is
+    * a fingerprint semi-join; span merging needs no interval UDF — with
+    * same-length sorted windows, coverage is the gaps-and-islands identity
+    * `k for the first window, min(pos - prev_pos, k) after` and a new span
+    * starts exactly when `pos - prev_pos > k`, so both reduce to one window
+    * function over (doc, pos) and one aggregate, replicated verbatim by the
+    * DuckDB oracle (q104).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    val hits = duplicateWindowPositions(docs, idCol, textCol, k, minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("gap").isNull || col("gap") > k, 1)).as("dup_spans"),
+        sum(when(col("gap").isNull || col("gap") >= k, k)
+          .otherwise(col("gap"))).as("dup_tokens"))
+  }
+
+  /** (idCol, pos) of every k-token window occurring >= minCount times
+    * corpus-wide; positions are 0-based over [[TextFunctions.words]].
+    */
+  private def duplicateWindowPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minCount: Int): DataFrame = {
+    val grams = docs.select(
+      col(idCol),
+      posexplode(TextFunctions.gramFingerprints(
+        TextFunctions.words(col(textCol)), k)).as(Seq("pos", "fp")))
+    val dup = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("fp"))
+    grams.join(dup, Seq("fp"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** The removal twin of [[duplicateSpans]]: rewrites each document's
+    * NORMALIZED token stream ([[TextFunctions.words]]: lowercased, \W+
+    * split) with every duplicated-window token removed, preserving the
+    * survivors' order. Documents with no duplicated window pass through
+    * with their normalized text intact, so
+    * `size(words(out)) = size(words(in)) - dup_tokens` holds for every row
+    * (spec-pinned).
+    *
+    * The per-document coverage test is an indexed-lambda filter over the
+    * token array against the SORTED duplicated-position list — O(tokens x
+    * spans) interpreted work confined to documents that HAVE duplicates
+    * (the left join keeps the clean majority out of the lambda's way).
+    */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    val dupPos = duplicateWindowPositions(docs, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
+    docs.join(dupPos, Seq(idCol), "left")
+      .withColumn(textCol, {
+        val ws = TextFunctions.words(col(textCol))
+        when(col("__dup_pos").isNull, concat_ws(" ", ws))
+          .otherwise(concat_ws(" ",
+            filter(ws, (_, i) =>
+              !exists(col("__dup_pos"),
+                p => i >= p && i < p + k))))
+      })
+      .drop("__dup_pos")
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

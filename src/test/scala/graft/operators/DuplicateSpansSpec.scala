@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Duplicate-SPAN detection (substring-level dedup): planted fixtures pin
+  * the span identity — overlap merging, adjacency, disjoint spans,
+  * within-document repeats — and the strip twin's token-conservation
+  * invariant `kept = total - dup_tokens`.
+  */
+class DuplicateSpansSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import spark.implicits._
+
+  // 12 distinct filler words keep windows unique unless planted otherwise
+  private def filler(tag: String, n: Int): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private val boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+
+  test("a shared k-token block yields one merged span in each document") {
+    // the 8-word boiler block sits at different offsets in two documents;
+    // its 8-token windows (just one here) are corpus-duplicated, all other
+    // windows are unique
+    val docs = Seq(
+      (1L, s"$boiler ${filler("u", 12)}"),
+      (2L, s"${filler("v", 12)} $boiler")).toDF("doc_id", "text")
+
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 1L, 8L), (2L, 1L, 8L))
+  }
+
+  test("overlapping duplicated windows merge into one span with union coverage") {
+    // a 10-word shared block → three 8-token windows per doc at gaps 1,1;
+    // coverage = 8 + 1 + 1 = 10, one merged span
+    val block = s"$boiler india juliet"
+    val docs = Seq(
+      (1L, s"$block ${filler("u", 12)}"),
+      (2L, s"${filler("v", 12)} $block")).toDF("doc_id", "text")
+
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 1L, 10L), (2L, 1L, 10L))
+  }
+
+  test("disjoint duplicated blocks stay separate spans; clean docs are absent") {
+    val block2 = "kilo lima mike november oscar papa quebec romeo"
+    val docs = Seq(
+      (1L, s"$boiler ${filler("u", 12)} $block2"),
+      (2L, s"$boiler ${filler("v", 12)} $block2"),
+      (3L, filler("w", 30))).toDF("doc_id", "text")
+
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 2L, 16L), (2L, 2L, 16L))
+  }
+
+  test("a within-document repeat counts toward minCount") {
+    // the block appears twice in ONE document; corpus count of its window
+    // is 2, so both occurrences are duplicated spans
+    val docs = Seq(
+      (1L, s"$boiler ${filler("u", 12)} $boiler"),
+      (2L, filler("v", 30))).toDF("doc_id", "text")
+
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 2L, 16L))
+  }
+
+  test("strip removes exactly the duplicated tokens and keeps survivor order") {
+    val docs = Seq(
+      (1L, s"$boiler ${filler("u", 12)}"),
+      (2L, s"${filler("v", 12)} $boiler"),
+      (3L, filler("w", 30))).toDF("doc_id", "text")
+
+    val stripped = Dedup.stripDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String)].collect()
+
+    stripped(0)._2 shouldBe filler("u", 12)
+    stripped(1)._2 shouldBe filler("v", 12)
+    stripped(2)._2 shouldBe filler("w", 30) // clean doc: normalized passthrough
+  }
+
+  test("token conservation: kept = total - dup_tokens for every document") {
+    val docs = Seq(
+      (1L, s"$boiler india juliet ${filler("u", 12)}"),
+      (2L, s"${filler("v", 12)} $boiler india juliet"),
+      (3L, s"$boiler ${filler("w", 12)} $boiler"),
+      (4L, filler("x", 30))).toDF("doc_id", "text")
+
+    val total = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(TextFunctions.words(col("text"))).cast("long").as("n"))
+    val dup = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("dup_tokens"))
+    val kept = Dedup.stripDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(TextFunctions.words(col("text"))).cast("long").as("kept"))
+
+    val joined = total.join(dup, Seq("doc_id"), "left").na.fill(0L)
+      .join(kept, Seq("doc_id"))
+    joined.where(col("kept") =!= col("n") - col("dup_tokens"))
+      .count() shouldBe 0L
+  }
+}
