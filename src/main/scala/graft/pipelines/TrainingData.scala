@@ -25,7 +25,10 @@ import graft.operators.Dedup
   *   5. per-doc token accounting for the surviving corpus.
   *
   * Optional gates (off by default, so the q45 oracle semantics are the
-  * five stages above): `maxDupGramFrac` adds the Gopher-style repetition
+  * five stages above): `stripSpansK` removes corpus-duplicated k-token
+  * spans from each survivor's normalized text after exact dedup (1b —
+  * [[Dedup.stripDuplicateSpans]], the RefinedWeb exact-substring pass),
+  * `maxDupGramFrac` adds the Gopher-style repetition
   * gate after quality (2b — map-only, rides the same projection), and
   * `decontaminateProbes` drops survivors containing a benchmark doc
   * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]).
@@ -68,15 +71,26 @@ object TrainingData {
       decontaminateProbes: Option[DataFrame] = None,
       contaminationThreshold: Double = 0.8,
       maxLmBits: Option[Double] = None,
-      lmReference: Option[DataFrame] = None): DataFrame = {
+      lmReference: Option[DataFrame] = None,
+      stripSpansK: Option[Int] = None,
+      stripSpansMinCount: Int = 2): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
+
+    // 1b. optional duplicate-SPAN strip (the RefinedWeb exact-substring
+    // pass): corpus-duplicated k-token windows are removed from each
+    // survivor's NORMALIZED token stream before any scoring, so boilerplate
+    // shared across documents neither inflates near-dup similarity nor
+    // poisons quality/repetition features. Documents stripped to zero
+    // tokens fall out at the stage-2 size(w) > 0 gate.
+    val spanStripped = stripSpansK.fold(unique)(k =>
+      Dedup.stripDuplicateSpans(unique, idCol, textCol, k, stripSpansMinCount))
 
     // 2+3. language + quality gates (words computed once, shared), plus
     // the optional repetition gate (2b) — Gopher-style duplicate-bigram
     // fraction; map-only like the other per-row gates, so it slots into
     // the same projection at zero extra shuffles. Default 1.0 = disabled.
-    val gatedPlan = unique
+    val gatedPlan = spanStripped
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))

@@ -46,6 +46,30 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     decontaminated shouldBe Set(1L) // doc 3 contains the benchmark item
   }
 
+  test("span-strip stage (1b) removes the shared boilerplate before accounting") {
+    import spark.implicits._
+    // an 8-word boilerplate header shared verbatim by two docs whose bodies
+    // are unique (no other shared 8-token window): k=8 marks exactly the
+    // boiler's tokens as the one duplicated span in each
+    val boiler = "this code is licensed under the apache terms"
+    val docs = Seq(
+      (1L, s"$boiler the data of a table is the thing to scan and filter and sort with joins here"),
+      (2L, s"$boiler a query of rows is the part to group and join and order with windows here")
+    ).toDF("doc_id", "text")
+
+    val plain = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false)
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+    val stripped = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, stripSpansK = Some(8))
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+
+    plain.keySet shouldBe Set(1L, 2L)
+    stripped.keySet shouldBe Set(1L, 2L) // survivors unchanged, text shrunk
+    stripped(1L) shouldBe plain(1L) - 8
+    stripped(2L) shouldBe plain(2L) - 8
+  }
+
   test("defaults reproduce the q45 pipeline on the fixture") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val viaDefaults = TrainingData.clean(docs, "doc_id", "text")
