@@ -94,7 +94,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q100_weighted_sample" -> 2, // partial/final bounded top-k agg + final sort
     "q101_token_drift" -> 8, // two token aggs, two total aggs, vocab join, TakeOrdered
     "q102_token_entropy" -> 3, // (doc,token) agg + per-doc agg + final sort
-    "q103_embedding_drift" -> 8) // two dim-sum aggs + dim join + final agg + two count aggs
+    "q103_embedding_drift" -> 8, // two dim-sum aggs + dim join + final agg + two count aggs
+    "q104_dup_spans" -> 4) // fp agg + dup-set broadcast + one doc_id exchange (window AND agg) + sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
