@@ -947,6 +947,17 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // cross-run duplicate-span detection: first batch against an empty
+    // count table ≡ the batch operator, so q104's oracle applies verbatim
+    // — pins the incremental path's counting, join-back, and span merge
+    "q105_dup_spans_incr" -> ((s, d) => {
+      val spanDir = java.nio.file.Files.createTempDirectory("graft-spans-")
+        .resolve("counts").toString
+      graft.operators.Dedup.incrementalDuplicateSpans(
+        t(s, d, "documents"), "doc_id", "text", spanDir)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc token entropy (gibberish / degenerate-repetition signal):
     // two hash aggregates, H = log2(n) - sum(c*log2 c)/n so one grouping
     // level computes total and sum together
@@ -1293,6 +1304,33 @@ object SparkEntry {
     * the in-plan (1 - 0.85) so the teleport base lands on the identical
     * double). Bit-for-bit rank parity, no tolerance.
     */
+  /** DuckDB twin of q104 AND q105: duplicate-span detection — identical
+    * tokenization, md5-prefix window fingerprints, corpus-wide count
+    * threshold, and the gaps-and-islands span merge. Shared because q105's
+    * first-batch-against-empty-history semantics are exactly the batch
+    * operator. Oracle positions are 1-based vs Spark's 0-based posexplode;
+    * only position DIFFERENCES enter the span identity, so the shift
+    * cancels.
+    */
+  private val q104Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i AS pos,
+           substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS fp
+         FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 6, 1))) AS i)),
+       dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
+       hits AS (
+         SELECT doc_id, pos,
+           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         FROM grams SEMI JOIN dup USING (fp))
+       SELECT doc_id,
+         CAST(count(CASE WHEN gap IS NULL OR gap > 8 THEN 1 END) AS BIGINT) AS dup_spans,
+         CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS dup_tokens
+       FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
   private def q99Oracle: String = {
     val iters = (1 to 3).map { k =>
       s"""c$k AS (
@@ -2418,24 +2456,10 @@ object SparkEntry {
 
     // positions are 1-based here vs Spark's 0-based posexplode — only
     // position DIFFERENCES enter the span identity, so the shift cancels
-    "q104_dup_spans" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
-           FROM documents),
-         grams AS (
-           SELECT doc_id, i AS pos,
-             substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS fp
-           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 6, 1))) AS i)),
-         dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
-         hits AS (
-           SELECT doc_id, pos,
-             pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
-           FROM grams SEMI JOIN dup USING (fp))
-         SELECT doc_id,
-           CAST(count(CASE WHEN gap IS NULL OR gap > 8 THEN 1 END) AS BIGINT) AS dup_spans,
-           CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS dup_tokens
-         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    "q104_dup_spans" -> q104Oracle,
+
+    // first batch against an empty count table ≡ the batch operator
+    "q105_dup_spans_incr" -> q104Oracle,
 
     "q102_token_entropy" ->
       """WITH tc AS (

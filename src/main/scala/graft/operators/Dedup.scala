@@ -154,6 +154,112 @@ object Dedup {
     dataFileCount
   }
 
+  /** Cross-RUN [[duplicateSpans]] for continuous corpus ingestion: a
+    * persistent table at `spanTablePath` accumulates per-window fingerprint
+    * COUNTS (`fp, cnt`, one row per distinct window per batch); a window in
+    * the incoming batch is duplicated when its in-batch count plus the
+    * remembered count reaches `minCount`, so a boilerplate block first seen
+    * last week flags today's recurrence even when today's batch contains it
+    * once. Returns the batch's (idCol, dup_spans, dup_tokens) rows — with
+    * an EMPTY history this is exactly [[duplicateSpans]] of the batch
+    * (spec-pinned) — and appends the batch's window counts for future
+    * calls. Feed it from `foreachBatch`, passing the micro-batch id.
+    *
+    * Same retry-safety discipline as [[incrementalExactDedup]]: counts land
+    * in an overwritten `batch=<id>/` directory the history read EXCLUDES,
+    * so a replayed micro-batch neither double-counts its own first attempt
+    * nor changes its result; the result is materialized to a session-temp
+    * table before the count write so the returned plan is stable no matter
+    * when the caller executes it.
+    *
+    * Table size: one row per distinct window per batch — order corpus
+    * tokens, not corpus bytes, and the rows are 16-hex digests + a long.
+    * Fold the accumulating directories with [[compactSpanCounts]] (sums
+    * counts per fingerprint, unlike the distinct-fold of
+    * [[compactFingerprints]]).
+    */
+  def incrementalDuplicateSpans(docs: DataFrame, idCol: String,
+      textCol: String, spanTablePath: String, k: Int = 8, minCount: Int = 2,
+      batchId: String = null): DataFrame = {
+    val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val grams = docs.select(
+      col(idCol),
+      posexplode(TextFunctions.gramFingerprints(
+        TextFunctions.words(col(textCol)), k)).as(Seq("pos", "fp")))
+    val batchCounts = grams.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    val hist =
+      try spark.read.parquet(spanTablePath)
+        .where(col("batch") =!= bid)
+        .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("fp STRING, cnt BIGINT"))
+      }
+    val dupFps = batchCounts.as("b")
+      .join(hist.as("h"), Seq("fp"), "left")
+      .where(col("b.cnt") + coalesce(col("h.cnt"), lit(0L)) >= minCount)
+      .select(col("fp"))
+    val hits = grams.join(dupFps, Seq("fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val result = graft.io.Spill(
+      hits.withColumn("gap", col("pos") - lag("pos", 1).over(w))
+        .groupBy(col(idCol))
+        .agg(
+          count(when(col("gap").isNull || col("gap") > k, 1)).as("dup_spans"),
+          sum(when(col("gap").isNull || col("gap") >= k, k)
+            .otherwise(col("gap"))).as("dup_tokens")),
+      "graft-spans-")
+    batchCounts.write.mode("overwrite").parquet(s"$spanTablePath/batch=$bid")
+    result
+  }
+
+  /** Compact the [[incrementalDuplicateSpans]] count table: folds all
+    * `batch=<id>/` directories — except the possibly-in-flight
+    * `excludeBatch` — into one directory with counts SUMMED per
+    * fingerprint (a count table folds by addition where
+    * [[compactFingerprints]]' seen-set folds by distinct). The fold is
+    * written before the sources are deleted, so history is never LOST —
+    * but unlike the distinct fold this pair is not idempotent: a crash
+    * between write and delete leaves fold + sources coexisting and counts
+    * read double until the delete is redone. That failure direction is the
+    * conservative one for a dedup gate (inflated counts flag windows as
+    * duplicated EARLIER — a little extra text dropped, never a duplicate
+    * silently kept), which is why fold-before-delete is the right order
+    * here too. Returns the number of parquet data files after compaction.
+    */
+  def compactSpanCounts(spark: org.apache.spark.sql.SparkSession,
+      spanTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(spanTablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFileCount: Int = {
+      val it = fs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val sources = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filterNot(p => excludeBatch != null && p.getName == s"batch=$excludeBatch")
+    if (sources.length <= 1) return dataFileCount
+    val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
+      .coalesce(nFiles)
+      .write.mode("overwrite")
+      .parquet(s"$spanTablePath/batch=compact-" +
+        java.util.UUID.randomUUID().toString.take(12))
+    sources.foreach(fs.delete(_, true))
+    dataFileCount
+  }
+
   /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
     * explode distinct shingles, self-join on the shingle (this is the only
     * shuffle that grows with corpus size), count co-occurrences = |A∩B|,

@@ -86,6 +86,58 @@ class DuplicateSpansSpec extends AnyFunSuite with Matchers with SparkSpec {
     stripped(2)._2 shouldBe filler("w", 30) // clean doc: normalized passthrough
   }
 
+  test("incremental spans: empty history reproduces the batch operator; " +
+      "history flags cross-batch recurrence; replay and compaction are stable") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-span-counts").toString + "/counts"
+
+    val batch1 = Seq(
+      (1L, s"$boiler ${filler("u", 12)}"),
+      (2L, s"${filler("v", 12)} $boiler")).toDF("doc_id", "text")
+    val got1 = Dedup.incrementalDuplicateSpans(
+        batch1, "doc_id", "text", table, k = 8, batchId = "b1")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val eager1 = Dedup.duplicateSpans(batch1, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    got1 shouldBe eager1 // empty history: exactly the batch operator
+
+    // batch 2 holds the boiler ONCE (unique within the batch) plus a truly
+    // novel block: only the remembered boiler flags
+    val batch2 = Seq(
+      (10L, s"$boiler ${filler("x", 12)}"),
+      (11L, s"${filler("y", 12)} kilo lima mike november oscar papa quebec romeo"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.incrementalDuplicateSpans(
+        batch2, "doc_id", "text", table, k = 8, batchId = "b2")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    got2 shouldBe Array((10L, 1L, 8L))
+
+    // replaying batch 2 (same id) must not count its own first attempt:
+    // identical result, not an inflated one
+    val replay = Dedup.incrementalDuplicateSpans(
+        batch2, "doc_id", "text", table, k = 8, batchId = "b2")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    replay shouldBe got2
+
+    // compaction folds the batch dirs; a third batch reads the same history
+    val before = Dedup.incrementalDuplicateSpans(
+        Seq((20L, s"$boiler ${filler("z", 12)}")).toDF("doc_id", "text"),
+        "doc_id", "text", table, k = 8, batchId = "probe")
+      .as[(Long, Long, Long)].collect()
+    // drop the probe's own counts again so the comparison is clean
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/batch=probe"), true)
+    Dedup.compactSpanCounts(spark, table) should be >= 1
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .count(_.getPath.getName.startsWith("batch=")) shouldBe 1
+    val after = Dedup.incrementalDuplicateSpans(
+        Seq((20L, s"$boiler ${filler("z", 12)}")).toDF("doc_id", "text"),
+        "doc_id", "text", table, k = 8, batchId = "probe2")
+      .as[(Long, Long, Long)].collect()
+    after shouldBe before
+  }
+
   test("token conservation: kept = total - dup_tokens for every document") {
     val docs = Seq(
       (1L, s"$boiler india juliet ${filler("u", 12)}"),
