@@ -951,8 +951,7 @@ object SparkEntry {
     // count table ≡ the batch operator, so q104's oracle applies verbatim
     // — pins the incremental path's counting, join-back, and span merge
     "q105_dup_spans_incr" -> ((s, d) => {
-      val spanDir = java.nio.file.Files.createTempDirectory("graft-spans-")
-        .resolve("counts").toString
+      val spanDir = graft.io.Spill.tempDir("graft-spans-") + "/counts"
       graft.operators.Dedup.incrementalDuplicateSpans(
         t(s, d, "documents"), "doc_id", "text", spanDir)
         .orderBy(col("doc_id"))
@@ -1304,6 +1303,31 @@ object SparkEntry {
     * the in-plan (1 - 0.85) so the teleport base lands on the identical
     * double). Bit-for-bit rank parity, no tolerance.
     */
+  private def q99Oracle: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (
+           SELECT e.dst AS node, sum(CAST(p.rank / d.outdeg AS DECIMAL(38,18))) AS s
+           FROM pr${k - 1} p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+           GROUP BY e.dst),
+         pr$k AS (
+           SELECT nd.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN c$k c ON c.node = nd.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ol AS (
+           SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM ol UNION SELECT p, c FROM ol),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+                 FROM nodes CROSS JOIN nn),
+         $iters
+         SELECT node, round(rank, 9) AS rank FROM pr3 ORDER BY node"""
+  }
+
   /** DuckDB twin of q104 AND q105: duplicate-span detection — identical
     * tokenization, md5-prefix window fingerprints, corpus-wide count
     * threshold, and the gaps-and-islands span merge. Shared because q105's
@@ -1330,31 +1354,6 @@ object SparkEntry {
          CAST(count(CASE WHEN gap IS NULL OR gap > 8 THEN 1 END) AS BIGINT) AS dup_spans,
          CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS dup_tokens
        FROM hits GROUP BY doc_id ORDER BY doc_id"""
-
-  private def q99Oracle: String = {
-    val iters = (1 to 3).map { k =>
-      s"""c$k AS (
-           SELECT e.dst AS node, sum(CAST(p.rank / d.outdeg AS DECIMAL(38,18))) AS s
-           FROM pr${k - 1} p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
-           GROUP BY e.dst),
-         pr$k AS (
-           SELECT nd.node,
-             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
-           FROM nodes nd CROSS JOIN nn LEFT JOIN c$k c ON c.node = nd.node)"""
-    }.mkString(",\n         ")
-    s"""WITH ol AS (
-           SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS p
-           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT c AS src, p AS dst FROM ol UNION SELECT p, c FROM ol),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         nn AS (SELECT count(*) AS n FROM nodes),
-         pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
-                 FROM nodes CROSS JOIN nn),
-         $iters
-         SELECT node, round(rank, 9) AS rank FROM pr3 ORDER BY node"""
-  }
 
   private def q32Oracle: String =
     s"""WITH $lshPostedCte,

@@ -38,6 +38,17 @@ object Spill {
     while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
   }
 
+  /** A registered local temp directory (deleted by the same shutdown hook /
+    * [[releaseAll]]) for callers needing a scratch PATH rather than a
+    * spilled frame — e.g. a battery query materializing a per-call state
+    * table that must not accumulate across bench repeats.
+    */
+  def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    onExit(() => deleteRecursively(d.toFile))
+    d.toString
+  }
+
   def apply(df: DataFrame, prefix: String = "graft-spill-"): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption("spark.graft.spill.dir") match {

@@ -96,8 +96,12 @@ object Dedup {
       TextFunctions.fingerprint(col(textCol)).as("fp"))
     // in-batch collapse: (fp, min id) pairs
     val batchReps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    // explicit schema: partition-value inference would type `batch` as int
+    // when every existing dir id happens to be numeric (e.g. streaming
+    // epoch ids), and the =!= against a non-numeric bid then crashes under
+    // ANSI (or NULLs out the whole history without it)
     val seen =
-      try spark.read.parquet(fpTablePath)
+      try spark.read.schema("fp STRING, batch STRING").parquet(fpTablePath)
         .where(col("batch") =!= bid).select(col("fp"))
       catch { case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" =>
@@ -184,13 +188,13 @@ object Dedup {
     val spark = docs.sparkSession
     val bid = Option(batchId).getOrElse(
       "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-    val grams = docs.select(
-      col(idCol),
-      posexplode(TextFunctions.gramFingerprints(
-        TextFunctions.words(col(textCol)), k)).as(Seq("pos", "fp")))
+    val grams = windowGrams(docs, idCol, textCol, k)
     val batchCounts = grams.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    // explicit schema for the same reason as [[incrementalExactDedup]]'s
+    // seen-read: all-numeric batch dirs would infer `batch` as int
     val hist =
-      try spark.read.parquet(spanTablePath)
+      try spark.read.schema("fp STRING, cnt BIGINT, batch STRING")
+        .parquet(spanTablePath)
         .where(col("batch") =!= bid)
         .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
       catch { case e: org.apache.spark.sql.AnalysisException
@@ -204,16 +208,7 @@ object Dedup {
       .select(col("fp"))
     val hits = grams.join(dupFps, Seq("fp"), "left_semi")
       .select(col(idCol), col("pos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-    val result = graft.io.Spill(
-      hits.withColumn("gap", col("pos") - lag("pos", 1).over(w))
-        .groupBy(col(idCol))
-        .agg(
-          count(when(col("gap").isNull || col("gap") > k, 1)).as("dup_spans"),
-          sum(when(col("gap").isNull || col("gap") >= k, k)
-            .otherwise(col("gap"))).as("dup_tokens")),
-      "graft-spans-")
+    val result = graft.io.Spill(spanAgg(hits, idCol, k), "graft-spans-")
     batchCounts.write.mode("overwrite").parquet(s"$spanTablePath/batch=$bid")
     result
   }
@@ -222,15 +217,20 @@ object Dedup {
     * `batch=<id>/` directories — except the possibly-in-flight
     * `excludeBatch` — into one directory with counts SUMMED per
     * fingerprint (a count table folds by addition where
-    * [[compactFingerprints]]' seen-set folds by distinct). The fold is
-    * written before the sources are deleted, so history is never LOST —
-    * but unlike the distinct fold this pair is not idempotent: a crash
-    * between write and delete leaves fold + sources coexisting and counts
-    * read double until the delete is redone. That failure direction is the
+    * [[compactFingerprints]]' seen-set folds by distinct). Because a count
+    * fold is NOT naturally idempotent (re-summing a fold together with the
+    * sources it already includes bakes doubled counts in permanently), the
+    * fold is guarded by an `_compact_inflight` marker at the table root:
+    * written (target + source names) before the fold, removed after the
+    * source delete. A retry after a crash at ANY point first completes or
+    * rolls back the recorded fold — sources are deleted iff the target
+    * finished (`_SUCCESS`), a partial target is dropped — so counts can
+    * read double only in the transient window between fold-write and
+    * delete, never permanently. That transient direction is the
     * conservative one for a dedup gate (inflated counts flag windows as
     * duplicated EARLIER — a little extra text dropped, never a duplicate
-    * silently kept), which is why fold-before-delete is the right order
-    * here too. Returns the number of parquet data files after compaction.
+    * silently kept). Returns the number of parquet data files after
+    * compaction.
     */
   def compactSpanCounts(spark: org.apache.spark.sql.SparkSession,
       spanTablePath: String, excludeBatch: String = null,
@@ -244,19 +244,42 @@ object Dedup {
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
+    val marker = new org.apache.hadoop.fs.Path(root, "_compact_inflight")
+    // recover a crashed predecessor before reading anything: finish its
+    // delete if the fold completed, drop the partial fold if not
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines match {
+        case target :: staleSources =>
+          val targetPath = new org.apache.hadoop.fs.Path(root, target)
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath, "_SUCCESS")))
+            staleSources.foreach(n =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+          else fs.delete(targetPath, true)
+        case Nil =>
+      }
+      fs.delete(marker, false)
+    }
     val sources = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("batch="))
       .filterNot(p => excludeBatch != null && p.getName == s"batch=$excludeBatch")
     if (sources.length <= 1) return dataFileCount
     val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val targetName = "batch=compact-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val out = fs.create(marker, true)
+    try out.write((targetName +: sources.map(_.getName))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
     spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
       .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
       .coalesce(nFiles)
       .write.mode("overwrite")
-      .parquet(s"$spanTablePath/batch=compact-" +
-        java.util.UUID.randomUUID().toString.take(12))
+      .parquet(s"$spanTablePath/$targetName")
     sources.foreach(fs.delete(_, true))
+    fs.delete(marker, false)
     dataFileCount
   }
 
@@ -515,8 +538,28 @@ object Dedup {
     * DuckDB oracle (q104).
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minCount: Int = 2): DataFrame = {
-    val hits = duplicateWindowPositions(docs, idCol, textCol, k, minCount)
+      k: Int = 8, minCount: Int = 2): DataFrame =
+    spanAgg(duplicateWindowPositions(docs, idCol, textCol, k, minCount),
+      idCol, k)
+
+  /** (idCol, pos, fp) of every k-token window, fingerprinted — the shared
+    * gram builder of [[duplicateSpans]] and [[incrementalDuplicateSpans]].
+    */
+  private def windowGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      posexplode(TextFunctions.gramFingerprints(
+        TextFunctions.words(col(textCol)), k)).as(Seq("pos", "fp")))
+
+  /** The gaps-and-islands span merge over duplicated-window hits
+    * (idCol, pos): with same-length sorted windows, a new span starts
+    * exactly when `pos - prev_pos > k`, and coverage adds `k` for a span
+    * head and `min(gap, k)` after. Oracle-pinned core shared by
+    * [[duplicateSpans]] and [[incrementalDuplicateSpans]] (q104/q105
+    * replicate this identity verbatim in DuckDB).
+    */
+  private def spanAgg(hits: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     hits
@@ -533,10 +576,7 @@ object Dedup {
     */
   private def duplicateWindowPositions(docs: DataFrame, idCol: String,
       textCol: String, k: Int, minCount: Int): DataFrame = {
-    val grams = docs.select(
-      col(idCol),
-      posexplode(TextFunctions.gramFingerprints(
-        TextFunctions.words(col(textCol)), k)).as(Seq("pos", "fp")))
+    val grams = windowGrams(docs, idCol, textCol, k)
     val dup = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
@@ -553,25 +593,37 @@ object Dedup {
     * (spec-pinned).
     *
     * The per-document coverage test is an indexed-lambda filter over the
-    * token array against the SORTED duplicated-position list — O(tokens x
-    * spans) interpreted work confined to documents that HAVE duplicates
-    * (the left join keeps the clean majority out of the lambda's way).
+    * token array against the MERGED [start, end) span list — not the raw
+    * window-position list, which for a boilerplate-heavy document holds
+    * ~one entry per token and would make the lambda quadratic in document
+    * length. Merging first (the same gaps-and-islands identity as
+    * [[spanAgg]], expressed as a running span-id) bounds the inner scan at
+    * the span count, and the left join keeps the clean majority out of the
+    * lambda's way entirely.
     */
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Int = 2): DataFrame = {
-    val dupPos = duplicateWindowPositions(docs, idCol, textCol, k, minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val spans = duplicateWindowPositions(docs, idCol, textCol, k, minCount)
+      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .withColumn("span_id",
+        sum(when(col("gap").isNull || col("gap") > k, 1).otherwise(0)).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("pos"))).as("__dup_pos"))
-    docs.join(dupPos, Seq(idCol), "left")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__dup_spans"))
+    docs.join(spans, Seq(idCol), "left")
       .withColumn(textCol, {
         val ws = TextFunctions.words(col(textCol))
-        when(col("__dup_pos").isNull, concat_ws(" ", ws))
+        when(col("__dup_spans").isNull, concat_ws(" ", ws))
           .otherwise(concat_ws(" ",
             filter(ws, (_, i) =>
-              !exists(col("__dup_pos"),
-                p => i >= p && i < p + k))))
+              !exists(col("__dup_spans"),
+                sp => i >= sp.getField("s") && i < sp.getField("e")))))
       })
-      .drop("__dup_pos")
+      .drop("__dup_spans")
   }
 
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,

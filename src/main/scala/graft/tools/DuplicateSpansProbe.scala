@@ -32,7 +32,7 @@ object DuplicateSpansProbe {
         col("text"))).reduce(_ unionAll _)
       val t0 = System.nanoTime()
       val agg = Dedup.duplicateSpans(corpus, "doc_id", "text")
-        .agg(count(lit(1)), sum(col("dup_tokens"))).head()
+        .agg(count(lit(1)), coalesce(sum(col("dup_tokens")), lit(0L))).head()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"m=$m%d rows=${m * baseRows}%d flaggedDocs=${agg.getLong(0)}%d " +
         f"dupTokens=${agg.getLong(1)}%d secs=$secs%.2f")

@@ -138,6 +138,67 @@ class DuplicateSpansSpec extends AnyFunSuite with Matchers with SparkSpec {
     after shouldBe before
   }
 
+  test("all-numeric batch dirs (streaming epoch ids) still read as strings " +
+      "for a later non-numeric batch id") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-span-epochs").toString + "/counts"
+    // epoch-style ids make every partition value numeric; without an
+    // explicit read schema Spark infers `batch` as int and the history
+    // filter against "oneshot-<uuid>" crashes under ANSI
+    Dedup.incrementalDuplicateSpans(
+      Seq((1L, s"$boiler ${filler("u", 12)}")).toDF("doc_id", "text"),
+      "doc_id", "text", table, k = 8, batchId = "0").collect()
+    val oneshot = Dedup.incrementalDuplicateSpans(
+        Seq((2L, s"$boiler ${filler("v", 12)}")).toDF("doc_id", "text"),
+        "doc_id", "text", table, k = 8, batchId = null)
+      .as[(Long, Long, Long)].collect()
+    oneshot shouldBe Array((2L, 1L, 8L)) // history seen, not crashed/empty
+  }
+
+  test("compaction retry after a crash between fold-write and source-delete " +
+      "repairs instead of doubling counts") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-span-crash").toString + "/counts"
+    val root = new org.apache.hadoop.fs.Path(table)
+    Dedup.incrementalDuplicateSpans(
+      Seq((1L, s"$boiler ${filler("u", 12)}")).toDF("doc_id", "text"),
+      "doc_id", "text", table, k = 8, batchId = "b1").collect()
+    Dedup.incrementalDuplicateSpans(
+      Seq((2L, s"$boiler ${filler("v", 12)}")).toDF("doc_id", "text"),
+      "doc_id", "text", table, k = 8, batchId = "b2").collect()
+    val truth = spark.read.schema("fp STRING, cnt BIGINT, batch STRING")
+      .parquet(table).groupBy("fp").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash state 1: completed fold + sources + marker (died before delete)
+    spark.read.parquet(s"$table/batch=b1", s"$table/batch=b2")
+      .groupBy("fp").agg(sum("cnt").as("cnt"))
+      .write.parquet(s"$table/batch=compact-crashed")
+    val marker = new org.apache.hadoop.fs.Path(root, "_compact_inflight")
+    val out = fs.create(marker, true)
+    out.write("batch=compact-crashed\nbatch=b1\nbatch=b2".getBytes("UTF-8"))
+    out.close()
+    Dedup.compactSpanCounts(spark, table)
+    spark.read.schema("fp STRING, cnt BIGINT, batch STRING")
+      .parquet(table).groupBy("fp").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap shouldBe truth // NOT doubled
+    fs.exists(marker) shouldBe false
+
+    // crash state 2: marker + PARTIAL fold (no _SUCCESS) — rolled back,
+    // sources kept, counts unchanged
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "batch=compact-partial"))
+    val out2 = fs.create(marker, true)
+    out2.write("batch=compact-partial\nbatch=never-deleted".getBytes("UTF-8"))
+    out2.close()
+    Dedup.compactSpanCounts(spark, table)
+    fs.exists(new org.apache.hadoop.fs.Path(root, "batch=compact-partial")) shouldBe false
+    fs.exists(marker) shouldBe false
+    spark.read.schema("fp STRING, cnt BIGINT, batch STRING")
+      .parquet(table).groupBy("fp").agg(sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap shouldBe truth
+  }
+
   test("token conservation: kept = total - dup_tokens for every document") {
     val docs = Seq(
       (1L, s"$boiler india juliet ${filler("u", 12)}"),
