@@ -957,6 +957,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // policy dedup: corpus unioned with a simulated recrawl (same texts,
+    // shifted ids, source='recrawl'); even-id recrawl copies carry higher
+    // priority and win their group, odd-id ones tie and lose to min-id —
+    // both branches of the packed max_by selection exercised
+    "q106_dedup_priority" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val recrawl = docs.select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("text"), lit("recrawl").as("source"))
+      graft.operators.Dedup.exactGroupsBy(
+          docs.unionByName(recrawl), "doc_id", "text",
+          when(col("source") === "recrawl" && col("doc_id") % 2 === 0, 2)
+            .otherwise(1))
+        .select(col("keep_id"), col("dup_cnt"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // temperature mixing (alpha=0.5 flattens the source distribution;
+    // up-weighted sources repeat with mix_copy) — per-source aggregate
+    // pins counts, kept mass, and the exact copy multiset
+    "q107_temperature_mix" -> ((s, d) =>
+      graft.operators.Mixing.mixByTemperature(
+          t(s, d, "documents"), "doc_id", "source", "n_chars",
+          alpha = 0.5, totalBudget = 180000, salt = "t")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("kept_chars"),
+          sum(col("doc_id") * col("mix_copy")).cast("long").as("copy_id_sum"))
+        .orderBy(col("source"))),
+
+    // adaptive per-language quality floor: keep docs at/above their own
+    // language's p25 quality — the threshold aggregate broadcasts back,
+    // the corpus never shuffles
+    "q108_quantile_floor" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.TextAnalysis
+        .quality(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Profile
+        .groupQuantileFloor(scored, "lang", "quality", 0.25)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc token entropy (gibberish / degenerate-repetition signal):
     // two hash aggregates, H = log2(n) - sum(c*log2 c)/n so one grouping
     // level computes total and sum together
@@ -2459,6 +2505,68 @@ object SparkEntry {
 
     // first batch against an empty count table ≡ the batch operator
     "q105_dup_spans_incr" -> q104Oracle,
+
+    // 1099511627776 = 2^40, the same pack base the engine's max_by uses
+    "q106_dedup_priority" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text, 'recrawl' FROM documents)
+         SELECT arg_max(doc_id,
+             (CASE WHEN source = 'recrawl' AND doc_id % 2 = 0
+                   THEN 2 ELSE 1 END) * 1099511627776 - doc_id) AS keep_id,
+           count(*) AS dup_cnt
+         FROM all_docs
+         GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY keep_id""",
+
+    "q107_temperature_mix" ->
+      """WITH tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+         p AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS pw FROM tot),
+         r AS (
+           SELECT source,
+             round(least(180000.0 * pw / (SELECT sum(pw) FROM p)
+                 / CAST(n AS DOUBLE), 10.0), 12) AS rate
+           FROM p),
+         c AS (
+           SELECT d.source, d.doc_id, d.n_chars, r.rate, u.mix_copy
+           FROM documents d JOIN r USING (source),
+             LATERAL (SELECT unnest(range(1,
+               CAST(ceil(r.rate) AS BIGINT) + 1)) AS mix_copy) u
+           WHERE r.rate > 0),
+         kept AS (
+           SELECT * FROM c
+           WHERE mix_copy <= floor(rate)
+              OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 't'), 1, 8))
+                   AS UBIGINT) / 4294967296.0 < rate - floor(rate))
+         SELECT source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(sum(doc_id * mix_copy) AS BIGINT) AS copy_id_sum
+         FROM kept GROUP BY source ORDER BY source""",
+
+    // quality expression mirrors q34; quantile_cont ≡ Spark's exact
+    // interpolated percentile (parity established by q55)
+    "q108_quantile_floor" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             round(0.5 * (len(list_distinct(w)) / len(w))
+                 + 0.3 * (s_en / len(w))
+                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           FROM (
+             SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en
+             FROM documents)
+           WHERE len(w) > 0),
+         thr AS (
+           SELECT lang, round(quantile_cont(quality, 0.25), 9) AS t
+           FROM scored GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.quality
+         FROM scored s JOIN thr USING (lang)
+         WHERE s.quality >= thr.t
+         ORDER BY s.doc_id""",
 
     "q102_token_entropy" ->
       """WITH tc AS (

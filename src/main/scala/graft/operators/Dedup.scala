@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -39,6 +39,38 @@ object Dedup {
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** [[exactGroups]] with a caller-chosen keep POLICY: within each
+    * normalized-text group the survivor maximizes `priority` (ties broken
+    * by MIN id) instead of the unconditional min-id pick — the policy a
+    * real corpus wants when duplicates span sources of different trust
+    * (keep the curated or freshly-recrawled copy, not whichever landed
+    * first). Same single digest-keyed hash aggregate as [[exactGroups]]:
+    * the (max priority, min id) selection rides ONE packed long through
+    * `max_by` — `priority * 2^40 - id` — which the DuckDB oracle (q106)
+    * recomputes with the identical integer arithmetic via `arg_max`.
+    * Requires `0 <= id < 2^40` and `0 <= priority < ~2^22`; ids beyond
+    * the pack range need a two-aggregate form instead.
+    */
+  def exactGroupsBy(docs: DataFrame, idCol: String, textCol: String,
+      priority: Column): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(
+        max_by(col(idCol),
+          priority.cast("long") * lit(1L << 40) - col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_cnt"))
+
+  /** [[exactDedup]] under the [[exactGroupsBy]] keep policy: one surviving
+    * row per normalized text, survivor = highest-priority (then min-id)
+    * member of its duplicate group.
+    */
+  def exactDedupBy(docs: DataFrame, idCol: String, textCol: String,
+      priority: Column): DataFrame =
+    docs.join(
+      exactGroupsBy(docs, idCol, textCol, priority)
+        .select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
   /** [[exactDedup]] in ONE pass: row_number over the fingerprint, keep

@@ -47,4 +47,52 @@ object Mixing {
       .where(Sampling.unitHash(col(idCol), salt) < col("__frac"))
       .drop("__total", "__frac")
   }
+
+  /** Temperature-based source mixing (the multinomial-with-exponent
+    * schedule of multilingual LM training, XLM-R/mT5 style): source i
+    * gets probability `n_i^alpha / sum_j n_j^alpha` of the total token
+    * budget, so `alpha < 1` flattens the natural distribution — small
+    * sources are UP-weighted, dominant crawls down-weighted — and
+    * `alpha = 1` reduces to proportional sampling. The per-source keep
+    * rate `budget_i / n_i` may exceed 1: up-weighted sources are
+    * REPEATED, each kept row tagged with `mix_copy` (1-based), full
+    * copies kept outright and the fractional last copy decided by the
+    * same unit hash as [[mixToTokenBudget]] — membership stays a pure
+    * function of (id, salt), reproducible and partitioning-invariant.
+    * `maxRate` caps repetition (a tiny source under small alpha would
+    * otherwise repeat unboundedly; capping at a few epochs is standard).
+    *
+    * Scale shape: one tiny per-source aggregate + a one-row normalizer,
+    * broadcast back; the corpus itself never shuffles — the only
+    * corpus-sized work is the map-side explode of at most
+    * `ceil(rate) <= maxRate` copies. Rates are rounded to 12 decimals so
+    * the oracle's independently-computed doubles agree bit-for-bit on
+    * every membership comparison.
+    */
+  def mixByTemperature(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, alpha: Double, totalBudget: Long,
+      salt: String = "", maxRate: Double = 10.0): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(maxRate >= 1, "maxRate must be >= 1")
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__n"))
+      .withColumn("__pw", pow(col("__n").cast("double"), lit(alpha)))
+    val z = totals.agg(sum(col("__pw")).as("__z"))
+    val rates = totals.crossJoin(broadcast(z))
+      .withColumn("__rate",
+        round(least(
+          lit(totalBudget.toDouble) * col("__pw") / col("__z")
+            / col("__n").cast("double"),
+          lit(maxRate)), 12))
+      .select(col(sourceCol), col("__rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .where(col("__rate") > 0)
+      .withColumn("mix_copy",
+        explode(sequence(lit(1), ceil(col("__rate")).cast("int"))))
+      .where(col("mix_copy") <= floor(col("__rate")) ||
+        Sampling.unitHash(col(idCol), salt) <
+          col("__rate") - floor(col("__rate")))
+      .drop("__rate")
+  }
 }

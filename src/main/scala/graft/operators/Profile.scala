@@ -48,4 +48,41 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_v"), col("max_v"))
   }
+
+  /** Adaptive per-group floor: keep rows at or above their OWN group's
+    * q-quantile of `valueCol` — the per-language quality gate a
+    * multilingual corpus needs, where one global threshold over-filters
+    * low-resource languages whose score distribution simply sits lower
+    * (CCNet filters per language for exactly this reason).
+    *
+    * Shape: the thresholds are one hash aggregate producing a row per
+    * group, broadcast back onto the scan — the corpus itself never
+    * shuffles. Exact interpolated percentile so an external engine can
+    * replay membership (q108); thresholds are rounded to 9 decimals so
+    * the boundary comparison agrees bit-for-bit cross-engine. At 100 TB
+    * swap in [[groupQuantileFloorApprox]]: same shape with
+    * `approx_percentile`, tolerance-gated in `ProfileSpec` rather than
+    * oracle-replayed.
+    */
+  def groupQuantileFloor(df: DataFrame, groupCol: String, valueCol: String,
+      q: Double): DataFrame =
+    floorBy(df, groupCol, valueCol,
+      call_function("percentile", col(valueCol), lit(q)))
+
+  /** [[groupQuantileFloor]] with the sketch-based percentile — no exact
+    * sort state per group, the 100 TB form.
+    */
+  def groupQuantileFloorApprox(df: DataFrame, groupCol: String,
+      valueCol: String, q: Double): DataFrame =
+    floorBy(df, groupCol, valueCol,
+      percentile_approx(col(valueCol), lit(q), lit(10000)))
+
+  private def floorBy(df: DataFrame, groupCol: String, valueCol: String,
+      quantile: Column): DataFrame = {
+    val thr = df.groupBy(col(groupCol))
+      .agg(round(quantile, 9).as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -122,4 +122,42 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     next.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(10L)
     spark.read.parquet(table).select("fp").distinct().count() shouldBe 3
   }
+
+  test("priority dedup keeps the highest-priority member, min id on ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      // group A: priorities 1,2,1 -> id 6 (the only priority-2 row) wins
+      (5L, "alpha beta gamma", 1),
+      (6L, "ALPHA  beta GAMMA", 2),
+      (7L, "alpha beta gamma", 1),
+      // group B: all priority 1 -> min id 8 wins
+      (9L, "delta epsilon", 1),
+      (8L, "delta  EPSILON", 1),
+      // group C: two priority-3 rows tie -> min id 20 of that rank, even
+      // though a lower-priority row has the global min id 19
+      (19L, "zeta eta", 1),
+      (21L, "zeta ETA", 3),
+      (20L, "ZETA eta", 3)
+    ).toDF("doc_id", "text", "prio")
+    val groups = Dedup.exactGroupsBy(docs, "doc_id", "text", col("prio"))
+      .select("keep_id", "dup_cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    groups shouldBe Set((6L, 3L), (8L, 2L), (20L, 3L))
+    Dedup.exactDedupBy(docs, "doc_id", "text", col("prio"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(6L, 8L, 20L)
+  }
+
+  test("priority dedup with constant priority equals plain exactGroups") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plain = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "dup_cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Dedup.exactGroupsBy(docs, "doc_id", "text", lit(1))
+      .select("keep_id", "dup_cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    flat shouldBe plain
+  }
 }

@@ -61,4 +61,43 @@ class MixingSpec extends AnyFunSuite with Matchers with SparkSpec {
     val a = mix("a"); val b = mix("b")
     a should not be b
   }
+
+  test("temperature alpha=1 with budget = total keeps everything exactly once") {
+    val out = Mixing.mixByTemperature(corpus, "doc_id", "source", "tokens",
+      alpha = 1.0, totalBudget = 11_000L) // total mass = 1100 docs x 10
+    out.count() shouldBe 1100L
+    out.agg(max(col("mix_copy"))).collect()(0).getInt(0) shouldBe 1
+  }
+
+  test("temperature alpha<1 up-weights the small source with repetition") {
+    // alpha=0.5: pw_small/pw_big = sqrt(1000/10000) ~ 0.316 vs proportional
+    // 0.1 — the small source's kept-token share must EXCEED its natural
+    // share, and with a large budget its rate exceeds 1 so copies appear
+    val out = Mixing.mixByTemperature(corpus, "doc_id", "source", "tokens",
+      alpha = 0.5, totalBudget = 11_000L)
+    val bySource = out.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("mix_copy")).as("maxc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // rate_small = 11000 * (sqrt(1000)/(sqrt(1000)+sqrt(10000))) / 1000 ~ 2.64
+    bySource("small")._2 should be >= 2 // repeated copies present
+    val smallShare = bySource("small")._1.toDouble / out.count()
+    smallShare should be > (100.0 / 1100.0) // above natural share
+  }
+
+  test("temperature membership is partitioning-invariant and deterministic") {
+    def cut(df: org.apache.spark.sql.DataFrame) =
+      Mixing.mixByTemperature(df, "doc_id", "source", "tokens",
+        alpha = 0.7, totalBudget = 6000L, salt = "s")
+        .select("doc_id", "mix_copy").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val once = cut(corpus)
+    cut(corpus.repartition(13)) shouldBe once
+    once should not be empty
+  }
+
+  test("temperature maxRate caps repetition") {
+    val out = Mixing.mixByTemperature(corpus, "doc_id", "source", "tokens",
+      alpha = 0.1, totalBudget = 1_000_000L, maxRate = 3.0)
+    out.agg(max(col("mix_copy"))).collect()(0).getInt(0) should be <= 3
+  }
 }

@@ -72,4 +72,33 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.profile(fixture, Nil)
   }
+
+  test("group quantile floor keeps each group's own upper tail") {
+    import spark.implicits._
+    // group a: values 1..4, p50 (interpolated) = 2.5 -> keep {3,4}
+    // group b: values 10..12, p50 = 11 -> keep {11,12} (>= keeps the
+    // threshold point itself when it IS a data value)
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0)
+    ).toDF("g", "v")
+    val kept = Profile.groupQuantileFloor(df, "g", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    kept shouldBe Set(("a", 3.0), ("a", 4.0), ("b", 11.0), ("b", 12.0))
+  }
+
+  test("approx quantile floor tracks the exact one on real data") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("v"))
+    def keptIds(f: (org.apache.spark.sql.DataFrame, String, String, Double)
+        => org.apache.spark.sql.DataFrame) =
+      f(docs, "lang", "v", 0.25).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = keptIds(Profile.groupQuantileFloor)
+    val approx = keptIds(Profile.groupQuantileFloorApprox)
+    exact should not be empty
+    // sketch threshold may admit/drop a boundary sliver, never much more
+    val sym = (exact diff approx) ++ (approx diff exact)
+    sym.size.toDouble should be <= (exact.size * 0.05 + 1)
+  }
 }
