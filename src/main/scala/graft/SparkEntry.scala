@@ -989,14 +989,26 @@ object SparkEntry {
           sum(col("doc_id") * col("mix_copy")).cast("long").as("copy_id_sum"))
         .orderBy(col("source"))),
 
+    // cross-run near-dup: first batch against an empty signature table ≡
+    // the in-batch LSH operator plus the component-match estimate — pins
+    // the incremental path's signatures, banding, pairing, and estimate
+    "q109_minhash_incr" -> ((s, d) => {
+      val sigDir = graft.io.Spill.tempDir("graft-mhsig-") + "/sigs"
+      graft.operators.Dedup.incrementalMinhashLsh(
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", sigDir)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // adaptive per-language quality floor: keep docs at/above their own
     // language's p25 quality — the threshold aggregate broadcasts back,
     // the corpus never shuffles
     "q108_quantile_floor" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // lang rides through the quality projection (carry), so the plan is
+      // scan -> map-only scoring -> tiny threshold agg broadcast back —
+      // no corpus self-join, no corpus shuffle
       val scored = graft.operators.TextAnalysis
-        .quality(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .quality(t(s, d, "documents"), "doc_id", "text", carry = Seq("lang"))
       graft.operators.Profile
         .groupQuantileFloor(scored, "lang", "quality", 0.25)
         .select(col("doc_id"), col("lang"), col("quality"))
@@ -1189,14 +1201,18 @@ object SparkEntry {
     * `HashFamilies.coefficients(16, 7L)`), buckets band-wise (rowsPerBand=1:
     * bucket = signature value) and joins for candidate pairs.
     */
-  private def q28Oracle: String = {
+  /** md5-hash-family CTE scaffold shared by q28 and q109: per-doc shingle
+    * sets, hashed base values, the 16-column signature, and the
+    * rowsPerBand=1 band postings.
+    */
+  private def minhashSigCtes: String = {
     val coeffs = graft.functions.HashFamilies.coefficients(16, 7L)
     val p = graft.functions.HashFamilies.Prime
     val sigCols = coeffs.zipWithIndex
       .map { case ((a, b), j) => s"min(($a * h + $b) % $p) AS s$j" }
       .mkString(",\n             ")
     val sigList = coeffs.indices.map(j => s"s$j").mkString("[", ", ", "]")
-    s"""WITH dd AS (
+    s"""dd AS (
           SELECT doc_id,
             list_distinct(list_transform(range(1, len(w)-1),
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -1216,10 +1232,32 @@ object SparkEntry {
         bands AS (
           SELECT doc_id, unnest($sigList) AS bucket,
             unnest(range(0, ${coeffs.length})) AS band
-          FROM sig)
+          FROM sig)"""
+  }
+
+  private def q28Oracle: String =
+    s"""WITH $minhashSigCtes
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b"""
+
+  /** DuckDB twin of q109 (first batch against an EMPTY signature table ≡
+    * the in-batch operator): q28's candidate pairs plus the MinHash
+    * similarity estimate — matching signature components / 16.
+    */
+  private def q109Oracle: String = {
+    val matchSum = (0 until 16)
+      .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashSigCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b, ($matchSum) / 16.0 AS est_jaccard
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a
+          JOIN sig sb ON sb.doc_id = p.id_b
         ORDER BY id_a, id_b"""
   }
 
@@ -1461,6 +1499,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q28_dedup_minhash" -> q28Oracle,
+    "q109_minhash_incr" -> q109Oracle,
     "q29_simhash" -> q29Oracle,
     "q32_ann_lsh" -> q32Oracle,
     "q95_batch_ann" -> q95Oracle,

@@ -398,6 +398,86 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-RUN [[minhashLshCandidates]] for continuous ingestion: a
+    * persistent signature table at `sigTablePath` remembers every
+    * previously-seen document's k-component MinHash signature, and the
+    * incoming batch pairs against BOTH itself and that history — so a
+    * near-duplicate of something accepted last week is caught today,
+    * which per-batch LSH by construction cannot do. Returns candidate
+    * pairs (id_a < id_b) with `est_jaccard` = matching signature
+    * components / k (the standard MinHash estimate), optionally floored
+    * at `minEstJaccard`. Against an EMPTY history this is exactly
+    * [[minhashLshCandidates]] (rowsPerBand = 1) plus the estimate column
+    * — q109's oracle replays that case with the full md5 hash family.
+    *
+    * Storage: only (doc_id, sig) rows — band postings are re-derived on
+    * read by a map-side posexplode of the scanned signatures, so the
+    * table carries k longs per document ever seen, not k posting rows,
+    * and the candidate join still shuffles on (band, bucket) exactly as
+    * the in-batch form does. Same retry-safety discipline as
+    * [[incrementalExactDedup]]: counts land in an overwritten
+    * `batch=<id>` dir the history read EXCLUDES, and the result is
+    * spilled before the signature write. A doc id resubmitted across
+    * batches keeps one signature (identical text => identical sig;
+    * conflicting text for one id is a caller data bug).
+    */
+  def incrementalMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      sigTablePath: String, n: Int = 3, k: Int = 16, seed: Long = 7L,
+      minEstJaccard: Double = 0.0, batchId: String = null): DataFrame = {
+    val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val sig = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        GraftFunctions.minhash(
+          TextFunctions.wordShingles(col("w"), n), k, seed).as("sig"))
+    // explicit schema: all-numeric batch dirs must not retype `batch`
+    val histSig =
+      try spark.read.schema("doc_id BIGINT, sig ARRAY<BIGINT>, batch STRING")
+        .parquet(sigTablePath)
+        .where(col("batch") =!= bid).select(col("doc_id"), col("sig"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, sig ARRAY<BIGINT>"))
+      }
+    def toBands(s: DataFrame): DataFrame =
+      s.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    val batchBands = toBands(sig)
+    val inBatch = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cross = toBands(histSig).as("h")
+      .join(batchBands.as("n"),
+        col("h.band") === col("n.band") &&
+          col("h.bucket") === col("n.bucket") &&
+          col("h.doc_id") =!= col("n.doc_id"))
+      .select(
+        least(col("h.doc_id"), col("n.doc_id")).as("id_a"),
+        greatest(col("h.doc_id"), col("n.doc_id")).as("id_b"))
+    val allSigs = sig.unionByName(histSig).dropDuplicates("doc_id")
+    val pairs = inBatch.unionByName(cross).distinct()
+      .join(allSigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
+      .join(allSigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val result = graft.io.Spill(pairs, "graft-mhinc-")
+    sig.write.mode("overwrite").parquet(s"$sigTablePath/batch=$bid")
+    result
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, blocked on 16-bit bands
     * (any pair within Hamming distance <= 3 shares at least one of 4 exact
     * bands — pigeonhole), verified with an exact popcount filter.

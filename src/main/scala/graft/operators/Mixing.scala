@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing: downsample each source to (approximately) a per-source
@@ -62,12 +63,14 @@ object Mixing {
     * `maxRate` caps repetition (a tiny source under small alpha would
     * otherwise repeat unboundedly; capping at a few epochs is standard).
     *
-    * Scale shape: one tiny per-source aggregate + a one-row normalizer,
-    * broadcast back; the corpus itself never shuffles — the only
-    * corpus-sized work is the map-side explode of at most
-    * `ceil(rate) <= maxRate` copies. Rates are rounded to 12 decimals so
-    * the oracle's independently-computed doubles agree bit-for-bit on
-    * every membership comparison.
+    * Scale shape: ONE corpus scan feeding one tiny per-source aggregate;
+    * the normalizer is a window sum over that per-source frame (a single
+    * partition of #sources rows — fine for any realistic source count),
+    * and the rate table broadcasts back. The corpus itself never
+    * shuffles — the only corpus-sized work is the map-side explode of at
+    * most `ceil(rate) <= maxRate` copies. Rates are rounded to 12
+    * decimals so the oracle's independently-computed doubles agree
+    * bit-for-bit on every membership comparison.
     */
   def mixByTemperature(docs: DataFrame, idCol: String, sourceCol: String,
       tokensCol: String, alpha: Double, totalBudget: Long,
@@ -75,14 +78,18 @@ object Mixing {
     require(alpha > 0, "alpha must be > 0")
     require(totalBudget >= 0, "totalBudget must be >= 0")
     require(maxRate >= 1, "maxRate must be >= 1")
-    val totals = docs.groupBy(col(sourceCol))
+    // the normalizer Z is a window sum over the TINY per-source frame
+    // (empty partitionBy = one partition of #sources rows), not a second
+    // aggregate over the corpus: one corpus scan, no extra join
+    val everything = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = docs.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("__n"))
       .withColumn("__pw", pow(col("__n").cast("double"), lit(alpha)))
-    val z = totals.agg(sum(col("__pw")).as("__z"))
-    val rates = totals.crossJoin(broadcast(z))
       .withColumn("__rate",
         round(least(
-          lit(totalBudget.toDouble) * col("__pw") / col("__z")
+          lit(totalBudget.toDouble) * col("__pw")
+            / sum(col("__pw")).over(everything)
             / col("__n").cast("double"),
           lit(maxRate)), 12))
       .select(col(sourceCol), col("__rate"))

@@ -15,13 +15,15 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), langId(col(textCol)).as("lang_pred"))
 
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), col(textCol), words(col(textCol)).as("w"))
+      .select(col(idCol) +: carry.map(col) :+ col(textCol)
+        :+ words(col(textCol)).as("w"): _*)
       .where(size(col("w")) > 0)
-      .select(col(idCol),
-        size(col("w")).cast("long").as("n_words"),
-        qualityScore(col("w"), col(textCol)).as("quality"))
+      .select(col(idCol) +: carry.map(col)
+        :+ size(col("w")).cast("long").as("n_words")
+        :+ qualityScore(col("w"), col(textCol)).as("quality"): _*)
 
   /** [[quality]] with the stopword term matched to each document's OWN
     * predicted language (multilingual corpora; English-only weighting

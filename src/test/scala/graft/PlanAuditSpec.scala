@@ -95,7 +95,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q101_token_drift" -> 8, // two token aggs, two total aggs, vocab join, TakeOrdered
     "q102_token_entropy" -> 3, // (doc,token) agg + per-doc agg + final sort
     "q103_embedding_drift" -> 8, // two dim-sum aggs + dim join + final agg + two count aggs
-    "q104_dup_spans" -> 4) // fp agg + dup-set broadcast + one doc_id exchange (window AND agg) + sort
+    "q104_dup_spans" -> 4, // fp agg + dup-set broadcast + one doc_id exchange (window AND agg) + sort
+    "q106_dedup_priority" -> 4, // union feeds ONE fp hash agg + sort
+    "q107_temperature_mix" -> 10, // totals agg + tiny window + rate broadcast + final agg + sort
+    "q108_quantile_floor" -> 6) // threshold agg + broadcast back + sort (scoring stays map-only)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

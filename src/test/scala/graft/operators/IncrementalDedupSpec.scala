@@ -123,6 +123,47 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.read.parquet(table).select("fp").distinct().count() shouldBe 3
   }
 
+  test("incremental minhash: empty history reproduces the in-batch operator; " +
+      "history pairs flag cross-batch near-dups; replay is stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-mhsig").toString + "/sigs"
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id") % 5 === 0)
+
+    val incr = Dedup.incrementalMinhashLsh(docs, "doc_id", "text",
+        table, batchId = "b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val eager = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    incr.map(p => (p._1, p._2)).toSet shouldBe eager
+    all(incr.map(_._3)) should be > 0.0 // banded pairs share >= 1 component
+
+    // batch 2: one exact copy of a batch-1 doc (new id), one novel text —
+    // only the copy pairs, against its HISTORY original, with estimate 1
+    val src = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val batch2 = Seq(
+      (900001L, src._2),
+      (900002L, "totally unrelated fresh words nothing shared here at all "
+        + "xs1 xs2 xs3 xs4 xs5 xs6 xs7 xs8")).toDF("doc_id", "text")
+    val got2 = Dedup.incrementalMinhashLsh(batch2, "doc_id", "text",
+        table, batchId = "b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got2.map(p => (p._1, p._2)) should contain(src._1, 900001L)
+    got2.filter(p => p._1 == src._1 && p._2 == 900001L)
+      .head._3 shouldBe 1.0
+    got2.map(p => (p._1, p._2)).count(p =>
+      p._1 == 900002L || p._2 == 900002L) shouldBe 0
+
+    // replaying batch 2 must not pair against its own first attempt
+    val replay = Dedup.incrementalMinhashLsh(batch2, "doc_id", "text",
+        table, batchId = "b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    replay.toSet shouldBe got2.toSet
+  }
+
   test("priority dedup keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
