@@ -164,9 +164,34 @@ object Dedup {
     */
   def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
       fpTablePath: String, excludeBatch: String = null,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20): Int =
+    compactDistinctFold(spark, fpTablePath, excludeBatch, targetFileBytes)(
+      _.select(col("fp")).distinct())
+
+  /** Compact the [[incrementalMinhashLsh]] signature table: fold the
+    * accumulating `batch=<id>` dirs into one, keeping one (doc_id, sig)
+    * row per document. Idempotent like [[compactFingerprints]] — the same
+    * doc resubmitted across batches carries the same signature, so a
+    * distinct-by-id fold never changes pairing results and a crash
+    * between write and delete only wastes space until the next fold.
+    */
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+      sigTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int =
+    compactDistinctFold(spark, sigTablePath, excludeBatch, targetFileBytes)(
+      _.dropDuplicates("doc_id"))
+
+  /** Shared scaffold of the IDEMPOTENT compactions (distinct-style folds,
+    * where re-folding a fold with its sources cannot change results —
+    * unlike [[compactSpanCounts]]' summed fold, which needs the inflight
+    * marker): list `batch=` dirs minus the in-flight one, fold, write
+    * before delete, report the table's data-file count.
+    */
+  private def compactDistinctFold(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, excludeBatch: String, targetFileBytes: Long)(
+      fold: DataFrame => DataFrame): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val root = new org.apache.hadoop.fs.Path(fpTablePath)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFileCount: Int = {
       val it = fs.listFiles(root, true)
@@ -180,11 +205,10 @@ object Dedup {
     if (sources.length <= 1) return dataFileCount
     val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
-      .select(col("fp")).distinct()
+    fold(spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*))
       .coalesce(nFiles)
       .write.mode("overwrite")
-      .parquet(s"$fpTablePath/batch=compact-" +
+      .parquet(s"$tablePath/batch=compact-" +
         java.util.UUID.randomUUID().toString.take(12))
     sources.foreach(fs.delete(_, true))
     dataFileCount
