@@ -989,6 +989,14 @@ object SparkEntry {
           sum(col("doc_id") * col("mix_copy")).cast("long").as("copy_id_sum"))
         .orderBy(col("source"))),
 
+    // SemDeDup end-to-end: blocked cosine pairs -> connected components
+    // -> min-id representative per semantic cluster -> survivors
+    "q110_semantic_dedup" -> ((s, d) =>
+      graft.operators.Dedup.semanticDedup(t(s, d, "embeddings"),
+          "vec_id", "embedding", blockCol = "label", threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
     // cross-run near-dup: first batch against an empty signature table ≡
     // the in-batch LSH operator plus the component-match estimate — pins
     // the incremental path's signatures, banding, pairing, and estimate
@@ -1500,6 +1508,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q28_dedup_minhash" -> q28Oracle,
     "q109_minhash_incr" -> q109Oracle,
+
+    // q30's pair derivation + q52's recursive component labeling + an
+    // anti-join; pairs MATERIALIZED per the recursive-oracle rule
+    "q110_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id),
+         drp AS (
+           SELECT id FROM (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+           WHERE id <> comp)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT id FROM drp)
+         ORDER BY e.vec_id""",
     "q29_simhash" -> q29Oracle,
     "q32_ann_lsh" -> q32Oracle,
     "q95_batch_ann" -> q95Oracle,

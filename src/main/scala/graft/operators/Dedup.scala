@@ -762,6 +762,25 @@ object Dedup {
       .drop("__dup_spans")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 posture): blocked
+    * cosine near-dup pairs above `threshold` -> connected components ->
+    * keep ONE representative (the min id) per semantic cluster, return
+    * the surviving rows. Composes three verified pieces —
+    * [[embeddingNearDupPairs]] (keyed join, never all-pairs),
+    * [[connectedComponents]] (pointer jumping, O(log d) passes), and a
+    * digest-free anti-join on ids — so the only corpus-scale shuffles are
+    * the block-keyed pair join and the id anti-join; docs in no pair
+    * survive untouched without entering the component loop at all.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, embCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(embs, idCol, embCol, blockCol, threshold)
+    val drop = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    embs.join(drop, Seq(idCol), "left_anti")
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

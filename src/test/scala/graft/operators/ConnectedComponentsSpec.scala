@@ -63,6 +63,20 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
     viaSpark(chain) shouldBe (0L to 9L).map(_ -> 0L).toMap
   }
 
+  test("semantic dedup keeps one representative per embedding cluster") {
+    import spark.implicits._
+    // one block: {1,2,3} colinear, {4,5} colinear orthogonal to them,
+    // 6 at 45 degrees (cos ~0.707 < 0.9 to both) -> survivors {1,4,6}
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(0.5f, 0.0f), 0), (4L, Array(0.0f, 1.0f), 0),
+      (5L, Array(0.0f, 3.0f), 0), (6L, Array(0.7f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    Dedup.semanticDedup(embs, "vec_id", "embedding", "label", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 4L, 6L)
+  }
+
   test("component survivors are a subset of greedy survivors in the pipeline") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def survivors(component: Boolean): Set[Long] =
