@@ -989,6 +989,13 @@ object SparkEntry {
           sum(col("doc_id") * col("mix_copy")).cast("long").as("copy_id_sum"))
         .orderBy(col("source"))),
 
+    // per-language tokenizer fertility: BPE tokens per whitespace word +
+    // chars per BPE token — exact integer sums, one scan, one hash agg
+    "q111_tokenizer_fertility" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenizerFertility(
+          t(s, d, "documents"), "lang", "text")
+        .orderBy(col("lang"))),
+
     // SemDeDup end-to-end: blocked cosine pairs -> connected components
     // -> min-id representative per semantic cluster -> survivors
     "q110_semantic_dedup" -> ((s, d) =>
@@ -1781,6 +1788,23 @@ object SparkEntry {
            CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
          FROM documents d LEFT JOIN __bpe_doc_counts c ON d.doc_id = c.doc_id
          ORDER BY doc_id""",
+
+    // q35's token machinery aggregated per language; the ratios divide
+    // exact integer sums, so the doubles agree bit-for-bit
+    "q111_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         __fert_base AS (
+           SELECT d.lang,
+             len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS ws,
+             coalesce(c.bpe_tokens, 0) AS bpe,
+             len(d.text) AS chars
+           FROM documents d LEFT JOIN __bpe_doc_counts c ON d.doc_id = c.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility,
+           round(CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 6) AS chars_per_token
+         FROM __fert_base GROUP BY lang ORDER BY lang""",
 
     "q36_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

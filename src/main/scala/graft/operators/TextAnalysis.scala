@@ -43,6 +43,31 @@ object TextAnalysis {
       wsTokenCount(col(textCol)).as("ws_tokens"),
       bpeTokenCount(col(textCol)).as("bpe_tokens"))
 
+  /** Per-group tokenizer health: fertility (BPE tokens per whitespace
+    * word) and compression (chars per BPE token), the standard check that
+    * a tokenizer serves every language/source in a multilingual corpus
+    * rather than fragmenting the low-resource ones. Exact integer sums in
+    * one map-only projection + one hash aggregate per group; the two
+    * ratios are single IEEE divisions of those exact sums (rounded to 6),
+    * so an external engine reproduces them bit-for-bit. Groups with zero
+    * whitespace tokens yield NULL fertility rather than a crash.
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol),
+        wsTokenCount(col(textCol)).cast("long").as("__ws"),
+        bpeTokenCount(col(textCol)).cast("long").as("__bpe"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__bpe")).as("bpe_tokens"),
+        sum(col("__ws")).as("ws_tokens"),
+        round(sum(col("__bpe")).cast("double")
+          / sum(col("__ws")).cast("double"), 6).as("fertility"),
+        round(sum(col("__chars")).cast("double")
+          / sum(col("__bpe")).cast("double"), 6).as("chars_per_token"))
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
 

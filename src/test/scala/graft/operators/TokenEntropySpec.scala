@@ -40,4 +40,25 @@ class TokenEntropySpec extends AnyFunSuite with Matchers with SparkSpec {
       out shouldBe ref
     }
   }
+
+  test("tokenizer fertility aggregates the per-doc token counts exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fert = TextAnalysis.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // recompute from the per-doc operator + a plain aggregate
+    val ref = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("bpe_tokens")).cast("long").as("b"),
+        sum(col("ws_tokens")).cast("long").as("w"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    fert.keySet shouldBe ref.keySet
+    fert.foreach { case (lang, (n, b, w, f)) =>
+      (n, b, w) shouldBe ref(lang)
+      f shouldBe math.rint(b.toDouble / w.toDouble * 1e6) / 1e6 +- 1e-9
+    }
+  }
 }
