@@ -989,6 +989,15 @@ object SparkEntry {
           sum(col("doc_id") * col("mix_copy")).cast("long").as("copy_id_sum"))
         .orderBy(col("source"))),
 
+    // policy variant of q110: keep each semantic cluster's highest-
+    // priority member (mock freshness = vec_id % 7) instead of min id
+    "q112_semantic_dedup_by" -> ((s, d) =>
+      graft.operators.Dedup.semanticDedupBy(t(s, d, "embeddings"),
+          "vec_id", "embedding", blockCol = "label", threshold = 0.4,
+          priority = col("vec_id") % 7)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
     // per-language tokenizer fertility: BPE tokens per whitespace word +
     // chars per BPE token — exact integer sums, one scan, one hash agg
     "q111_tokenizer_fertility" -> ((s, d) =>
@@ -1535,6 +1544,33 @@ object SparkEntry {
          drp AS (
            SELECT id FROM (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
            WHERE id <> comp)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT id FROM drp)
+         ORDER BY e.vec_id""",
+
+    // q110's labeling with the q106 packed arg_max keeper per component
+    "q112_semantic_dedup_by" ->
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id),
+         lbl AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         keepers AS (
+           SELECT comp,
+             arg_max(id, (id % 7) * 1099511627776 - id) AS id
+           FROM lbl GROUP BY comp),
+         drp AS (
+           SELECT l.id FROM lbl l
+           WHERE l.id NOT IN (SELECT id FROM keepers))
          SELECT e.vec_id, e.label FROM embeddings e
          WHERE e.vec_id NOT IN (SELECT id FROM drp)
          ORDER BY e.vec_id""",

@@ -781,6 +781,33 @@ object Dedup {
     embs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedup]] under a caller-chosen keep policy (the
+    * [[exactGroupsBy]] pattern lifted to semantic clusters): within each
+    * connected component the survivor maximizes `priority` (ties to min
+    * id) — "keep the best-quality / freshest member of each semantic
+    * cluster", where [[semanticDedup]]'s min-id pick is arbitrary.
+    * Representative selection is one hash aggregate over the component
+    * labels (the packed-long `max_by`, same arithmetic the q112 oracle
+    * replays via `arg_max`); docs in no pair never enter the loop and
+    * always survive. Same id/priority ranges as [[exactGroupsBy]].
+    */
+  def semanticDedupBy(embs: DataFrame, idCol: String, embCol: String,
+      blockCol: String, threshold: Double, priority: Column): DataFrame = {
+    val pairs = embeddingNearDupPairs(embs, idCol, embCol, blockCol, threshold)
+    val labels = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+    val keep = labels
+      .join(embs.select(col(idCol).as("id"), priority.cast("long").as("__p")),
+        Seq("id"))
+      .groupBy(col("comp"))
+      .agg(max_by(col("id"), col("__p") * lit(1L << 40) - col("id")).as("id"))
+      .select(col("id"))
+    // survivors = (docs in no pair) + (each component's chosen keeper):
+    // drop every labeled doc that is not its component's pick
+    val drop = labels.join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    embs.join(drop, Seq(idCol), "left_anti")
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

@@ -77,6 +77,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set(1L, 4L, 6L)
   }
 
+  test("policy semantic dedup keeps the highest-priority cluster member") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(0.5f, 0.0f), 0), (4L, Array(0.0f, 1.0f), 0),
+      (5L, Array(0.0f, 3.0f), 0), (6L, Array(0.7f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // priority = id % 7: cluster {1,2,3} -> 3 wins, {4,5} -> 5 wins,
+    // unpaired 6 survives untouched
+    Dedup.semanticDedupBy(embs, "vec_id", "embedding", "label", 0.9,
+        col("vec_id") % 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(3L, 5L, 6L)
+  }
+
   test("component survivors are a subset of greedy survivors in the pipeline") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def survivors(component: Boolean): Set[Long] =
