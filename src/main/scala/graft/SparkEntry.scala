@@ -1838,8 +1838,10 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            CAST(sum(ws) AS BIGINT) AS ws_tokens,
-           round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility,
-           round(CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 6) AS chars_per_token
+           round(CASE WHEN sum(ws) > 0 THEN
+             CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS fertility,
+           round(CASE WHEN sum(bpe) > 0 THEN
+             CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END, 6) AS chars_per_token
          FROM __fert_base GROUP BY lang ORDER BY lang""",
 
     "q36_fingerprint" ->

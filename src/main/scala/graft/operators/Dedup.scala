@@ -51,15 +51,21 @@ object Dedup {
     * `max_by` — `priority * 2^40 - id` — which the DuckDB oracle (q106)
     * recomputes with the identical integer arithmetic via `arg_max`.
     * Requires `0 <= id < 2^40` and `0 <= priority < ~2^22`; ids beyond
-    * the pack range need a two-aggregate form instead.
+    * the pack range need a two-aggregate form instead. NULL priorities
+    * rank as 0 (lowest), so an all-NULL group still keeps its min-id
+    * member.
     */
   def exactGroupsBy(docs: DataFrame, idCol: String, textCol: String,
       priority: Column): DataFrame =
     docs
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(
+        // NULL priorities rank lowest (0) instead of silently vanishing
+        // from max_by's ordering — an all-NULL group must still keep its
+        // min-id member, never drop wholesale
         max_by(col(idCol),
-          priority.cast("long") * lit(1L << 40) - col(idCol)).as("keep_id"),
+          coalesce(priority.cast("long"), lit(0L)) * lit(1L << 40)
+            - col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_cnt"))
 
   /** [[exactDedup]] under the [[exactGroupsBy]] keep policy: one surviving
@@ -451,13 +457,19 @@ object Dedup {
     val spark = docs.sparkSession
     val bid = Option(batchId).getOrElse(
       "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-    val sig = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.words(col(textCol)).as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("doc_id"),
-        GraftFunctions.minhash(
-          TextFunctions.wordShingles(col("w"), n), k, seed).as("sig"))
+    // materialize the batch signatures ONCE: the shingling + k-hash
+    // MinHash projection would otherwise re-evaluate in every consumer
+    // below (self-join x2, cross join, both estimate joins, the final
+    // append — ~6 passes over the batch text)
+    val sig = graft.io.Spill(
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          TextFunctions.words(col(textCol)).as("w"))
+        .where(size(col("w")) >= n)
+        .select(col("doc_id"),
+          GraftFunctions.minhash(
+            TextFunctions.wordShingles(col("w"), n), k, seed).as("sig")),
+      "graft-mhsig-")
     // explicit schema: all-numeric batch dirs must not retype `batch`
     val histSig =
       try spark.read.schema("doc_id BIGINT, sig ARRAY<BIGINT>, batch STRING")
@@ -799,7 +811,8 @@ object Dedup {
       .join(embs.select(col(idCol).as("id"), priority.cast("long").as("__p")),
         Seq("id"))
       .groupBy(col("comp"))
-      .agg(max_by(col("id"), col("__p") * lit(1L << 40) - col("id")).as("id"))
+      .agg(max_by(col("id"),
+        coalesce(col("__p"), lit(0L)) * lit(1L << 40) - col("id")).as("id"))
       .select(col("id"))
     // survivors = (docs in no pair) + (each component's chosen keeper):
     // drop every labeled doc that is not its component's pick

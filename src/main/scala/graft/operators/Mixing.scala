@@ -87,11 +87,15 @@ object Mixing {
       .agg(sum(col(tokensCol)).cast("long").as("__n"))
       .withColumn("__pw", pow(col("__n").cast("double"), lit(alpha)))
       .withColumn("__rate",
-        round(least(
-          lit(totalBudget.toDouble) * col("__pw")
-            / sum(col("__pw")).over(everything)
-            / col("__n").cast("double"),
-          lit(maxRate)), 12))
+        // a zero-token-mass source has zero share BY DEFINITION — guard
+        // the division (ANSI would throw; non-ANSI NULL would sneak
+        // through least() as rate = maxRate, the exact opposite)
+        when(col("__n") <= 0, lit(0.0))
+          .otherwise(round(least(
+            lit(totalBudget.toDouble) * col("__pw")
+              / sum(col("__pw")).over(everything)
+              / col("__n").cast("double"),
+            lit(maxRate)), 12)))
       .select(col(sourceCol), col("__rate"))
     docs.join(broadcast(rates), Seq(sourceCol))
       .where(col("__rate") > 0)

@@ -63,10 +63,12 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(col("__bpe")).as("bpe_tokens"),
         sum(col("__ws")).as("ws_tokens"),
-        round(sum(col("__bpe")).cast("double")
-          / sum(col("__ws")).cast("double"), 6).as("fertility"),
-        round(sum(col("__chars")).cast("double")
-          / sum(col("__bpe")).cast("double"), 6).as("chars_per_token"))
+        round(when(sum(col("__ws")) > 0,
+          sum(col("__bpe")).cast("double")
+            / sum(col("__ws")).cast("double")), 6).as("fertility"),
+        round(when(sum(col("__bpe")) > 0,
+          sum(col("__chars")).cast("double")
+            / sum(col("__bpe")).cast("double")), 6).as("chars_per_token"))
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))

@@ -190,6 +190,20 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set(6L, 8L, 20L)
   }
 
+  test("an all-NULL-priority group still keeps its min-id member") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (5L, "alpha beta", None: Option[Int]),
+      (6L, "ALPHA beta", None),
+      (7L, "gamma delta", Some(2)),
+      (8L, "GAMMA delta", Some(1))
+    ).toDF("doc_id", "text", "prio")
+    Dedup.exactGroupsBy(docs, "doc_id", "text", col("prio"))
+      .select("keep_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(5L, 7L) // NULLs rank as 0 -> min id 5; real priorities -> 7
+  }
+
   test("priority dedup with constant priority equals plain exactGroups") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

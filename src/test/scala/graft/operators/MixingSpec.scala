@@ -95,6 +95,17 @@ class MixingSpec extends AnyFunSuite with Matchers with SparkSpec {
     once should not be empty
   }
 
+  test("temperature drops a zero-token-mass source instead of inflating it") {
+    import spark.implicits._
+    val withEmpty = corpus.unionByName(
+      (5000L until 5050L).map(i => (i, "empty", 0L))
+        .toDF("doc_id", "source", "tokens"))
+    val out = Mixing.mixByTemperature(withEmpty, "doc_id", "source",
+      "tokens", alpha = 0.5, totalBudget = 11_000L)
+    out.where(col("source") === "empty").count() shouldBe 0L
+    out.count() should be > 0L // the real sources still mix
+  }
+
   test("temperature maxRate caps repetition") {
     val out = Mixing.mixByTemperature(corpus, "doc_id", "source", "tokens",
       alpha = 0.1, totalBudget = 1_000_000L, maxRate = 3.0)

@@ -61,4 +61,18 @@ class TokenEntropySpec extends AnyFunSuite with Matchers with SparkSpec {
       f shouldBe math.rint(b.toDouble / w.toDouble * 1e6) / 1e6 +- 1e-9
     }
   }
+
+  test("tokenizer fertility yields NULL, not a crash, for an empty-text group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "real words here", "en"),
+      (2L, "   ", "empty"), (3L, "", "empty")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.tokenizerFertility(docs, "lang", "text")
+      .orderBy("lang").collect()
+    rows.map(_.getString(0)) shouldBe Array("empty", "en")
+    rows(0).isNullAt(4) shouldBe true // fertility: 0 ws tokens
+    rows(0).isNullAt(5) shouldBe true // chars_per_token: 0 bpe tokens
+    rows(1).isNullAt(4) shouldBe false
+  }
 }
