@@ -1013,6 +1013,15 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // cross-run SimHash: 8 bytes of history state per doc — first batch
+    // against an empty fingerprint table ≡ the in-batch operator
+    "q113_simhash_incr" -> ((s, d) => {
+      val fpDir = graft.io.Spill.tempDir("graft-shfp-") + "/fps"
+      graft.operators.Dedup.incrementalSimhash(
+        t(s, d, "documents"), "doc_id", "text", fpDir)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // cross-run near-dup: first batch against an empty signature table ≡
     // the in-batch LSH operator plus the component-match estimate — pins
     // the incremental path's signatures, banding, pairing, and estimate
@@ -1494,7 +1503,10 @@ object SparkEntry {
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
     * (both engines lowercase, zero-padded).
     */
-  private def q29Oracle: String = {
+  /** md5-vote SimHash CTE scaffold shared by q29 and q113: per-token
+    * hashes, the 64 bit votes, and the folded UBIGINT fingerprint.
+    */
+  private def simhashFpCtes: String = {
     val votes = (0 until 64)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
       .mkString(",\n             ")
@@ -1504,7 +1516,7 @@ object SparkEntry {
         s"CASE WHEN c$j > 0 THEN CAST('0x$pow' AS UBIGINT) ELSE CAST('0x0' AS UBIGINT) END"
       }
       .mkString(" + ")
-    s"""WITH h AS (
+    s"""h AS (
           SELECT doc_id,
             CAST(('0x' || substr(md5(unnest(
               list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''))), 1, 16))
@@ -1513,10 +1525,33 @@ object SparkEntry {
         c AS (
           SELECT doc_id,
              $votes
-          FROM h GROUP BY doc_id)
-        SELECT doc_id, lpad(lower(hex($fp)), 16, '0') AS fp
-        FROM c ORDER BY doc_id"""
+          FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, $fp AS fp FROM c)"""
   }
+
+  private def q29Oracle: String =
+    s"""WITH $simhashFpCtes
+        SELECT doc_id, lpad(lower(hex(fp)), 16, '0') AS fp
+        FROM f ORDER BY doc_id"""
+
+  /** DuckDB twin of q113 (first batch against an EMPTY fingerprint table
+    * ≡ the in-batch operator): q29's fingerprints banded on 16-bit
+    * pigeonhole slices, band-joined, exact-popcount verified.
+    */
+  private def q113Oracle: String =
+    s"""WITH $simhashFpCtes,
+        bands AS (
+          SELECT doc_id, fp, u.b AS band,
+            (fp >> (16 * u.b)) & 65535 AS bucket
+          FROM f, LATERAL (SELECT unnest(range(0, 4)) AS b) u),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            bit_count(xor(a.fp, b.fp)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
   /** DuckDB twin for each oracle-able query (column names + ordering match
     * the Spark side exactly; see determinism rules in the class doc).
@@ -1524,6 +1559,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q28_dedup_minhash" -> q28Oracle,
     "q109_minhash_incr" -> q109Oracle,
+    "q113_simhash_incr" -> q113Oracle,
 
     // q30's pair derivation + q52's recursive component labeling + an
     // anti-join; pairs MATERIALIZED per the recursive-oracle rule

@@ -542,6 +542,88 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Cross-RUN [[simhashPairs]]: the fingerprint-table discipline of
+    * [[incrementalMinhashLsh]] with SimHash's 8-bytes-per-doc state — the
+    * cheapest cross-run near-dup memory there is (one long per document
+    * ever seen vs MinHash's k). The incoming batch pairs against itself
+    * AND the persisted history on the 16-bit pigeonhole bands, verified
+    * with the exact popcount <= maxHamming filter; against an EMPTY
+    * history this is exactly [[simhashPairs]] (q113's oracle replays the
+    * batch case). Bands are re-derived from the scanned fingerprints
+    * (map-side), history reads use an explicit schema (epoch-id dirs
+    * must not retype `batch`), the result spills before the fingerprint
+    * append (replay-stable), and the accumulating dirs fold with
+    * [[compactSimhash]] (distinct by doc_id — idempotent).
+    */
+  def incrementalSimhash(docs: DataFrame, idCol: String, textCol: String,
+      fpTablePath: String, maxHamming: Int = 3,
+      batchId: String = null): DataFrame = {
+    val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val nBands = 4
+    val fp = graft.io.Spill(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        GraftFunctions.simhash64(
+          TextFunctions.words(col(textCol))).as("fp")),
+      "graft-shfp-")
+    val hist =
+      try spark.read.schema("doc_id BIGINT, fp BIGINT, batch STRING")
+        .parquet(fpTablePath)
+        .where(col("batch") =!= bid).select(col("doc_id"), col("fp"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, fp BIGINT"))
+      }
+    def toBands(s: DataFrame): DataFrame = {
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      }
+      s.select(col("doc_id"), col("fp"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("fp"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val batchBands = toBands(fp)
+    val inBatch = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("__fa"), col("b.fp").as("__fb"))
+    val cross = toBands(hist).as("h")
+      .join(batchBands.as("n"),
+        col("h.band") === col("n.band") &&
+          col("h.bucket") === col("n.bucket") &&
+          col("h.doc_id") =!= col("n.doc_id"))
+      .select(
+        least(col("h.doc_id"), col("n.doc_id")).as("id_a"),
+        greatest(col("h.doc_id"), col("n.doc_id")).as("id_b"),
+        col("h.fp").as("__fa"), col("n.fp").as("__fb"))
+    val pairs = inBatch.unionByName(cross)
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    val result = graft.io.Spill(pairs, "graft-shinc-")
+    fp.write.mode("overwrite").parquet(s"$fpTablePath/batch=$bid")
+    result
+  }
+
+  /** Compact the [[incrementalSimhash]] fingerprint table (distinct by
+    * doc_id; idempotent — same doc => same fingerprint).
+    */
+  def compactSimhash(spark: org.apache.spark.sql.SparkSession,
+      fpTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int =
+    compactDistinctFold(spark, fpTablePath, excludeBatch, targetFileBytes)(
+      _.dropDuplicates("doc_id"))
+
   /** Embedding-cosine near-duplicate pairs, blocked on a partition column
     * (label, LSH bucket, ...) so the pair join shuffles on the block key
     * instead of exploding into a cross product.

@@ -98,7 +98,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q104_dup_spans" -> 4, // fp agg + dup-set broadcast + one doc_id exchange (window AND agg) + sort
     "q106_dedup_priority" -> 4, // union feeds ONE fp hash agg + sort
     "q107_temperature_mix" -> 10, // totals agg + tiny window + rate broadcast + final agg + sort
-    "q108_quantile_floor" -> 6) // threshold agg + broadcast back + sort (scoring stays map-only)
+    "q108_quantile_floor" -> 6, // threshold agg + broadcast back + sort (scoring stays map-only)
+    "q111_tokenizer_fertility" -> 4, // one hash agg over the map-only projection + sort
+    "q112_semantic_dedup_by" -> 12) // labels join + keeper agg + double anti-join + sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

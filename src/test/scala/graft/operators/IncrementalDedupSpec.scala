@@ -164,6 +164,45 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     replay.toSet shouldBe got2.toSet
   }
 
+  test("incremental simhash: empty history reproduces the in-batch operator; " +
+      "a later near-identical batch pairs against history; replay is stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-shfp").toString + "/fps"
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+    val incr = Dedup.incrementalSimhash(docs, "doc_id", "text",
+        table, batchId = "b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val eager = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    incr shouldBe eager
+
+    // batch 2: an exact copy of a batch-1 doc under a new id pairs against
+    // the HISTORY original at hamming 0; replay doesn't self-pair
+    val src = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val batch2 = Seq((910001L, src._2)).toDF("doc_id", "text")
+    val got2 = Dedup.incrementalSimhash(batch2, "doc_id", "text",
+        table, batchId = "b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got2.map(p => (p._1, p._2)) should contain(src._1, 910001L)
+    got2.filter(p => p._1 == src._1 && p._2 == 910001L).head._3 shouldBe 0
+    val replay = Dedup.incrementalSimhash(batch2, "doc_id", "text",
+        table, batchId = "b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    replay.toSet shouldBe got2.toSet
+
+    // fold the dirs; a third batch reads the same history
+    Dedup.compactSimhash(spark, table) should be >= 1
+    val post = Dedup.incrementalSimhash(
+        Seq((920001L, src._2)).toDF("doc_id", "text"), "doc_id", "text",
+        table, batchId = "b3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    post should contain allOf ((src._1, 920001L), (910001L, 920001L))
+  }
+
   test("priority dedup keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
