@@ -29,7 +29,12 @@ import graft.operators.Dedup
   * spans from each survivor's normalized text after exact dedup (1b —
   * [[Dedup.stripDuplicateSpans]], the RefinedWeb exact-substring pass),
   * `maxDupGramFrac` adds the Gopher-style repetition
-  * gate after quality (2b — map-only, rides the same projection), and
+  * gate after quality (2b — map-only, rides the same projection),
+  * `minQualityQuantile` tightens the quality gate ADAPTIVELY on top of
+  * the fixed floor — keep only docs at/above their predicted language's
+  * q-quantile of quality (3b — [[graft.operators.Profile.groupQuantileFloor]],
+  * the CCNet per-language posture; a broadcast threshold join, no corpus
+  * shuffle), and
   * `decontaminateProbes` drops survivors containing a benchmark doc
   * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]).
   *
@@ -73,7 +78,8 @@ object TrainingData {
       maxLmBits: Option[Double] = None,
       lmReference: Option[DataFrame] = None,
       stripSpansK: Option[Int] = None,
-      stripSpansMinCount: Int = 2): DataFrame = {
+      stripSpansMinCount: Int = 2,
+      minQualityQuantile: Option[Double] = None): DataFrame = {
     // 1. exact dedup
     val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
 
@@ -104,7 +110,12 @@ object TrainingData {
         (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
           <= maxDupGramFrac)
       .drop("__r")
-    val gated = if (cacheIntermediate) spill(gatedPlan) else gatedPlan
+    // 3b. optional adaptive floor on top of the fixed one: keep docs
+    // at/above their predicted language's q-quantile of quality
+    val adaptiveGated = minQualityQuantile.fold(gatedPlan)(q =>
+      graft.operators.Profile.groupQuantileFloor(
+        gatedPlan, "lang_pred", "quality", q))
+    val gated = if (cacheIntermediate) spill(adaptiveGated) else adaptiveGated
 
     // 4. near-dup removal among survivors
     val pairs = Dedup.ngramJaccardPairs(

@@ -130,4 +130,19 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     gated shouldBe Set(1L) // in-distribution passes, off-reference drops
   }
+
+  test("adaptive quality floor (3b) keeps the upper tail of the fixed gate") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def survivors(q: Option[Double]): Set[Long] =
+      TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, nearDupThreshold = 1.01,
+        minQualityQuantile = q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = survivors(None)
+    val floored = survivors(Some(0.5))
+    floored.subsetOf(base) shouldBe true
+    floored should not be empty
+    // the median floor drops roughly (never more than) half the gated set
+    floored.size should be <= (base.size / 2 + 1)
+  }
 }
