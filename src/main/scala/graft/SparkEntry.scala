@@ -1013,6 +1013,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // semantic decontamination: corpus vectors too close to a benchmark
+    // vector (probes = vec_id % 50 == 0, the q95 split) — the embedding
+    // complement of q83's n-gram containment
+    "q114_semantic_decontam" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      graft.operators.Similarity.embeddingContaminationPairs(
+          embs.where(col("vec_id") % 50 =!= 0),
+          embs.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
     // cross-run SimHash: 8 bytes of history state per doc — first batch
     // against an empty fingerprint table ≡ the in-batch operator
     "q113_simhash_incr" -> ((s, d) => {
@@ -1560,6 +1572,16 @@ object SparkEntry {
     "q28_dedup_minhash" -> q28Oracle,
     "q109_minhash_incr" -> q109Oracle,
     "q113_simhash_incr" -> q113Oracle,
+
+    "q114_semantic_decontam" ->
+      """SELECT c.vec_id AS corpus_id, p.vec_id AS probe_id,
+           round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             CAST(p.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings c JOIN embeddings p
+           ON c.vec_id % 50 <> 0 AND p.vec_id % 50 = 0
+         WHERE round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             CAST(p.embedding AS DOUBLE[])), 4) >= 0.4
+         ORDER BY corpus_id, probe_id""",
 
     // q30's pair derivation + q52's recursive component labeling + an
     // anti-join; pairs MATERIALIZED per the recursive-oracle rule

@@ -19,6 +19,28 @@ import graft.functions.GraftFunctions.cosine_sim
   */
 object Similarity {
 
+  /** SEMANTIC benchmark decontamination — the embedding-space complement
+    * of [[TextAnalysis.contaminationPairs]]: flag every corpus vector
+    * whose cosine to some probe (benchmark/eval) vector reaches
+    * `threshold`. Paraphrased contamination slips past n-gram
+    * containment; it does not slip past the embedding. The probe set is
+    * benchmark-sized by nature, so it BROADCASTS and the corpus scan
+    * stays map-only — one codegen'd cosine per (corpus row, probe)
+    * inside a broadcast nested-loop join (the sanctioned q31/q83
+    * posture: the inner side is the broadcast probe table, not a second
+    * corpus), no corpus shuffle. Cost is corpus x probes cosines — exact
+    * by design; at extreme probe counts switch to the LSH-bucketed
+    * [[batchLshTopK]] candidates instead.
+    */
+  def embeddingContaminationPairs(corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(embCol).as("__cv"))
+      .crossJoin(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(embCol).as("__pv"))))
+      .select(col("corpus_id"), col("probe_id"),
+        round(cosine_sim(col("__cv"), col("__pv")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+
   /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1]). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] =
     graft.functions.HashFamilies.hyperplanes(nPlanes, dim, seed)

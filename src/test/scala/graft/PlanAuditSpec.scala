@@ -24,14 +24,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan.toString
   }
 
-  /** Queries whose design intentionally broadcast-joins a ONE-ROW side
-    * with no join condition (the query vector; q98's vocab size; q99's
-    * node count) — that plans as a BroadcastNestedLoopJoin over a single
-    * row, which is exactly right.
+  /** Queries whose design intentionally broadcast-joins a TINY side with
+    * no equi-condition (the query vector; q98's vocab size; q99's node
+    * count; q114's benchmark probe set) — that plans as a
+    * BroadcastNestedLoopJoin over a one-row or benchmark-sized inner,
+    * which is exactly right.
     */
   private val singleRowBroadcast = Set(
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
-    "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift")
+    "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
+    "q114_semantic_decontam")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

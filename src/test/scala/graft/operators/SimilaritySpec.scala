@@ -280,4 +280,19 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
       sim shouldBe (math.rint(ref(q, rows(id)) * 10000) / 10000.0 +- 1e-9)
     }
   }
+
+  test("semantic decontamination flags exactly the planted near-probe vectors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // identical direction to probe 100
+      (2L, Array(0.0f, 1.0f)),   // orthogonal: clean
+      (3L, Array(0.9f, 0.1f))    // near probe 100
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((100L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val flagged = Similarity.embeddingContaminationPairs(
+        corpus, probes, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    flagged.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 100L), (3L, 100L))
+    flagged.find(_._1 == 1L).get._3 shouldBe 1.0
+  }
 }
