@@ -58,4 +58,33 @@ class StreamingMinhashSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     after shouldBe Set((1L, 20L), (10L, 20L))
   }
+
+  test("the SimHash twin accumulates history across micro-batches the same way") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-stream-sh").toString + "/fps"
+    val base = (1 to 25).map(i => s"tok$i").mkString(" ")
+
+    val input = MemoryStream[(Long, String)]
+    var perBatch = Vector.empty[Seq[(Long, Long, Int)]]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", checkpoint())
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        perBatch :+= Dedup.incrementalSimhash(
+            b, "doc_id", "text", table, batchId = s"$epoch")
+          .orderBy("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      }.start()
+
+    try {
+      input.addData(1L -> base)
+      query.processAllAvailable()
+      input.addData(10L -> base) // exact copy: hamming 0 vs history
+      query.processAllAvailable()
+    } finally query.stop()
+
+    perBatch shouldBe Vector(Seq.empty, Seq((1L, 10L, 0)))
+  }
 }
