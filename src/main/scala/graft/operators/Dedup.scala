@@ -520,17 +520,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val nBands = 4
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
     val fp = docs
       .select(col(idCol).as("doc_id"),
         GraftFunctions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
-
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-    }
-    val bands = fp.select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bands = simhashBands(fp)
 
     bands.as("a")
       .join(bands.as("b"),
@@ -540,6 +535,22 @@ object Dedup {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** The 16-bit pigeonhole band postings of a (doc_id, fp) frame — the
+    * shared banding of [[simhashPairs]] and [[incrementalSimhash]] (any
+    * pair within Hamming distance <= 3 shares at least one of the 4
+    * exact bands).
+    */
+  private def simhashBands(fp: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    fp.select(col("doc_id"), col("fp"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Cross-RUN [[simhashPairs]]: the fingerprint-table discipline of
@@ -558,10 +569,11 @@ object Dedup {
   def incrementalSimhash(docs: DataFrame, idCol: String, textCol: String,
       fpTablePath: String, maxHamming: Int = 3,
       batchId: String = null): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
     val spark = docs.sparkSession
     val bid = Option(batchId).getOrElse(
       "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-    val nBands = 4
     val fp = graft.io.Spill(
       docs.select(col(idCol).cast("long").as("doc_id"),
         GraftFunctions.simhash64(
@@ -577,17 +589,7 @@ object Dedup {
           org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id BIGINT, fp BIGINT"))
       }
-    def toBands(s: DataFrame): DataFrame = {
-      val bandStructs = (0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-      }
-      s.select(col("doc_id"), col("fp"),
-          explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("fp"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    }
-    val batchBands = toBands(fp)
+    val batchBands = simhashBands(fp)
     val inBatch = batchBands.as("a")
       .join(batchBands.as("b"),
         col("a.band") === col("b.band") &&
@@ -595,7 +597,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.fp").as("__fa"), col("b.fp").as("__fb"))
-    val cross = toBands(hist).as("h")
+    val cross = simhashBands(hist).as("h")
       .join(batchBands.as("n"),
         col("h.band") === col("n.band") &&
           col("h.bucket") === col("n.bucket") &&

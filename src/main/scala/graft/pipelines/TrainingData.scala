@@ -31,10 +31,12 @@ import graft.operators.Dedup
   * `maxDupGramFrac` adds the Gopher-style repetition
   * gate after quality (2b — map-only, rides the same projection),
   * `minQualityQuantile` tightens the quality gate ADAPTIVELY on top of
-  * the fixed floor — keep only docs at/above their predicted language's
-  * q-quantile of quality (3b — [[graft.operators.Profile.groupQuantileFloor]],
-  * the CCNet per-language posture; a broadcast threshold join, no corpus
-  * shuffle), and
+  * the fixed floor — keep only docs at/above the q-quantile of quality
+  * among the gated survivors (3b —
+  * [[graft.operators.Profile.groupQuantileFloor]]; a broadcast threshold
+  * join, no corpus shuffle; since the pipeline gates to ONE language,
+  * this is a global quantile within it — the per-LANGUAGE adaptation is
+  * the operator's direct multilingual use), and
   * `decontaminateProbes` drops survivors containing a benchmark doc
   * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]).
   *
@@ -110,12 +112,18 @@ object TrainingData {
         (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
           <= maxDupGramFrac)
       .drop("__r")
-    // 3b. optional adaptive floor on top of the fixed one: keep docs
-    // at/above their predicted language's q-quantile of quality
-    val adaptiveGated = minQualityQuantile.fold(gatedPlan)(q =>
+    // 3b. optional adaptive floor on top of the fixed one — applied AFTER
+    // the spill so floorBy's threshold aggregate and join-back both scan
+    // the materialized parquet instead of re-running dedup + scoring
+    // (the exact re-evaluation the spill exists to prevent). Since stage
+    // 2 already gates to ONE language, this is a global quantile within
+    // the selected language; the per-group form only engages when
+    // [[graft.operators.Profile.groupQuantileFloor]] is used directly on
+    // a multilingual frame.
+    val fixedGated = if (cacheIntermediate) spill(gatedPlan) else gatedPlan
+    val gated = minQualityQuantile.fold(fixedGated)(q =>
       graft.operators.Profile.groupQuantileFloor(
-        gatedPlan, "lang_pred", "quality", q))
-    val gated = if (cacheIntermediate) spill(adaptiveGated) else adaptiveGated
+        fixedGated, "lang_pred", "quality", q))
 
     // 4. near-dup removal among survivors
     val pairs = Dedup.ngramJaccardPairs(

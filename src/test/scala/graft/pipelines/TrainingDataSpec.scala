@@ -131,7 +131,8 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     gated shouldBe Set(1L) // in-distribution passes, off-reference drops
   }
 
-  test("adaptive quality floor (3b) keeps the upper tail of the fixed gate") {
+  test("adaptive quality floor (3b) equals the operator applied to the gated set") {
+    import org.apache.spark.sql.functions.{col, lit}
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def survivors(q: Option[Double]): Set[Long] =
       TrainingData.clean(docs, "doc_id", "text",
@@ -142,7 +143,17 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     val floored = survivors(Some(0.5))
     floored.subsetOf(base) shouldBe true
     floored should not be empty
-    // the median floor drops roughly (never more than) half the gated set
-    floored.size should be <= (base.size / 2 + 1)
+
+    // tie-robust expectation: re-score the base survivors with the same
+    // quality expression and apply the operator directly — the pipeline
+    // wiring must agree exactly, ties included
+    val scored = graft.operators.TextAnalysis
+      .quality(docs, "doc_id", "text")
+      .where(col("doc_id").isin(base.toSeq: _*))
+      .withColumn("g", lit("one"))
+    val expected = graft.operators.Profile
+      .groupQuantileFloor(scored, "g", "quality", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    floored shouldBe expected
   }
 }
