@@ -1013,6 +1013,14 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // deterministic global shuffle: reproducible training order via a
+    // range-partitioned sort on the unit hash — no RNG state, identical
+    // permutation cross-engine and cross-run
+    "q115_corpus_shuffle" -> ((s, d) =>
+      graft.operators.Sampling.deterministicShuffle(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", salt = "ep0")),
+
     // semantic decontamination: corpus vectors too close to a benchmark
     // vector (probes = vec_id % 50 == 0, the q95 split) — the embedding
     // complement of q83's n-gram containment
@@ -1572,6 +1580,12 @@ object SparkEntry {
     "q28_dedup_minhash" -> q28Oracle,
     "q109_minhash_incr" -> q109Oracle,
     "q113_simhash_incr" -> q113Oracle,
+
+    "q115_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 8))
+             AS UBIGINT) / 4294967296.0 AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id""",
 
     "q114_semantic_decontam" ->
       """SELECT c.vec_id AS corpus_id, p.vec_id AS probe_id,

@@ -94,6 +94,23 @@ object Sampling {
     * Non-positive or null weights are dropped (weight 0 = never sample).
     * Output: (group, rank, id), rank 1-based by descending key.
     */
+  /** Deterministic global corpus shuffle — the training-prep step that
+    * decorrelates document order from crawl/ingest order before
+    * sharding. The order key is [[unitHash]] (id tie-break for the
+    * astronomically-unlikely collision), so the permutation is a pure
+    * function of (id, salt): re-runs, repartitionings, and external
+    * engines produce the identical order, and distinct salts give
+    * independent permutations per epoch. Plans as a RANGE-partitioned
+    * sort (Spark samples key ranges, each executor sorts its slice) —
+    * the scalable global sort, no single-partition bottleneck; write the
+    * result with `maxRecordsPerFile`/partitioned output to get shuffled
+    * shards.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = ""): DataFrame =
+    df.withColumn("shuffle_key", unitHash(col(idCol), salt))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
       groupCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")

@@ -118,4 +118,22 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = weightedDraw(Seq(1L -> 5L, 2L -> 0L, 3L -> -4L), k = 5, "x")
     out shouldBe Seq(1L) // only the positive-weight row is sampleable
   }
+
+  test("deterministic shuffle is a reproducible permutation, salted per epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    def order(d: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      Sampling.deterministicShuffle(d, "doc_id", salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ep0 = order(df, "ep0")
+    ep0.toSet shouldBe (1L to 200L).toSet // a permutation, nothing lost
+    ep0 should not be (1L to 200L) // and actually shuffled
+    order(df.repartition(7), "ep0") shouldBe ep0 // partitioning-invariant
+    order(df, "ep1") should not be ep0 // a new epoch, a new permutation
+    // sorted by the hash key, ascending
+    val keys = Sampling.deterministicShuffle(df, "doc_id", "ep0")
+      .select(col("shuffle_key")).collect().map(_.getDouble(0)).toSeq
+    keys shouldBe keys.sorted
+  }
 }
