@@ -36,7 +36,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally
+        // each invocation's spill/temp-table dirs are dead once the noop
+        // write returns; releasing here (outside the timed window is not
+        // possible — the delete is microseconds against whole queries)
+        // keeps temp disk flat across 115 queries x warmup + N passes
+        graft.io.Spill.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
 
