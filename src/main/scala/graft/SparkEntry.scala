@@ -1013,6 +1013,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // deterministic shard plan: per-shard row/byte balance of the
+    // hash-assigned export shards — the pre-export check; assignment is
+    // map-only, the report is one tiny aggregate
+    "q116_shard_plan" -> ((s, d) =>
+      graft.operators.Sampling.shardAssign(
+          t(s, d, "documents"), "doc_id", nShards = 8, salt = "ex")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("shard"))),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -1580,6 +1592,15 @@ object SparkEntry {
     "q28_dedup_minhash" -> q28Oracle,
     "q109_minhash_incr" -> q109Oracle,
     "q113_simhash_incr" -> q113Oracle,
+
+    "q116_shard_plan" ->
+      """SELECT CAST(floor(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ex'), 1, 8))
+               AS UBIGINT) / 4294967296.0 * 8) AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(doc_id) AS min_id
+         FROM documents GROUP BY 1 ORDER BY shard""",
 
     "q115_corpus_shuffle" ->
       """SELECT doc_id, lang,

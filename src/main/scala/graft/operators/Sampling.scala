@@ -111,6 +111,22 @@ object Sampling {
     df.withColumn("shuffle_key", unitHash(col(idCol), salt))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Deterministic shard assignment — the export-time companion of
+    * [[deterministicShuffle]]: `shard = floor(unitHash * nShards)`, a
+    * pure (id, salt) function, so shard membership survives re-runs,
+    * repartitionings, and engine changes, and a failed export can be
+    * re-cut shard-by-shard. The uniform hash makes shards statistically
+    * balanced in rows AND bytes without any shuffle at assignment time
+    * (map-only); write with `partitionBy("shard")` to land one directory
+    * per shard.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+      floor(unitHash(col(idCol), salt) * nShards).cast("int"))
+  }
+
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
       groupCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")

@@ -119,6 +119,23 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Seq(1L) // only the positive-weight row is sampleable
   }
 
+  test("shard assignment is deterministic, complete, and statistically balanced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 800L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    def assign(d: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Sampling.shardAssign(d, "doc_id", nShards = 8, salt = "s")
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = assign(df)
+    a.keySet shouldBe (1L to 800L).toSet // every row lands somewhere
+    a.values.toSet shouldBe (0 until 8).toSet // every shard in range, used
+    assign(df.repartition(5)) shouldBe a // partitioning-invariant
+    // uniform hash: 100 expected per shard; 3-sigma ~ +-29
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    sizes.values.foreach(n => n.toDouble shouldBe 100.0 +- 45.0)
+  }
+
   test("deterministic shuffle is a reproducible permutation, salted per epoch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
