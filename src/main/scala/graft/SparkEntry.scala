@@ -321,7 +321,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           flatten(transform(
             array_sort(collect_list(struct(col("seq_pos"), col("ids")))),
-            x => x.getField("ids"))).as("ids"))
+            x => x.getField("ids"))).as("id_arr"))
+        // battery canonical form: the id sequence as a space-joined
+        // string — the driver's row-sort can't hash array cells
+        // (CORRECTNESS_r08 q97 err); API users get arrays from
+        // Packing/bpe_ids directly
+        .select(col("shard"), col("seq_id"), col("n_docs"),
+          array_join(col("id_arr").cast("array<string>"), " ").as("ids"))
         .orderBy(col("shard"), col("seq_id"))
     }),
 
@@ -332,7 +338,11 @@ object SparkEntry {
     "q96_encode_ids" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          GraftFunctions.bpe_encode_ids(col("text"), 24).as("ids"))
+          // battery canonical form (space-joined string): the driver's
+          // pandas row-sort can't hash array cells; bpe_encode_ids
+          // stays array-returning for API users
+          array_join(GraftFunctions.bpe_encode_ids(col("text"), 24)
+            .cast("array<string>"), " ").as("ids"))
         .orderBy(col("doc_id"))),
 
     // batched ANN (candidate generation): k nearest corpus neighbors for
@@ -1410,7 +1420,9 @@ object SparkEntry {
          SELECT doc_id, list_resize(list(id ORDER BY tp), 24, CAST(0 AS INTEGER)) AS ids
          FROM tid GROUP BY doc_id)
        SELECT d.doc_id,
-         coalesce(i.ids, list_resize(CAST([] AS INTEGER[]), 24, CAST(0 AS INTEGER))) AS ids
+         array_to_string(
+           coalesce(i.ids, list_resize(CAST([] AS INTEGER[]), 24, CAST(0 AS INTEGER))),
+           ' ') AS ids
        FROM documents d LEFT JOIN ids i ON d.doc_id = i.doc_id
        ORDER BY d.doc_id"""
   }
@@ -1439,7 +1451,7 @@ object SparkEntry {
            CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
          FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
        SELECT p.shard, p.seq_id, CAST(count(*) AS BIGINT) AS n_docs,
-         flatten(list(d.ids ORDER BY p.seq_pos)) AS ids
+         array_to_string(flatten(list(d.ids ORDER BY p.seq_pos)), ' ') AS ids
        FROM packed p JOIN docids d USING (doc_id)
        GROUP BY p.shard, p.seq_id
        ORDER BY p.shard, p.seq_id"""
