@@ -2850,8 +2850,10 @@ object SparkEntry {
            SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
            FROM (SELECT lang, doc_id,
-                   ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS UBIGINT) / 4294967296.0) / n_chars AS key
+                   ln(greatest(
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) / 4294967296.0,
+                        CAST(4.9e-324 AS DOUBLE))) / n_chars AS key
                  FROM documents WHERE n_chars > 0))
          WHERE rank <= 5 ORDER BY lang, rank""",
 

@@ -65,6 +65,11 @@ object Bpe {
     merges.foreach { case (l, r) =>
       require(Seq(l, r).forall(s => s.length == 1 || produced.contains(s)),
         s"merge ($l,$r) references a token no earlier merge produces")
+      // distinct outputs: two merges yielding the same string (e.g.
+      // (a,bc) and (ab,c)) would leave the earlier id unassignable and
+      // make id->token decode ambiguous
+      require(!produced.contains(l + r),
+        s"merge ($l,$r) output '${l + r}' duplicates an earlier merge")
       produced += (l + r)
     }
   }
@@ -192,6 +197,14 @@ object Bpe {
     */
   val Vocab: Vector[String] =
     (33 to 126).map(_.toChar.toString).toVector ++ Merges.map { case (l, r) => l + r }
+
+  // id->token decode must be a bijection; validateWellFormed rejects
+  // duplicate merge outputs, this guards the full table incl. the char
+  // range at class load
+  locally {
+    require(Vocab.distinct.size == Vocab.size,
+      "BPE vocab contains duplicate tokens — id mapping would be ambiguous")
+  }
 
   private val vocabId: Map[String, Int] =
     Vocab.zipWithIndex.map { case (t, i) => (t, i + 2) }.toMap

@@ -474,7 +474,17 @@ object Dedup {
     val histSig =
       try spark.read.schema("doc_id BIGINT, sig ARRAY<BIGINT>, batch STRING")
         .parquet(sigTablePath)
-        .where(col("batch") =!= bid).select(col("doc_id"), col("sig"))
+        .where(col("batch") =!= bid)
+        // a history written with a different k would silently zip-pad
+        // with null in est_jaccard (scoring components 0, deflating
+        // estimates) — fail loudly map-side instead
+        .select(col("doc_id"),
+          when(size(col("sig")) === k, col("sig"))
+            .otherwise(raise_error(concat(
+              lit(s"incrementalMinhashLsh: history sig length != k=$k at doc_id "),
+              col("doc_id").cast("string"), lit(" (found "),
+              size(col("sig")).cast("string"),
+              lit(") — run with the k the table was built with")))).as("sig"))
       catch { case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -49,7 +49,15 @@ object Quantization {
       .otherwise(lit(127.0) / maxabs)
     df.withColumn("scale", scale)
       .withColumn("q",
-        transform(embD, x => floor(x * col("scale") + lit(0.5)).cast("int")))
+        transform(embD, x => {
+          // NaN anywhere (element -> product, or NaN scale poisoning the
+          // whole vector): pin code 0 explicitly — the imperative twin
+          // emits 0 there, and floor(NaN).cast("int") only matches it
+          // under non-ANSI casting (ANSI mode throws), so the
+          // property-pinned parity must not hinge on spark.sql.ansi
+          val y = x * col("scale") + lit(0.5)
+          when(isnan(y), lit(0)).otherwise(floor(y).cast("int"))
+        }))
   }
 
   /** [[quantize]] + pack the codes to 1-byte-per-dim binary storage in

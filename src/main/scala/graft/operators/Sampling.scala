@@ -133,7 +133,12 @@ object Sampling {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     df.where(col(weightCol) > 0)
       .select(col(groupCol), col(idCol).cast("long").as("__id"),
-        (log(unitHash(col(idCol), salt)) / col(weightCol)).as("__key"))
+        // unitHash can emit exactly 0 (md5 prefix 00000000, p=2^-32/id);
+        // Spark's log returns NULL there, which would feed the
+        // aggregator's non-nullable Double input — clamp to the smallest
+        // positive double so the key is a finite ~-744.4 instead
+        (log(greatest(unitHash(col(idCol), salt),
+          lit(java.lang.Double.MIN_VALUE))) / col(weightCol)).as("__key"))
       .groupBy(col(groupCol))
       .agg(topk(col("__key"), col("__id")).as("__ids"))
       .select(col(groupCol), posexplode(col("__ids")).as(Seq("rank", idCol)))

@@ -133,6 +133,18 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
     Bpe.countTokens("   ", null) shouldBe 0L
   }
 
+  test("validateWellFormed rejects duplicate merge outputs (ambiguous decode)") {
+    // (a,bc) and (ab,c) both output "abc": the earlier id would be
+    // unassignable and id->token decode ambiguous
+    val e = intercept[IllegalArgumentException] {
+      Bpe.validateWellFormed(Seq(("b", "c"), ("a", "b"),
+        ("a", "bc"), ("ab", "c")))
+    }
+    e.getMessage should include("duplicates an earlier merge")
+    // and the embedded vocab is duplicate-free end to end
+    Bpe.Vocab.distinct.size shouldBe Bpe.Vocab.size
+  }
+
   test("SQL-callable and count agrees with the sequence on the fixture") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     docs.createOrReplaceTempView("bpe_docs")

@@ -164,6 +164,24 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     replay.toSet shouldBe got2.toSet
   }
 
+  test("incremental minhash fails loudly when history k mismatches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-mhk").toString + "/sigs"
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Dedup.incrementalMinhashLsh(docs, "doc_id", "text", table,
+      k = 8, batchId = "b1").collect()
+    // a different k on the same table would zip-pad est_jaccard with
+    // nulls and silently deflate estimates — must raise instead
+    val e = intercept[Exception] {
+      Dedup.incrementalMinhashLsh(docs, "doc_id", "text", table,
+        k = 16, batchId = "b2").collect()
+    }
+    e.getMessage should include("history sig length != k=16")
+  }
+
   test("incremental simhash: empty history reproduces the in-batch operator; " +
       "a later near-identical batch pairs against history; replay is stable") {
     import spark.implicits._

@@ -32,6 +32,20 @@ class QuantizationSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(1).getAs[Seq[Int]]("q") shouldBe Seq(0, 0)
   }
 
+  test("NaN element: scale NaN, ALL codes 0, identical across both twins") {
+    // a NaN element poisons maxabs -> scale NaN -> every product NaN; the
+    // imperative twin's NaN.toInt is 0, and the HOF twin pins the same 0
+    // explicitly so parity holds regardless of spark.sql.ansi.enabled
+    val df = vecs(Seq((0L, Seq(1.0, Double.NaN, -0.5)), (1L, Seq(0.5, 0.25))))
+    Seq(Quantization.quantize(df, "emb"), Quantization.quantizeHof(df, "emb"))
+      .foreach { out =>
+        val rows = out.orderBy(col("id")).collect()
+        rows(0).getAs[Double]("scale").isNaN shouldBe true
+        rows(0).getAs[Seq[Int]]("q") shouldBe Seq(0, 0, 0)
+        rows(1).getAs[Seq[Int]]("q") shouldBe Seq(127, 64)
+      }
+  }
+
   test("imperative Int8Quantize is value-identical to the HOF twin") {
     val imp = Quantization.quantize(embs, "embedding")
       .select(col("vec_id"), col("scale"), col("q"))
