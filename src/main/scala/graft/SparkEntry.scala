@@ -1023,6 +1023,20 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // cross-run semantic dedup: first batch against an empty embedding
+    // history ≡ the in-batch semanticDedup — pins the incremental path's
+    // history projection, cross-join shape, and component/anti-join tail
+    // to q110's oracle verbatim (cross-batch catches are spec-pinned in
+    // IncrementalDedupSpec)
+    "q117_semantic_incr" -> ((s, d) => {
+      val histDir = graft.io.Spill.tempDir("graft-semh-") + "/emb"
+      graft.operators.Dedup.incrementalSemanticDedup(t(s, d, "embeddings"),
+          "vec_id", "embedding", blockCol = "label", threshold = 0.4,
+          histTablePath = histDir)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // deterministic shard plan: per-shard row/byte balance of the
     // hash-assigned export shards — the pre-export check; assignment is
     // map-only, the report is one tiny aggregate
@@ -1409,6 +1423,33 @@ object SparkEntry {
          LEFT JOIN __vocab v ON v.tok = x.t)"""
   }
 
+  /** DuckDB twin of q110 AND q117: blocked cosine pairs, recursive
+    * component labeling, min-id anti-join. One definition for both — the
+    * incremental operator against an empty history must be EXACTLY the
+    * in-batch semanticDedup, so a semantics fix can't land in one oracle
+    * and not the other.
+    */
+  private def semanticDedupOracle: String =
+    """WITH RECURSIVE pairs AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id),
+         drp AS (
+           SELECT id FROM (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+           WHERE id <> comp)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id NOT IN (SELECT id FROM drp)
+         ORDER BY e.vec_id"""
+
   /** DuckDB twin of q96: replay the BPE state machine ([[bpeOracleCtes]]),
     * derive per-position token ids ([[bpeIdCtes]] truncated to 24), pad
     * with 0.
@@ -1632,26 +1673,10 @@ object SparkEntry {
 
     // q30's pair derivation + q52's recursive component labeling + an
     // anti-join; pairs MATERIALIZED per the recursive-oracle rule
-    "q110_semantic_dedup" ->
-      """WITH RECURSIVE pairs AS MATERIALIZED (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id
-           WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id),
-         drp AS (
-           SELECT id FROM (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
-           WHERE id <> comp)
-         SELECT e.vec_id, e.label FROM embeddings e
-         WHERE e.vec_id NOT IN (SELECT id FROM drp)
-         ORDER BY e.vec_id""",
+    "q110_semantic_dedup" -> semanticDedupOracle,
+
+    // empty history: the incremental path must reproduce q110 exactly
+    "q117_semantic_incr" -> semanticDedupOracle,
 
     // q110's labeling with the q106 packed arg_max keeper per component
     "q112_semantic_dedup_by" ->

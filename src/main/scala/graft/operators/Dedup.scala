@@ -915,6 +915,87 @@ object Dedup {
     embs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-run incremental [[semanticDedup]] — completes the incremental
+    * family (exact / MinHash / SimHash / spans) for semantic clusters:
+    * dedup a new batch against itself AND every previously-seen batch,
+    * e.g. this month's crawl against last month's corpus.
+    *
+    * History stores (doc_id, block, emb as array<double>) per `batch=<id>`
+    * dir — block-keyed exactly like the live operator, so the cross join
+    * shuffles on the block key, never all-pairs, and the double widening
+    * is IEEE-exact (cosine_sim computes in double regardless), keeping
+    * cross-batch similarities bit-identical to in-batch ones.
+    *
+    * Semantics: connected components over (in-batch pairs ∪ cross-batch
+    * pairs). A batch doc in a component containing ANY history doc drops —
+    * its cluster already has a survivor emitted by a previous run, even
+    * when the batch doc's id is smaller (min-id would re-emit the
+    * cluster). Batch-only components keep the min id, so against an EMPTY
+    * history this is exactly [[semanticDedup]] and q110's oracle applies
+    * verbatim. Returns the surviving batch rows unchanged.
+    *
+    * Same retry-safety discipline as [[incrementalExactDedup]] /
+    * [[incrementalMinhashLsh]]: the history read EXCLUDES the current
+    * `batch=<id>` (a replayed batch never pairs against its own first
+    * attempt), the result is spilled before the history write, and the
+    * write itself is an idempotent overwrite of the batch dir. A doc id
+    * resubmitted across batches keeps its first-seen embedding row per
+    * batch dir; the cross join's `doc_id` inequality keeps it from
+    * self-pairing.
+    */
+  def incrementalSemanticDedup(embs: DataFrame, idCol: String, embCol: String,
+      blockCol: String, threshold: Double, histTablePath: String,
+      batchId: String = null): DataFrame = {
+    val spark = embs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    // materialize once: the batch feeds the self-join (x2), the cross
+    // join, the final anti-join, and the history append
+    val batch = graft.io.Spill(embs, "graft-semb-")
+    val bproj = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(blockCol).cast("string").as("block"),
+      col(embCol).cast("array<double>").as("emb"))
+    // explicit schema: all-numeric batch dirs must not retype `batch`
+    val hist =
+      try spark.read
+        .schema("doc_id BIGINT, block STRING, emb ARRAY<DOUBLE>, batch STRING")
+        .parquet(histTablePath)
+        .where(col("batch") =!= bid)
+        .select(col("doc_id"), col("block"), col("emb"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, block STRING, emb ARRAY<DOUBLE>"))
+      }
+    val inBatch = embeddingNearDupPairs(batch, idCol, embCol, blockCol, threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val cross = hist.as("h")
+      .join(bproj.as("n"),
+        col("h.block") === col("n.block") &&
+          col("h.doc_id") =!= col("n.doc_id"))
+      .where(round(GraftFunctions.cosine_sim(col("h.emb"), col("n.emb")), 4)
+        >= threshold)
+      .select(least(col("h.doc_id"), col("n.doc_id")).as("id_a"),
+        greatest(col("h.doc_id"), col("n.doc_id")).as("id_b"))
+    val labels = connectedComponents(inBatch.unionByName(cross).distinct())
+    // components touching history: every batch member drops (the cluster's
+    // survivor was already emitted); batch-only components: keep min id
+    val histComps = labels
+      .join(hist.select(col("doc_id").as("id")).distinct(), Seq("id"))
+      .select(col("comp")).distinct()
+    val drop = labels.join(histComps, Seq("comp"), "left_semi")
+      .select(col("id"))
+      .unionByName(labels.join(histComps, Seq("comp"), "left_anti")
+        .where(col("id") =!= col("comp")).select(col("id")))
+    val result = graft.io.Spill(
+      batch.join(drop, col(idCol).cast("long") === col("id"), "left_anti"),
+      "graft-seminc-")
+    bproj.write.mode("overwrite").parquet(s"$histTablePath/batch=$bid")
+    result
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")

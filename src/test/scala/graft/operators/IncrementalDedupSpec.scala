@@ -164,6 +164,47 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     replay.toSet shouldBe got2.toSet
   }
 
+  test("incremental semantic dedup: empty history reproduces semanticDedup; " +
+      "a cross-batch near-dup drops even with a smaller id; replay is stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-semh").toString + "/emb"
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    // batch 1 vs empty history == the in-batch operator, row for row
+    val incr = Dedup.incrementalSemanticDedup(embs, "vec_id", "embedding",
+        "label", 0.4, table, batchId = "b1")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val eager = Dedup.semanticDedup(embs, "vec_id", "embedding", "label", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    incr shouldBe eager
+    incr.nonEmpty shouldBe true
+
+    // batch 2: a near-identical copy of a history survivor under a SMALLER
+    // id must still drop (its cluster's survivor already shipped — min-id
+    // would re-emit it); a doc in a block history never saw must survive
+    val src = embs.where(col("vec_id") === lit(incr.min))
+      .select(col("label"), col("embedding")).head()
+    val srcLabel = src.getAs[Number](0).intValue()
+    val srcEmb = src.getSeq[Float](1)
+    val batch2 = Seq(
+      (-5L, srcLabel, srcEmb.map(x => x * 2.0f)), // same direction => cos 1
+      (-6L, 999999, srcEmb)) // unseen block: no cross pairs by construction
+      .toDF("vec_id", "label", "embedding")
+    val out2 = Dedup.incrementalSemanticDedup(batch2, "vec_id", "embedding",
+        "label", 0.4, table, batchId = "b2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    out2 should contain(-6L)
+    out2.contains(-5L) shouldBe false
+
+    // replaying batch 2 must not pair against its own first attempt
+    val replay = Dedup.incrementalSemanticDedup(batch2, "vec_id", "embedding",
+        "label", 0.4, table, batchId = "b2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    replay shouldBe out2
+  }
+
   test("incremental minhash fails loudly when history k mismatches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
