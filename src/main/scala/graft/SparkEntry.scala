@@ -58,6 +58,24 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Deterministic synthetic URL for the q118/q119 domain queries — the
+    * fixture tables carry no url column, so one is derived purely from
+    * (doc_id, source, lang): scheme, userinfo, an extra host label, the
+    * TLD family (incl. a co.uk multi-part case), and a port all vary by
+    * doc_id residues. [[syntheticUrlSql]] is the character-identical
+    * DuckDB twin; keep the two in lockstep.
+    */
+  private def syntheticUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("http://")).otherwise(lit("https://")),
+    when(col("doc_id") % 7 === 0, lit("crawler:pw@")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0, lit("News.")).otherwise(lit("")),
+    col("source"), lit("."),
+    when(col("doc_id") % 5 === 0, lit("co.uk"))
+      .when(col("doc_id") % 5 === 1, lit("example.com"))
+      .otherwise(lit("example.org")),
+    when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/p/"), col("doc_id").cast("string"), lit("?lang="), col("lang"))
+
   /** One entry per implemented operator from SURVEY §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (S1, S2, S7) ----
@@ -1049,6 +1067,29 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"))
         .orderBy(col("shard"))),
 
+    // per-domain census over URL-carrying docs: host + registered-domain
+    // extraction are map-only regex/slice expressions, the rollup one
+    // hash aggregate; URLs are derived deterministically from fixture
+    // columns (the tables carry no url column) so the oracle replays the
+    // construction AND the parse character for character
+    "q118_domain_rollup" -> ((s, d) =>
+      graft.operators.Urls.domainRollup(
+          t(s, d, "documents").withColumn("url", syntheticUrl),
+          "url", "n_chars")
+        .orderBy(col("domain"))),
+
+    // C4-style domain gate: blocklist drops a domain outright, each
+    // surviving domain keeps its `maxPerDomain` smallest doc_ids; only
+    // over-cap domains pay the rank window (plan splits under/over on a
+    // tiny count aggregate)
+    "q119_domain_gate" -> ((s, d) =>
+      graft.operators.Urls.domainGate(
+          t(s, d, "documents").withColumn("url", syntheticUrl),
+          "url", "doc_id",
+          blocklist = Seq("example.org"), maxPerDomain = 40)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -1423,6 +1464,42 @@ object SparkEntry {
          LEFT JOIN __vocab v ON v.tok = x.t)"""
   }
 
+  /** DuckDB twin of [[syntheticUrl]] + [[graft.operators.Urls]] host and
+    * registered-domain extraction, shared by the q118/q119 oracles: the
+    * URL construction, the host regex (RE2-safe in both engines), and
+    * the label-slicing domain heuristic, replayed character for
+    * character. DuckDB lists are 1-based; `ls[len(ls)-2:len(ls)]` is the
+    * last-3 slice Spark spells `slice(labels, -3, 3)`.
+    */
+  private def urlDomainCtes: String =
+    """u AS (
+         SELECT doc_id, lang, source, n_chars,
+           (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0 THEN 'News.' ELSE '' END)
+           || source || '.'
+           || (CASE WHEN doc_id % 5 = 0 THEN 'co.uk'
+                    WHEN doc_id % 5 = 1 THEN 'example.com'
+                    ELSE 'example.org' END)
+           || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+           || '/p/' || doc_id || '?lang=' || lang AS url
+         FROM documents),
+       h AS (
+         SELECT *, nullif(regexp_extract(lower(url),
+           '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^:/?#]+)', 1), '') AS host
+         FROM u),
+       dom AS (
+         SELECT *,
+           CASE WHEN host IS NULL THEN NULL
+                WHEN len(ls) >= 3
+                     AND ls[len(ls)-1] IN ('co','com','net','org','gov','ac','edu')
+                     AND len(ls[len(ls)]) = 2
+                  THEN CASE WHEN len(ls) <= 3 THEN host
+                            ELSE array_to_string(ls[len(ls)-2:len(ls)], '.') END
+                WHEN len(ls) <= 2 THEN host
+                ELSE array_to_string(ls[len(ls)-1:len(ls)], '.') END AS domain
+         FROM (SELECT *, string_split(host, '.') AS ls FROM h))"""
+
   /** DuckDB twin of q110 AND q117: blocked cosine pairs, recursive
     * component labeling, min-id anti-join. One definition for both — the
     * incremental operator against an empty history must be EXACTLY the
@@ -1660,6 +1737,27 @@ object SparkEntry {
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 8))
              AS UBIGINT) / 4294967296.0 AS shuffle_key
          FROM documents ORDER BY shuffle_key, doc_id""",
+
+    "q118_domain_rollup" ->
+      s"""WITH $urlDomainCtes
+         SELECT domain, count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM dom GROUP BY domain ORDER BY domain""",
+
+    // blocklist filter, then per-domain rank <= cap (under-cap domains
+    // satisfy it trivially — the engine's under/over plan split is a
+    // performance shape, not a semantics change)
+    "q119_domain_gate" ->
+      s"""WITH $urlDomainCtes,
+         g AS (
+           SELECT doc_id, source, coalesce(domain, ' no-domain ') AS dk
+           FROM dom WHERE domain IS NULL OR domain <> 'example.org'),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY dk ORDER BY doc_id) AS rn
+           FROM g)
+         SELECT doc_id, source FROM r WHERE rn <= 40 ORDER BY doc_id""",
 
     "q114_semantic_decontam" ->
       """SELECT c.vec_id AS corpus_id, p.vec_id AS probe_id,

@@ -36,6 +36,7 @@ object GraftFunctions {
           s"minhash(tokens, k literal, seed literal); got ${other.size} args")
     },
     "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "url_host_domain" -> (exprs => UrlHostDomain(exprs.head)),
     "bpe_token_count" -> (exprs => BpeTokenCount(exprs.head)),
     "bpe_tokens" -> (exprs => BpeTokens(exprs.head)),
     "bpe_ids" -> (exprs => BpeIds(exprs.head)),
@@ -102,6 +103,9 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def url_host_domain(url: Column): Column =
+    call_function("url_host_domain", url)
 
   /** Merges-table BPE token count of a string column (see [[Bpe]]). */
   def bpe_token_count(text: Column): Column =

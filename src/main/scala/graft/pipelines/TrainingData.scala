@@ -81,9 +81,20 @@ object TrainingData {
       lmReference: Option[DataFrame] = None,
       stripSpansK: Option[Int] = None,
       stripSpansMinCount: Int = 2,
-      minQualityQuantile: Option[Double] = None): DataFrame = {
+      minQualityQuantile: Option[Double] = None,
+      urlCol: Option[String] = None,
+      domainBlocklist: Seq[String] = Nil,
+      maxPerDomain: Long = Long.MaxValue): DataFrame = {
+    // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
+    // per-domain cap) — runs FIRST so a blocked or over-cap domain's
+    // docs never pay dedup or scoring; blocklist is a pushed-down scan
+    // filter, the cap windows only over-cap domains
+    // ([[graft.operators.Urls.domainGate]])
+    val sourced = urlCol.fold(docs)(u =>
+      graft.operators.Urls.domainGate(docs, u, idCol,
+        domainBlocklist, maxPerDomain))
     // 1. exact dedup
-    val unique = Dedup.exactDedup(docs.select(col(idCol), col(textCol)), idCol, textCol)
+    val unique = Dedup.exactDedup(sourced.select(col(idCol), col(textCol)), idCol, textCol)
 
     // 1b. optional duplicate-SPAN strip (the RefinedWeb exact-substring
     // pass): corpus-duplicated k-token windows are removed from each

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** URL/domain operators: host parsing edge cases, the eTLD+1 heuristic,
+  * the rollup, and the blocklist + per-domain cap gate (including the
+  * NULL-domain group and determinism of cap membership).
+  */
+class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def urls(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "url")
+  }
+
+  private def hostDomain(url: String): (String, String) = {
+    val r = Urls.withDomain(urls(Seq((1L, url))), "url")
+      .select(col("host"), col("domain")).head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("host extraction: scheme, userinfo, port, path, query, case") {
+    hostDomain("https://www.example.com/a/b?q=1") shouldBe
+      (("www.example.com", "example.com"))
+    hostDomain("http://user:pw@News.BBC.co.uk:8080/x#f") shouldBe
+      (("news.bbc.co.uk", "bbc.co.uk"))
+    hostDomain("ftp+ssh://files.example.org") shouldBe
+      (("files.example.org", "example.org"))
+    // bare host, single label: host == domain
+    hostDomain("https://localhost:9000/") shouldBe (("localhost", "localhost"))
+    // two labels, multi-part second but NO third label -> whole host
+    hostDomain("https://co.uk/") shouldBe (("co.uk", "co.uk"))
+  }
+
+  test("unparseable urls give NULL host and domain") {
+    val out = Urls.withDomain(urls(Seq(
+      (1L, "no scheme here"), (2L, "https://"), (3L, null))), "url")
+      .select(col("host"), col("domain")).collect()
+    out.foreach { r =>
+      r.isNullAt(0) shouldBe true
+      r.isNullAt(1) shouldBe true
+    }
+  }
+
+  test("registered domain: three-label host with non-multi second keeps 2") {
+    hostDomain("https://a.b.example.com/") shouldBe
+      (("a.b.example.com", "example.com"))
+    // multi-part second-level but a LONG tld (not 2 letters) keeps 2
+    hostDomain("https://x.co.name/") shouldBe (("x.co.name", "co.name"))
+  }
+
+  test("rollup counts docs, distinct hosts, and chars per domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.example.com/1", 10L),
+      (2L, "https://b.example.com/2", 20L),
+      (3L, "https://a.example.com/3", 30L),
+      (4L, "https://only.example.org/", 5L))
+      .toDF("id", "url", "n_chars")
+    val out = Urls.domainRollup(docs, "url", "n_chars")
+      .orderBy(col("domain")).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("example.com", "example.org")
+    out(0).getLong(1) shouldBe 3L // n_docs
+    out(0).getLong(2) shouldBe 2L // n_hosts
+    out(0).getLong(3) shouldBe 60L
+    out(1).getLong(1) shouldBe 1L
+  }
+
+  test("gate: blocklist drops the domain, cap keeps the smallest ids") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"https://big.example.com/$i"))
+      .++(Seq((20L, "https://bad.example.org/x"),
+        (21L, "https://tiny.example.net/y")))
+      .toDF("id", "url")
+    val out = Urls.domainGate(docs, "url", "id",
+        blocklist = Seq("example.org"), maxPerDomain = 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // example.org blocked entirely; example.com capped to ids 1-4;
+    // example.net under cap passes whole
+    out shouldBe Set(1L, 2L, 3L, 4L, 21L)
+  }
+
+  test("gate: the NULL-domain group is capped too") {
+    import spark.implicits._
+    val docs = Seq((1L, "not a url"), (2L, "also not"), (3L, "still not"),
+      (4L, "https://ok.example.com/"))
+      .toDF("id", "url")
+    val out = Urls.domainGate(docs, "url", "id", maxPerDomain = 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 2L, 4L)
+  }
+
+  test("imperative UrlHostDomain is value-identical to the declarative twins") {
+    import spark.implicits._
+    val fixture = Seq(
+      "https://www.example.com/a?b=1", "http://u:p@NEWS.bbc.CO.UK:8080/x",
+      "ftp://files.example.org#frag", "https://localhost/", "https://co.uk",
+      "https://a.b.c.d.example.com/deep", "https://x.co.name/", "no scheme",
+      "https://", "https://host.with.trailing./", "weird://9start.example.com")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val imp = Urls.withDomain(fixture, "url")
+      .select(col("id"), col("host"), col("domain"))
+    val dec = fixture
+      .withColumn("host", Urls.hostOf(col("url")))
+      .withColumn("domain", Urls.registeredDomainOf(col("host")))
+      .select(col("id"), col("host"), col("domain"))
+    imp.exceptAll(dec).count() shouldBe 0L
+    dec.exceptAll(imp).count() shouldBe 0L
+  }
+
+  test("gate output keeps original columns and is replay-stable") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i =>
+      (i, s"https://dom.example.com/$i", s"body$i")).toDF("id", "url", "text")
+    val a = Urls.domainGate(docs, "url", "id", maxPerDomain = 3L)
+    a.columns.toSeq shouldBe Seq("id", "url", "text")
+    val b = Urls.domainGate(docs, "url", "id", maxPerDomain = 3L)
+    a.collect().map(_.toSeq).toSet shouldBe b.collect().map(_.toSeq).toSet
+  }
+}

@@ -46,6 +46,41 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     decontaminated shouldBe Set(1L) // doc 3 contains the benchmark item
   }
 
+  test("domain gate (stage 0) drops blocked and over-cap domains before dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here"),
+        "https://keep.example.com/1"),
+      (2L, goodDoc("plus aggregates and buckets and ranges in the plan"),
+        "https://keep.example.com/2"),
+      (3L, goodDoc("where filters and sorts and limits shape the result"),
+        "https://keep.example.com/3"),
+      (4L, goodDoc("and shuffles and exchanges move the rows between maps"),
+        "https://spam.example.org/x")
+    ).toDF("doc_id", "text", "url")
+
+    // blocklist kills doc 4's domain; cap=2 keeps docs 1-2 of keep.example.com
+    val gated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, urlCol = Some("url"),
+        domainBlocklist = Seq("example.org"), maxPerDomain = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(1L, 2L)
+
+    // stage 0 composes: equals the pipeline run on the pre-gated input
+    val pre = graft.operators.Urls.domainGate(docs, "url", "doc_id",
+      Seq("example.org"), 2L)
+    val viaOperator = TrainingData.clean(pre, "doc_id", "text",
+        cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    viaOperator shouldBe gated
+
+    // and with no url column the pipeline is untouched
+    val all = TrainingData.clean(docs.drop("url"), "doc_id", "text",
+        cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    all shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
   test("span-strip stage (1b) removes the shared boilerplate before accounting") {
     import spark.implicits._
     // an 8-word boilerplate header shared verbatim by two docs whose bodies
