@@ -67,26 +67,10 @@ final class HttpApi(serving: Serving, port: Int = 0) {
 
   // ---- JSON emission (flat values: numbers, strings, maps thereof) ----
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
-  private def jsonVal(v: Any): String = v match {
-    case null => "null"
-    case m: Map[_, _] =>
-      m.toSeq.sortBy(_._1.toString)
-        .map { case (k, x) => jsonStr(k.toString) + ":" + jsonVal(x) }
-        .mkString("{", ",", "}")
-    case xs: Seq[_] => xs.map(jsonVal).mkString("[", ",", "]")
-    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
-    case b: Boolean => b.toString
-    case n: java.lang.Number => n.toString
-    case other => jsonStr(other.toString)
-  }
+  // shared with the spill tier's round-trip codec so a spilled entry is
+  // byte-identical on the wire to a resident one
+  private def jsonStr(s: String): String = ServingJson.str(s)
+  private def jsonVal(v: Any): String = ServingJson.value(v)
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)

@@ -40,8 +40,9 @@ final class Serving {
     */
   def maintain(aggregated: DataFrame, name: String, keyCol: String,
       checkpointDir: String,
-      maxEntries: Int = ServingTable.DefaultMaxEntries): StreamingQuery = {
-    val t = register(new ServingTable(name, keyCol, maxEntries))
+      maxEntries: Int = ServingTable.DefaultMaxEntries,
+      spillDir: Option[String] = None): StreamingQuery = {
+    val t = register(new ServingTable(name, keyCol, maxEntries, spillDir))
     aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)

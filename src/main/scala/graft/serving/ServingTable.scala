@@ -4,7 +4,8 @@ import java.util.concurrent.ConcurrentSkipListMap
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A continuously-maintained, driver-resident serving view — the engine's
   * analog of the reference's queryable RocksDB state store (reference:
@@ -24,65 +25,191 @@ import org.apache.spark.sql.DataFrame
   * shard this map by key range — the API below is already range-based so
   * that split would be mechanical.
   *
-  * That posture is only safe while key cardinality actually IS bounded, so
-  * `maxEntries` makes the bound explicit: an upsert that would grow the
-  * table past it fails loud ([[ServingTable.CapacityExceeded]]) instead of
-  * slow-OOMing the driver on a high-cardinality key stream (the reference's
-  * RocksDB store is disk-backed and has no such failure mode — a map does).
-  * Updates to EXISTING keys never trip the guard; size the cap to the
-  * expected keyspace, or shard the serving tier when the keyspace outgrows
-  * one process.
+  * `maxEntries` bounds the DRIVER-HEAP tier. Past it there are two
+  * behaviors:
+  *
+  *   - default (`spillDir = None`): fail loud
+  *     ([[ServingTable.CapacityExceeded]]) instead of slow-OOMing the
+  *     driver on a high-cardinality key stream;
+  *   - `spillDir = Some(dir)`: LSM-lite overflow — the hot map is flushed
+  *     to a SORTED parquet generation (`gen=<n>`, one file, key-ordered so
+  *     point/prefix reads prune on row-group stats) and cleared, and
+  *     serving reads merge hot map + generations newest-first (latest
+  *     value per key wins, exactly the upsert semantics). The disk tier is
+  *     the same trade the reference's RocksDB store makes: capacity for
+  *     read latency; resident keys still answer at map speed.
+  *
+  * Spilled values round-trip through [[ServingJson]] (the HTTP layer's own
+  * emitter), so a spilled entry is byte-identical on the wire to a
+  * resident one; in-process readers see integral numbers as Long and
+  * decimals as Double after a round trip.
   */
 final class ServingTable(val name: String, val keyCol: String,
-    val maxEntries: Int = ServingTable.DefaultMaxEntries) {
+    val maxEntries: Int = ServingTable.DefaultMaxEntries,
+    val spillDir: Option[String] = None) {
 
   require(maxEntries > 0, "maxEntries must be positive")
 
   private val state = new ConcurrentSkipListMap[String, Map[String, Any]]()
 
-  /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. Throws
-    * [[ServingTable.CapacityExceeded]] on the first NEW key past
-    * `maxEntries` (rows already applied stay applied — the maintenance
-    * query then fails its batch and surfaces the error, rather than
-    * retrying into the same wall).
+  // spill generations, newest first; immutable vector swapped under
+  // writeLock so concurrent readers always see a consistent list
+  @volatile private var gens: Vector[String] = Vector.empty
+  @volatile private var session: Option[SparkSession] = None
+  private var nextGen = 0
+  private val writeLock = new Object
+
+  private val SpillSchema = "key STRING, json STRING"
+
+  /** Provide the session used to read (and on restart, discover) spill
+    * generations. Called implicitly by [[upsert]]; call explicitly when a
+    * restarted process must serve an existing `spillDir` before the first
+    * upsert arrives.
+    */
+  def attach(spark: SparkSession): this.type = writeLock.synchronized {
+    if (session.isEmpty) {
+      session = Some(spark)
+      spillDir.foreach { dir =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val found = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("gen="))
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            .map(p => (p.getName.stripPrefix("gen=").toInt, p.toString))
+            .sortBy(-_._1)
+          gens = found.map(_._2).toVector
+          nextGen = found.headOption.map(_._1 + 1).getOrElse(0)
+        }
+      }
+    }
+    this
+  }
+
+  /** Flush the whole hot map to one sorted parquet generation and clear
+    * it. Readers between the generation publish and the clear see some
+    * keys in both tiers with identical values — the hot tier wins, so the
+    * answer is unchanged.
+    */
+  private def flushToSpill(spark: SparkSession): Unit = {
+    val dir = spillDir.get
+    val rows = state.asScala.toSeq.map { case (k, v) => (k, ServingJson.value(v)) }
+    if (rows.isEmpty) return
+    import spark.implicits._
+    spark.createDataset(rows).toDF("key", "json")
+      .coalesce(1).sortWithinPartitions("key")
+      .write.mode("overwrite").parquet(s"$dir/gen=$nextGen")
+    gens = s"$dir/gen=$nextGen" +: gens
+    nextGen += 1
+    state.clear()
+  }
+
+  /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. When the
+    * hot map is at `maxEntries` and a NEW key arrives: with `spillDir` the
+    * map spills to a parquet generation and serving continues; without it
+    * this throws [[ServingTable.CapacityExceeded]] (rows already applied
+    * stay applied — the maintenance query then fails its batch and
+    * surfaces the error, rather than retrying into the same wall).
     */
   def upsert(batch: DataFrame): Unit = {
+    attach(batch.sparkSession)
     val cols = batch.columns.filter(_ != keyCol)
     batch.collect().foreach { row =>
       val k = Option(row.getAs[Any](keyCol)).map(_.toString).getOrElse("null")
-      if (state.size() >= maxEntries && !state.containsKey(k))
-        throw new ServingTable.CapacityExceeded(name, maxEntries)
+      if (state.size() >= maxEntries && !state.containsKey(k)) {
+        if (spillDir.isDefined)
+          writeLock.synchronized {
+            if (state.size() >= maxEntries && !state.containsKey(k))
+              flushToSpill(batch.sparkSession)
+          }
+        else throw new ServingTable.CapacityExceeded(name, maxEntries)
+      }
       state.put(k, cols.map(c => c -> row.getAs[Any](c)).toMap)
     }
   }
 
-  /** Point lookup (reference: `ReadOnlyKeyValueStore.get`,
-    * `WordCountService.java:101`).
+  private def parseRow(json: String): Map[String, Any] =
+    ServingJson.parse(json) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => Map("value" -> other)
+    }
+
+  /** Newest-first point probe of the spill tier: each generation is one
+    * sorted file, so the `key = k` filter prunes to at most one row group
+    * per generation.
     */
-  def get(key: String): Option[Map[String, Any]] = Option(state.get(key))
+  private def spillGet(key: String): Option[Map[String, Any]] =
+    session.flatMap { spark =>
+      gens.iterator.flatMap { g =>
+        spark.read.schema(SpillSchema).parquet(g)
+          .where(col("key") === key).limit(1)
+          .collect().headOption.map(r => parseRow(r.getString(1)))
+      }.nextOption()
+    }
+
+  /** Merge a spill-tier scan (oldest generation first) with the hot map
+    * (last, so it wins), sorted by key — the same latest-value-per-key
+    * semantics the map alone gives.
+    */
+  private def mergedScan(filterGen: DataFrame => DataFrame,
+      hot: Seq[(String, Map[String, Any])]): Seq[(String, Map[String, Any])] = {
+    val acc = new java.util.TreeMap[String, Map[String, Any]]()
+    session.foreach { spark =>
+      gens.reverseIterator.foreach { g =>
+        filterGen(spark.read.schema(SpillSchema).parquet(g))
+          .collect().foreach(r => acc.put(r.getString(0), parseRow(r.getString(1))))
+      }
+    }
+    hot.foreach { case (k, v) => acc.put(k, v) }
+    acc.asScala.toSeq
+  }
+
+  /** Point lookup (reference: `ReadOnlyKeyValueStore.get`,
+    * `WordCountService.java:101`). Hot map first; spilled generations
+    * newest-first on miss.
+    */
+  def get(key: String): Option[Map[String, Any]] =
+    Option(state.get(key)).orElse(if (gens.isEmpty) None else spillGet(key))
 
   /** Sorted range scan, both bounds inclusive (reference:
     * `PurchasesService.java:113` `store.range(from, to)`).
     */
-  def range(from: String, to: String): Seq[(String, Map[String, Any])] =
-    state.subMap(from, true, to, true).asScala.toSeq
+  def range(from: String, to: String): Seq[(String, Map[String, Any])] = {
+    val hot = state.subMap(from, true, to, true).asScala.toSeq
+    if (gens.isEmpty) hot
+    else mergedScan(_.where(col("key") >= from && col("key") <= to), hot)
+  }
 
   /** All entries of a key prefix — the reference encodes this as
     * `range(key + "-00000", key + "-99999")`; a real lexicographic prefix
-    * scan is strictly more general and stays sargable.
+    * scan is strictly more general and stays sargable (the spill tier
+    * pushes StringStartsWith down to the sorted parquet).
     */
-  def prefix(p: String): Seq[(String, Map[String, Any])] =
+  def prefix(p: String): Seq[(String, Map[String, Any])] = {
     // tailMap positions at the prefix in O(log n); a dropWhile from the
     // first key would make every prefix scan O(total keys)
-    state.tailMap(p, true).asScala.iterator.takeWhile(_._1.startsWith(p)).toSeq
+    val hot = state.tailMap(p, true).asScala.iterator
+      .takeWhile(_._1.startsWith(p)).toSeq
+    if (gens.isEmpty) hot
+    else mergedScan(_.where(col("key").startsWith(p)), hot)
+  }
 
   /** Full scan (scatter-gather analog, reference:
     * `PurchasesService.java:58-94` — the merge loop disappears because the
     * driver holds every partition's state).
     */
-  def all: Seq[(String, Map[String, Any])] = state.asScala.toSeq
+  def all: Seq[(String, Map[String, Any])] = {
+    val hot = state.asScala.toSeq
+    if (gens.isEmpty) hot else mergedScan(identity, hot)
+  }
 
+  /** HOT-tier entry count (spilled generations excluded — counting them
+    * would scan the disk tier; see [[spilledGenerations]]).
+    */
   def size: Int = state.size()
+
+  /** Number of spilled parquet generations currently serving. */
+  def spilledGenerations: Int = gens.size
 }
 
 object ServingTable {
@@ -98,5 +225,6 @@ object ServingTable {
       extends IllegalStateException(
         s"serving table '$table' is full ($max entries): the key stream's " +
           "cardinality exceeds the configured bound; raise maxEntries, " +
-          "aggregate to a coarser key, or shard the serving tier")
+          "aggregate to a coarser key, spill with spillDir, or shard the " +
+          "serving tier")
 }

@@ -47,4 +47,56 @@ class ServingTableSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       new ServingTable("bad", "k", maxEntries = 0)
   }
+
+  test("spillDir: over-limit keys spill to sorted parquet and keep serving") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
+    val t = new ServingTable("spilled", "k", maxEntries = 3,
+      spillDir = Some(dir))
+
+    // 10 keys through a 3-entry hot map: spills happen, nothing fails
+    t.upsert((1 to 10).map(i => (f"k$i%02d", i.toLong)).toDF("k", "n"))
+    t.spilledGenerations should be >= 1
+    t.size should be <= 3
+
+    // point: resident and spilled keys both answer, values intact
+    (1 to 10).foreach { i =>
+      t.get(f"k$i%02d").get("n") shouldBe i.toLong
+    }
+    t.get("nope") shouldBe None
+
+    // prefix and range merge the tiers in key order
+    t.prefix("k0").map(_._1) shouldBe (1 to 9).map(i => f"k$i%02d")
+    t.range("k03", "k05").map { case (k, v) => (k, v("n")) } shouldBe
+      Seq(("k03", 3L), ("k04", 4L), ("k05", 5L))
+    t.all.size shouldBe 10
+
+    // update-mode semantics survive spilling: a re-upserted key's LATEST
+    // value wins over its spilled older value
+    t.upsert(Seq(("k01", 100L)).toDF("k", "n"))
+    t.get("k01").get("n") shouldBe 100L
+    t.all.count(_._1 == "k01") shouldBe 1
+
+    // a restarted process rehydrates the generations from disk
+    val t2 = new ServingTable("spilled", "k", maxEntries = 3,
+      spillDir = Some(dir)).attach(spark)
+    t2.spilledGenerations shouldBe t.spilledGenerations
+    t2.get("k07").get("n") shouldBe 7L
+    t2.prefix("k0").size shouldBe 9
+  }
+
+  test("spilled entries are byte-identical on the wire to resident ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
+    val spilly = new ServingTable("w", "k", maxEntries = 2, spillDir = Some(dir))
+    val resident = new ServingTable("w", "k")
+    val rows = Seq(("a", 1L, "x\"y"), ("b", 2L, "plain"), ("c", 3L, "z"),
+      ("d", 4L, "w"))
+    spilly.upsert(rows.toDF("k", "n", "s"))
+    resident.upsert(rows.toDF("k", "n", "s"))
+    rows.map(_._1).foreach { k =>
+      ServingJson.value(spilly.get(k).get) shouldBe
+        ServingJson.value(resident.get(k).get)
+    }
+  }
 }
