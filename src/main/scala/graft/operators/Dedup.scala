@@ -636,6 +636,50 @@ object Dedup {
     compactDistinctFold(spark, fpTablePath, excludeBatch, targetFileBytes)(
       _.dropDuplicates("doc_id"))
 
+  /** Compact the [[incrementalSemanticDedup]] embedding-history table
+    * (distinct by doc_id; idempotent — a doc resubmitted across batches
+    * carries the same embedding row).
+    */
+  def compactEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      histTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int =
+    compactDistinctFold(spark, histTablePath, excludeBatch, targetFileBytes)(
+      _.dropDuplicates("doc_id"))
+
+  /** One-call maintenance for every incremental table a pipeline keeps:
+    * runs the right fold for each path — fingerprints (distinct fp),
+    * MinHash signatures / SimHash fingerprints / semantic embedding
+    * histories (distinct doc_id), span counts (SUMMED per fp, with the
+    * crash-recovery marker that fold requires) — under ONE shared
+    * in-flight-exclusion discipline: `excludeBatch` (the possibly
+    * mid-write batch id) is excluded from every fold, so a single call
+    * site can service all tables between ingest runs without tracking
+    * which table uses which fold. Returns table path -> post-compaction
+    * parquet data-file count (the monitoring number: it should step DOWN
+    * toward bytes/targetFileBytes after each call).
+    */
+  def compactAll(spark: org.apache.spark.sql.SparkSession,
+      fingerprints: Seq[String] = Nil,
+      signatures: Seq[String] = Nil,
+      spanCounts: Seq[String] = Nil,
+      simhash: Seq[String] = Nil,
+      embeddings: Seq[String] = Nil,
+      excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    val folds =
+      fingerprints.map(p => p -> (() =>
+        compactFingerprints(spark, p, excludeBatch, targetFileBytes))) ++
+      signatures.map(p => p -> (() =>
+        compactSignatures(spark, p, excludeBatch, targetFileBytes))) ++
+      spanCounts.map(p => p -> (() =>
+        compactSpanCounts(spark, p, excludeBatch, targetFileBytes))) ++
+      simhash.map(p => p -> (() =>
+        compactSimhash(spark, p, excludeBatch, targetFileBytes))) ++
+      embeddings.map(p => p -> (() =>
+        compactEmbeddings(spark, p, excludeBatch, targetFileBytes)))
+    folds.map { case (p, f) => p -> f() }.toMap
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on a partition column
     * (label, LSH bucket, ...) so the pair join shuffles on the block key
     * instead of exploding into a cross product.

@@ -205,6 +205,74 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     replay shouldBe out2
   }
 
+  test("compactAll folds every incremental table in one call, " +
+      "sparing the in-flight batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-call").toString
+    val fpT = base + "/fp"; val sigT = base + "/sig"
+    val spanT = base + "/span"; val shT = base + "/sh"; val embT = base + "/emb"
+
+    def docs(ids: Range, tag: String) = ids.map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta $tag word$i"))
+      .toDF("doc_id", "text")
+    def embs(ids: Range) = ids.map(i =>
+      (i.toLong, 1, Seq.tabulate(4)(d => (i % 3 + d + 1).toDouble)))
+      .toDF("vec_id", "label", "embedding")
+
+    // two settled batches per table
+    Seq("b1" -> (1 to 4), "b2" -> (5 to 8)).foreach { case (bid, r) =>
+      Dedup.incrementalExactDedup(docs(r, bid), "doc_id", "text", fpT, bid).collect()
+      Dedup.incrementalMinhashLsh(docs(r, "same"), "doc_id", "text", sigT,
+        batchId = bid).collect()
+      Dedup.incrementalDuplicateSpans(docs(r, "same"), "doc_id", "text", spanT,
+        k = 3, batchId = bid).collect()
+      Dedup.incrementalSimhash(docs(r, "same"), "doc_id", "text", shT,
+        batchId = bid).collect()
+      Dedup.incrementalSemanticDedup(embs(r), "vec_id", "embedding", "label",
+        0.99, embT, batchId = bid).collect()
+    }
+
+    // the in-flight probe batch, run BEFORE compaction
+    def probeAll(): Seq[Set[Any]] = Seq(
+      Dedup.incrementalExactDedup(docs(9 to 12, "b1"), "doc_id", "text",
+        fpT, "b3").select("doc_id").collect().map(_.get(0): Any).toSet,
+      Dedup.incrementalMinhashLsh(docs(9 to 12, "same"), "doc_id", "text",
+        sigT, batchId = "b3").collect().map(_.toSeq: Any).toSet,
+      Dedup.incrementalDuplicateSpans(docs(9 to 12, "same"), "doc_id", "text",
+        spanT, k = 3, batchId = "b3").collect().map(_.toSeq: Any).toSet,
+      Dedup.incrementalSimhash(docs(9 to 12, "same"), "doc_id", "text",
+        shT, batchId = "b3").collect().map(_.toSeq: Any).toSet,
+      Dedup.incrementalSemanticDedup(embs(9 to 12), "vec_id", "embedding",
+        "label", 0.99, embT, batchId = "b3")
+        .select("vec_id").collect().map(_.get(0): Any).toSet)
+    val before = probeAll()
+
+    def batchDirs(t: String): Set[String] =
+      new java.io.File(t).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+    val tables = Seq(fpT, sigT, spanT, shT, embT)
+    tables.foreach(t => batchDirs(t).size shouldBe 3)
+
+    val counts = Dedup.compactAll(spark,
+      fingerprints = Seq(fpT), signatures = Seq(sigT),
+      spanCounts = Seq(spanT), simhash = Seq(shT), embeddings = Seq(embT),
+      excludeBatch = "b3", targetFileBytes = 1L << 30)
+    counts.keySet shouldBe tables.toSet
+
+    // b1+b2 folded into one compact dir per table; in-flight b3 untouched
+    tables.foreach { t =>
+      val dirs = batchDirs(t)
+      dirs.size shouldBe 2
+      dirs should contain("batch=b3")
+      dirs.count(_.startsWith("batch=compact-")) shouldBe 1
+    }
+
+    // replaying the in-flight batch against the compacted history is
+    // bit-identical — the novel/pair/survivor sets did not change
+    probeAll() shouldBe before
+  }
+
   test("incremental minhash fails loudly when history k mismatches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
