@@ -53,5 +53,46 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     prefixes.distinct.size shouldBe prefixes.size
     rLine should include("\"q85\":")
+    // worst case WITH the adjudication field (cap of 5 re-run outliers)
+    // still fits the same tail-capture budget
+    val adj = worst.take(5).map { case (n, _) => n -> 88.888 }
+    val aLine = Bench.jsonLine(worst, "/root/testdata/sf0.1", adjudicated = adj)
+    aLine.length should be <= 1910
+    aLine should include("\"adjudicated\":{")
+  }
+
+  test("checked-in anchors parse and cover the battery at both SFs") {
+    val battery = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_')).toSet
+    Seq("sf0.1", "sf0.01").foreach { sf =>
+      val anchors = Bench.loadAnchors(sf, "BENCH_ANCHORS.txt")
+      anchors.keySet shouldBe battery // stale or missing rows both fail
+      all(anchors.values) should be > 0.0
+    }
+    // an unrecorded sf disables adjudication instead of crashing the bench
+    Bench.loadAnchors("sf99", "BENCH_ANCHORS.txt") shouldBe empty
+    Bench.loadAnchors("sf0.1", "/nonexistent/anchors.txt") shouldBe empty
+  }
+
+  test("synthetic-slow outlier selection: >2x anchor re-runs, the rest don't") {
+    val anchors = Map("q01" -> 1.0, "q02" -> 1.0, "q03" -> 1.0, "q04" -> 1.0)
+    val results = Seq(
+      "q01_fine" -> 1.9,       // under 2x — left alone
+      "q02_slow" -> 4.0,       // 4x — adjudicated
+      "q03_crashed" -> -1.0,   // failed — a crash is not a timing artifact
+      "q04_worse" -> 9.0,      // 9x — adjudicated, ranked first
+      "q05_no_anchor" -> 99.0) // new query, no anchor row — skipped
+    Bench.outliers(results, anchors) shouldBe Seq("q04_worse", "q02_slow")
+    // the cap bounds a systemic-regression round to a sample
+    val many = (10 to 30).map(i => s"q$i" -> 10.0)
+    val manyAnchors = many.map { case (n, _) => n -> 1.0 }.toMap
+    Bench.outliers(many, manyAnchors) should have size 5
+    // both readings ship: original min under queries, re-run adjudicated
+    val line = Bench.jsonLine(Seq("q72_salted_join" -> 4.489),
+      "/root/testdata/sf0.1", adjudicated = Seq("q72_salted_join" -> 1.99))
+    line should include(""""q72_salted_join":4.489""")
+    line should include(""""adjudicated":{"q72_salted_join":1.99}""")
+    // and the field costs nothing when there were no outliers
+    Bench.jsonLine(Seq("q72_salted_join" -> 1.8), "/root/testdata/sf0.1")
+      .contains("adjudicated") shouldBe false
   }
 }
