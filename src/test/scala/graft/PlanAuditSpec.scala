@@ -102,7 +102,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q107_temperature_mix" -> 10, // totals agg + tiny window + rate broadcast + final agg + sort
     "q108_quantile_floor" -> 6, // threshold agg + broadcast back + sort (scoring stays map-only)
     "q111_tokenizer_fertility" -> 4, // one hash agg over the map-only projection + sort
-    "q112_semantic_dedup_by" -> 12) // labels join + keeper agg + double anti-join + sort
+    "q112_semantic_dedup_by" -> 12, // labels join + keeper agg + double anti-join + sort
+    // round-9 additions, audited at introduction. The incremental
+    // (`*_incr`) twins spill their history/candidate phases eagerly
+    // (replay-stability, PLANS.md round-8), so the RETURNED plan these
+    // ceilings guard is the post-spill tail — a regression that adds a
+    // shuffle to the tail (e.g. losing the spill-scan's partitioning)
+    // still fails here; the eager phases are plan-pinned by their
+    // operator specs instead:
+    "q105_dup_spans_incr" -> 1, // spilled span-merge scan + final sort only
+    "q109_minhash_incr" -> 1, // spilled pair result scan + final sort only
+    "q110_semantic_dedup" -> 3, // survivor anti-join ships ids + final sort
+    "q113_simhash_incr" -> 1, // spilled pair result scan + final sort only
+    "q114_semantic_decontam" -> 2, // probe BroadcastExchange + final sort
+    "q115_corpus_shuffle" -> 1, // ONE range partitioning carries the sort
+    "q116_shard_plan" -> 2, // map-only shard assign + balance agg + sort
+    "q117_semantic_incr" -> 1, // spilled survivor scan + final sort only
+    "q118_domain_rollup" -> 3, // host extract map-only + rollup agg + sort
+    "q119_domain_gate" -> 6) // blocklist anti + domain cap window + sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
