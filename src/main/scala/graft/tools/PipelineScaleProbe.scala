@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Engine, Tables}
+
+/** Scale probe for the two heaviest COMPOSED battery plans (SURVEY §9
+  * evidence): the sf0.1 corpus duplicated 1x/2x/5x/10x (ids offset),
+  * timing
+  *
+  *  - the q90 pipeline (TrainingData.clean -> Chunking.chunk ->
+  *    Packing.packGreedy) — at 10x the cleaning stages' gated id sets
+  *    (dedup survivors, near-dup components, df-capped postings) grow
+  *    past comfortable broadcast sizes, so the probe confirms the
+  *    12-exchange budget holds when AQE plans those joins as shuffles
+  *    instead; and
+  *  - the q112 policy semantic dedup (Dedup.semanticDedupBy) — ID-offset
+  *    duplication is the ADVERSARIAL case here: every copy of a vector
+  *    is an exact cosine-1.0 neighbor of every other copy, so each
+  *    near-dup cluster of size k becomes size m*k and the block-keyed
+  *    pair join emits ~m^2 the pairs, stressing the pointer-jumping
+  *    component loop and the keeper aggregate far harder than organic
+  *    growth would.
+  *
+  * Every stage in both plans is linear-or-pair-bounded by construction;
+  * super-linear wall-clock beyond the m^2 pair growth in q112 would mean
+  * a join degraded to nested-loop or a component iteration stopped
+  * converging — the regressions `PlanAuditSpec`'s ceilings cannot see at
+  * sf0.001.
+  */
+object PipelineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.local("graft-pipeline-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).cache()
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    val (nDocs, nVecs) = (docs.count(), embs.count())
+
+    Seq(1, 2, 5, 10).foreach { m =>
+      val corpus = (0 until m).map(i => docs.select(
+        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+        .reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val survivors = graft.pipelines.TrainingData.clean(corpus, "doc_id", "text")
+        .select(col("doc_id"))
+      val chunks = graft.operators.Chunking.chunk(
+        survivors.join(corpus.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "doc_id", "text", size = 24, stride = 24)
+        .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
+          (col("doc_id") % 4).as("shard"), col("n_tokens").as("tokens"))
+      val packed = graft.operators.Packing.packGreedy(
+        chunks, "cid", "tokens", "shard", budget = 96L)
+        .agg(count(lit(1)), countDistinct(col("seq_id"))).head()
+      val prepSecs = (System.nanoTime() - t0) / 1e9
+      println(f"q90 m=$m%d docs=${m * nDocs}%d chunks=${packed.getLong(0)}%d " +
+        f"seqs=${packed.getLong(1)}%d secs=$prepSecs%.2f")
+      graft.io.Spill.releaseAll()
+    }
+
+    Seq(1, 2, 5, 10).foreach { m =>
+      val vecs = (0 until m).map(i => embs.select(
+        (col("vec_id") + lit(i * 10_000_000L)).as("vec_id"),
+        col("label"), col("embedding"))).reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val kept = graft.operators.Dedup.semanticDedupBy(vecs,
+          "vec_id", "embedding", blockCol = "label", threshold = 0.4,
+          priority = col("vec_id") % 7)
+        .agg(count(lit(1))).head().getLong(0)
+      val dedupSecs = (System.nanoTime() - t0) / 1e9
+      println(f"q112 m=$m%d vecs=${m * nVecs}%d kept=$kept%d secs=$dedupSecs%.2f")
+      graft.io.Spill.releaseAll()
+    }
+    spark.stop()
+  }
+}
