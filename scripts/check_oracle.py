@@ -5,6 +5,7 @@ Compares row count, schema (column names), and per-value hash with columns
 sorted by name. Usage: check_oracle.py <verify_out_dir> <sf_dir>"""
 import sys, os, json, math
 import duckdb
+import pandas as pd
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -27,6 +28,14 @@ for name in sorted(oracle):
         fails.append((name, "missing spark output")); continue
     got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchall()
     got_cols = [d[0] for d in con.description]
+    # Driver-harness canary: the real gate sorts result rows with pandas
+    # (sort_values -> factorize), which throws on unhashable cells (e.g.
+    # an array<long> column -> numpy.ndarray). Replicate that here so an
+    # un-hashable battery output fails locally, not in the driver run.
+    try:
+        pd.DataFrame(got, columns=got_cols).sort_values(by=sorted(got_cols))
+    except TypeError as e:
+        fails.append((name, f"driver-sort canary: {e}")); continue
     try:
         exp = con.execute(oracle[name]).fetchall()
         exp_cols = [d[0] for d in con.description]
