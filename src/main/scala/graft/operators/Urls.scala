@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL/domain operators — the C4/RefinedWeb-style web-corpus stages every
@@ -90,13 +89,26 @@ object Urls {
     * (nothing to match) and are capped as the NULL-domain group.
     *
     * Scale shape: the blocklist is a literal isin filter (pushed to the
-    * scan). The cap does NOT window the whole corpus — a per-domain
-    * count (tiny aggregate) first identifies over-cap domains, under-cap
-    * domains pass through an anti-join against that (broadcast-sized:
-    * one row per over-cap domain), and only the over-cap slice — in a
-    * web corpus, a handful of giant hosts — pays the row_number window.
-    * The corpus-wide shuffle a naive window would do on the (heavily
-    * skewed) domain key never happens.
+    * scan). The cap does NOT window the whole corpus — ONE bounded
+    * aggregate (count + the BOUNDED [[graft.functions.TopKAggregator]],
+    * the q94 machinery) computes each domain's row count and its
+    * `maxPerDomain` smallest ids together; under-cap domains pass
+    * through an anti-join against the over-cap rows (one row per
+    * over-cap domain) and over-cap rows keep exactly the aggregated id
+    * set via a semi-join. Never a `row_number` window: over-cap domains
+    * are by definition the giant ones, and `Window.partitionBy(domain)`
+    * sorts each such domain in ONE task — a mega-domain holding 1% of a
+    * 100 TB web corpus would become a single-task sort. The aggregator's
+    * partial/final split combines map-side, so the exchange carries at
+    * most `maxPerDomain` ids per domain per MAP TASK and nothing ever
+    * sorts more than the k-sized buffers; the corpus-wide sort shuffle a
+    * naive window would do on the (heavily skewed) domain key never
+    * happens.
+    *
+    * `idCol` must be unique and long-castable (it is a doc id); a finite
+    * cap must fit in Int, and the bounded buffer makes caps up to the
+    * low thousands the practical range (a larger "cap" is not a cap —
+    * the window form is the better tool there).
     */
   def domainGate(docs: DataFrame, urlCol: String, idCol: String,
       blocklist: Seq[String] = Nil,
@@ -109,20 +121,30 @@ object Urls {
         !col("domain").isin(blocklist.map(x => x: Any): _*))
     if (maxPerDomain == Long.MaxValue)
       return allowed.drop("host", "domain")
+    require(maxPerDomain <= Int.MaxValue,
+      "a finite maxPerDomain must fit in Int (bounded keeper buffer)")
     // NULL-safe group key: a plain equi-join on domain would exempt the
     // NULL-domain group from the cap (NULL never equi-matches)
     val keyed = allowed.withColumn("__dk",
       coalesce(col("domain"), lit("\u0000no-domain\u0000")))
+    // ONE bounded aggregate carries both decisions: the domain's row
+    // count (over-cap or not) and its maxPerDomain smallest ids (the
+    // constant score makes the aggregator's id-ascending tiebreak the
+    // ordering — the same deterministic membership the
+    // row_number-over-id idiom and the DuckDB oracle select). Per-task
+    // partial buffers cap at maxPerDomain entries, so the exchange
+    // carries at most k ids per domain per map task and the reduce side
+    // streams bounded merges — never a sort of a domain's full slice.
+    val mink = udaf(new graft.functions.TopKAggregator(maxPerDomain.toInt))
     val overCap = keyed.groupBy(col("__dk"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"),
+        mink(lit(0.0), col(idCol).cast("long")).as("__ids"))
       .where(col("__n") > maxPerDomain)
-      .select(col("__dk"))
-    val under = keyed.join(overCap, Seq("__dk"), "left_anti")
-    val capped = keyed.join(overCap, Seq("__dk"), "left_semi")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__dk")).orderBy(col(idCol))))
-      .where(col("__rn") <= maxPerDomain)
-      .drop("__rn")
+    val under = keyed.join(overCap.select(col("__dk")), Seq("__dk"), "left_anti")
+    val keepIds = overCap
+      .select(col("__dk").as("__kdk"), explode(col("__ids")).as("__keep"))
+    val capped = keyed.join(keepIds, col("__dk") === col("__kdk") &&
+      col(idCol).cast("long") === col("__keep"), "left_semi")
     under.unionByName(capped).drop("__dk", "host", "domain")
   }
 }

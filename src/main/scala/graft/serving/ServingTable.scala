@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions.col
   *     to a SORTED parquet generation (`gen=<n>`, one file, key-ordered so
   *     point/prefix reads prune on row-group stats) and cleared, and
   *     serving reads merge hot map + generations newest-first (latest
-  *     value per key wins, exactly the upsert semantics). The disk tier is
+  *     value per key wins, exactly the upsert semantics). Past
+  *     `compactAfterGenerations` the generations fold newest-wins into
+  *     ONE sorted generation (see [[compactSpill]]), so read
+  *     amplification stays bounded on a long-running high-cardinality
+  *     stream instead of growing a generation per flush. The disk tier is
   *     the same trade the reference's RocksDB store makes: capacity for
   *     read latency; resident keys still answer at map speed.
   *
@@ -46,9 +50,11 @@ import org.apache.spark.sql.functions.col
   */
 final class ServingTable(val name: String, val keyCol: String,
     val maxEntries: Int = ServingTable.DefaultMaxEntries,
-    val spillDir: Option[String] = None) {
+    val spillDir: Option[String] = None,
+    val compactAfterGenerations: Int = ServingTable.DefaultCompactAfter) {
 
   require(maxEntries > 0, "maxEntries must be positive")
+  require(compactAfterGenerations > 1, "compactAfterGenerations must be > 1")
 
   private val state = new ConcurrentSkipListMap[String, Map[String, Any]]()
 
@@ -102,6 +108,52 @@ final class ServingTable(val name: String, val keyCol: String,
     gens = s"$dir/gen=$nextGen" +: gens
     nextGen += 1
     state.clear()
+    // LSM discipline: unbounded generation accretion turns every
+    // range/prefix/all into an every-generation scan — fold past the bound
+    if (gens.size >= compactAfterGenerations) compactLocked(spark)
+  }
+
+  /** Merge ALL spilled generations, newest-wins, into ONE sorted
+    * generation (the LSM major compaction). Must hold `writeLock`.
+    *
+    * Same publish-then-delete discipline as `Layout.compact`'s
+    * temp-sibling swap: the merged fold lands in a NEW `gen=<n>` dir
+    * (never a lazy read-and-overwrite of a dir it is reading), the
+    * generation list swaps to it atomically (volatile vector), and only
+    * then are the old dirs deleted. A crash between publish and delete
+    * is harmless: on restart [[attach]] sees the merged generation as
+    * NEWEST, so the stale survivors under it answer identically and the
+    * next compaction folds them away.
+    */
+  private def compactLocked(spark: SparkSession): Unit = {
+    if (gens.size <= 1) return
+    val dir = spillDir.get
+    // precedence = position in `gens` (newest first): smaller age wins
+    val merged = gens.zipWithIndex.map { case (g, age) =>
+        spark.read.schema(SpillSchema).parquet(g)
+          .withColumn("__age", org.apache.spark.sql.functions.lit(age))
+      }.reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions
+        .min_by(col("json"), col("__age")).as("json"))
+    merged.coalesce(1).sortWithinPartitions("key")
+      .write.mode("overwrite").parquet(s"$dir/gen=$nextGen")
+    val old = gens
+    gens = Vector(s"$dir/gen=$nextGen")
+    nextGen += 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
+  }
+
+  /** On-demand LSM compaction of the spill tier; returns the resulting
+    * generation count (1 if anything was spilled, 0 if nothing ever was).
+    * Serving answers are identical before and after — only read
+    * amplification changes. No-op without a session or `spillDir`.
+    */
+  def compactSpill(): Int = writeLock.synchronized {
+    session.foreach(compactLocked)
+    gens.size
   }
 
   /** Upsert one micro-batch (or a batch DataFrame) of keyed rows. When the
@@ -220,6 +272,13 @@ object ServingTable {
     * the reference demo's keyspaces.
     */
   val DefaultMaxEntries: Int = 1 << 20
+
+  /** Generation-count bound that triggers the automatic LSM fold: past
+    * it, every spill flush is followed by a merge of all generations
+    * into one. 8 keeps worst-case read amplification single-digit while
+    * amortizing the fold over 8 hot-map flushes of rewrite work.
+    */
+  val DefaultCompactAfter: Int = 8
 
   final class CapacityExceeded(table: String, max: Int)
       extends IllegalStateException(

@@ -30,6 +30,9 @@ import graft.core.{Engine, Tables}
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
+    // optional section filter: any of "q90", "q112", "q119" (default all)
+    val sections: Set[String] =
+      if (args.isEmpty) Set("q90", "q112", "q119") else args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.local("graft-pipeline-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,7 +44,7 @@ object PipelineScaleProbe {
       .select(col("vec_id"), col("label"), col("embedding")).cache()
     val (nDocs, nVecs) = (docs.count(), embs.count())
 
-    Seq(1, 2, 5, 10).foreach { m =>
+    if (sections("q90")) Seq(1, 2, 5, 10).foreach { m =>
       val corpus = (0 until m).map(i => docs.select(
         (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars")))
@@ -63,7 +66,7 @@ object PipelineScaleProbe {
       graft.io.Spill.releaseAll()
     }
 
-    Seq(1, 2, 5, 10).foreach { m =>
+    if (sections("q112")) Seq(1, 2, 5, 10).foreach { m =>
       val vecs = (0 until m).map(i => embs.select(
         (col("vec_id") + lit(i * 10_000_000L)).as("vec_id"),
         col("label"), col("embedding"))).reduce(_ unionAll _)
@@ -75,6 +78,38 @@ object PipelineScaleProbe {
       val dedupSecs = (System.nanoTime() - t0) / 1e9
       println(f"q112 m=$m%d vecs=${m * nVecs}%d kept=$kept%d secs=$dedupSecs%.2f")
       graft.io.Spill.releaseAll()
+    }
+
+    // q119 domain-cap ADVERSARIAL skew probe: ONE domain holds 50% of the
+    // corpus (the mega-host case the plan split exists for). The bounded
+    // TopKAggregator gate should scale ~linearly in total rows — partial
+    // buffers cap the mega-domain's exchange at k ids per map task —
+    // while the row_number window form funnels the whole mega-domain
+    // into one task's sort, so its wall diverges with m.
+    if (sections("q119")) Seq(1, 2, 5, 10).foreach { m =>
+      val n = m * 1_000_000L
+      val rows = spark.range(n).select(col("id"),
+        when(col("id") % 2 === 0, lit("https://mega.example.com/x"))
+          .otherwise(concat(lit("https://site"),
+            (col("id") % 50000).cast("string"), lit(".example.net/y")))
+          .as("url"))
+      val t0 = System.nanoTime()
+      val kept = graft.operators.Urls.domainGate(rows, "url", "id",
+        maxPerDomain = 40).agg(count(lit(1))).head().getLong(0)
+      val aggSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val keptW = { // the pre-round-10 window form, for comparison
+        val keyed = graft.operators.Urls.withDomain(rows, "url")
+          .withColumn("__dk", coalesce(col("domain"), lit("-")))
+        keyed.withColumn("__rn", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__dk")).orderBy(col("id"))))
+          .where(col("__rn") <= 40)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      val winSecs = (System.nanoTime() - t1) / 1e9
+      println(f"q119 m=$m%d rows=$n%d kept=$kept%d keptW=$keptW%d " +
+        f"aggSecs=$aggSecs%.2f windowSecs=$winSecs%.2f")
     }
     spark.stop()
   }

@@ -119,7 +119,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q116_shard_plan" -> 2, // map-only shard assign + balance agg + sort
     "q117_semantic_incr" -> 1, // spilled survivor scan + final sort only
     "q118_domain_rollup" -> 3, // host extract map-only + rollup agg + sort
-    "q119_domain_gate" -> 6) // blocklist anti + domain cap window + sort
+    // round-10: the over-cap keeper window became the bounded
+    // count+TopKAggregator aggregate (computed once, consumed by the
+    // under anti-join and the keeper semi-join as broadcasts), dropping
+    // the ceiling 6 -> 5 and removing the mega-domain single-task sort
+    "q119_domain_gate" -> 5) // 2x keeper agg + 2 broadcasts + final sort
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

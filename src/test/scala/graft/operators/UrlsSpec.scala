@@ -114,6 +114,19 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     dec.exceptAll(imp).count() shouldBe 0L
   }
 
+  test("gate plan: bounded aggregate, never a per-domain window sort") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i =>
+      (i, s"https://mega.example.com/$i")).toDF("id", "url")
+    val plan = Urls.domainGate(docs, "url", "id", maxPerDomain = 2L)
+      .queryExecution.executedPlan.toString
+    // over-cap domains are the GIANT ones: a Window.partitionBy(domain)
+    // would sort a mega-domain in one task; the gate must select keepers
+    // with the partial/final bounded aggregator instead
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+  }
+
   test("gate output keeps original columns and is replay-stable") {
     import spark.implicits._
     val docs = (1L to 6L).map(i =>

@@ -85,6 +85,54 @@ class ServingTableSpec extends AnyFunSuite with Matchers with SparkSpec {
     t2.prefix("k0").size shouldBe 9
   }
 
+  test("compactSpill folds generations to one with identical answers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
+    // compactAfterGenerations high so the fold is OURS to trigger
+    val t = new ServingTable("lsm", "k", maxEntries = 3,
+      spillDir = Some(dir), compactAfterGenerations = 100)
+    t.upsert((1 to 12).map(i => (f"k$i%02d", i.toLong)).toDF("k", "n"))
+    t.upsert(Seq(("k02", 200L), ("k05", 500L)).toDF("k", "n")) // re-upserts
+    // filler keys force the re-upserted values into a DURABLE generation
+    // (hot-map contents are lost on restart, compacted or not)
+    t.upsert((13 to 18).map(i => (f"k$i%02d", i.toLong)).toDF("k", "n"))
+    t.spilledGenerations should be >= 2
+
+    val before = (t.all, t.get("k02"), t.get("k05"), t.get("nope"),
+      t.prefix("k0"), t.range("k03", "k09"))
+    t.compactSpill() shouldBe 1
+    t.spilledGenerations shouldBe 1
+    (t.all, t.get("k02"), t.get("k05"), t.get("nope"),
+      t.prefix("k0"), t.range("k03", "k09")) shouldBe before
+    // newest-wins survived the fold
+    t.get("k02").get("n") shouldBe 200L
+    t.get("k05").get("n") shouldBe 500L
+
+    // restart rehydration sees exactly the one folded generation
+    val t2 = new ServingTable("lsm", "k", maxEntries = 3,
+      spillDir = Some(dir)).attach(spark)
+    t2.spilledGenerations shouldBe 1
+    t2.get("k02").get("n") shouldBe 200L
+    // disk tier serves every key that was ever flushed (hot-only keys
+    // k17/k18 are gone — restart semantics, unchanged by compaction)
+    t2.all.map(_._1) shouldBe (1 to 16).map(i => f"k$i%02d")
+  }
+
+  test("generation count stays bounded by the automatic fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
+    val t = new ServingTable("auto", "k", maxEntries = 2,
+      spillDir = Some(dir), compactAfterGenerations = 3)
+    // 40 distinct keys through a 2-entry hot map: ~20 flushes, but the
+    // fold at every 3rd generation keeps the tier at < 3 generations
+    (1 to 40).grouped(4).foreach { g =>
+      t.upsert(g.map(i => (f"k$i%02d", i.toLong)).toDF("k", "n"))
+    }
+    t.spilledGenerations should be < 3
+    (1 to 38).foreach { i => t.get(f"k$i%02d").get("n") shouldBe i.toLong }
+    t.all.size shouldBe 40
+  }
+
   test("spilled entries are byte-identical on the wire to resident ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
