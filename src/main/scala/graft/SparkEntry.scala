@@ -76,6 +76,17 @@ object SparkEntry {
     when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
     lit("/p/"), col("doc_id").cast("string"), lit("?lang="), col("lang"))
 
+  /** [[syntheticUrl]] plus the crawl noise q120 canonicalizes away —
+    * tracking params and a fragment by doc_id residues (the synthetic
+    * URL always has a query, so noise appends with `&`). Keep in
+    * lockstep with the q120 oracle's `n` CTE.
+    */
+  private def noisyUrl: Column = concat(syntheticUrl,
+    when(col("doc_id") % 4 === 0,
+      lit("&utm_source=feed&utm_campaign=weekly")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("&fbclid=IwAR2xYz")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, lit("#ref-2")).otherwise(lit("")))
+
   /** One entry per implemented operator from SURVEY §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (S1, S2, S7) ----
@@ -1090,6 +1101,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // URL canonicalization — the pre-dedup key normalization (fragment,
+    // scheme/host case, default ports, trailing slashes, tracking
+    // params). Map-only: three regexes + one filter HOF per row, noise
+    // derived deterministically so the oracle replays construction AND
+    // canonicalization character for character
+    "q120_url_canon" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(noisyUrl).as("canon_url"))
+        .orderBy(col("doc_id"))),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -1748,6 +1770,52 @@ object SparkEntry {
     // blocklist filter, then per-domain rank <= cap (under-cap domains
     // satisfy it trivially — the engine's under/over plan split is a
     // performance shape, not a semantics change)
+    // the synthetic URL + noise, then the canonicalization steps in the
+    // exact arithmetic of Urls.canonicalUrl: one anchored parse, lowered
+    // scheme/host, default-port drop, trailing-slash strip, tracking
+    // param filter (coalesce: DuckDB's array_to_string of an EMPTY list
+    // is NULL where Spark's array_join is '')
+    "q120_url_canon" ->
+      """WITH n AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0 THEN 'News.' ELSE '' END)
+             || source || '.'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'co.uk'
+                      WHEN doc_id % 5 = 1 THEN 'example.com'
+                      ELSE 'example.org' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || doc_id || '?lang=' || lang
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '&utm_source=feed&utm_campaign=weekly' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '&fbclid=IwAR2xYz' ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#ref-2' ELSE '' END) AS url
+           FROM documents),
+         c0 AS (SELECT doc_id, url,
+             regexp_replace(trim(url), '#.*', '') AS f FROM n),
+         cp AS (SELECT doc_id, url,
+             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 1)) AS sch,
+             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 2) AS ui,
+             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 3)) AS hostl,
+             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 4) AS prt,
+             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 5), '/+$', '') AS pth,
+             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 6), '^\?', '') AS q
+           FROM c0),
+         cq AS (SELECT doc_id, url, sch, ui, hostl, pth,
+             CASE WHEN (sch = 'http' AND prt = ':80')
+                    OR (sch = 'https' AND prt = ':443')
+                  THEN '' ELSE prt END AS prt,
+             coalesce(array_to_string(list_filter(string_split(q, '&'),
+               x -> NOT regexp_matches(x,
+                 '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=|$)')),
+               '&'), '') AS qf
+           FROM cp)
+         SELECT doc_id, CASE WHEN sch = '' THEN trim(url)
+           ELSE sch || '://' || ui || hostl || prt || pth ||
+             (CASE WHEN qf = '' THEN '' ELSE '?' || qf END) END AS canon_url
+         FROM cq ORDER BY doc_id""",
+
     "q119_domain_gate" ->
       s"""WITH $urlDomainCtes,
          g AS (

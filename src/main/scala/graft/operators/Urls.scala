@@ -57,6 +57,56 @@ object Urls {
       .otherwise(array_join(slice(labels, -take, take), "."))
   }
 
+  // the dominant client/campaign-id query params (utm_*, the social and
+  // ads click ids) that make byte-identical pages look distinct to exact
+  // dedup. Matched against a whole `k=v` segment: key, then `=` or end.
+  private val TrackingParamRe =
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=|$)"
+
+  // one anchored parse of a fragment-stripped absolute URL:
+  // 1 scheme, 2 userinfo (with @), 3 host, 4 port (with :), 5 path,
+  // 6 query (with ?). RE2-safe (no lookaround/backrefs) so the DuckDB
+  // oracle replays it with the identical pattern string.
+  private val UrlPartsRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\\?.*)?$"
+
+  /** Canonical form of a URL for dedup keying — the C4/RefinedWeb-style
+    * normalization that collapses crawl-artifact variants of the same
+    * page onto one string:
+    *
+    *   - fragment stripped (`#...` never reaches the server);
+    *   - scheme and host lowercased (case-insensitive per RFC 3986);
+    *     userinfo, path, and query keep their case (case-sensitive);
+    *   - default ports dropped (`http://h:80`, `https://h:443`);
+    *   - trailing slashes stripped from the path (root included:
+    *     `https://h/` = `https://h`);
+    *   - tracking query params removed (utm_*, fbclid, gclid, ...);
+    *     a query left empty by that drops its `?`. Param ORDER is kept —
+    *     reordering can change server behavior and breaks replays.
+    *
+    * Map-only (three regexes + one filter HOF, all codegen'd, all in the
+    * RE2 subset the DuckDB oracle replays). Idempotent by construction —
+    * canon(canon(x)) = canon(x), spec-pinned — so re-cleaning an already
+    * clean corpus is a no-op. A string with no `scheme://` is returned
+    * trimmed but otherwise untouched (nothing to parse); NULL stays
+    * NULL. Use as the join/dedup key ahead of [[Dedup]] exact passes.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val f = regexp_replace(trim(url), "#.*", "")
+    def part(i: Int): Column = regexp_extract(f, UrlPartsRe, i)
+    val scheme = lower(part(1))
+    val port = when((scheme === "http" && part(4) === ":80") ||
+      (scheme === "https" && part(4) === ":443"), lit(""))
+      .otherwise(part(4))
+    val path = regexp_replace(part(5), "/+$", "")
+    val query = regexp_replace(part(6), "^\\?", "")
+    val keptQ = array_join(
+      filter(split(query, "&"), x => !x.rlike(TrackingParamRe)), "&")
+    val rebuilt = concat(scheme, lit("://"), part(2), lower(part(3)), port,
+      path, when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+    when(part(1) === "", trim(url)).otherwise(rebuilt)
+  }
+
   /** Both derived columns at once (`host`, `domain`) — one imperative
     * [[graft.functions.UrlHostDomain]] struct per row, so downstream
     * filters/joins that substitute the derivation stay constant-size.

@@ -84,7 +84,10 @@ object TrainingData {
       minQualityQuantile: Option[Double] = None,
       urlCol: Option[String] = None,
       domainBlocklist: Seq[String] = Nil,
-      maxPerDomain: Long = Long.MaxValue): DataFrame = {
+      maxPerDomain: Long = Long.MaxValue,
+      dedupByUrl: Boolean = false): DataFrame = {
+    require(!dedupByUrl || urlCol.isDefined,
+      "dedupByUrl requires urlCol")
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
     // per-domain cap) — runs FIRST so a blocked or over-cap domain's
     // docs never pay dedup or scoring; blocklist is a pushed-down scan
@@ -93,8 +96,26 @@ object TrainingData {
     val sourced = urlCol.fold(docs)(u =>
       graft.operators.Urls.domainGate(docs, u, idCol,
         domainBlocklist, maxPerDomain))
+    // 0b. optional URL-keyed dedup: refetches of the SAME page under
+    // crawl-noise URL variants (fragments, utm_* params, case, default
+    // ports) collapse onto one doc — min id per canonical URL
+    // ([[graft.operators.Urls.canonicalUrl]]) — BEFORE text dedup, so a
+    // refetch whose dynamic content differs slightly still drops here
+    // instead of surviving to the (more expensive) near-dup stage. Docs
+    // with a NULL url pass through unkeyed (nothing to collapse on).
+    val urlDeduped = if (!dedupByUrl) sourced else {
+      val keyed = sourced.withColumn("__cu",
+        graft.operators.Urls.canonicalUrl(col(urlCol.get)))
+      val winners = keyed.where(col("__cu").isNotNull)
+        .groupBy(col("__cu")).agg(min(col(idCol).cast("long")).as("__keep"))
+        .select(col("__keep"))
+      keyed.where(col("__cu").isNull)
+        .unionByName(keyed.join(winners,
+          col(idCol).cast("long") === col("__keep"), "left_semi"))
+        .drop("__cu")
+    }
     // 1. exact dedup
-    val unique = Dedup.exactDedup(sourced.select(col(idCol), col(textCol)), idCol, textCol)
+    val unique = Dedup.exactDedup(urlDeduped.select(col(idCol), col(textCol)), idCol, textCol)
 
     // 1b. optional duplicate-SPAN strip (the RefinedWeb exact-substring
     // pass): corpus-duplicated k-token windows are removed from each

@@ -114,6 +114,43 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     dec.exceptAll(imp).count() shouldBe 0L
   }
 
+  private val canonCases = Seq(
+    // fragment + default port + tracking params + host/scheme case
+    ("HTTPS://WWW.Example.COM:443/Path/To/?utm_source=x&q=1#frag",
+      "https://www.example.com/Path/To?q=1"),
+    ("http://Host.com:80/", "http://host.com"),
+    ("http://host.com:8080/a/", "http://host.com:8080/a"), // non-default port kept
+    ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"), // query drops its ?
+    ("https://h.io/p?fbclid", "https://h.io/p"), // bare tracking key
+    ("https://h.io/p?a=1&gclid=2&b=3", "https://h.io/p?a=1&b=3"), // order kept
+    ("https://u:Pw@H.io/x", "https://u:Pw@h.io/x"), // userinfo case kept
+    ("https://h.io", "https://h.io"),
+    ("  https://h.io///  ", "https://h.io"),
+    ("https://h.io/p?x=1/", "https://h.io/p?x=1/"), // slash in query kept
+    ("not a url", "not a url"), // no scheme: passthrough
+    (null, null))
+
+  test("canonicalUrl: fragments, case, ports, slashes, tracking params") {
+    import spark.implicits._
+    val out = canonCases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+      .select(col("id"), Urls.canonicalUrl(col("url")).as("c"))
+      .orderBy(col("id")).collect().map(r =>
+        if (r.isNullAt(1)) null else r.getString(1))
+    out.toSeq shouldBe canonCases.map(_._2)
+  }
+
+  test("canonicalUrl is idempotent: canon(canon(x)) = canon(x)") {
+    import spark.implicits._
+    val df = canonCases.map(_._1).filter(_ != null).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val once = Urls.canonicalUrl(col("url"))
+    val diff = df.select(col("id"), once.as("c1"),
+        Urls.canonicalUrl(once).as("c2"))
+      .where(!(col("c1") <=> col("c2")))
+    diff.count() shouldBe 0L
+  }
+
   test("gate plan: bounded aggregate, never a per-domain window sort") {
     import spark.implicits._
     val docs = (1L to 10L).map(i =>

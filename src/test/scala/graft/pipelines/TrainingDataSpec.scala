@@ -81,6 +81,33 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     all shouldBe Set(1L, 2L, 3L, 4L)
   }
 
+  test("url dedup (stage 0b) collapses crawl-noise refetches of one page") {
+    import spark.implicits._
+    val docs = Seq(
+      // three fetches of ONE page: fragment / utm noise / host case —
+      // texts differ (dynamic content), so TEXT dedup alone keeps all
+      (1L, goodDoc("with joins and windows over rows and groups here"),
+        "https://site.example.com/page?id=7"),
+      (2L, goodDoc("plus aggregates and buckets and ranges in the plan"),
+        "https://site.example.com/page?id=7&utm_source=feed"),
+      (3L, goodDoc("where filters and sorts and limits shape the result"),
+        "https://SITE.example.com/page?id=7#part2"),
+      (4L, goodDoc("and shuffles and exchanges move the rows between maps"),
+        "https://site.example.com/other"),
+      (5L, goodDoc("then sketches and samples summarize the stream cheaply"),
+        null)
+    ).toDF("doc_id", "text", "url")
+
+    val kept = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, urlCol = Some("url"), dedupByUrl = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // min id wins the canonical-URL group; null-url doc passes through
+    kept shouldBe Set(1L, 4L, 5L)
+
+    an[IllegalArgumentException] should be thrownBy
+      TrainingData.clean(docs, "doc_id", "text", dedupByUrl = true)
+  }
+
   test("span-strip stage (1b) removes the shared boilerplate before accounting") {
     import spark.implicits._
     // an 8-word boilerplate header shared verbatim by two docs whose bodies
