@@ -33,8 +33,9 @@ object Urls {
 
   // second-level labels that commonly front a two-letter ccTLD
   // (bbc.co.uk -> registered domain bbc.co.uk, not co.uk). A full public
-  // suffix list is data, not code — callers with one should pre-compute
-  // their own domain column; this heuristic covers the dominant cases.
+  // suffix list is data, not code — callers with one use
+  // [[withDomainPsl]] / [[pslDomains]]; this heuristic covers the
+  // dominant cases map-only (spec-pinned equal to the PSL path on them).
   private val MultiPartSeconds = Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
   /** Registered-domain (eTLD+1) approximation of a host: the last two
@@ -117,6 +118,85 @@ object Urls {
       .withColumn("host", col("__hd.host"))
       .withColumn("domain", col("__hd.domain"))
       .drop("__hd")
+
+  /** Host -> registered-domain mapping under a caller-supplied public
+    * suffix list — the data-driven alternative to the
+    * [[registeredDomainOf]] heuristic, so adopting a real PSL is a table
+    * swap, not a code change. Accepts the PSL rule grammar: plain
+    * suffixes (`co.uk`), wildcards (`*.ck` — any single extra label is
+    * part of the public suffix), and exceptions (`!www.ck` — carves a
+    * registrable name out of a wildcard); `//` comments and blank lines
+    * skipped. Unlisted TLDs fall back to the PSL default rule `*` (the
+    * last label is the public suffix), and a host that IS a public
+    * suffix maps to itself (the heuristic's behavior for `co.uk`).
+    *
+    * Shape: rules explode driver-side (they are data, kilobytes), the
+    * host's candidate suffixes (bounded by the longest rule) explode
+    * map-side, the rule match is a broadcast equi-join, and the
+    * prevailing-rule pick (exception beats all, else longest) is one
+    * bounded aggregate over <= maxRuleLabels+1 candidate rows per host.
+    * Run it over DISTINCT hosts (what [[withDomainPsl]] does), not the
+    * corpus — the census is |hosts|-sized, never |docs|-sized.
+    *
+    * @return (`hostCol`, `domain`) mapping with one row per input row
+    */
+  def pslDomains(hosts: DataFrame, hostCol: String,
+      suffixRules: Seq[String]): DataFrame = {
+    val rules = suffixRules.iterator.map(_.trim)
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+      .map { r =>
+        // (join key, public-suffix label count on match, exception?)
+        if (r.startsWith("!")) {
+          val key = r.drop(1)
+          (key, key.count(_ == '.'), true) // pub = labels(key) - 1
+        } else if (r.startsWith("*.")) {
+          val key = r.drop(2)
+          (key, key.count(_ == '.') + 2, false) // key labels + the wildcard
+        } else (r, r.count(_ == '.') + 1, false)
+      }.toSeq
+    require(rules.nonEmpty, "suffixRules holds no rules")
+    val maxK = rules.map(_._1.count(_ == '.') + 1).max
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("__key", "__pub", "__exc")
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    val cands = hosts.select(col(hostCol), explode(
+        sequence(lit(1), least(n, lit(maxK)))).as("__k"))
+      .select(col(hostCol),
+        array_join(slice(labels, -col("__k"), col("__k")), ".").as("__cand"))
+    // prevailing rule: any exception wins, else the longest public
+    // suffix — struct ordering (exc, pub) encodes exactly that priority
+    val picked = cands
+      .join(broadcast(ruleDf), col("__cand") === col("__key"), "left")
+      .groupBy(col(hostCol))
+      .agg(max(when(col("__pub").isNotNull,
+        struct(col("__exc"), col("__pub")))).as("__m"))
+      .select(col(hostCol),
+        coalesce(col("__m.__pub"), lit(1)).as("__pub"))
+    picked.select(col(hostCol),
+      when(col(hostCol).isNull, lit(null).cast("string"))
+        .when(n <= col("__pub"), col(hostCol))
+        .otherwise(array_join(
+          slice(labels, -(col("__pub") + 1), col("__pub") + 1), "."))
+        .as("domain"))
+  }
+
+  /** [[withDomain]] with the registered domain resolved by a
+    * caller-supplied public suffix list instead of the built-in
+    * heuristic: hosts dedupe first (the PSL aggregate runs per DISTINCT
+    * host), then the (host, domain) mapping joins back — at corpus scale
+    * an equi-join on the host key, broadcastable while the host census
+    * fits.
+    */
+  def withDomainPsl(df: DataFrame, urlCol: String,
+      suffixRules: Seq[String]): DataFrame = {
+    val hosted = df.withColumn("host", hostOf(col(urlCol)))
+    val mapping = pslDomains(
+      hosted.select(col("host")).where(col("host").isNotNull).distinct(),
+      "host", suffixRules)
+    hosted.join(mapping, Seq("host"), "left")
+  }
 
   /** Per-domain rollup — the corpus census that drives blocklist and cap
     * decisions: docs, distinct hosts, and total chars per registered

@@ -114,6 +114,68 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     dec.exceptAll(imp).count() shouldBe 0L
   }
 
+  test("pslDomains: plain, wildcard, exception, and default rules") {
+    import spark.implicits._
+    val psl = Seq(
+      "// fixture public suffix list", "",
+      "com", "uk", "co.uk", "au", "com.au", "net", "name", "co.name",
+      "*.ck", "!www.ck")
+    val hosts = Seq(
+      "news.bbc.co.uk", "bbc.co.uk", "co.uk", // multi-label plain
+      "a.foo.com.au", "foo.com.au", // the com.au family
+      "www.example.com", "example.com",
+      "foo.bar.ck", "bar.ck", "www.ck", "a.www.ck", // wildcard + exception
+      "x.y.zz", "zz" // unlisted TLD -> default rule
+    ).zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+    val out = Urls.pslDomains(hosts, "host", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out("news.bbc.co.uk") shouldBe "bbc.co.uk"
+    out("bbc.co.uk") shouldBe "bbc.co.uk"
+    out("co.uk") shouldBe "co.uk" // a public suffix maps to itself
+    out("a.foo.com.au") shouldBe "foo.com.au"
+    out("foo.com.au") shouldBe "foo.com.au"
+    out("www.example.com") shouldBe "example.com"
+    out("foo.bar.ck") shouldBe "foo.bar.ck" // *.ck: bar.ck is public
+    out("bar.ck") shouldBe "bar.ck"
+    out("www.ck") shouldBe "www.ck" // !www.ck carves it back out
+    out("a.www.ck") shouldBe "www.ck"
+    out("x.y.zz") shouldBe "y.zz" // default rule: last label is public
+    out("zz") shouldBe "zz"
+  }
+
+  test("heuristic registeredDomainOf agrees with the PSL on common cases") {
+    import spark.implicits._
+    // the dominant shapes the heuristic was built for — on these the
+    // data-driven and heuristic answers must be identical
+    val psl = Seq("com", "org", "net", "uk", "co.uk", "au", "com.au")
+    val hosts = Seq("example.com", "www.example.com", "a.b.example.com",
+      "news.bbc.co.uk", "bbc.co.uk", "files.example.org", "localhost")
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+    val viaPsl = Urls.pslDomains(hosts, "host", psl)
+    val viaHeuristic = hosts.select(col("host"),
+      Urls.registeredDomainOf(col("host")).as("domain"))
+    viaPsl.exceptAll(viaHeuristic).count() shouldBe 0L
+    viaHeuristic.exceptAll(viaPsl).count() shouldBe 0L
+  }
+
+  test("withDomainPsl keys a url column through the suffix table") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://News.BBC.co.uk/story"),
+      (2L, "https://a.foo.com.au/x"),
+      (3L, "no url here")).toDF("id", "url")
+    val out = Urls.withDomainPsl(df, "url",
+        Seq("uk", "co.uk", "au", "com.au"))
+      .select(col("id"), col("host"), col("domain"))
+      .orderBy(col("id")).collect()
+    (out(0).getString(1), out(0).getString(2)) shouldBe
+      (("news.bbc.co.uk", "bbc.co.uk"))
+    (out(1).getString(1), out(1).getString(2)) shouldBe
+      (("a.foo.com.au", "foo.com.au"))
+    out(2).isNullAt(1) shouldBe true
+    out(2).isNullAt(2) shouldBe true
+  }
+
   private val canonCases = Seq(
     // fragment + default port + tracking params + host/scheme case
     ("HTTPS://WWW.Example.COM:443/Path/To/?utm_source=x&q=1#frag",
