@@ -1040,6 +1040,81 @@ object Dedup {
     result
   }
 
+  /** [[incrementalSemanticDedup]] with an int8-QUANTIZED history: the
+    * cross-run table stores 1-byte-per-dim packed codes
+    * ([[graft.functions.Int8Pack]]) instead of `array<double>` — ~8x
+    * smaller history scans and block-join exchanges — and cross-batch
+    * candidate scoring runs the integer-dot
+    * [[graft.functions.CosineInt8]] kernel (cosine is invariant under
+    * the per-vector quantization scale, so the table needs no scale
+    * column and the scoring no dequantization; the same posture as the
+    * quantized ANN indexes, `Similarity.lshTopKIndexedQuantized`).
+    *
+    * In-batch pairs stay FLOAT-exact (the batch's own embeddings are in
+    * hand), so against an empty history this is exactly [[semanticDedup]]
+    * like the float-history form. Cross-batch similarities are quantized
+    * approximations: near-threshold pairs can flip either way, so the
+    * survivor set is spec-gated against the float-history path with a
+    * symmetric-difference bound (`IncrementalDedupSpec`); an exact or
+    * same-direction duplicate still scores int8 cosine 1.0 and is always
+    * caught. The float form stays the oracle default (q117) — choose
+    * this one when history-table size dominates pipeline cost. The two
+    * forms' history schemas differ: never point them at one table path.
+    *
+    * Same retry-safety discipline as the float form: the history read
+    * excludes the in-flight `batch=<id>`, the result spills before the
+    * history write, the write is an idempotent overwrite of the batch
+    * dir, and [[compactEmbeddings]] folds the accumulating dirs
+    * (distinct by doc_id — the fold never reads vector payloads).
+    */
+  def incrementalSemanticDedupInt8(embs: DataFrame, idCol: String,
+      embCol: String, blockCol: String, threshold: Double,
+      histTablePath: String, batchId: String = null): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_int8, int8_pack, int8_quantize}
+    val spark = embs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val batch = graft.io.Spill(embs, "graft-semq-")
+    val bq = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(blockCol).cast("string").as("block"),
+      int8_pack(int8_quantize(col(embCol)).getField("q")).as("qb"))
+    val hist =
+      try spark.read
+        .schema("doc_id BIGINT, block STRING, qb BINARY, batch STRING")
+        .parquet(histTablePath)
+        .where(col("batch") =!= bid)
+        .select(col("doc_id"), col("block"), col("qb"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, block STRING, qb BINARY"))
+      }
+    val inBatch = embeddingNearDupPairs(batch, idCol, embCol, blockCol, threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val cross = hist.as("h")
+      .join(bq.as("n"),
+        col("h.block") === col("n.block") &&
+          col("h.doc_id") =!= col("n.doc_id"))
+      .where(round(cosine_int8(col("h.qb"), col("n.qb")), 4) >= threshold)
+      .select(least(col("h.doc_id"), col("n.doc_id")).as("id_a"),
+        greatest(col("h.doc_id"), col("n.doc_id")).as("id_b"))
+    val labels = connectedComponents(inBatch.unionByName(cross).distinct())
+    val histComps = labels
+      .join(hist.select(col("doc_id").as("id")).distinct(), Seq("id"))
+      .select(col("comp")).distinct()
+    val drop = labels.join(histComps, Seq("comp"), "left_semi")
+      .select(col("id"))
+      .unionByName(labels.join(histComps, Seq("comp"), "left_anti")
+        .where(col("id") =!= col("comp")).select(col("id")))
+    val result = graft.io.Spill(
+      batch.join(drop, col(idCol).cast("long") === col("id"), "left_anti"),
+      "graft-semqinc-")
+    bq.write.mode("overwrite").parquet(s"$histTablePath/batch=$bid")
+    result
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame =
     embs.as("a")
