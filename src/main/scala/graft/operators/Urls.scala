@@ -220,8 +220,9 @@ object Urls {
     *
     * Scale shape: the blocklist is a literal isin filter (pushed to the
     * scan). The cap does NOT window the whole corpus — ONE bounded
-    * aggregate (count + the BOUNDED [[graft.functions.TopKAggregator]],
-    * the q94 machinery) computes each domain's row count and its
+    * aggregate (count + [[graft.functions.MinKLongsAggregator]], the
+    * q94 `TopKAggregator` machinery specialized to primitive longs)
+    * computes each domain's row count and its
     * `maxPerDomain` smallest ids together; under-cap domains pass
     * through an anti-join against the over-cap rows (one row per
     * over-cap domain) and over-cap rows keep exactly the aggregated id
@@ -258,17 +259,19 @@ object Urls {
     val keyed = allowed.withColumn("__dk",
       coalesce(col("domain"), lit("\u0000no-domain\u0000")))
     // ONE bounded aggregate carries both decisions: the domain's row
-    // count (over-cap or not) and its maxPerDomain smallest ids (the
-    // constant score makes the aggregator's id-ascending tiebreak the
-    // ordering — the same deterministic membership the
-    // row_number-over-id idiom and the DuckDB oracle select). Per-task
-    // partial buffers cap at maxPerDomain entries, so the exchange
-    // carries at most k ids per domain per map task and the reduce side
-    // streams bounded merges — never a sort of a domain's full slice.
-    val mink = udaf(new graft.functions.TopKAggregator(maxPerDomain.toInt))
+    // count (over-cap or not) and its maxPerDomain smallest ids — the
+    // same deterministic membership the row_number-over-id idiom and
+    // the DuckDB oracle select. Per-task partial buffers cap at
+    // maxPerDomain entries, so the exchange carries at most k longs per
+    // domain per map task and the reduce side streams bounded merges —
+    // never a sort of a domain's full slice. MinKLongsAggregator is the
+    // q94 TopKAggregator machinery specialized to primitive longs (no
+    // score tuple to encode on the hot path).
+    val mink = udaf(new graft.functions.MinKLongsAggregator(
+      maxPerDomain.toInt), org.apache.spark.sql.Encoders.scalaLong)
     val overCap = keyed.groupBy(col("__dk"))
       .agg(count(lit(1)).as("__n"),
-        mink(lit(0.0), col(idCol).cast("long")).as("__ids"))
+        mink(col(idCol).cast("long")).as("__ids"))
       .where(col("__n") > maxPerDomain)
     val under = keyed.join(overCap.select(col("__dk")), Seq("__dk"), "left_anti")
     val keepIds = overCap
