@@ -87,6 +87,15 @@ object SparkEntry {
     when(col("doc_id") % 6 === 0, lit("&fbclid=IwAR2xYz")).otherwise(lit("")),
     when(col("doc_id") % 9 === 0, lit("#ref-2")).otherwise(lit("")))
 
+  /** Deterministic synthetic PQ codebook for q121 — m=4 subspaces x
+    * ksub=8 centroids x dsub=16 dims over the 64-dim embeddings; every
+    * centroid is integer arithmetic / 8 (a dyadic rational, exact in
+    * double), so the DuckDB oracle rebuilds it bit-identically in SQL.
+    */
+  private val syntheticPqCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(sub => (0 until 8).map(cid => (0 until 16).map(d =>
+      (((sub * 13 + cid * 31 + d * 7) % 17) - 8) / 8.0)))
+
   /** One entry per implemented operator from SURVEY §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (S1, S2, S7) ----
@@ -1101,6 +1110,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // PQ (product-quantization) ADC ranking: vectors compressed to m=4
+    // one-byte codes, ranked against an uncompressed query by m table
+    // lookups per row. The codebook here is SYNTHETIC integer arithmetic
+    // (/8 keeps every centroid an exact dyadic double) so the oracle
+    // re-derives codebook, codes, distance table, and ranking from pure
+    // SQL; TRAINED codebooks (k-means per subspace) are PqSpec's domain.
+    // Query vector = vec 0's raw embedding (one-row driver edge, the
+    // q31/ivfTopK posture)
+    "q121_pq_adc" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val qv = embs.where(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.operators.Quantization.pqAdcTopK(
+        graft.operators.Quantization.pqEncode(
+          embs, "embedding", syntheticPqCodebook),
+        "vec_id", "pq", syntheticPqCodebook, qv, k = 10, excludeId = 0L)
+    }),
+
     // URL canonicalization — the pre-dedup key normalization (fragment,
     // scheme/host case, default ports, trailing slashes, tracking
     // params). Map-only: three regexes + one filter HOF per row, noise
@@ -1770,6 +1798,36 @@ object SparkEntry {
     // blocklist filter, then per-domain rank <= cap (under-cap domains
     // satisfy it trivially — the engine's under/over plan split is a
     // performance shape, not a semantics change)
+    // codebook, codes, query distance table, and ADC ranking re-derived
+    // in pure SQL: the synthetic centroids are dyadic (k/8, exact in
+    // double), per-subspace distances round to 4 decimals before the
+    // argmin (ties -> lowest cid, the PqEncode rule), the distance table
+    // is vec 0's own per-subspace distance row
+    "q121_pq_adc" ->
+      """WITH cb AS (
+           SELECT t1.sub, t2.cid, t3.d,
+             ((((t1.sub*13 + t2.cid*31 + t3.d*7) % 17) - 8) / 8.0) AS c
+           FROM range(0,4) t1(sub), range(0,8) t2(cid), range(0,16) t3(d)),
+         dists AS (
+           SELECT e.vec_id, cb.sub, cb.cid,
+             round(sum((CAST(e.embedding[cb.sub*16 + cb.d + 1] AS DOUBLE) - cb.c)
+                     * (CAST(e.embedding[cb.sub*16 + cb.d + 1] AS DOUBLE) - cb.c)), 4)
+               AS dist
+           FROM embeddings e, cb
+           GROUP BY e.vec_id, cb.sub, cb.cid),
+         codes AS (
+           SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, cid) AS rn
+             FROM dists) r WHERE rn = 1),
+         dt AS (SELECT sub, cid, dist FROM dists WHERE vec_id = 0)
+         SELECT c.vec_id, round(sum(dt.dist), 4) AS dist
+         FROM codes c JOIN dt ON c.sub = dt.sub AND c.cid = dt.cid
+         WHERE c.vec_id <> 0
+         GROUP BY c.vec_id
+         ORDER BY dist, c.vec_id LIMIT 10""",
+
     // the synthetic URL + noise, then the canonicalization steps in the
     // exact arithmetic of Urls.canonicalUrl: one anchored parse, lowered
     // scheme/host, default-port drop, trailing-slash strip, tracking

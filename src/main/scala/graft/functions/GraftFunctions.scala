@@ -16,6 +16,30 @@ object GraftFunctions {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  // evaluate a FOLDABLE nested-double-array literal at plan-build time
+  // (PQ codebooks/tables are plan constants — evaluating per row would
+  // walk the literal's ArrayData for every record)
+  private def nested2(e: Expression): Seq[Seq[Double]] = {
+    require(e.foldable, s"${e.sql}: must be a literal")
+    val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until a.numElements()).map { i =>
+      val b = a.getArray(i)
+      (0 until b.numElements()).map(b.getDouble)
+    }
+  }
+
+  private def nested3(e: Expression): Seq[Seq[Seq[Double]]] = {
+    require(e.foldable, s"${e.sql}: must be a literal")
+    val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until a.numElements()).map { i =>
+      val b = a.getArray(i)
+      (0 until b.numElements()).map { j =>
+        val c = b.getArray(j)
+        (0 until c.numElements()).map(c.getDouble)
+      }
+    }
+  }
+
   /** Name -> expression builder for every graft function; consumed by both
     * [[register]] (per-session, tests/tools) and
     * [[graft.GraftExtensions]] (cluster-wide via `spark.sql.extensions`).
@@ -73,6 +97,19 @@ object GraftFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"winnow_fingerprints(words, k literal, win literal); got ${other.size} args")
+    },
+    "pq_encode" -> {
+      case Seq(child, cb) if cb.foldable =>
+        PqEncode(asDoubleArray(child), nested3(cb))
+      case other =>
+        throw new IllegalArgumentException(
+          s"pq_encode(emb, codebook literal); got ${other.size} args")
+    },
+    "pq_adc" -> {
+      case Seq(child, dt) if dt.foldable => PqAdc(child, nested2(dt))
+      case other =>
+        throw new IllegalArgumentException(
+          s"pq_adc(codes, dtable literal); got ${other.size} args")
     },
     "int8_quantize" -> (exprs => Int8Quantize(asDoubleArray(exprs.head))),
     "int8_pack" -> (exprs => Int8Pack(exprs.head)),
@@ -140,6 +177,14 @@ object GraftFunctions {
   /** Cosine over two int8-packed vectors (exact integer dot and norms). */
   def cosine_int8(a: Column, b: Column): Column =
     call_function("cosine_int8", a, b)
+
+  /** PQ codes of an embedding column: binary, one byte per subspace. */
+  def pq_encode(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    call_function("pq_encode", emb, typedlit(codebook))
+
+  /** ADC score of a PQ-code column against a query's distance table. */
+  def pq_adc(codes: Column, dtable: Seq[Seq[Double]]): Column =
+    call_function("pq_adc", codes, typedlit(dtable))
 
   /** Per-table sign-LSH bucket ids (array<int>, one element per table). */
   def hyperplane_buckets(emb: Column, nTables: Int, nPlanes: Int, dim: Int,

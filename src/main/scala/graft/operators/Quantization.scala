@@ -69,6 +69,91 @@ object Quantization {
       .withColumn(outCol, int8_pack(col("q")))
       .drop("q")
 
+  /** Train a product-quantization codebook (Jégou et al., TPAMI 2011):
+    * the `dim`-dimensional space splits into `m` contiguous subspaces of
+    * `dim/m` dimensions; per subspace, k-means over the corpus's
+    * subvectors yields `ksub` centroids. Returns
+    * `codebook(sub)(cid)(d)` — m*ksub*(dim/m) doubles, driver-held by
+    * design like the IVF centroid table (kilobytes: the whole point is
+    * that the codebook is tiny while the CODES carry the corpus).
+    *
+    * m sequential MLlib fits over column slices — the expensive,
+    * driver-coordinated step; run once per corpus epoch and persist the
+    * returned structure with the index, never per query.
+    */
+  def pqTrain(embs: DataFrame, embCol: String, m: Int, ksub: Int = 16,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val dim = embs.select(size(col(embCol))).head().getInt(0)
+    require(m >= 1 && dim % m == 0,
+      s"pq: m=$m must divide the embedding dim $dim")
+    require(ksub >= 1 && ksub <= 256, "pq: 1 <= ksub <= 256 (one byte)")
+    val dsub = dim / m
+    (0 until m).map { sub =>
+      val sliced = embs.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col(embCol).cast("array<double>"),
+            sub * dsub + 1, dsub)).as("__vec"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(seed + sub).setMaxIter(5)
+        .setFeaturesCol("__vec").setPredictionCol("__cell")
+        .fit(sliced)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** Adds `outCol`: the m one-byte PQ codes of `embCol` under `codebook`
+    * — map-only, one [[graft.functions.PqEncode]] pass per row; the
+    * codebook rides into codegen as a reference constant.
+    */
+  def pqEncode(df: DataFrame, embCol: String,
+      codebook: Seq[Seq[Seq[Double]]], outCol: String = "pq"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.GraftFunctions.pq_encode(col(embCol), codebook))
+
+  /** The query-side half of ADC: squared-L2 distance from each of the
+    * query's m subvectors to each subspace centroid, rounded to 4
+    * decimals (the battery's cross-engine pin). m*ksub doubles — computed
+    * once per query on the driver, broadcast as a plan constant.
+    */
+  def pqDistanceTable(codebook: Seq[Seq[Seq[Double]]],
+      qv: Array[Double]): Seq[Seq[Double]] = {
+    val m = codebook.size
+    val dsub = codebook.head.head.size
+    require(qv.length == m * dsub,
+      s"pq: query dim ${qv.length} != m*dsub = ${m * dsub}")
+    codebook.zipWithIndex.map { case (centroids, sub) =>
+      centroids.map { c =>
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = qv(sub * dsub + d) - c(d)
+          dist += diff * diff
+          d += 1
+        }
+        math.rint(dist * 1e4) / 1e4
+      }
+    }
+  }
+
+  /** ADC top-k: rank PQ-compressed vectors by approximate squared-L2
+    * distance to an uncompressed query — the scan reads only the m-byte
+    * code column, the per-row kernel is m table lookups
+    * ([[graft.functions.PqAdc]]), and the top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Ascending distance; ties break on id. Returns (idCol, dist).
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, pqCol: String,
+      codebook: Seq[Seq[Seq[Double]]], qv: Array[Double], k: Int,
+      excludeId: Long = Long.MinValue): DataFrame = {
+    val dt = pqDistanceTable(codebook, qv)
+    encoded.where(col(idCol) =!= excludeId)
+      .select(col(idCol),
+        round(graft.functions.GraftFunctions.pq_adc(col(pqCol), dt), 4)
+          .as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact cosine top-k over int8-packed vectors: same shape as
     * [[Similarity.bruteForceTopK]] (broadcast one-row query +
     * TakeOrderedAndProject), but the scan reads 1-byte codes and the

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Product quantization: hand-computed encode/ADC exactness, the
+  * lowest-id tie-break pin, trained-codebook recall against the exact
+  * L2 ranking, and training determinism.
+  */
+class PqSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // m=2 subspaces of 2 dims, 2 centroids each — every distance is
+  // hand-checkable
+  private val codebook: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+    Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+
+  test("encode picks the L2-nearest centroid per subspace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.9, 0.9, 0.1, 0.1)), // sub0 -> cid 1, sub1 -> cid 0
+      (2L, Seq(0.0, 0.1, 1.9, 2.0))) // sub0 -> cid 0, sub1 -> cid 1
+      .toDF("id", "emb")
+    val out = Quantization.pqEncode(df, "emb", codebook)
+      .orderBy("id").select("pq").collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    out(0) shouldBe Seq[Byte](1, 0)
+    out(1) shouldBe Seq[Byte](0, 1)
+  }
+
+  test("equidistant centroids break to the lowest id (oracle-replayable)") {
+    import spark.implicits._
+    // (0.5, 0.5) is exactly between both sub0 centroids
+    val df = Seq((1L, Seq(0.5, 0.5, 0.0, 0.0))).toDF("id", "emb")
+    Quantization.pqEncode(df, "emb", codebook)
+      .select("pq").head().getAs[Array[Byte]](0).toSeq shouldBe Seq[Byte](0, 0)
+  }
+
+  test("ADC distance is the sum of per-subspace table lookups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.9, 0.9, 0.1, 0.1)),
+      (2L, Seq(0.0, 0.1, 1.9, 2.0))).toDF("id", "emb")
+    val qv = Array(1.0, 1.0, 0.0, 0.0)
+    // dt: sub0 -> (2.0, 0.0); sub1 -> (0.0, 8.0)
+    Quantization.pqDistanceTable(codebook, qv) shouldBe
+      Seq(Seq(2.0, 0.0), Seq(0.0, 8.0))
+    val top = Quantization.pqAdcTopK(
+        Quantization.pqEncode(df, "emb", codebook), "id", "pq",
+        codebook, qv, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    top shouldBe Array((1L, 0.0), (2L, 10.0)) // codes [1,0] and [0,1]
+  }
+
+  test("trained codebook ranks true L2 neighbors into the ADC top set") {
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    // 8 subspaces x 64 centroids = 48 bits/vector (vs 2048 for float32):
+    // measured 0.9 recall@10-in-30 on this fixture; 4-bit subspaces
+    // (ksub=16) drop to 0.3 on these cluster-free synthetic vectors —
+    // the bits/subspace dial is the recall/size trade, as in the ANN
+    // tables
+    val cb = Quantization.pqTrain(embs, "embedding", m = 8, ksub = 64)
+    cb.size shouldBe 8
+    cb.foreach { s => s.size shouldBe 64; s.foreach(_.size shouldBe 8) }
+
+    val rows = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = rows(0L)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exactTop = rows.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, v) => (l2(qv, v), id) }.take(10).map(_._1).toSet
+
+    val adcTop = Quantization.pqAdcTopK(
+        Quantization.pqEncode(embs, "embedding", cb), "vec_id", "pq",
+        cb, qv, k = 30, excludeId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    // 32x compression is lossy; the gate is rank preservation, not
+    // exactness: most true top-10 neighbors must reach the ADC top-30
+    val recall = (exactTop intersect adcTop).size / 10.0
+    withClue(s"recall@10-in-30 $recall: ") { recall should be >= 0.6 }
+  }
+
+  test("training is deterministic under a fixed seed") {
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(200)
+    val a = Quantization.pqTrain(embs, "embedding", m = 4, ksub = 8)
+    val b = Quantization.pqTrain(embs, "embedding", m = 4, ksub = 8)
+    a shouldBe b
+  }
+
+  test("dimension mismatches fail loud") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "emb")
+    an[Exception] should be thrownBy
+      Quantization.pqEncode(df, "emb", codebook).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Quantization.pqDistanceTable(codebook, Array(1.0))
+  }
+}
