@@ -481,6 +481,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** The IVF-PQ composition (the FAISS `IVFPQ` shape; Jégou et al.,
+    * TPAMI 2011): coarse k-means cells partition the postings, and each
+    * posting stores only the m-byte PQ code of its RESIDUAL (vector
+    * minus its cell centroid) — at dim 64 / m 8 a probe reads 64x fewer
+    * posting bytes than the float index and 8x fewer than the int8 one.
+    * PQ quantizes residuals rather than raw vectors because residuals
+    * concentrate near the origin once the coarse quantizer has explained
+    * the cell structure — same codebook bits, finer effective
+    * resolution. The residual PQ codebook (trained here, once) persists
+    * beside the centroid table; the residual projection spills once so
+    * the m training fits and the encode pass scan parquet instead of
+    * re-running the assignment join.
+    */
+  def writeIvfPqIndex(embs: DataFrame, idCol: String, embCol: String,
+      path: String, nList: Int = 16, m: Int = 8, ksub: Int = 64,
+      seed: Long = 42L): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "__cent")
+    val residuals = graft.io.Spill(
+      assigned.join(broadcast(centDf), Seq("cell"))
+        .select(col(idCol), col("cell"),
+          zip_with(col(embCol), col("__cent"), (a, b) => a - b).as("__res")),
+      "graft-ivfpq-")
+    val codebook = Quantization.pqTrain(residuals, "__res", m, ksub, seed)
+    Quantization.pqEncode(residuals, "__res", codebook)
+      .select(col(idCol), col("cell"), col("pq"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    writeCentroids(spark, path, centroids)
+    codebook.zipWithIndex
+      .flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (c, cid) => (sub, cid, c) } }
+      .toDF("sub", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook")
+  }
+
+  /** The PQ codebook of a [[writeIvfPqIndex]] index — m*ksub rows, read
+    * to the driver by design (kilobytes, like the centroid table).
+    */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$indexPath/pqcodebook")
+      .orderBy("sub", "cid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2)).toSeq)
+
+  /** ANN top-k against a [[writeIvfPqIndex]] table: centroid probing and
+    * partition pruning exactly as [[ivfTopKIndexed]], but each probed
+    * cell gets its OWN ADC distance table (built from the query's
+    * residual against THAT cell's centroid — the residual encoding makes
+    * the tables cell-relative), and candidates are scored by m table
+    * lookups over the m-byte codes. The plan is a union of nProbe
+    * partition-pruned map-only scans into one TakeOrderedAndProject.
+    * Ascending approximate squared-L2; returns (idCol, dist).
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, qv: Array[Double], queryId: Long,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = readIvfCentroids(spark, indexPath)
+    val codebook = readPqCodebook(spark, indexPath)
+    val probeCells = ivfProbeCells(centroids, qv, nProbe)
+    probeCells.toSeq.map { c =>
+        val resQ = Array.tabulate(qv.length)(i => qv(i) - centroids(c)(i))
+        val dt = Quantization.pqDistanceTable(codebook, resQ)
+        spark.read.parquet(s"$indexPath/postings")
+          .where(col("cell") === c)
+          .select(col(idCol),
+            round(graft.functions.GraftFunctions.pq_adc(col("pq"), dt), 4)
+              .as("dist"))
+      }
+      .reduce(_ unionByName _)
+      .where(col(idCol) =!= queryId)
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Cell id of an embedding against FIXED centroids, as pure column
     * expressions — the maintenance-path twin of the KMeans model's
     * predict, so it runs on streaming DataFrames (no model, no fit).
