@@ -598,4 +598,37 @@ object Similarity {
       embs: DataFrame, idCol: String, embCol: String): Unit =
     ivfPostings(embs, idCol, embCol, readIvfCentroids(spark, indexPath))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
+
+  /** The (id, cell, pq) posting projection of an IVF-PQ index against
+    * FIXED centroids and codebook — pure column expressions end to end
+    * ([[ivfCell]] assignment, literal-indexed centroid lookup for the
+    * residual, codegen'd [[graft.functions.PqEncode]]), so it runs on a
+    * STREAMING frame into the partitioned file sink exactly like
+    * [[ivfPostings]] — new vectors become probe-able per micro-batch
+    * while both quantizers stay fixed between rebuild cadences.
+    */
+  def ivfPqPostings(embs: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Double]],
+      codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    embs
+      .select(col(idCol), col(embCol).cast("array<double>").as(embCol),
+        ivfCell(col(embCol), centroids).as("cell"))
+      .select(col(idCol), col("cell"),
+        graft.functions.GraftFunctions.pq_encode(
+          zip_with(col(embCol), element_at(centLit, col("cell") + 1),
+            (a, b) => a - b),
+          codebook).as("pq"))
+  }
+
+  /** Batch-append new vectors into a [[writeIvfPqIndex]] index without
+    * refitting either quantizer (the [[appendIvfIndex]] discipline:
+    * appends between rebuilds, rebuild on a rebalance cadence).
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, embs: DataFrame, idCol: String,
+      embCol: String): Unit =
+    ivfPqPostings(embs, idCol, embCol,
+      readIvfCentroids(spark, indexPath), readPqCodebook(spark, indexPath))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
 }
