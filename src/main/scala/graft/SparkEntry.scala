@@ -1110,6 +1110,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // registered-domain extraction under a real public-suffix-list rule
+    // table (plain + wildcard rules; the data-driven alternative to the
+    // q118 heuristic): candidate suffixes explode map-side bounded by
+    // the longest rule, the match is a broadcast equi-join over the
+    // rules-as-data, the prevailing-rule pick one bounded aggregate per
+    // DISTINCT host — the oracle replays rules, pick, and slicing
+    "q122_psl_domains" -> ((s, d) =>
+      graft.operators.Urls.withDomainPsl(
+          t(s, d, "documents").withColumn("url", syntheticUrl),
+          "url", Seq("com", "uk", "co.uk", "*.org"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("domain"))),
+
     // PQ (product-quantization) ADC ranking: vectors compressed to m=4
     // one-byte codes, ranked against an uncompressed query by m table
     // lookups per row. The codebook here is SYNTHETIC integer arithmetic
@@ -1798,6 +1813,42 @@ object SparkEntry {
     // blocklist filter, then per-domain rank <= cap (under-cap domains
     // satisfy it trivially — the engine's under/over plan split is a
     // performance shape, not a semantics change)
+    // the PSL rules as a VALUES table in their parsed (key, pub-labels,
+    // exception) form — 'co.uk' plain (pub 2), '*.org' wildcard (key
+    // 'org', pub 2) — candidates as label-slice suffixes per distinct
+    // host, prevailing rule = exception first then longest (the Scala
+    // struct-max), default pub 1, registered domain = last pub+1 labels
+    "q122_psl_domains" ->
+      s"""WITH $urlDomainCtes,
+         rules(key, pub, exc) AS (VALUES
+           ('com', 1, false), ('uk', 1, false),
+           ('co.uk', 2, false), ('org', 2, false)),
+         hs AS (
+           SELECT DISTINCT host, string_split(host, '.') AS hls
+           FROM h WHERE host IS NOT NULL),
+         cand AS (
+           SELECT host, hls, t.k,
+             array_to_string(hls[len(hls)-t.k+1:len(hls)], '.') AS cand
+           FROM hs, range(1, 3) t(k) WHERE t.k <= len(hls)),
+         picked AS (
+           SELECT c.host, r.pub,
+             row_number() OVER (PARTITION BY c.host
+               ORDER BY r.exc DESC, r.pub DESC) AS rn
+           FROM cand c JOIN rules r ON c.cand = r.key),
+         pubs AS (
+           SELECT hs.host, hs.hls, coalesce(p.pub, 1) AS pub
+           FROM hs LEFT JOIN (SELECT host, pub FROM picked WHERE rn = 1) p
+             USING (host)),
+         hd AS (
+           SELECT host, CASE WHEN len(hls) <= pub THEN host
+             ELSE array_to_string(hls[len(hls)-pub:len(hls)], '.') END
+             AS domain
+           FROM pubs)
+         SELECT hd.domain, count(*) AS n_docs,
+           count(DISTINCT h.host) AS n_hosts
+         FROM h JOIN hd ON h.host = hd.host
+         GROUP BY hd.domain ORDER BY hd.domain""",
+
     // codebook, codes, query distance table, and ADC ranking re-derived
     // in pure SQL: the synthetic centroids are dyadic (k/8, exact in
     // double), per-subspace distances round to 4 decimals before the

@@ -125,7 +125,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the ceiling 6 -> 5 and removing the mega-domain single-task sort
     "q119_domain_gate" -> 5, // 2x keeper agg + 2 broadcasts + final sort
     "q120_url_canon" -> 1, // map-only canonicalization + final sort
-    "q121_pq_adc" -> 0) // fused encode+ADC projection into TakeOrdered
+    "q121_pq_adc" -> 0, // fused encode+ADC projection into TakeOrdered
+    // per-DISTINCT-host census: host dedup agg + rules broadcast +
+    // bounded prevailing-rule agg + mapping join + rollup (countDistinct
+    // Expand pair) + sort — all |hosts|-sized, never |docs|-sized
+    "q122_psl_domains" -> 12)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
