@@ -1110,6 +1110,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // trainable multinomial Naive Bayes, fit AND scored declaratively:
+    // train on the even-doc_id half (label = lang), classify the odd
+    // half. Training is counting, so the oracle re-derives the model
+    // (priors/conds/defaults with Laplace smoothing) and every
+    // prediction. The fixture's lang is independent of its text by
+    // construction, so this validates the COMPUTATION end to end;
+    // separability/accuracy is NaiveBayesSpec's generated-corpus job
+    "q123_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      // the model is a TABLE: materialize it once (the deployment shape
+      // — a persisted model parquet) so classify's three model
+      // consumers scan it instead of re-running the fit per subtree
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nb-")
+      graft.operators.NaiveBayes.classify(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // registered-domain extraction under a real public-suffix-list rule
     // table (plain + wildcard rules; the data-driven alternative to the
     // q118 heuristic): candidate suffixes explode map-side bounded by
@@ -1813,6 +1833,62 @@ object SparkEntry {
     // blocklist filter, then per-domain rank <= cap (under-cap domains
     // satisfy it trivially — the engine's under/over plan split is a
     // performance shape, not a semantics change)
+    // the NB fit re-derived as counting: priors/conds/defaults with
+    // Laplace alpha=1, log-probs rounded to 6 at train and scores to 4
+    // at classify (the cross-engine ln pin); unseen test tokens take the
+    // per-label default mass; argmax = highest rounded score, ties to
+    // the smallest label
+    "q123_nb_classify" ->
+      """WITH tr AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\W+'),
+               w -> w <> '') AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         te AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'),
+               w -> w <> '') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         n AS (SELECT count(*) AS n FROM tr),
+         pri AS (
+           SELECT lang AS label, round(ln(count(*) / (SELECT n FROM n)), 6)
+             AS prior
+           FROM tr GROUP BY lang),
+         cnt AS (
+           SELECT label, token, count(*) AS c FROM (
+             SELECT lang AS label, unnest(w) AS token FROM tr)
+           GROUP BY label, token),
+         tot AS (SELECT label, sum(c) AS t FROM cnt GROUP BY label),
+         voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         cond AS (
+           SELECT label, token,
+             round(ln((c + 1.0) / (t + 1.0 * (SELECT v FROM voc))), 6) AS lp
+           FROM cnt JOIN tot USING (label)),
+         dflt AS (
+           SELECT label,
+             round(ln(1.0 / (t + 1.0 * (SELECT v FROM voc))), 6) AS dlp
+           FROM tot),
+         sc AS (
+           SELECT tt.doc_id, d.label,
+             round(p.prior + sum(coalesce(c.lp, d.dlp)), 4) AS score
+           FROM (SELECT doc_id, unnest(w) AS token FROM te) tt
+           CROSS JOIN dflt d
+           JOIN pri p ON p.label = d.label
+           LEFT JOIN cond c ON c.label = d.label AND c.token = tt.token
+           GROUP BY tt.doc_id, d.label, p.prior),
+         scall AS (
+           SELECT * FROM sc
+           UNION ALL
+           SELECT te.doc_id, p.label, round(p.prior, 4) AS score
+           FROM te CROSS JOIN pri p WHERE len(te.w) = 0),
+         best AS (
+           SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, label) AS rn
+           FROM scall)
+         SELECT doc_id, label, score FROM best WHERE rn = 1
+         ORDER BY doc_id""",
+
     // the PSL rules as a VALUES table in their parsed (key, pub-labels,
     // exception) form — 'co.uk' plain (pub 2), '*.org' wildcard (key
     // 'org', pub 2) — candidates as label-slice suffixes per distinct

@@ -26,14 +26,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
 
   /** Queries whose design intentionally broadcast-joins a TINY side with
     * no equi-condition (the query vector; q98's vocab size; q99's node
-    * count; q114's benchmark probe set) — that plans as a
-    * BroadcastNestedLoopJoin over a one-row or benchmark-sized inner,
-    * which is exactly right.
+    * count; q114's benchmark probe set; q123's L-row label table) — that
+    * plans as a BroadcastNestedLoopJoin over a one-row or
+    * label/benchmark-sized inner, which is exactly right.
     */
   private val singleRowBroadcast = Set(
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
     "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
-    "q114_semantic_decontam")
+    "q114_semantic_decontam", "q123_nb_classify")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -129,7 +129,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // per-DISTINCT-host census: host dedup agg + rules broadcast +
     // bounded prevailing-rule agg + mapping join + rollup (countDistinct
     // Expand pair) + sort — all |hosts|-sized, never |docs|-sized
-    "q122_psl_domains" -> 12)
+    "q122_psl_domains" -> 12,
+    // classify over the SPILLED model table (the fit runs once, eagerly;
+    // this ceiling guards the returned scoring plan): label broadcast +
+    // vocab cond join + per-(doc,label) agg + argmax agg + sort
+    "q123_nb_classify" -> 8)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

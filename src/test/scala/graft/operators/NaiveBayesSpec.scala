@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Multinomial NB: hand-computed model values on a two-label fixture,
+  * argmax + tie-break semantics, empty-token fallback, parquet model
+  * round-trip, and train/test accuracy on the documents fixture's
+  * ground-truth language labels.
+  */
+class NaiveBayesSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", Seq("x", "x", "y")),
+      (2L, "a", Seq("x")),
+      (3L, "b", Seq("z", "z"))).toDF("id", "label", "toks")
+  }
+
+  test("train produces the hand-computed priors, conds, and defaults") {
+    val model = NaiveBayes.train(fixture, "label", "toks").collect()
+      .map(r => (r.getString(3), r.getString(0), Option(r.getString(1)),
+        r.getDouble(2))).toSet
+    def l6(x: Double) = math.rint(math.log(x) * 1e6) / 1e6
+    // priors: a = 2/3 docs, b = 1/3; V = 3 distinct tokens
+    // totals: a = 4 tokens, b = 2
+    model should contain(("prior", "a", None, l6(2.0 / 3)))
+    model should contain(("prior", "b", None, l6(1.0 / 3)))
+    model should contain(("cond", "a", Some("x"), l6(4.0 / 7))) // (3+1)/(4+3)
+    model should contain(("cond", "a", Some("y"), l6(2.0 / 7)))
+    model should contain(("cond", "b", Some("z"), l6(3.0 / 5))) // (2+1)/(2+3)
+    model should contain(("default", "a", None, l6(1.0 / 7)))
+    model should contain(("default", "b", None, l6(1.0 / 5)))
+    model.count(_._1 == "cond") shouldBe 3 // no cross-label zero rows
+  }
+
+  test("classify scores prior + token sums and argmaxes deterministically") {
+    import spark.implicits._
+    val model = NaiveBayes.train(fixture, "label", "toks")
+    val out = NaiveBayes.classify(
+        Seq((10L, Seq("x", "y")), (11L, Seq("z")),
+          (12L, Seq("unseen")), (13L, Seq.empty[String]))
+          .toDF("id", "toks"),
+        "id", "toks", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    out(10L)._1 shouldBe "a" // x,y both favor a
+    out(11L)._1 shouldBe "b"
+    // unseen token: defaults 1/7 (a) vs 1/5 (b); priors 2/3 vs 1/3 —
+    // a wins: ln(2/3)+ln(1/7) = -2.351 > ln(1/3)+ln(1/5) = -2.708
+    out(12L)._1 shouldBe "a"
+    // empty tokens: priors alone -> a
+    out(13L) shouldBe (("a", math.rint(math.log(2.0 / 3) * 1e4) / 1e4))
+  }
+
+  test("the model is a table: parquet round-trip classifies identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-").toString
+    NaiveBayes.train(fixture, "label", "toks")
+      .write.mode("overwrite").parquet(dir)
+    val test = Seq((10L, Seq("x", "z", "y"))).toDF("id", "toks")
+    val a = NaiveBayes.classify(test, "id", "toks",
+      NaiveBayes.train(fixture, "label", "toks")).collect().map(_.toSeq)
+    val b = NaiveBayes.classify(test, "id", "toks",
+      spark.read.parquet(dir)).collect().map(_.toSeq)
+    a shouldBe b
+  }
+
+  test("train/test accuracy on a separable corpus") {
+    import spark.implicits._
+    // three classes with distinct vocabularies plus shared noise — the
+    // testdata documents table is NOT usable here: its lang column is
+    // independent of its (shared-vocabulary) text by construction, so
+    // no token classifier can beat the prior on it; q123 uses it to
+    // oracle-check the COMPUTATION, this test checks LEARNING
+    def doc(id: Long): (Long, String, Seq[String]) = {
+      val label = (id % 3).toInt
+      val own = (0 until 12).map(i => s"w${label}_${(id * 7 + i * 3) % 15}")
+      val shared = (0 until 4).map(i => s"s${(id * 11 + i) % 9}")
+      (id, s"c$label", own ++ shared)
+    }
+    val all = (0L until 300L).map(doc).toDF("id", "label", "toks")
+    val model = NaiveBayes.train(all.where(col("id") % 3 =!= 1
+      || col("id") % 2 === 0), "label", "toks") // ~5/6 of rows
+    val test = all.where(col("id") % 3 === 1 && col("id") % 2 === 1)
+    val scored = NaiveBayes.classify(test, "id", "toks", model)
+      .join(test.select(col("id"), col("label").as("truth")), Seq("id"))
+    val (hit, n) = (scored.where(col("label") === col("truth")).count(),
+      scored.count())
+    n should be > 40L
+    val acc = hit.toDouble / n
+    withClue(s"accuracy $acc ($hit/$n): ") { acc should be >= 0.95 }
+  }
+}
