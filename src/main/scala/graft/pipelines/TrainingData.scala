@@ -28,6 +28,11 @@ import graft.operators.Dedup
   * five stages above): `stripSpansK` removes corpus-duplicated k-token
   * spans from each survivor's normalized text after exact dedup (1b —
   * [[Dedup.stripDuplicateSpans]], the RefinedWeb exact-substring pass),
+  * `langModel` swaps the n-gram-marker language heuristic for a trained
+  * [[graft.operators.NaiveBayes]] model table's prediction (2a' — the
+  * C4-style trained-filter posture; the model is data, so re-gating
+  * with a better classifier is a table swap, at the cost of the NB
+  * scoring joins instead of a map-only projection),
   * `maxDupGramFrac` adds the Gopher-style repetition
   * gate after quality (2b — map-only, rides the same projection),
   * `minQualityQuantile` tightens the quality gate ADAPTIVELY on top of
@@ -85,7 +90,8 @@ object TrainingData {
       urlCol: Option[String] = None,
       domainBlocklist: Seq[String] = Nil,
       maxPerDomain: Long = Long.MaxValue,
-      dedupByUrl: Boolean = false): DataFrame = {
+      dedupByUrl: Boolean = false,
+      langModel: Option[DataFrame] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
@@ -130,7 +136,22 @@ object TrainingData {
     // the optional repetition gate (2b) — Gopher-style duplicate-bigram
     // fraction; map-only like the other per-row gates, so it slots into
     // the same projection at zero extra shuffles. Default 1.0 = disabled.
-    val gatedPlan = spanStripped
+    // 2a'. optional MODEL-based language gate: when a trained
+    // [[graft.operators.NaiveBayes]] model table is supplied, its
+    // prediction replaces the n-gram-marker heuristic as the language
+    // decision (the C4-style trained-filter posture — the model is data,
+    // so re-gating with a better classifier is a table swap). Costs the
+    // NB scoring joins instead of a map-only projection; the heuristic
+    // stays the zero-shuffle default.
+    val langGated = langModel.fold(spanStripped) { m =>
+      val keep = graft.operators.NaiveBayes.classify(
+          spanStripped.select(col(idCol),
+            TextFunctions.words(col(textCol)).as("__w")),
+          idCol, "__w", m)
+        .where(col("label") === lang).select(col(idCol))
+      spanStripped.join(keep, Seq(idCol), "left_semi")
+    }
+    val gatedPlan = langGated
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))
@@ -139,7 +160,8 @@ object TrainingData {
         size(col("w")).cast("long").as("n_words"),
         TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
         graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
-      .where(col("lang_pred") === lang && col("quality") >= minQuality)
+      .where((if (langModel.isDefined) lit(true)
+        else col("lang_pred") === lang) && col("quality") >= minQuality)
       .where(col("__r.n_grams") === 0 ||
         (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
           <= maxDupGramFrac)

@@ -108,6 +108,43 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       TrainingData.clean(docs, "doc_id", "text", dedupByUrl = true)
   }
 
+  test("model language gate (2a') overrides the heuristic when provided") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // both docs share the English-markered prefix (identical heuristic
+    // and quality treatment); the model is trained so the TAIL
+    // vocabulary decides the language — the shared prefix cancels
+    val prefix = Seq("the", "data", "of", "a", "table", "is", "the",
+      "thing", "to", "scan", "and", "filter", "and", "sort")
+    val train = (1 to 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "en", prefix ++ Seq("joins", "windows", "rows",
+          "groups", s"t${i % 5}"))
+      else
+        (i.toLong, "xx", prefix ++ Seq("zork", "blar", "quux",
+          "flib", s"t${i % 5}"))
+    }.toDF("id", "label", "toks")
+    val model = graft.operators.NaiveBayes.train(train, "label", "toks")
+
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("with zork and blar over quux and flib and zork here")))
+      .toDF("doc_id", "text")
+
+    // heuristic: both pass (same markers, same quality)
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
+    // model gate: the xx-vocabulary doc drops
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false,
+        langModel = Some(model))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+    // and gating to the OTHER language keeps exactly the complement
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false,
+        lang = "xx", langModel = Some(model))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+  }
+
   test("span-strip stage (1b) removes the shared boilerplate before accounting") {
     import spark.implicits._
     // an 8-word boilerplate header shared verbatim by two docs whose bodies
