@@ -142,7 +142,11 @@ object TrainingData {
     // decision (the C4-style trained-filter posture — the model is data,
     // so re-gating with a better classifier is a table swap). Costs the
     // NB scoring joins instead of a map-only projection; the heuristic
-    // stays the zero-shuffle default.
+    // stays the zero-shuffle default. `lang_pred` (the heuristic label)
+    // is still projected for reporting, and the 3b adaptive floor
+    // quantiles within it — under a model gate the survivors are one
+    // MODEL language but may span heuristic labels, so 3b becomes a
+    // per-heuristic-group floor there.
     val langGated = langModel.fold(spanStripped) { m =>
       val keep = graft.operators.NaiveBayes.classify(
           spanStripped.select(col(idCol),

@@ -30,9 +30,10 @@ import graft.core.{Engine, Tables}
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
-    // optional section filter: any of "q90", "q112", "q119" (default all)
+    // optional section filter: any of "q90", "q112", "q119", "q123"
+    // (default all)
     val sections: Set[String] =
-      if (args.isEmpty) Set("q90", "q112", "q119") else args.toSet
+      if (args.isEmpty) Set("q90", "q112", "q119", "q123") else args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.local("graft-pipeline-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,6 +111,30 @@ object PipelineScaleProbe {
       val winSecs = (System.nanoTime() - t1) / 1e9
       println(f"q119 m=$m%d rows=$n%d kept=$kept%d keptW=$keptW%d " +
         f"aggSecs=$aggSecs%.2f windowSecs=$winSecs%.2f")
+    }
+
+    // q123 NB-classify probe: fit ONCE (the deployment shape — a
+    // persisted model), score corpora duplicated 1x/2x/5x/10x. Scoring
+    // is explode x L labels + one vocab equi-join + two bounded
+    // aggregates, so wall must track rows ~linearly; super-linear growth
+    // would mean the label broadcast degraded to a shuffle or the argmax
+    // aggregate stopped combining map-side.
+    if (sections("q123")) {
+      val toks = docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        toks.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nbp-")
+      Seq(1, 2, 5, 10).foreach { m =>
+        val test = (0 until m).map(i => toks.select(
+          (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("w")))
+          .reduce(_ unionAll _)
+        val t0 = System.nanoTime()
+        val n = graft.operators.NaiveBayes.classify(test, "doc_id", "w", model)
+          .agg(count(lit(1))).head().getLong(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"q123 m=$m%d docs=$n%d secs=$secs%.2f")
+      }
+      graft.io.Spill.releaseAll()
     }
     spark.stop()
   }
