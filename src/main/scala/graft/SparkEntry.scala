@@ -1858,7 +1858,9 @@ object SparkEntry {
            SELECT label, token, count(*) AS c FROM (
              SELECT lang AS label, unnest(w) AS token FROM tr)
            GROUP BY label, token),
-         tot AS (SELECT label, sum(c) AS t FROM cnt GROUP BY label),
+         tot AS (
+           SELECT p.label, coalesce(sum(c.c), 0) AS t
+           FROM pri p LEFT JOIN cnt c USING (label) GROUP BY p.label),
          voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
          cond AS (
            SELECT label, token,

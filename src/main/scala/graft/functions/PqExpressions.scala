@@ -68,7 +68,10 @@ case class PqEncode(child: Expression,
           dist += diff * diff
           d += 1
         }
-        dist = Math.rint(dist * 1e4) / 1e4
+        // half-UP (floor(x+0.5)) like the codebase's quantize convention
+        // — Math.rint is half-to-EVEN and would diverge from the
+        // oracle's round() on exact halves (reachable: dyadic inputs)
+        dist = Math.floor(dist * 1e4 + 0.5) / 1e4
         if (dist < bestD) { bestD = dist; best = cid }
         cid += 1
       }
@@ -105,7 +108,7 @@ case class PqEncode(child: Expression,
          |        - $cb[($sub * $ksub + $cid) * $dsub + $d];
          |      $dist += $diff * $diff;
          |    }
-         |    $dist = Math.rint($dist * 1e4) / 1e4;
+         |    $dist = Math.floor($dist * 1e4 + 0.5) / 1e4;
          |    if ($dist < $bestD) { $bestD = $dist; $best = $cid; }
          |  }
          |  $out[$sub] = (byte) $best;

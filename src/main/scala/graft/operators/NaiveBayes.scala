@@ -53,7 +53,15 @@ object NaiveBayes {
       .select(col("label"), explode(col("__toks")).as("token"))
       .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("__c"))
-    val totals = counts.groupBy(col("label")).agg(sum(col("__c")).as("__t"))
+    // totals anchor on the PRIOR label set, not the token counts: a
+    // label whose training docs are all token-free still needs its
+    // default row (ln(alpha/(0 + alpha*V))) — otherwise classify's
+    // label table would silently drop it and an empty test doc could
+    // argmax a different label than the all-priors rule
+    val totals = base.select(col("label")).distinct()
+      .join(counts.groupBy(col("label")).agg(sum(col("__c")).as("__t")),
+        Seq("label"), "left")
+      .select(col("label"), coalesce(col("__t"), lit(0L)).as("__t"))
     val vocab = counts.select(col("token")).distinct()
       .agg(count(lit(1)).as("__v"))
     val conds = counts.join(totals, Seq("label"))

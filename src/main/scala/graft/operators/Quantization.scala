@@ -130,7 +130,8 @@ object Quantization {
           dist += diff * diff
           d += 1
         }
-        math.rint(dist * 1e4) / 1e4
+        // half-up, matching PqEncode's pin (rint would half-to-even)
+        math.floor(dist * 1e4 + 0.5) / 1e4
       }
     }
   }

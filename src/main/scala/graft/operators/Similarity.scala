@@ -231,11 +231,27 @@ object Similarity {
     * between touching ~nTables/2^nPlanes of the corpus and all of it.
     * Candidates are ranked by exact cosine like [[lshTopK]].
     */
+  /** Batch-read an index's partitioned posting tree regardless of WHO
+    * wrote it: streaming maintenance leaves a `_spark_metadata` sink log
+    * at the root, and a plain `spark.read.parquet(root)` then resolves
+    * ONLY sink-committed files — silently hiding the batch-written seed
+    * corpus and every batch append (verified: one committed micro-batch
+    * shadowed a 20-row seed down to 1 visible row). Reading through a
+    * partition-directory glob with `basePath` bypasses the
+    * FileStreamSink detection and lists every file; the trade is that a
+    * crashed micro-batch's partial file is no longer masked by the log —
+    * the same exposure plain batch appends already have. Partition
+    * pruning on the partition columns is unaffected (spec-pinned).
+    */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+      root: String, partGlob: String): DataFrame =
+    spark.read.option("basePath", root).parquet(s"$root/$partGlob")
+
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, embCol: String, qv: Array[Double], queryId: Long, k: Int,
       nPlanes: Int = 4, nTables: Int = 12, seed: Long = 11L): DataFrame = {
     val buckets = queryBuckets(qv, nPlanes, nTables, seed)
-    val pruned = spark.read.parquet(indexPath)
+    val pruned = readPostings(spark, indexPath, "table=*")
       .where(buckets.zipWithIndex.map { case (b, tbl) =>
         col("table") === tbl && col("bucket") === b
       }.reduce(_ || _))
@@ -300,7 +316,7 @@ object Similarity {
     import graft.functions.GraftFunctions.cosine_int8
     val buckets = queryBuckets(qv, nPlanes, nTables, seed)
     val qb = quantizeQuery(qv)
-    spark.read.parquet(indexPath)
+    readPostings(spark, indexPath, "table=*")
       .where(buckets.zipWithIndex.map { case (b, tbl) =>
         col("table") === tbl && col("bucket") === b
       }.reduce(_ || _))
@@ -440,7 +456,7 @@ object Similarity {
       idCol: String, embCol: String, qv: Array[Double], queryId: Long, k: Int,
       nProbe: Int = 4): DataFrame = {
     val probeCells = ivfProbeCells(readIvfCentroids(spark, indexPath), qv, nProbe)
-    val pruned = spark.read.parquet(s"$indexPath/postings")
+    val pruned = readPostings(spark, s"$indexPath/postings", "cell=*")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
     ivfRank(pruned, idCol, embCol, qv, queryId, k)
   }
@@ -472,7 +488,7 @@ object Similarity {
     import graft.functions.GraftFunctions.cosine_int8
     val probeCells = ivfProbeCells(readIvfCentroids(spark, indexPath), qv, nProbe)
     val qb = quantizeQuery(qv)
-    spark.read.parquet(s"$indexPath/postings")
+    readPostings(spark, s"$indexPath/postings", "cell=*")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
@@ -547,7 +563,7 @@ object Similarity {
     probeCells.toSeq.map { c =>
         val resQ = Array.tabulate(qv.length)(i => qv(i) - centroids(c)(i))
         val dt = Quantization.pqDistanceTable(codebook, resQ)
-        spark.read.parquet(s"$indexPath/postings")
+        readPostings(spark, s"$indexPath/postings", "cell=*")
           .where(col("cell") === c)
           .select(col(idCol),
             round(graft.functions.GraftFunctions.pq_adc(col("pq"), dt), 4)

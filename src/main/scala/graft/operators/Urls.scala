@@ -138,7 +138,10 @@ object Urls {
     * Run it over DISTINCT hosts (what [[withDomainPsl]] does), not the
     * corpus — the census is |hosts|-sized, never |docs|-sized.
     *
-    * @return (`hostCol`, `domain`) mapping with one row per input row
+    * @return (`hostCol`, `domain`) mapping with one row per DISTINCT
+    *         host value — the prevailing-rule aggregate collapses
+    *         duplicates; callers needing per-row multiplicity join the
+    *         mapping back (what [[withDomainPsl]] does)
     */
   def pslDomains(hosts: DataFrame, hostCol: String,
       suffixRules: Seq[String]): DataFrame = {
@@ -254,6 +257,13 @@ object Urls {
       return allowed.drop("host", "domain")
     require(maxPerDomain <= Int.MaxValue,
       "a finite maxPerDomain must fit in Int (bounded keeper buffer)")
+    // fail loud, not silently-empty: a non-numeric id would cast to NULL
+    // below, never accumulate, and DELETE every over-cap domain's rows
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"domainGate: idCol '$idCol' must be numeric " +
+        s"(got ${docs.schema(idCol).dataType.simpleString}); " +
+        "cap keepers are the smallest numeric ids")
     // NULL-safe group key: a plain equi-join on domain would exempt the
     // NULL-domain group from the cap (NULL never equi-matches)
     val keyed = allowed.withColumn("__dk",

@@ -136,31 +136,12 @@ object TrainingData {
     // the optional repetition gate (2b) — Gopher-style duplicate-bigram
     // fraction; map-only like the other per-row gates, so it slots into
     // the same projection at zero extra shuffles. Default 1.0 = disabled.
-    // 2a'. optional MODEL-based language gate: when a trained
-    // [[graft.operators.NaiveBayes]] model table is supplied, its
-    // prediction replaces the n-gram-marker heuristic as the language
-    // decision (the C4-style trained-filter posture — the model is data,
-    // so re-gating with a better classifier is a table swap). Costs the
-    // NB scoring joins instead of a map-only projection; the heuristic
-    // stays the zero-shuffle default. `lang_pred` (the heuristic label)
-    // is still projected for reporting, and the 3b adaptive floor
-    // quantiles within it — under a model gate the survivors are one
-    // MODEL language but may span heuristic labels, so 3b becomes a
-    // per-heuristic-group floor there.
-    val langGated = langModel.fold(spanStripped) { m =>
-      val keep = graft.operators.NaiveBayes.classify(
-          spanStripped.select(col(idCol),
-            TextFunctions.words(col(textCol)).as("__w")),
-          idCol, "__w", m)
-        .where(col("label") === lang).select(col(idCol))
-      spanStripped.join(keep, Seq(idCol), "left_semi")
-    }
-    val gatedPlan = langGated
+    val gatedPlan0 = spanStripped
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))
       .where(size(col("w")) > 0)
-      .select(col(idCol), col(textCol), col("lang_pred"),
+      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
         size(col("w")).cast("long").as("n_words"),
         TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
         graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
@@ -170,6 +151,26 @@ object TrainingData {
         (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
           <= maxDupGramFrac)
       .drop("__r")
+    // 2a'. optional MODEL-based language gate: when a trained
+    // [[graft.operators.NaiveBayes]] model table is supplied, its
+    // prediction replaces the n-gram-marker heuristic as the language
+    // decision (the C4-style trained-filter posture — the model is data,
+    // so re-gating with a better classifier is a table swap). The gate
+    // runs AFTER the map-only quality/repetition filters (docs they drop
+    // never pay the scoring joins — same survivors, the predicates are
+    // independent per-doc) and reuses the `w` tokens computed above (one
+    // tokenizer pass, not two). `lang_pred` (the heuristic label) is
+    // still projected for reporting, and the 3b adaptive floor quantiles
+    // within it — under a model gate the survivors are one MODEL
+    // language but may span heuristic labels, so 3b becomes a
+    // per-heuristic-group floor there. The heuristic stays the
+    // zero-shuffle default.
+    val gatedPlan = langModel.fold(gatedPlan0.drop("w")) { m =>
+      val keep = graft.operators.NaiveBayes.classify(
+          gatedPlan0.select(col(idCol), col("w")), idCol, "w", m)
+        .where(col("label") === lang).select(col(idCol))
+      gatedPlan0.join(keep, Seq(idCol), "left_semi").drop("w")
+    }
     // 3b. optional adaptive floor on top of the fixed one — applied AFTER
     // the spill so floorBy's threshold aggregate and join-back both scan
     // the materialized parquet instead of re-running dedup + scoring

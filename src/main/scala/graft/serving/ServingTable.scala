@@ -120,10 +120,13 @@ final class ServingTable(val name: String, val keyCol: String,
     * temp-sibling swap: the merged fold lands in a NEW `gen=<n>` dir
     * (never a lazy read-and-overwrite of a dir it is reading), the
     * generation list swaps to it atomically (volatile vector), and only
-    * then are the old dirs deleted. A crash between publish and delete
-    * is harmless: on restart [[attach]] sees the merged generation as
-    * NEWEST, so the stale survivors under it answer identically and the
-    * next compaction folds them away.
+    * then are the old dirs deleted. A reader that captured the pre-swap
+    * vector mid-scan can hit a deleted dir — the read paths retry
+    * against the POST-swap vector, whose merged generation answers
+    * identically (see `withGenRetry`). A crash between publish and
+    * delete is harmless: on restart [[attach]] sees the merged
+    * generation as NEWEST, so the stale survivors under it answer
+    * identically and the next compaction folds them away.
     */
   private def compactLocked(spark: SparkSession): Unit = {
     if (gens.size <= 1) return
@@ -145,6 +148,24 @@ final class ServingTable(val name: String, val keyCol: String,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(g), true))
   }
+
+  // a generation scan raced a compaction's delete: the retry re-reads
+  // the CURRENT (post-swap) `gens`, whose merged generation holds every
+  // key the deleted ones did. Two attempts bound the loop — a second
+  // compaction completing inside one retry window means the first
+  // retry's vector was itself current when captured.
+  private def withGenRetry[T](f: => T): T =
+    try f catch {
+      case e: Throwable if isMissingFile(e) =>
+        try f catch { case e2: Throwable if isMissingFile(e2) => f }
+    }
+
+  private def isMissingFile(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+        e.asInstanceOf[org.apache.spark.sql.AnalysisException]
+          .getCondition == "PATH_NOT_FOUND") ||
+      isMissingFile(e.getCause))
 
   /** On-demand LSM compaction of the spill tier; returns the resulting
     * generation count (1 if anything was spilled, 0 if nothing ever was).
@@ -191,30 +212,31 @@ final class ServingTable(val name: String, val keyCol: String,
     * per generation.
     */
   private def spillGet(key: String): Option[Map[String, Any]] =
-    session.flatMap { spark =>
+    withGenRetry(session.flatMap { spark =>
       gens.iterator.flatMap { g =>
         spark.read.schema(SpillSchema).parquet(g)
           .where(col("key") === key).limit(1)
           .collect().headOption.map(r => parseRow(r.getString(1)))
       }.nextOption()
-    }
+    })
 
   /** Merge a spill-tier scan (oldest generation first) with the hot map
     * (last, so it wins), sorted by key — the same latest-value-per-key
     * semantics the map alone gives.
     */
   private def mergedScan(filterGen: DataFrame => DataFrame,
-      hot: Seq[(String, Map[String, Any])]): Seq[(String, Map[String, Any])] = {
-    val acc = new java.util.TreeMap[String, Map[String, Any]]()
-    session.foreach { spark =>
-      gens.reverseIterator.foreach { g =>
-        filterGen(spark.read.schema(SpillSchema).parquet(g))
-          .collect().foreach(r => acc.put(r.getString(0), parseRow(r.getString(1))))
+      hot: Seq[(String, Map[String, Any])]): Seq[(String, Map[String, Any])] =
+    withGenRetry {
+      val acc = new java.util.TreeMap[String, Map[String, Any]]()
+      session.foreach { spark =>
+        gens.reverseIterator.foreach { g =>
+          filterGen(spark.read.schema(SpillSchema).parquet(g))
+            .collect().foreach(r => acc.put(r.getString(0), parseRow(r.getString(1))))
+        }
       }
+      hot.foreach { case (k, v) => acc.put(k, v) }
+      acc.asScala.toSeq
     }
-    hot.foreach { case (k, v) => acc.put(k, v) }
-    acc.asScala.toSeq
-  }
 
   /** Point lookup (reference: `ReadOnlyKeyValueStore.get`,
     * `WordCountService.java:101`). Hot map first; spilled generations

@@ -62,6 +62,14 @@ class StreamingIvfIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       val r2 = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
         vec(2L), queryId = 2L, k = 1, nProbe = 1).collect()
       r2.head.getLong(0) shouldBe 101L
+
+      // the BATCH-built seed corpus stays visible alongside the sink's
+      // rows: the streaming sink leaves a _spark_metadata log, and a
+      // naive batch read of the postings root would resolve ONLY
+      // sink-committed files — 20 seed + 2 streamed - the excluded
+      // query id must all surface under a full probe
+      Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+        vec(2L), queryId = 2L, k = 50, nProbe = 4).count() shouldBe 21
     } finally query.stop()
 
     // appended rows live under the same cell=N layout the batch build made

@@ -66,6 +66,11 @@ class StreamingIvfPqIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       Similarity.ivfPqTopKIndexed(spark, dir, "vec_id", vec(2L),
           queryId = 2L, k = 3, nProbe = 2)
         .collect().map(_.getLong(0)) should contain(101L)
+
+      // seed corpus + streamed rows BOTH visible past the sink's
+      // _spark_metadata log (20 seed + 2 streamed - the query id)
+      Similarity.ivfPqTopKIndexed(spark, dir, "vec_id", vec(2L),
+        queryId = 2L, k = 50, nProbe = 4).count() shouldBe 21
     } finally query.stop()
 
     // the streamed rows carry the SAME code bytes the batch encoder

@@ -63,4 +63,32 @@ class StreamingLshIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       r2.take(2).foreach(_.getDouble(1) shouldBe 1.0 +- 1e-9)
     } finally query.stop()
   }
+
+  test("a BATCH-built index keeps its seed corpus after streaming appends") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-index2-").toString
+    // the hybrid deployment: index built by the batch writer, then the
+    // maintenance stream appends into it — the sink's _spark_metadata
+    // log must not shadow the batch-written seed files from queries
+    val seed = (1L to 20L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    Similarity.writeLshIndex(seed, "vec_id", "embedding", dir, dim = dim)
+
+    val input = MemoryStream[(Long, Array[Double])]
+    val query = Similarity.lshPostings(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dim = dim)
+      .writeStream.format("parquet").option("path", dir)
+      .option("checkpointLocation", checkpoint())
+      .partitionBy("table", "bucket").outputMode("append").start()
+    try {
+      input.addData((100L, vec(5L)))
+      query.processAllAvailable()
+      val r = Similarity.lshTopKIndexed(spark, dir, "vec_id", "embedding",
+        vec(5L), queryId = -1L, k = 3).collect()
+      // the streamed copy AND the batch-seeded original both answer
+      r.map(_.getLong(0)).take(2).toSet shouldBe Set(5L, 100L)
+    } finally query.stop()
+  }
 }
