@@ -61,6 +61,7 @@ object GraftFunctions {
     },
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "url_host_domain" -> (exprs => UrlHostDomain(exprs.head)),
+    "url_canonicalize" -> (exprs => UrlCanonicalize(exprs.head)),
     "bpe_token_count" -> (exprs => BpeTokenCount(exprs.head)),
     "bpe_tokens" -> (exprs => BpeTokens(exprs.head)),
     "bpe_ids" -> (exprs => BpeIds(exprs.head)),
@@ -143,6 +144,10 @@ object GraftFunctions {
 
   def url_host_domain(url: Column): Column =
     call_function("url_host_domain", url)
+
+  /** Canonical (dedup-key) form of a URL — one imperative pass. */
+  def url_canonicalize(url: Column): Column =
+    call_function("url_canonicalize", url)
 
   /** Merges-table BPE token count of a string column (see [[Bpe]]). */
   def bpe_token_count(text: Column): Column =

@@ -70,3 +70,62 @@ case class UrlHostDomain(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** url -> canonical url in ONE imperative pass — the dedup-key
+  * normalization of [[graft.operators.Urls.canonicalUrl]] with the
+  * anchored parts regex matched ONCE instead of once per extracted group
+  * (the declarative twin re-evaluates it six times per row; this is the
+  * [[UrlHostDomain]] situation again). Same java.util.regex engine and
+  * the SAME pattern strings as the declarative composition, so the two
+  * are value-identical by construction (spec-pinned on the canon
+  * fixture); the declarative twin stays the oracle-shaped reference.
+  * CodegenFallback per the TextExpressions rule: the per-row cost IS the
+  * string work.
+  */
+case class UrlCanonicalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import UrlCanonicalize._
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_canonicalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim().toString
+    val f = Frag.matcher(trimmed).replaceAll("")
+    val m = Parts.matcher(f)
+    if (!m.matches()) return UTF8String.fromString(trimmed)
+    def g(i: Int): String = Option(m.group(i)).getOrElse("")
+    val scheme = UTF8String.fromString(g(1)).toLowerCase.toString
+    val host = UTF8String.fromString(g(3)).toLowerCase.toString
+    val port0 = g(4)
+    val port = if ((scheme == "http" && port0 == ":80") ||
+      (scheme == "https" && port0 == ":443")) "" else port0
+    val path = Trail.matcher(g(5)).replaceAll("")
+    val query = LeadQ.matcher(g(6)).replaceAll("")
+    val kept = query.split("&", -1)
+      .filter(seg => !Tracking.matcher(seg).find()).mkString("&")
+    val sb = new java.lang.StringBuilder(f.length)
+    sb.append(scheme).append("://").append(g(2)).append(host)
+      .append(port).append(path)
+    if (kept.nonEmpty) sb.append('?').append(kept)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UrlCanonicalize {
+  // the EXACT pattern strings of the declarative twin, compiled once —
+  // Spark's own regexp functions run java.util.regex too, so semantics
+  // (including $-before-final-newline and group non-participation)
+  // cannot drift between the two forms
+  private val Frag = java.util.regex.Pattern.compile("#.*")
+  private val Parts = java.util.regex.Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\\?.*)?$")
+  private val Trail = java.util.regex.Pattern.compile("/+$")
+  private val LeadQ = java.util.regex.Pattern.compile("^\\?")
+  private val Tracking = java.util.regex.Pattern.compile(
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=|$)")
+}

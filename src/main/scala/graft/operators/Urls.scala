@@ -85,14 +85,26 @@ object Urls {
     *     a query left empty by that drops its `?`. Param ORDER is kept —
     *     reordering can change server behavior and breaks replays.
     *
-    * Map-only (three regexes + one filter HOF, all codegen'd, all in the
-    * RE2 subset the DuckDB oracle replays). Idempotent by construction —
-    * canon(canon(x)) = canon(x), spec-pinned — so re-cleaning an already
-    * clean corpus is a no-op. A string with no `scheme://` is returned
-    * trimmed but otherwise untouched (nothing to parse); NULL stays
-    * NULL. Use as the join/dedup key ahead of [[Dedup]] exact passes.
+    * Map-only and imperative: ONE
+    * [[graft.functions.UrlCanonicalize]] pass per row (one anchored
+    * parse; the declarative twin below re-matches the parts regex per
+    * extracted group). Idempotent by construction — canon(canon(x)) =
+    * canon(x), spec-pinned — so re-cleaning an already clean corpus is a
+    * no-op. A string with no `scheme://` is returned trimmed but
+    * otherwise untouched (nothing to parse); NULL stays NULL. Use as
+    * the join/dedup key ahead of [[Dedup]] exact passes.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    graft.functions.GraftFunctions.url_canonicalize(url)
+
+  /** The DECLARATIVE twin of [[canonicalUrl]] — the literal
+    * regexp/HOF shape the DuckDB oracle transcribes (all in the RE2
+    * subset), spec-pinned value-identical to the imperative expression
+    * ([[graft.functions.UrlCanonicalize]] runs the same java.util.regex
+    * pattern strings). Kept as the cross-engine reference; production
+    * paths use [[canonicalUrl]].
+    */
+  def canonicalUrlDeclarative(url: Column): Column = {
     val f = regexp_replace(trim(url), "#.*", "")
     def part(i: Int): Column = regexp_extract(f, UrlPartsRe, i)
     val scheme = lower(part(1))

@@ -202,6 +202,24 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.toSeq shouldBe canonCases.map(_._2)
   }
 
+  test("imperative UrlCanonicalize is value-identical to the declarative twin") {
+    import spark.implicits._
+    val fixture = (canonCases.map(_._1).filter(_ != null) ++ Seq(
+      "https://h.io/a//b///?x=1&utm_x&y=2#f#g", "HTTP://EX.COM:80?",
+      "https://u@H:443/", "https://h/?&", "s3+x://Bucket.Name/Key/",
+      "https://h.io/p?utm_source", "  x://y  ", "http://h:080/",
+      "https://h.io/p?a=utm_b&utm_b=a", "://nohost", "https://#only"))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = fixture.select(col("id"),
+        Urls.canonicalUrl(col("url")).as("imp"),
+        Urls.canonicalUrlDeclarative(col("url")).as("dec"))
+      .where(!(col("imp") <=> col("dec")))
+      .collect()
+    withClue(out.map(_.toSeq.mkString("|")).mkString("\n")) {
+      out shouldBe empty
+    }
+  }
+
   test("canonicalUrl is idempotent: canon(canon(x)) = canon(x)") {
     import spark.implicits._
     val df = canonCases.map(_._1).filter(_ != null).zipWithIndex
