@@ -160,11 +160,18 @@ final class ServingTable(val name: String, val keyCol: String,
         try f catch { case e2: Throwable if isMissingFile(e2) => f }
     }
 
+  // a deleted-generation read fails at PLAN time (AnalysisException
+  // PATH_NOT_FOUND), at TASK time (SparkException
+  // FAILED_READ_FILE.FILE_NOT_EXIST — possibly nested under the job
+  // failure), or as a raw FileNotFoundException in a cause chain
   private def isMissingFile(e: Throwable): Boolean =
     e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-      (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
-        e.asInstanceOf[org.apache.spark.sql.AnalysisException]
-          .getCondition == "PATH_NOT_FOUND") ||
+      (e match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).exists(c =>
+            c == "PATH_NOT_FOUND" || c.startsWith("FAILED_READ_FILE"))
+        case _ => false
+      }) ||
       isMissingFile(e.getCause))
 
   /** On-demand LSM compaction of the spill tier; returns the resulting

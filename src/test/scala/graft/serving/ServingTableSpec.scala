@@ -133,6 +133,46 @@ class ServingTableSpec extends AnyFunSuite with Matchers with SparkSpec {
     t.all.size shouldBe 40
   }
 
+  test("reads race spills and compactions without errors or wrong answers") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
+    // aggressive settings: a 2-entry hot map folding at every 2nd
+    // generation => upserts continuously spill AND compact while the
+    // reader threads scan — exercising the delete-vs-scan race the
+    // withGenRetry path exists for
+    val t = new ServingTable("race", "k", maxEntries = 2,
+      spillDir = Some(dir), compactAfterGenerations = 2)
+    t.upsert(Seq(("k01", 1L), ("k02", 2L)).toDF("k", "n"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      while (!stop.get()) {
+        try {
+          t.get("k01")
+          t.prefix("k0")
+          t.all: Unit
+        } catch {
+          case e: Throwable => errors.add(e); stop.set(true)
+        }
+      }
+    }))
+    readers.foreach(_.start())
+    try {
+      (3 to 24).foreach { i =>
+        t.upsert(Seq((f"k$i%02d", i.toLong)).toDF("k", "n"))
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    withClue(errors.asScala.map(_.toString).mkString("\n")) {
+      errors.asScala shouldBe empty
+    }
+    (1 to 24).foreach { i => t.get(f"k$i%02d").get("n") shouldBe i.toLong }
+    t.all.size shouldBe 24
+  }
+
   test("spilled entries are byte-identical on the wire to resident ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-serve-").toString
