@@ -1175,6 +1175,32 @@ object SparkEntry {
           graft.operators.Urls.canonicalUrl(noisyUrl).as("canon_url"))
         .orderBy(col("doc_id"))),
 
+    // url-keyed exact dedup (the pipeline's stage 0b as a standalone
+    // oracle row): synthetic urls that differ ONLY by crawl noise (host
+    // case, :443 on https, trailing slash, utm params, fragments)
+    // collapse onto one canonical key; min doc_id per key survives via
+    // one hash aggregate + a semi join on the winner ids
+    "q124_url_dedup" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.operators.Urls.canonicalUrl(concat(
+            lit("https://"),
+            when(col("doc_id") % 2 === 0, lit("CDN.Example.com"))
+              .otherwise(lit("cdn.example.com")),
+            when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+            lit("/p/"), (col("doc_id") % 40).cast("string"),
+            when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
+            .as("__cu"))
+      val winners = keyed.groupBy(col("__cu"))
+        .agg(min(col("doc_id")).as("__keep")).select(col("__keep"))
+      keyed.join(winners, col("doc_id") === col("__keep"), "left_semi")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -1548,6 +1574,37 @@ object SparkEntry {
          FROM (SELECT doc_id, tp, toks[tp] AS t FROM tpos) x
          LEFT JOIN __vocab v ON v.tok = x.t)"""
   }
+
+  /** DuckDB replay of `Urls.canonicalUrl` over a preceding CTE
+    * `n(doc_id, url)` — yields CTE `canon(doc_id, url, canon_url)`.
+    * Shared by the q120 and q124 oracles; keep in lockstep with
+    * [[graft.functions.UrlCanonicalize]] (same pattern strings).
+    */
+  private def urlCanonCtes: String =
+    """c0 AS (SELECT doc_id, url,
+             regexp_replace(trim(url), '#.*', '') AS f FROM n),
+         cp AS (SELECT doc_id, url,
+             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 1)) AS sch,
+             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 2) AS ui,
+             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 3)) AS hostl,
+             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 4) AS prt,
+             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 5), '/+$', '') AS pth,
+             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 6), '^\?', '') AS q
+           FROM c0),
+         cq AS (SELECT doc_id, url, sch, ui, hostl, pth,
+             CASE WHEN (sch = 'http' AND prt = ':80')
+                    OR (sch = 'https' AND prt = ':443')
+                  THEN '' ELSE prt END AS prt,
+             coalesce(array_to_string(list_filter(string_split(q, '&'),
+               x -> NOT regexp_matches(x,
+                 '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=|$)')),
+               '&'), '') AS qf
+           FROM cp),
+         canon AS (
+           SELECT doc_id, url, CASE WHEN sch = '' THEN trim(url)
+             ELSE sch || '://' || ui || hostl || prt || pth ||
+               (CASE WHEN qf = '' THEN '' ELSE '?' || qf END) END AS canon_url
+           FROM cq)"""
 
   /** DuckDB twin of [[syntheticUrl]] + [[graft.operators.Urls]] host and
     * registered-domain extraction, shared by the q118/q119 oracles: the
@@ -1963,7 +2020,7 @@ object SparkEntry {
     // param filter (coalesce: DuckDB's array_to_string of an EMPTY list
     // is NULL where Spark's array_join is '')
     "q120_url_canon" ->
-      """WITH n AS (
+      s"""WITH n AS (
            SELECT doc_id,
              (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
              || (CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END)
@@ -1979,29 +2036,29 @@ object SparkEntry {
              || (CASE WHEN doc_id % 6 = 0 THEN '&fbclid=IwAR2xYz' ELSE '' END)
              || (CASE WHEN doc_id % 9 = 0 THEN '#ref-2' ELSE '' END) AS url
            FROM documents),
-         c0 AS (SELECT doc_id, url,
-             regexp_replace(trim(url), '#.*', '') AS f FROM n),
-         cp AS (SELECT doc_id, url,
-             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 1)) AS sch,
-             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 2) AS ui,
-             lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 3)) AS hostl,
-             regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 4) AS prt,
-             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 5), '/+$', '') AS pth,
-             regexp_replace(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#@]*@)?([^:/?#]*)(:[0-9]+)?([^?]*)(\?.*)?$', 6), '^\?', '') AS q
-           FROM c0),
-         cq AS (SELECT doc_id, url, sch, ui, hostl, pth,
-             CASE WHEN (sch = 'http' AND prt = ':80')
-                    OR (sch = 'https' AND prt = ':443')
-                  THEN '' ELSE prt END AS prt,
-             coalesce(array_to_string(list_filter(string_split(q, '&'),
-               x -> NOT regexp_matches(x,
-                 '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|ref_src)(=|$)')),
-               '&'), '') AS qf
-           FROM cp)
-         SELECT doc_id, CASE WHEN sch = '' THEN trim(url)
-           ELSE sch || '://' || ui || hostl || prt || pth ||
-             (CASE WHEN qf = '' THEN '' ELSE '?' || qf END) END AS canon_url
-         FROM cq ORDER BY doc_id""",
+         $urlCanonCtes
+         SELECT doc_id, canon_url FROM canon ORDER BY doc_id""",
+
+    // url-keyed exact dedup: min doc_id per CANONICAL url over urls that
+    // collide only through crawl noise (host case, default port,
+    // trailing slash, tracking params, fragments) — the q120 canon chain
+    // shared verbatim, then one group-min + semi join
+    "q124_url_dedup" ->
+      s"""WITH n AS (
+           SELECT doc_id,
+             'https://'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'CDN.Example.com'
+                      ELSE 'cdn.example.com' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || (doc_id % 40)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         $urlCanonCtes,
+         w AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id""",
 
     "q119_domain_gate" ->
       s"""WITH $urlDomainCtes,

@@ -133,7 +133,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // classify over the SPILLED model table (the fit runs once, eagerly;
     // this ceiling guards the returned scoring plan): label broadcast +
     // vocab cond join + per-(doc,label) agg + argmax agg + sort
-    "q123_nb_classify" -> 8)
+    "q123_nb_classify" -> 8,
+    // canon-key dedup: one min agg (partial/final) over the map-only
+    // canonicalization + winner broadcast semi + final sort
+    "q124_url_dedup" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
