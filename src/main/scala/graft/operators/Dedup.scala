@@ -296,54 +296,11 @@ object Dedup {
     */
   def compactSpanCounts(spark: org.apache.spark.sql.SparkSession,
       spanTablePath: String, excludeBatch: String = null,
-      targetFileBytes: Long = 128L << 20): Int = {
-    require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val root = new org.apache.hadoop.fs.Path(spanTablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFileCount: Int = {
-      val it = fs.listFiles(root, true)
-      var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    val marker = new org.apache.hadoop.fs.Path(root, "_compact_inflight")
-    // recover a crashed predecessor before reading anything: finish its
-    // delete if the fold completed, drop the partial fold if not
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      lines match {
-        case target :: staleSources =>
-          val targetPath = new org.apache.hadoop.fs.Path(root, target)
-          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath, "_SUCCESS")))
-            staleSources.foreach(n =>
-              fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
-          else fs.delete(targetPath, true)
-        case Nil =>
-      }
-      fs.delete(marker, false)
-    }
-    val sources = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filterNot(p => excludeBatch != null && p.getName == s"batch=$excludeBatch")
-    if (sources.length <= 1) return dataFileCount
-    val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val targetName = "batch=compact-" +
-      java.util.UUID.randomUUID().toString.take(12)
-    val out = fs.create(marker, true)
-    try out.write((targetName +: sources.map(_.getName))
-      .mkString("\n").getBytes("UTF-8")) finally out.close()
-    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
-      .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
-      .coalesce(nFiles)
-      .write.mode("overwrite")
-      .parquet(s"$spanTablePath/$targetName")
-    sources.foreach(fs.delete(_, true))
-    fs.delete(marker, false)
-    dataFileCount
-  }
+      targetFileBytes: Long = 128L << 20): Int =
+    // the additive sum-fold lives in io.BatchTable since round 10 (the
+    // NB count table shares it); semantics unchanged, spec-pinned
+    graft.io.BatchTable.compactSumFold(spark, spanTablePath,
+      Seq("fp"), "cnt", excludeBatch, targetFileBytes)
 
   /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
     * explode distinct shingles, self-join on the shingle (this is the only

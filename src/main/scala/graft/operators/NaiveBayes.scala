@@ -42,29 +42,40 @@ object NaiveBayes {
     require(alpha > 0, "alpha must be positive")
     val base = docs.select(col(labelCol).cast("string").as("label"),
       col(tokensCol).as("__toks"))
-    val nDocs = base.agg(count(lit(1)).as("__n"))
-    val priors = base.groupBy(col("label"))
-      .agg(count(lit(1)).as("__docs"))
+    modelFromCounts(
+      base.groupBy(col("label")).agg(count(lit(1)).as("__docs")),
+      base.select(col("label"), explode(col("__toks")).as("token"))
+        .groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("__c")),
+      alpha)
+  }
+
+  /** The model arithmetic over already-aggregated counts — shared by
+    * [[train]] (counts from one corpus pass) and [[trainIncremental]]
+    * (counts folded across batch dirs). Counting is ASSOCIATIVE, so the
+    * two entry points produce IDENTICAL models for the same underlying
+    * docs (spec-pinned).
+    */
+  private def modelFromCounts(docCounts: DataFrame, tokCounts: DataFrame,
+      alpha: Double): DataFrame = {
+    val nDocs = docCounts.agg(sum(col("__docs")).as("__n"))
+    val priors = docCounts
       .crossJoin(broadcast(nDocs))
       .select(col("label"), lit(null).cast("string").as("token"),
         round(log(col("__docs") / col("__n")), 6).as("logp"),
         lit("prior").as("kind"))
-    val counts = base
-      .select(col("label"), explode(col("__toks")).as("token"))
-      .groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("__c"))
     // totals anchor on the PRIOR label set, not the token counts: a
     // label whose training docs are all token-free still needs its
     // default row (ln(alpha/(0 + alpha*V))) — otherwise classify's
     // label table would silently drop it and an empty test doc could
     // argmax a different label than the all-priors rule
-    val totals = base.select(col("label")).distinct()
-      .join(counts.groupBy(col("label")).agg(sum(col("__c")).as("__t")),
+    val totals = docCounts.select(col("label"))
+      .join(tokCounts.groupBy(col("label")).agg(sum(col("__c")).as("__t")),
         Seq("label"), "left")
       .select(col("label"), coalesce(col("__t"), lit(0L)).as("__t"))
-    val vocab = counts.select(col("token")).distinct()
+    val vocab = tokCounts.select(col("token")).distinct()
       .agg(count(lit(1)).as("__v"))
-    val conds = counts.join(totals, Seq("label"))
+    val conds = tokCounts.join(totals, Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col("label"), col("token"),
         round(log((col("__c") + lit(alpha)) /
@@ -77,6 +88,76 @@ object NaiveBayes {
         lit("default").as("kind"))
     priors.unionByName(conds).unionByName(defaults)
   }
+
+  /** Cross-run training — the model-maintenance member of the
+    * incremental family: because the fit is counting and counting is
+    * associative, the incremental model is EXACT, not approximate —
+    * training batch-by-batch produces the identical model table to
+    * [[train]] over the union of all batches (spec-pinned equality).
+    * Each call appends this batch's count rows (kind `doc`: docs per
+    * label; kind `tok`: (label, token) occurrences) to
+    * `countsTablePath/batch=<id>` and returns the model derived from
+    * ALL counts (history + this batch).
+    *
+    * Same retry discipline as the incremental dedup tables: the history
+    * read EXCLUDES the in-flight `batch=<id>` (a replayed batch never
+    * double-counts its own first attempt), the batch counts spill
+    * before the write, and the write is an idempotent overwrite of the
+    * batch dir. The accumulating dirs fold with [[compactCounts]]
+    * (summed — the additive `BatchTable` fold).
+    */
+  def trainIncremental(docs: DataFrame, labelCol: String, tokensCol: String,
+      countsTablePath: String, batchId: String = null,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val base = docs.select(col(labelCol).cast("string").as("label"),
+      col(tokensCol).as("__toks"))
+    val batchCounts = graft.io.Spill(
+      base.groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .select(lit("doc").as("kind"), col("label"),
+          lit(null).cast("string").as("token"), col("c"))
+        .unionByName(
+          base.select(col("label"), explode(col("__toks")).as("token"))
+            .groupBy(col("label"), col("token"))
+            .agg(count(lit(1)).as("c"))
+            .select(lit("tok").as("kind"), col("label"), col("token"),
+              col("c"))),
+      "graft-nbc-")
+    val hist =
+      try spark.read
+        .schema("kind STRING, label STRING, token STRING, c BIGINT, batch STRING")
+        .parquet(countsTablePath)
+        .where(col("batch") =!= bid)
+        .select(col("kind"), col("label"), col("token"), col("c"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "kind STRING, label STRING, token STRING, c BIGINT"))
+      }
+    val all = hist.unionByName(batchCounts)
+    val model = modelFromCounts(
+      all.where(col("kind") === "doc")
+        .groupBy(col("label")).agg(sum(col("c")).as("__docs")),
+      all.where(col("kind") === "tok")
+        .groupBy(col("label"), col("token")).agg(sum(col("c")).as("__c")),
+      alpha)
+    batchCounts.write.mode("overwrite").parquet(s"$countsTablePath/batch=$bid")
+    model
+  }
+
+  /** Fold the [[trainIncremental]] count table's batch dirs (summed per
+    * (kind, label, token) — the additive fold, with the span-count crash
+    * discipline).
+    */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+      countsTablePath: String, excludeBatch: String = null,
+      targetFileBytes: Long = 128L << 20): Int =
+    graft.io.BatchTable.compactSumFold(spark, countsTablePath,
+      Seq("kind", "label", "token"), "c", excludeBatch, targetFileBytes)
 
   /** Score every doc against every label and keep the argmax:
     * `score(label) = prior + Σ_token cond(label, token | default)`,

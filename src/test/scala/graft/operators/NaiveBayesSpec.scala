@@ -70,6 +70,41 @@ class NaiveBayesSpec extends AnyFunSuite with Matchers with SparkSpec {
     a shouldBe b
   }
 
+  test("incremental training is EXACT: batch-by-batch equals the union fit; " +
+      "replay and count compaction preserve the model") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-nbinc").toString + "/counts"
+    val b1 = fixture
+    val b2 = Seq((4L, "b", Seq("z", "x")), (5L, "c", Seq("q", "q")))
+      .toDF("id", "label", "toks")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    NaiveBayes.trainIncremental(b1, "label", "toks", table,
+      batchId = "b1").count()
+    val m2 = rows(NaiveBayes.trainIncremental(b2, "label", "toks", table,
+      batchId = "b2"))
+    // counting is associative: the incremental model is the union fit,
+    // row for row, double for double
+    m2 shouldBe rows(NaiveBayes.train(
+      b1.unionByName(b2), "label", "toks"))
+
+    // a replayed batch never double-counts its own first attempt
+    rows(NaiveBayes.trainIncremental(b2, "label", "toks", table,
+      batchId = "b2")) shouldBe m2
+
+    // fold the batch dirs; a third batch still equals the full union
+    NaiveBayes.compactCounts(spark, table) should be >= 1
+    new java.io.File(table).listFiles()
+      .count(_.getName.startsWith("batch=")) shouldBe 1
+    val b3 = Seq((6L, "a", Seq("y", "x"))).toDF("id", "label", "toks")
+    rows(NaiveBayes.trainIncremental(b3, "label", "toks", table,
+      batchId = "b3")) shouldBe
+      rows(NaiveBayes.train(b1.unionByName(b2).unionByName(b3),
+        "label", "toks"))
+  }
+
   test("train/test accuracy on a separable corpus") {
     import spark.implicits._
     // three classes with distinct vocabularies plus shared noise — the
