@@ -73,8 +73,16 @@ object NaiveBayes {
       .join(tokCounts.groupBy(col("label")).agg(sum(col("__c")).as("__t")),
         Seq("label"), "left")
       .select(col("label"), coalesce(col("__t"), lit(0L)).as("__t"))
+    // fail loud on a token-free corpus: V=0 with t=0 makes the default
+    // row's ln(alpha/(0 + alpha*0)) a division by zero, which non-ANSI
+    // Spark folds to a silent NULL logp that propagates to NULL classify
+    // scores. Guard at the point of use (plan-level — no extra action).
     val vocab = tokCounts.select(col("token")).distinct()
-      .agg(count(lit(1)).as("__v"))
+      .agg(count(lit(1)).as("__v0"))
+      .select(when(col("__v0") === 0, raise_error(lit(
+          "NaiveBayes: empty vocabulary after counting — every training " +
+            "doc is token-free; a token-free corpus is unsupported")))
+        .otherwise(col("__v0")).cast("long").as("__v"))
     val conds = tokCounts.join(totals, Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col("label"), col("token"),

@@ -291,9 +291,16 @@ object Urls {
     // score tuple to encode on the hot path).
     val mink = udaf(new graft.functions.MinKLongsAggregator(
       maxPerDomain.toInt), org.apache.spark.sql.Encoders.scalaLong)
+    // fail loud on NULL ids at execution time: the typed primitive-Long
+    // aggregator cannot hold NULL, and a silently-skipped NULL would
+    // delete that row from every over-cap domain
+    val idLong = when(col(idCol).isNull, raise_error(lit(
+        s"domainGate: idCol '$idCol' contains NULL; " +
+          "cap keepers are the smallest non-null numeric ids")))
+      .otherwise(col(idCol)).cast("long")
     val overCap = keyed.groupBy(col("__dk"))
       .agg(count(lit(1)).as("__n"),
-        mink(col(idCol).cast("long")).as("__ids"))
+        mink(idLong).as("__ids"))
       .where(col("__n") > maxPerDomain)
     val under = keyed.join(overCap.select(col("__dk")), Seq("__dk"), "left_anti")
     val keepIds = overCap

@@ -165,11 +165,17 @@ object TrainingData {
     // language but may span heuristic labels, so 3b becomes a
     // per-heuristic-group floor there. The heuristic stays the
     // zero-shuffle default.
+    // The classify branch and the join-back branch are a SELF-join of
+    // gatedPlan0, so under cacheIntermediate the plan spills BEFORE the
+    // fork — otherwise exact dedup, span stripping, and the scoring
+    // projection are computed twice (the same spill-before-self-join
+    // discipline as incrementalSemanticDedup).
     val gatedPlan = langModel.fold(gatedPlan0.drop("w")) { m =>
+      val gateIn = if (cacheIntermediate) spill(gatedPlan0) else gatedPlan0
       val keep = graft.operators.NaiveBayes.classify(
-          gatedPlan0.select(col(idCol), col("w")), idCol, "w", m)
+          gateIn.select(col(idCol), col("w")), idCol, "w", m)
         .where(col("label") === lang).select(col(idCol))
-      gatedPlan0.join(keep, Seq(idCol), "left_semi").drop("w")
+      gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
     }
     // 3b. optional adaptive floor on top of the fixed one — applied AFTER
     // the spill so floorBy's threshold aggregate and join-back both scan

@@ -151,14 +151,23 @@ final class ServingTable(val name: String, val keyCol: String,
 
   // a generation scan raced a compaction's delete: the retry re-reads
   // the CURRENT (post-swap) `gens`, whose merged generation holds every
-  // key the deleted ones did. Two attempts bound the loop — a second
-  // compaction completing inside one retry window means the first
-  // retry's vector was itself current when captured.
-  private def withGenRetry[T](f: => T): T =
-    try f catch {
-      case e: Throwable if isMissingFile(e) =>
-        try f catch { case e2: Throwable if isMissingFile(e2) => f }
+  // key the deleted ones did. One retry is enough when at most one
+  // compaction completes per attempt window, but under sustained
+  // flush+compact churn each attempt can race a FRESH swap — so loop,
+  // bounded: every retry observes a strictly newer `gens` vector (swaps
+  // are monotonic under writeLock), and eight consecutive same-reader
+  // losses means compaction churn is pathological — surface it.
+  private def withGenRetry[T](f: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return f catch {
+        case e: Throwable if isMissingFile(e) =>
+          attempts += 1
+          if (attempts >= 8) throw e
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   // a deleted-generation read fails at PLAN time (AnalysisException
   // PATH_NOT_FOUND), at TASK time (SparkException

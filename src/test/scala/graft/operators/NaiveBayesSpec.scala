@@ -105,6 +105,18 @@ class NaiveBayesSpec extends AnyFunSuite with Matchers with SparkSpec {
         "label", "toks"))
   }
 
+  test("a token-free corpus fails loud instead of NULL log-probs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", Seq.empty[String]), (2L, "b", Seq.empty[String]))
+      .toDF("id", "label", "toks")
+    val e = intercept[Exception] {
+      NaiveBayes.train(docs, "label", "toks").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    messages(e) should include("empty vocabulary")
+  }
+
   test("train/test accuracy on a separable corpus") {
     import spark.implicits._
     // three classes with distinct vocabularies plus shared noise — the

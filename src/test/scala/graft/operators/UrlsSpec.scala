@@ -86,6 +86,20 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Set(1L, 2L, 3L, 4L, 21L)
   }
 
+  test("gate: a NULL id fails loud, not silently dropped from over-cap domains") {
+    import spark.implicits._
+    val docs = Seq((Some(1L), "https://big.example.com/1"),
+      (Some(2L), "https://big.example.com/2"),
+      (None: Option[Long], "https://big.example.com/3"))
+      .toDF("id", "url")
+    val e = intercept[Exception] {
+      Urls.domainGate(docs, "url", "id", maxPerDomain = 1L).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    messages(e) should include("contains NULL")
+  }
+
   test("gate: the NULL-domain group is capped too") {
     import spark.implicits._
     val docs = Seq((1L, "not a url"), (2L, "also not"), (3L, "still not"),
