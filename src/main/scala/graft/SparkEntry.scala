@@ -1201,6 +1201,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // stupid-backoff trigram LM (the CCNet/KenLM-class quality filter,
+    // upgrading q98's add-one bigram): train on the even-doc_id half,
+    // score ALL docs — the held-out odd half exercises every backoff
+    // tier (seen trigram, 0.4·bigram, 0.16·unigram add-one floor),
+    // which pure self-scoring never would
+    "q125_lm_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.where(col("doc_id") % 2 === 0)
+      graft.operators.NgramLm.scoreBitsTrigram(
+          docs, "doc_id", "text",
+          graft.operators.NgramLm.trainTrigram(ref, "text"),
+          graft.operators.NgramLm.vocabSize(ref, "text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -2059,6 +2074,49 @@ object SparkEntry {
          w AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url)
          SELECT d.doc_id, d.source FROM documents d
          JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id""",
+
+    // stupid-backoff trigram LM: model = trigram counts of the even
+    // half; every lower tier rolls up from it; per-trigram bits round
+    // at 6 decimals, the doc mean at 4 (cross-engine log pin). 0.16 is
+    // λ² written as ONE literal on both sides (0.4*0.4 in doubles is
+    // 0.16000000000000003).
+    "q125_lm_backoff" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+           FROM documents),
+         tri AS (
+           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i
+                 FROM toks WHERE len(ws) >= 3)),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri
+                WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+         c2x AS (SELECT w1, w2, sum(c3) AS c2x FROM c3 GROUP BY 1, 2),
+         cb AS (SELECT w2, w3, sum(c3) AS cb FROM c3 GROUP BY 1, 2),
+         c1x AS (SELECT w2, sum(cb) AS c1x FROM cb GROUP BY 1),
+         cu AS (SELECT w3, sum(cb) AS cu FROM cb GROUP BY 1),
+         m AS (SELECT sum(cu) AS n FROM cu),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0)),
+         scored AS (
+           SELECT t.doc_id,
+             round(-log2(CASE
+               WHEN c3.c3 IS NOT NULL
+                 THEN CAST(c3.c3 AS DOUBLE) / c2x.c2x
+               WHEN cb.cb IS NOT NULL
+                 THEN 0.4 * CAST(cb.cb AS DOUBLE) / c1x.c1x
+               ELSE 0.16 * (COALESCE(cu.cu, 0) + 1.0) / (m.n + v.v)
+             END), 6) AS bits
+           FROM tri t
+           LEFT JOIN c3 USING (w1, w2, w3)
+           LEFT JOIN c2x USING (w1, w2)
+           LEFT JOIN cb USING (w2, w3)
+           LEFT JOIN c1x USING (w2)
+           LEFT JOIN cu USING (w3)
+           CROSS JOIN m CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(bits), 4) AS bits
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q119_domain_gate" ->
       s"""WITH $urlDomainCtes,

@@ -64,6 +64,88 @@ object NgramLm {
     scoreBits(docs, idCol, textCol, train(docs, textCol),
       vocabSize(docs, textCol))
 
+  /** Trigram counts of `textCol` across the corpus: (w1, w2, w3, c3) —
+    * the whole model table of the backoff trigram LM. ONE corpus pass,
+    * one hash aggregate; every lower-order tier the scorer needs (bigram
+    * counts, contexts, unigram mass) ROLLS UP from this table, so
+    * training cost does not grow with the model order.
+    */
+  def trainTrigram(docs: DataFrame, textCol: String): DataFrame =
+    trigrams(docs, textCol).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+
+  /** Mean bits-per-trigram of each document under a STUPID-BACKOFF
+    * trigram model (the CCNet/KenLM-class quality filter, with Brants
+    * et al.'s non-normalized backoff — deterministic count arithmetic
+    * the DuckDB oracle replays exactly, where Kneser-Ney's discounts
+    * would drag float-order sensitivity into the gate):
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2·)            seen trigram
+    *               = 0.4 · c(w2w3)/c(w2·)          else, seen bigram
+    *               = 0.16 · (c(w3)+1)/(N+V)        else (add-one floor
+    *                                               absorbs OOV words)
+    *
+    * All tiers derive from the trigram table: c(w1w2·) is the trigram
+    * context rollup (exact), and the bigram/unigram tiers count bigrams
+    * AS TRIGRAM SUFFIXES — each document's first bigram and first two
+    * tokens fall outside some rollup, the standard price of one-pass
+    * counting (boundary mass is O(docs), corpus mass is O(tokens)).
+    * `vocab` is the distinct-token count of the TRAINING corpus
+    * ([[vocabSize]]). Documents with fewer than three tokens have no
+    * trigrams and are absent from the result.
+    *
+    * Shape at 100 TB: the corpus trigram stream joins the model table
+    * on (w1,w2,w3) — one shuffle join — and the four rollup tiers are
+    * model-table aggregates (bounded by distinct-trigram count, NOT
+    * corpus size) that Spark broadcasts when small. Per-trigram bits
+    * round at 6 decimals and the per-doc mean at 4, the cross-engine
+    * log determinism pin.
+    */
+  def scoreBitsTrigram(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, vocab: DataFrame): DataFrame = {
+    // the FIVE tiers below all derive from `model`; spill it once (the
+    // q123 spilled-model discipline) so the training corpus pass runs
+    // once, not once per tier — the rollups then scan a count table
+    // bounded by distinct-trigram count, never the corpus
+    val m = graft.io.Spill(model, "graft-lm3-")
+    val ctx2 = m.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2x"))
+    val big = m.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("cb"))
+    val ctx1 = big.groupBy(col("w2")).agg(sum(col("cb")).as("c1x"))
+    val uni = big.groupBy(col("w3")).agg(sum(col("cb")).as("cu"))
+    val mass = uni.agg(sum(col("cu")).as("n"))
+    // λ² as ONE literal: 0.4*0.4 in binary doubles is 0.16000000000000003,
+    // not 0.16 — both engines must parse the same literal
+    trigrams(docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
+        keep = Seq("doc_id"))
+      .join(m, Seq("w1", "w2", "w3"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(big, Seq("w2", "w3"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(mass) // one row; broadcast by size
+      .crossJoin(vocab) // one row; broadcast by size
+      .select(col("doc_id"),
+        round(-log2(
+          when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c2x"))
+          .when(col("cb").isNotNull,
+            lit(0.4) * col("cb").cast("double") / col("c1x"))
+          .otherwise(lit(0.16) * (coalesce(col("cu"), lit(0L)) + lit(1.0))
+            / (col("n") + col("v")))), 6).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("bits")), 4).as("bits"))
+  }
+
+  /** Self-scoring convenience: train on `docs`, score `docs`. NOTE the
+    * backoff tiers never fire here (every scored trigram is in the
+    * model); reference-corpus scoring ([[scoreBitsTrigram]] with a
+    * separate train set) is where backoff earns its keep.
+    */
+  def selfScoreBitsTrigram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoreBitsTrigram(docs, idCol, textCol, trainTrigram(docs, textCol),
+      vocabSize(docs, textCol))
+
   /** Distinct-token count of the corpus — the V of add-one smoothing. */
   def vocabSize(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(words(col(textCol))).as("w"))
@@ -79,5 +161,19 @@ object NgramLm {
           struct(element_at(col("__ws"), i).as("w1"),
             element_at(col("__ws"), i + 1).as("w2")))).as("__b"): _*)
       .select(keep.map(col) :+ col("__b.w1") :+ col("__b.w2"): _*)
+  }
+
+  /** One row per in-document trigram: `keep` columns + (w1, w2, w3). */
+  private def trigrams(docs: DataFrame, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val toks = docs.withColumn("__ws", words(col(textCol)))
+      .where(size(col("__ws")) >= 3)
+    toks.select(keep.map(col) :+
+        explode(transform(sequence(lit(1), size(col("__ws")) - 2), i =>
+          struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2"),
+            element_at(col("__ws"), i + 2).as("w3")))).as("__t"): _*)
+      .select(keep.map(col) :+ col("__t.w1") :+ col("__t.w2") :+
+        col("__t.w3"): _*)
   }
 }

@@ -84,6 +84,7 @@ object TrainingData {
       contaminationThreshold: Double = 0.8,
       maxLmBits: Option[Double] = None,
       lmReference: Option[DataFrame] = None,
+      lmOrder: Int = 2,
       stripSpansK: Option[Int] = None,
       stripSpansMinCount: Int = 2,
       minQualityQuantile: Option[Double] = None,
@@ -212,13 +213,23 @@ object TrainingData {
     // clean-reference setup) or on the survivors themselves (outlier
     // filtering). Anti-join against the OVER-threshold ids so documents
     // too short to score (< 2 tokens) pass through rather than vanish.
+    // lmOrder selects the model: 2 = add-one bigram (self-training
+    // default), 3 = stupid-backoff trigram (the CCNet/KenLM-class form —
+    // sharper on unseen-context text, same two-aggregate training cost;
+    // pair it with lmReference, since self-training never backs off).
+    require(lmOrder == 2 || lmOrder == 3,
+      s"lmOrder must be 2 (bigram) or 3 (backoff trigram), got $lmOrder")
     val lmGated = maxLmBits.fold(survivors) { bits =>
       val corpus = lmReference.getOrElse(
         survivors.select(col(idCol), col(textCol)))
-      val tooSurprising = graft.operators.NgramLm
-        .scoreBits(survivors, idCol, textCol,
-          graft.operators.NgramLm.train(corpus, textCol),
-          graft.operators.NgramLm.vocabSize(corpus, textCol))
+      val vocab = graft.operators.NgramLm.vocabSize(corpus, textCol)
+      val scored =
+        if (lmOrder == 3) graft.operators.NgramLm.scoreBitsTrigram(
+          survivors, idCol, textCol,
+          graft.operators.NgramLm.trainTrigram(corpus, textCol), vocab)
+        else graft.operators.NgramLm.scoreBits(survivors, idCol, textCol,
+          graft.operators.NgramLm.train(corpus, textCol), vocab)
+      val tooSurprising = scored
         .where(col("bits") > bits)
         .select(col("doc_id").as(idCol))
       survivors.join(tooSurprising, Seq(idCol), "left_anti")

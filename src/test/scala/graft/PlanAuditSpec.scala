@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val singleRowBroadcast = Set(
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
     "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
-    "q114_semantic_decontam", "q123_nb_classify")
+    "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -136,7 +136,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q123_nb_classify" -> 8,
     // canon-key dedup: one min agg (partial/final) over the map-only
     // canonicalization + winner broadcast semi + final sort
-    "q124_url_dedup" -> 4)
+    "q124_url_dedup" -> 4,
+    // backoff trigram LM over the SPILLED model table (the training
+    // corpus pass runs once, eagerly — this guards the returned scoring
+    // plan): four tier rollup aggs + their broadcasts into the five
+    // left joins, one-row mass/vocab broadcasts, per-doc agg + sort
+    "q125_lm_backoff" -> 20)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

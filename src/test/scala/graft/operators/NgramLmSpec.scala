@@ -40,6 +40,44 @@ class NgramLmSpec extends AnyFunSuite with Matchers with SparkSpec {
     (2 to 5).foreach(p => score(p) shouldBe ref)
   }
 
+  test("trigram stupid backoff: hand-computed bits exercise every tier") {
+    import spark.implicits._
+    // train on the even doc only: d2 = "a b c a b c"
+    //   c3: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1; N=4, V=3
+    //   rollups: c2x(a,b)=2 c2x(b,c)=1; cb(b,c)=2 cb(c,a)=1 cb(a,b)=1;
+    //            c1x(b)=2; cu(b)=1, cu(z) absent
+    // score d1 = "a b c z b c a", trigrams:
+    //   (a,b,c) seen:        2/2 = 1            -> 0
+    //   (b,c,z) unigram OOV: 0.16*(0+1)/(4+3)   -> 5.451211
+    //   (c,z,b) unigram:     0.16*(1+1)/(4+3)   -> 4.451211
+    //   (z,b,c) bigram tier: 0.4*2/2 = 0.4      -> 1.321928
+    //   (b,c,a) seen:        1/1 = 1            -> 0
+    //   mean of the 6-dp bits, rounded to 4     -> 2.2449
+    val docs = Seq((1L, "a b c z b c a"), (2L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val out = NgramLm.scoreBitsTrigram(docs, "doc_id", "text",
+        NgramLm.trainTrigram(ref, "text"), NgramLm.vocabSize(ref, "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1L)._1 shouldBe 5L
+    out(1L)._2 shouldBe 2.2449
+    out(2L)._1 shouldBe 4L
+    out(2L)._2 should be(0.0 +- 1e-12) // every trigram seen: zero surprise
+  }
+
+  test("trigram self-score is partitioning-invariant and never backs off") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c z b c a"), (2L, "a b c a b c"),
+      (3L, "z q"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      NgramLm.selfScoreBitsTrigram(docs.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = run(1)
+    (2 to 4).foreach(p => run(p) shouldBe ref)
+    ref.map(_._1) shouldBe Set(1L, 2L) // <3 tokens: no trigrams, no row
+  }
+
   test("repeated common text scores fewer bits than rare text") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, "the cat sat on the mat")) :+

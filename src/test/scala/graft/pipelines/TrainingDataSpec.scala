@@ -230,6 +230,30 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     gated shouldBe Set(1L) // in-distribution passes, off-reference drops
   }
 
+  test("perplexity gate at lmOrder=3 uses the backoff trigram scorer") {
+    import spark.implicits._
+    val reference = (1L to 10L).map(i =>
+      (i, goodDoc("with joins and windows over rows and groups here")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("zq xv qj vx jz xq zj vq qx jv zx vj qz xj"))
+    ).toDF("doc_id", "text")
+    val bits = graft.operators.NgramLm.scoreBitsTrigram(docs, "doc_id",
+        "text", graft.operators.NgramLm.trainTrigram(reference, "text"),
+        graft.operators.NgramLm.vocabSize(reference, "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    bits(2L) should be > bits(1L)
+    val thr = (bits(1L) + bits(2L)) / 2
+    val gated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, nearDupThreshold = 1.01,
+        maxLmBits = Some(thr), lmReference = Some(reference), lmOrder = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(1L) // the trigram gate reproduces the split
+    an[IllegalArgumentException] should be thrownBy
+      TrainingData.clean(docs, "doc_id", "text", lmOrder = 4)
+  }
+
   test("adaptive quality floor (3b) equals the operator applied to the gated set") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
