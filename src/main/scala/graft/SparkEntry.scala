@@ -1216,6 +1216,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // perceptual image near-dup: synthesize a keyed BMP per doc (seed =
+    // id/2 plants one-pixel-apart even/odd pairs), aHash the REAL pixel
+    // bytes, band-join + popcount for Hamming pairs — every pixel, gray
+    // value, hash bit and band bucket is integer arithmetic the oracle
+    // replays from the id alone
+    "q126_image_phash" -> ((s, d) =>
+      graft.operators.Multimodal.syntheticBmpHashPipeline(
+          s, t(s, d, "documents"), "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -2117,6 +2128,60 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
            round(avg(bits), 4) AS bits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // perceptual image hash: replay the keyed-BMP pixel formula (pure
+    // int64 arithmetic), the 8x8 nearest-neighbor sample grid, the
+    // (b+g+r)//3 gray, the strict cell*64 > sum mean bits, the 16-bit
+    // pigeonhole bands and the popcount verify — mirrors
+    // Multimodal.syntheticBmpHashPipeline end to end without touching
+    // a byte; hamming from 4 band xors ≡ the full-word popcount
+    "q126_image_phash" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 2 AS odd, doc_id // 2 AS seed,
+             8 + (doc_id // 2) % 32 AS w, 4 + (doc_id // 2) % 16 AS h
+           FROM documents),
+         cells AS (
+           SELECT p.doc_id, u2.j * 8 + u1.i AS idx,
+             least(p.w - 1, (u1.i * p.w) // 8) AS sx,
+             least(p.h - 1, (u2.j * p.h) // 8) AS sy,
+             p.odd, p.seed
+           FROM p,
+             LATERAL (SELECT unnest(range(0, 8)) AS i) u1,
+             LATERAL (SELECT unnest(range(0, 8)) AS j) u2),
+         px AS (
+           SELECT doc_id, idx,
+             sx * 2654435761 + sy * 2246822519 + seed * 3266489917 AS v,
+             CASE WHEN odd = 1 AND sx = 0 AND sy = 0 THEN 128 ELSE 0 END AS dp
+           FROM cells),
+         g AS (
+           SELECT doc_id, idx,
+             ((((v >> 8) & 255) + dp) % 256
+              + (((v >> 16) & 255) + dp) % 256
+              + (((v >> 24) & 255) + dp) % 256) // 3 AS gray
+           FROM px),
+         bits AS (
+           SELECT doc_id, idx,
+             CASE WHEN gray * 64 > sum(gray) OVER (PARTITION BY doc_id)
+               THEN 1 ELSE 0 END AS bit
+           FROM g),
+         bands AS (
+           SELECT doc_id, idx // 16 AS band,
+             CAST(sum(bit << CAST(idx % 16 AS INTEGER)) AS BIGINT) AS bucket
+           FROM bits GROUP BY doc_id, idx // 16),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(a.bucket, b.bucket))) AS hamming
+           FROM cand c
+           JOIN bands a ON a.doc_id = c.id_a
+           JOIN bands b ON b.doc_id = c.id_b AND b.band = a.band
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+         FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
 
     "q119_domain_gate" ->
       s"""WITH $urlDomainCtes,

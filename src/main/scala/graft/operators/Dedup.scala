@@ -486,12 +486,24 @@ object Dedup {
     * bands — pigeonhole), verified with an exact popcount filter.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(
+      docs.select(col(idCol).as("doc_id"),
+        GraftFunctions.simhash64(TextFunctions.words(col(textCol))).as("fp")),
+      maxHamming)
+
+  /** Hamming near-dup pairs over ANY (doc_id, 64-bit fp) frame — the
+    * banding machinery of [[simhashPairs]] factored out so other 64-bit
+    * fingerprint families (e.g. perceptual image hashes,
+    * [[Multimodal.imageHashPairs]]) reuse it: 16-bit pigeonhole bands
+    * generate candidates (any pair within Hamming distance <= 3 shares
+    * at least one of the 4 exact bands), an exact popcount filter
+    * verifies. The exchange carries (doc_id, fp, band, bucket) only —
+    * never payload bytes — so the posture holds at corpus scale.
+    */
+  def fingerprintPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
-    val fp = docs
-      .select(col(idCol).as("doc_id"),
-        GraftFunctions.simhash64(TextFunctions.words(col(textCol))).as("fp"))
     val bands = simhashBands(fp)
 
     bands.as("a")

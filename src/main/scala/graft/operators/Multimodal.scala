@@ -212,6 +212,136 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of an uncompressed 24bpp
+    * bottom-up BMP: sample an 8x8 grid (the nearest-neighbor formula of
+    * [[resizeBmp]]), gray each sample as (b+g+r)/3 integer math, set bit
+    * j*8+i when the cell strictly exceeds the 64-cell mean (compared as
+    * cell*64 > sum — no division, so the math is integer-exact and an
+    * oracle replays it bit for bit). None when the payload is not such a
+    * BMP. All arithmetic is deterministic: two pixel-identical images hash
+    * identically, small edits flip few bits, and Hamming distance over the
+    * packed 64-bit word measures visual near-duplication.
+    */
+  private[operators] def ahashBmp(p: Array[Byte]): Option[Long] = {
+    def u32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    try {
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+      val dataOff = u32(10).toInt
+      val w = u32(18).toInt
+      val h = u32(22).toInt // bottom-up only (positive height)
+      val bpp = u16(28)
+      val compression = u32(30)
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+      val stride = (w * 3 + 3) & ~3
+      if (dataOff + stride.toLong * h > p.length) return None
+      val gray = new Array[Int](64)
+      var sum = 0L
+      var j = 0
+      while (j < 8) {
+        val sy = math.min(h - 1, (j.toLong * h / 8).toInt)
+        var i = 0
+        while (i < 8) {
+          val sx = math.min(w - 1, (i.toLong * w / 8).toInt)
+          val o = dataOff + sy * stride + sx * 3
+          val g = ((p(o) & 0xFF) + (p(o + 1) & 0xFF) + (p(o + 2) & 0xFF)) / 3
+          gray(j * 8 + i) = g
+          sum += g
+          i += 1
+        }
+        j += 1
+      }
+      var fp = 0L
+      var idx = 0
+      while (idx < 64) {
+        if (gray(idx).toLong * 64 > sum) fp |= 1L << idx
+        idx += 1
+      }
+      Some(fp)
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Perceptual fingerprint column: (media_id, fp) — aHash for payloads the
+    * dependency-free BMP path can read, xxhash64 of the raw bytes otherwise
+    * (seed 42, identical to `functions.xxhash64`), so unknown formats still
+    * dedup exactly (equal bytes → equal fp) while never near-matching by
+    * accident (random 64-bit pairs land within Hamming 3 with probability
+    * ~2^-44). Map-only: the payload bytes never cross an exchange.
+    */
+  def imageHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val fp = ahashBmp(r.payload).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          r.payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          r.payload.length, 42L))
+      (r.media_id, fp)
+    }).toDF("doc_id", "fp")
+  }
+
+  /** Visual near-dup pairs: perceptual hash each payload ([[imageHash]]),
+    * then the shared 16-bit pigeonhole banding + exact popcount verify
+    * ([[Dedup.fingerprintPairs]]) — image bytes stay map-side; only 8-byte
+    * fingerprints shuffle. Returns (id_a, id_b, hamming <= maxHamming).
+    */
+  def imageHashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.fingerprintPairs(imageHash(media), maxHamming)
+
+  /** Deterministic pseudo-random 24bpp bottom-up BMP keyed by an arbitrary
+    * seed — the planted-near-dup builder for the perceptual-hash battery
+    * row: equal seeds give pixel-identical images; `perturb` shifts the
+    * three channels of stored pixel (0, 0) by +128 mod 256, a one-pixel
+    * edit that flips at most a couple of aHash cells. Channel math is pure
+    * 64-bit integer arithmetic (v = x*2654435761 + y*2246822519 +
+    * seed*3266489917; b,g,r = bytes 1..3 of v) so a SQL oracle recomputes
+    * every pixel exactly.
+    */
+  def syntheticBmpKeyed(seed: Long, w: Int, h: Int, perturb: Boolean): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(stride * h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 2654435761L + y * 2246822519L + seed * 3266489917L
+      var b = ((v >> 8) & 0xFF).toInt
+      var g = ((v >> 16) & 0xFF).toInt
+      var r = ((v >> 24) & 0xFF).toInt
+      if (perturb && x == 0 && y == 0) {
+        b = (b + 128) & 0xFF; g = (g + 128) & 0xFF; r = (r + 128) & 0xFF
+      }
+      val o = 54 + y * stride + x * 3
+      buf.put(o, b.toByte); buf.put(o + 1, g.toByte); buf.put(o + 2, r.toByte)
+    }
+    buf.array()
+  }
+
+  /** Synthesize a keyed BMP per id (seed = id/2, so consecutive even/odd
+    * ids are one-pixel-apart near-dups), perceptual-hash the REAL bytes,
+    * and band-join for Hamming pairs — the oracle-checkable slice of the
+    * visual near-dup path: every pixel, gray value, hash bit, band bucket
+    * and popcount follows arithmetically from the id, so a SQL oracle
+    * replays the whole pipeline without touching a byte.
+    */
+  def syntheticBmpHashPipeline(spark: SparkSession, ids: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id / 2
+        val w = 8 + (seed % 32).toInt
+        val h = 4 + (seed % 16).toInt
+        MediaRecord(id, "image", syntheticBmpKeyed(seed, w, h, perturb = id % 2 == 1))
+      })
+    imageHashPairs(media, maxHamming)
+  }
+
   /** Feature extraction: fixed-width float vector per payload — the
     * embedding-model stage of a multimodal pipeline. STUB features (byte
     * histogram folded to `dim`, L2-normalized — deterministic); REAL

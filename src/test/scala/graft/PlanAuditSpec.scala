@@ -141,7 +141,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // corpus pass runs once, eagerly — this guards the returned scoring
     // plan): four tier rollup aggs + their broadcasts into the five
     // left joins, one-row mass/vocab broadcasts, per-doc agg + sort
-    "q125_lm_backoff" -> 20)
+    "q125_lm_backoff" -> 20,
+    // round-11: perceptual-hash near-dup — band self-join (2 exchanges;
+    // 12-byte band rows, never pixels), pair distinct agg + final sort
+    "q126_image_phash" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
