@@ -1130,6 +1130,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the same NB fit+classify over CHAR 2-4-GRAM features — the
+    // fastText-posture language-ID tokenizer: char grams don't fragment
+    // on short/low-resource text the way word unigrams do. Same
+    // counting-is-training plan; only the tokenizer expression differs
+    "q127_nb_chargram" -> ((s, d) => {
+      // gram generation is the CPU-heavy stage and the battery scan is
+      // ONE small file (one task); spread the ~300-byte text rows once
+      // before tokenizing — at scale the input's own splits provide
+      // this parallelism and the repartition drops out
+      val docs = t(s, d, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.charGrams(col("text")).as("g"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "g"), "graft-nbg-")
+      graft.operators.NaiveBayes.classify(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "g", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // registered-domain extraction under a real public-suffix-list rule
     // table (plain + wildcard rules; the data-driven alternative to the
     // q118 heuristic): candidate suffixes explode map-side bounded by
@@ -1883,6 +1902,67 @@ object SparkEntry {
         SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
+  /** Shared NB fit+classify oracle scaffold (q123 word unigrams, q127
+    * char 2-4-grams): `tokCtes` must define `tr(doc_id, lang, w)` (the
+    * even-doc training half) and `te(doc_id, w)` (the odd scoring half)
+    * with `w` the token LIST; the rest — priors, Laplace conds, default
+    * mass, score sum, lexicographic-tie argmax — is tokenizer-independent
+    * and replays `NaiveBayes.train`/`classify` exactly.
+    */
+  private def nbClassifyOracle(tokCtes: String): String =
+    s"""WITH $tokCtes,
+         n AS (SELECT count(*) AS n FROM tr),
+         pri AS (
+           SELECT lang AS label, round(ln(count(*) / (SELECT n FROM n)), 6)
+             AS prior
+           FROM tr GROUP BY lang),
+         cnt AS (
+           SELECT label, token, count(*) AS c FROM (
+             SELECT lang AS label, unnest(w) AS token FROM tr)
+           GROUP BY label, token),
+         tot AS (
+           SELECT p.label, coalesce(sum(c.c), 0) AS t
+           FROM pri p LEFT JOIN cnt c USING (label) GROUP BY p.label),
+         voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         cond AS (
+           SELECT label, token,
+             CAST(round(round(ln((c + 1.0) / (t + 1.0 * (SELECT v FROM voc))), 6)
+               * 1000000) AS BIGINT) AS lp_u
+           FROM cnt JOIN tot USING (label)),
+         dflt AS (
+           SELECT label,
+             CAST(round(round(ln(1.0 / (t + 1.0 * (SELECT v FROM voc))), 6)
+               * 1000000) AS BIGINT) AS dlp_u
+           FROM tot),
+         priu AS (
+           SELECT label, CAST(round(prior * 1000000) AS BIGINT) AS prior_u
+           FROM pri),
+         sc AS (
+           SELECT tt.doc_id, d.label,
+             p.prior_u + CAST(sum(coalesce(c.lp_u, d.dlp_u)) AS BIGINT) AS t
+           FROM (SELECT doc_id, unnest(w) AS token FROM te) tt
+           CROSS JOIN dflt d
+           JOIN priu p ON p.label = d.label
+           LEFT JOIN cond c ON c.label = d.label AND c.token = tt.token
+           GROUP BY tt.doc_id, d.label, p.prior_u),
+         scall AS (
+           SELECT doc_id, label,
+             CASE WHEN t < 0 THEN -((-t + 50) // 100)
+                  ELSE (t + 50) // 100 END / 10000.0 AS score
+           FROM sc
+           UNION ALL
+           SELECT te.doc_id, p.label,
+             CASE WHEN p.prior_u < 0 THEN -((-p.prior_u + 50) // 100)
+                  ELSE (p.prior_u + 50) // 100 END / 10000.0 AS score
+           FROM te CROSS JOIN priu p WHERE len(te.w) = 0),
+         best AS (
+           SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, label) AS rn
+           FROM scall)
+         SELECT doc_id, label, score FROM best WHERE rn = 1
+         ORDER BY doc_id"""
+
   /** DuckDB twin for each oracle-able query (column names + ordering match
     * the Spark side exactly; see determinism rules in the class doc).
     */
@@ -1921,8 +2001,8 @@ object SparkEntry {
     // at classify (the cross-engine ln pin); unseen test tokens take the
     // per-label default mass; argmax = highest rounded score, ties to
     // the smallest label
-    "q123_nb_classify" ->
-      """WITH tr AS (
+    "q123_nb_classify" -> nbClassifyOracle(
+      """tr AS (
            SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '\W+'),
                w -> w <> '') AS w
@@ -1931,48 +2011,27 @@ object SparkEntry {
            SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\W+'),
                w -> w <> '') AS w
-           FROM documents WHERE doc_id % 2 = 1),
-         n AS (SELECT count(*) AS n FROM tr),
-         pri AS (
-           SELECT lang AS label, round(ln(count(*) / (SELECT n FROM n)), 6)
-             AS prior
-           FROM tr GROUP BY lang),
-         cnt AS (
-           SELECT label, token, count(*) AS c FROM (
-             SELECT lang AS label, unnest(w) AS token FROM tr)
-           GROUP BY label, token),
-         tot AS (
-           SELECT p.label, coalesce(sum(c.c), 0) AS t
-           FROM pri p LEFT JOIN cnt c USING (label) GROUP BY p.label),
-         voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
-         cond AS (
-           SELECT label, token,
-             round(ln((c + 1.0) / (t + 1.0 * (SELECT v FROM voc))), 6) AS lp
-           FROM cnt JOIN tot USING (label)),
-         dflt AS (
-           SELECT label,
-             round(ln(1.0 / (t + 1.0 * (SELECT v FROM voc))), 6) AS dlp
-           FROM tot),
-         sc AS (
-           SELECT tt.doc_id, d.label,
-             round(p.prior + sum(coalesce(c.lp, d.dlp)), 4) AS score
-           FROM (SELECT doc_id, unnest(w) AS token FROM te) tt
-           CROSS JOIN dflt d
-           JOIN pri p ON p.label = d.label
-           LEFT JOIN cond c ON c.label = d.label AND c.token = tt.token
-           GROUP BY tt.doc_id, d.label, p.prior),
-         scall AS (
-           SELECT * FROM sc
-           UNION ALL
-           SELECT te.doc_id, p.label, round(p.prior, 4) AS score
-           FROM te CROSS JOIN pri p WHERE len(te.w) = 0),
-         best AS (
-           SELECT doc_id, label, score,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, label) AS rn
-           FROM scall)
-         SELECT doc_id, label, score FROM best WHERE rn = 1
-         ORDER BY doc_id""",
+           FROM documents WHERE doc_id % 2 = 1)"""),
+
+    // q123's fit+classify with the char 2-4-gram tokenizer CTE swapped
+    // in: whitespace-collapsed lowercase text, positional substrings per
+    // n concatenated n-major — the exact TextFunctions.charGrams order
+    "q127_nb_chargram" -> nbClassifyOracle(
+      """norm AS (
+           SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang,
+             CASE WHEN s IS NULL THEN NULL ELSE
+               list_concat(list_concat(
+                 [substr(s, CAST(x AS INTEGER), 2) FOR x IN range(1, len(s))],
+                 [substr(s, CAST(x AS INTEGER), 3) FOR x IN range(1, len(s) - 1)]),
+                 [substr(s, CAST(x AS INTEGER), 4) FOR x IN range(1, len(s) - 2)])
+             END AS w
+           FROM norm),
+         tr AS (SELECT doc_id, lang, w FROM grams WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, w FROM grams WHERE doc_id % 2 = 1)"""),
 
     // the PSL rules as a VALUES table in their parsed (key, pub-labels,
     // exception) form — 'co.uk' plain (pub 2), '*.org' wildcard (key

@@ -84,6 +84,19 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"gram_fingerprints(words, k literal); got ${other.size} args")
     },
+    "token_counts" -> {
+      case Seq(child) => TokenCounts(child)
+      case other =>
+        throw new IllegalArgumentException(
+          s"token_counts(tokens); got ${other.size} args")
+    },
+    "char_grams" -> {
+      case Seq(child, Literal(minN: Int, _), Literal(maxN: Int, _)) =>
+        CharGrams(child, minN, maxN)
+      case other =>
+        throw new IllegalArgumentException(
+          s"char_grams(text, minN literal, maxN literal); got ${other.size} args")
+    },
     "repetition_stats" -> {
       case Seq(child, Literal(n: Int, _)) => RepetitionStats(child, n)
       case Seq(child) => RepetitionStats(child, 2)

@@ -48,6 +48,113 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Character n-grams of a (pre-normalized) string for every n in
+  * [minN, maxN], n-major then positional — semantically
+  * `concat(transform(sequence(1, len-n+1), i -> substr(s, i, n)) for
+  * each n)`, replaced by one imperative loop over code points.
+  *
+  * The higher-order form embeds the normalization subtree inside each
+  * lambda, so `trim(regexp_replace(lower(text)))` re-ran PER GRAM
+  * POSITION (interpreted, no codegen for lambdas): ~25 ms/doc at 300
+  * chars — the q127 battery spent 12 of its 15 s producing grams. Here
+  * the child normalizes once per row and one eval emits all grams (the
+  * [[WordShingles]] CodegenFallback amortization argument).
+  *
+  * NON-distinct (bag-of-grams counts feed the Naive Bayes fit). Inputs
+  * shorter than minN yield an empty array; NULL stays NULL.
+  */
+case class CharGrams(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(minN >= 1 && maxN >= minN, "need 1 <= minN <= maxN")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    // one UTF-8 walk builds char-start byte offsets, then every gram is a
+    // ZERO-COPY fromBytes slice of the shared byte array —
+    // `s.substring(i, i+n)` re-scans from byte 0 per gram AND copies,
+    // which measured at ~0.6 ms per 300-char doc (len² scans, one
+    // allocation+copy per gram)
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val offs = new Array[Int](nb + 1)
+    var len = 0
+    var p = 0
+    while (p < nb) {
+      offs(len) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      len += 1
+    }
+    offs(len) = nb
+    var total = 0
+    var n = minN
+    while (n <= maxN) { total += math.max(0, len - n + 1); n += 1 }
+    if (total == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](total)
+    var k = 0
+    n = minN
+    while (n <= maxN) {
+      var i = 0
+      val m = len - n + 1
+      while (i < m) {
+        out(k) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+        k += 1
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row token bag: `array<struct<token, n>>` in first-occurrence order
+  * — semantically the explode → groupBy(row, token) → count subplan of a
+  * bag-of-words scorer, computed as ONE hashmap per row instead (the
+  * [[RepetitionStats]] argument: per-document aggregation needs no
+  * shuffle). [[graft.operators.NaiveBayes]] classify/train explode THIS
+  * instead of the raw token array, so the generate operator emits
+  * distinct-token rows (char-gram docs repeat grams heavily) and the
+  * (doc, token) count exchange disappears from the scoring plan.
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = true),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](m * 2)
+    var i = 0
+    while (i < m) {
+      counts.merge(toks.getUTF8String(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document n-gram repetition statistics of an `array<string>` word
   * column: `struct<n_grams, distinct_grams, top_count>` over the
   * POSITIONAL (non-distinct) n-gram multiset — the inputs of the

@@ -21,6 +21,25 @@ object TextFunctions {
   def words(text: Column): Column =
     filter(split(lower(text), "\\W+"), w => w =!= "")
 
+  /** Character n-grams for n in [minN, maxN] over the whitespace-collapsed
+    * lowercase text — the fastText-posture tokenizer for language ID:
+    * char grams don't fragment on short or low-resource text the way
+    * word unigrams do, and spaces inside grams carry word-boundary
+    * signal. Non-distinct (bag-of-grams counts feed the Naive Bayes
+    * fit), order n-major then position (positional within each n).
+    * NULL text stays NULL; shorter-than-minN text yields an empty array.
+    * Normalization is composed built-ins evaluated ONCE per row; the
+    * gram loop is the imperative [[CharGrams]] expression (the
+    * transform(sequence(...)) form re-ran the normalization subtree per
+    * gram position — see its Scaladoc). The DuckDB twin replays it with
+    * list comprehensions.
+    */
+  def charGrams(text: Column, minN: Int = 2, maxN: Int = 4): Column = {
+    require(minN >= 1 && maxN >= minN, "need 1 <= minN <= maxN")
+    val s = trim(regexp_replace(lower(text), "\\s+", " "))
+    call_function("char_grams", s, lit(minN), lit(maxN))
+  }
+
   /** Distinct n-word shingles; callers must pre-filter size(words) >= n.
     * Imperative [[WordShingles]] expression — the equivalent
     * `array_distinct(transform(sequence(...), ...))` is evaluated

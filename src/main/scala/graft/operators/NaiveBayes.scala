@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   *     a classifier is a parquet write; scoring joins it like any other
   *     dimension; model diffs/rollbacks are table diffs.
   *
-  * Log-probabilities round to 6 decimals at train time and scores to 4
-  * at classify time — the battery's cross-engine determinism pin (`ln`
-  * may differ in the last ulp across engines; the rounding absorbs it).
+  * Log-probabilities round to 6 decimals at train time; classify scales
+  * them to integer MICROS at model read, sums longs (exact,
+  * order-invariant, codegen-fast), and rounds the score to 4 decimals
+  * in integer math — the battery's cross-engine determinism pin (`ln`
+  * may differ in the last ulp across engines; the 6-decimal rounding
+  * absorbs it, and the integer sum keeps thousand-token char-gram
+  * scores off the .00005 rounding boundary that a double sum can land
+  * on either side of per engine/partitioning).
   *
   * Scale shape: train = explode + one (label, token) hash aggregate
   * (shuffles counts, never text) + label-sized rollups; classify =
@@ -44,9 +49,12 @@ object NaiveBayes {
       col(tokensCol).as("__toks"))
     modelFromCounts(
       base.groupBy(col("label")).agg(count(lit(1)).as("__docs")),
-      base.select(col("label"), explode(col("__toks")).as("token"))
-        .groupBy(col("label"), col("token"))
-        .agg(count(lit(1)).as("__c")),
+      // per-doc bags first (map-side, no exchange) so generate emits
+      // distinct-token rows; the (label, token) agg then sums bag counts
+      base.select(col("label"),
+          explode(call_function("token_counts", col("__toks"))).as("__tc"))
+        .groupBy(col("label"), col("__tc.token").as("token"))
+        .agg(sum(col("__tc.n")).as("__c")),
       alpha)
   }
 
@@ -128,9 +136,10 @@ object NaiveBayes {
         .select(lit("doc").as("kind"), col("label"),
           lit(null).cast("string").as("token"), col("c"))
         .unionByName(
-          base.select(col("label"), explode(col("__toks")).as("token"))
-            .groupBy(col("label"), col("token"))
-            .agg(count(lit(1)).as("c"))
+          base.select(col("label"),
+              explode(call_function("token_counts", col("__toks"))).as("__tc"))
+            .groupBy(col("label"), col("__tc.token").as("token"))
+            .agg(sum(col("__tc.n")).as("c"))
             .select(lit("tok").as("kind"), col("label"), col("token"),
               col("c"))),
       "graft-nbc-")
@@ -175,27 +184,64 @@ object NaiveBayes {
     * (idCol, label, score).
     */
   def classify(docs: DataFrame, idCol: String, tokensCol: String,
-      model: DataFrame): DataFrame = {
+      model: DataFrame, broadcastModel: Boolean = true): DataFrame = {
+    // the model's logps are exact 6-decimal values (rounded at train
+    // time), so the model-read projection scales them ONCE to integer
+    // MICROS and every downstream product and sum is plain long
+    // arithmetic — exact and partitioning/order-invariant like a DECIMAL
+    // sum (a double sum of thousands of char-gram tokens can land on a
+    // .00005 rounding boundary differently per engine/partitioning), but
+    // codegen-fast (a decimal(28,6) sum measured 2.3x slower here)
+    def micros(c: org.apache.spark.sql.Column) = round(c * 1e6).cast("long")
     val labels = broadcast(
       model.where(col("kind") === "prior")
-        .select(col("label"), col("logp").as("__prior"))
+        .select(col("label"), micros(col("logp")).as("__prior"))
         .join(model.where(col("kind") === "default")
-          .select(col("label"), col("logp").as("__default")), Seq("label")))
-    val conds = model.where(col("kind") === "cond")
-      .select(col("label"), col("token"), col("logp").as("__cond"))
+          .select(col("label"), micros(col("logp")).as("__default")), Seq("label")))
+    // reference models are vocabulary-bounded (the q125 broadcast
+    // argument), so ship the cond table to the corpus instead of
+    // shuffling |corpus tokens| x |labels| rows to it — the token stream
+    // never leaves its partitions and the per-(doc,label) aggregate's
+    // partial combine runs map-side. Pass broadcastModel = false for a
+    // model too large to broadcast (falls back to a shuffle join).
+    val conds0 = model.where(col("kind") === "cond")
+      .select(col("label"), col("token"), micros(col("logp")).as("__cond"))
+    val conds = if (broadcastModel) broadcast(conds0) else conds0
+    // micros -> 4-decimal score: half-away-from-zero at the 4th decimal
+    // IN INTEGER MATH ((|t|+50) div 100 on nonneg operands — the double
+    // division below cannot cross an integer boundary for |t| < 2^53),
+    // then ONE exact int->double conversion and one correctly-rounded
+    // IEEE division — bit-identical across engines
+    def score(t: org.apache.spark.sql.Column) = {
+      val e4 = when(t < 0, -((-t + 50) / 100).cast("long"))
+        .otherwise(((t + 50) / 100).cast("long"))
+      (e4.cast("double") / 10000.0).as("score")
+    }
+    // bag-of-words first: collapse each doc to (token, count) BEFORE
+    // exploding — char-gram docs repeat grams heavily (thousands of
+    // occurrences, hundreds of distinct grams), so the generate
+    // operator, the label fan-out and the cond join all move
+    // distinct-gram rows, not occurrence rows, and per-doc counting
+    // needs no exchange at all ([[graft.functions.TokenCounts]], one
+    // hashmap per row). Σ_occurrences logp ≡ Σ_distinct count·logp, and
+    // because the per-token logps are ALREADY rounded to 6 decimals the
+    // count·logp products and their sum are computed in DECIMAL — exact,
+    // partitioning/order-invariant (the PageRank decimal discipline); a
+    // double sum of thousands of tokens can land on a .00005 rounding
+    // boundary differently per engine/partitioning
     val scored = docs
-      .select(col(idCol), explode(col(tokensCol)).as("token"))
+      .select(col(idCol),
+        explode(call_function("token_counts", col(tokensCol))).as("__tc"))
+      .select(col(idCol), col("__tc.token").as("token"), col("__tc.n").as("__n"))
       .crossJoin(labels)
       .join(conds, Seq("label", "token"), "left")
       .groupBy(col(idCol), col("label"), col("__prior"))
-      .agg(sum(coalesce(col("__cond"), col("__default"))).as("__s"))
-      .select(col(idCol), col("label"),
-        round(col("__prior") + col("__s"), 4).as("score"))
+      .agg(sum(col("__n") * coalesce(col("__cond"), col("__default"))).as("__s"))
+      .select(col(idCol), col("label"), score(col("__prior") + col("__s")))
     val empties = docs
       .where(col(tokensCol).isNull || size(col(tokensCol)) === 0)
       .select(col(idCol)).crossJoin(labels)
-      .select(col(idCol), col("label"),
-        round(col("__prior"), 4).as("score"))
+      .select(col(idCol), col("label"), score(col("__prior")))
     scored.unionByName(empties)
       .groupBy(col(idCol))
       .agg(min_by(struct(col("label"), col("score")),

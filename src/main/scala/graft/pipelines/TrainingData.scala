@@ -92,7 +92,8 @@ object TrainingData {
       domainBlocklist: Seq[String] = Nil,
       maxPerDomain: Long = Long.MaxValue,
       dedupByUrl: Boolean = false,
-      langModel: Option[DataFrame] = None): DataFrame = {
+      langModel: Option[DataFrame] = None,
+      langModelCharGrams: Option[(Int, Int)] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
@@ -171,10 +172,18 @@ object TrainingData {
     // fork — otherwise exact dedup, span stripping, and the scoring
     // projection are computed twice (the same spill-before-self-join
     // discipline as incrementalSemanticDedup).
+    // `langModelCharGrams = Some((minN, maxN))` scores the model on char
+    // n-grams of the (possibly span-stripped) surviving text instead of
+    // the word tokens — the fastText-posture lang-id pairing for a model
+    // trained with [[TextFunctions.charGrams]]; tokenization MUST match
+    // how the supplied model was fitted, which is why it is the caller's
+    // explicit choice rather than sniffed from the model table
     val gatedPlan = langModel.fold(gatedPlan0.drop("w")) { m =>
       val gateIn = if (cacheIntermediate) spill(gatedPlan0) else gatedPlan0
+      val nbToks = langModelCharGrams.fold(col("w")) { case (minN, maxN) =>
+        TextFunctions.charGrams(col(textCol), minN, maxN) }
       val keep = graft.operators.NaiveBayes.classify(
-          gateIn.select(col(idCol), col("w")), idCol, "w", m)
+          gateIn.select(col(idCol), nbToks.as("__nbw")), idCol, "__nbw", m)
         .where(col("label") === lang).select(col(idCol))
       gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
     }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
   private val singleRowBroadcast = Set(
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
     "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
-    "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff")
+    "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff",
+    "q127_nb_chargram")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -132,7 +133,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q122_psl_domains" -> 12,
     // classify over the SPILLED model table (the fit runs once, eagerly;
     // this ceiling guards the returned scoring plan): label broadcast +
-    // vocab cond join + per-(doc,label) agg + argmax agg + sort
+    // vocab cond join + per-(doc,label) agg + argmax agg + sort (the
+    // round-11 bag-of-words collapse is the exchange-free TokenCounts
+    // expression, so the scoring exchanges are unchanged)
     "q123_nb_classify" -> 8,
     // canon-key dedup: one min agg (partial/final) over the map-only
     // canonicalization + winner broadcast semi + final sort
@@ -144,7 +147,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q125_lm_backoff" -> 20,
     // round-11: perceptual-hash near-dup — band self-join (2 exchanges;
     // 12-byte band rows, never pixels), pair distinct agg + final sort
-    "q126_image_phash" -> 4)
+    "q126_image_phash" -> 4,
+    // q123's scoring plan with the char-gram tokenizer + the battery
+    // entry's one text repartition (parallelizes gram generation over
+    // the single-file local scan)
+    "q127_nb_chargram" -> 9)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

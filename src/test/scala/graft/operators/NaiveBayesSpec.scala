@@ -142,4 +142,82 @@ class NaiveBayesSpec extends AnyFunSuite with Matchers with SparkSpec {
     val acc = hit.toDouble / n
     withClue(s"accuracy $acc ($hit/$n): ") { acc should be >= 0.95 }
   }
+
+  test("charGrams: hand-computed n-major positional grams; NULL and short edges") {
+    import spark.implicits._
+    def grams(s: String, minN: Int = 2, maxN: Int = 4): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.TextFunctions.charGrams(col("t"), minN, maxN))
+        .head().getSeq[String](0)
+    // whitespace collapses, case folds; order is n-major then position
+    grams("AB  cd") shouldBe Seq(
+      "ab", "b ", " c", "cd", "ab ", "b c", " cd", "ab c", "b cd")
+    grams("x") shouldBe Seq.empty // shorter than minN
+    grams("xyz", 3, 4) shouldBe Seq("xyz") // maxN past length: only n=3 fires
+    Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.functions.TextFunctions.charGrams(col("t")))
+      .head().isNullAt(0) shouldBe true
+  }
+
+  test("char-gram features classify short unseen-word text where word unigrams can't") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.charGrams
+    // two "languages" with disjoint character stock; train docs are
+    // multi-word, the test doc is ONE word never seen in training
+    val langA = Seq("kama lako maka", "lama kala mala", "kaka lala mama")
+    val langB = Seq("zivi tiri ziti", "riri tizi viti", "zizi riti vivi")
+    val train = (langA.map(("a", _)) ++ langB.map(("b", _)))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("id", "label", "text")
+    val test = Seq((100L, "kam"), (101L, "ziv")).toDF("id", "text")
+
+    val wordModel = NaiveBayes.train(
+      train.select(col("id"), col("label"),
+        graft.functions.TextFunctions.words(col("text")).as("w")), "label", "w")
+    val charModel = NaiveBayes.train(
+      train.select(col("id"), col("label"),
+        charGrams(col("text")).as("g")), "label", "g")
+
+    // word unigrams: "kam"/"ziv" unseen -> both labels fall to their
+    // default mass, the decision degenerates to priors (equal here, tie
+    // breaks lexicographically to "a" for BOTH docs)
+    val byWord = NaiveBayes.classify(
+        test.select(col("id"), graft.functions.TextFunctions.words(col("text")).as("w")),
+        "id", "w", wordModel)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byWord(100L) shouldBe "a"
+    byWord(101L) shouldBe "a" // the word model CANNOT separate these
+    // char grams: "ka"/"am"/"kam" vs "zi"/"iv"/"ziv" carry the signal
+    val byChar = NaiveBayes.classify(
+        test.select(col("id"), charGrams(col("text")).as("g")), "id", "g", charModel)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byChar(100L) shouldBe "a"
+    byChar(101L) shouldBe "b"
+  }
+
+  test("char-gram train/test accuracy on a separable short-text corpus") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.charGrams
+    // character-stock separation instead of vocabulary separation: each
+    // doc is a few SHORT words built from its class's letter set — the
+    // regime where word unigrams fragment (every doc coins new words)
+    def doc(id: Long): (Long, String, String) = {
+      val cls = (id % 2).toInt
+      val letters = if (cls == 0) "kalm" else "zrtv"
+      val text = (0 until 3).map { w =>
+        (0 until 4).map(c => letters(((id * 7 + w * 5 + c * 3) % 4).toInt)).mkString
+      }.mkString(" ")
+      (id, s"c$cls", text)
+    }
+    val all = (0L until 200L).map(doc).toDF("id", "label", "text")
+      .select(col("id"), col("label"), charGrams(col("text")).as("g"))
+    val model = NaiveBayes.train(all.where(col("id") % 4 =!= 3), "label", "g")
+    val test = all.where(col("id") % 4 === 3)
+    val scored = NaiveBayes.classify(test, "id", "g", model)
+      .join(test.select(col("id"), col("label").as("truth")), Seq("id"))
+    val (hit, n) = (scored.where(col("label") === col("truth")).count(),
+      scored.count())
+    n shouldBe 50L
+    withClue(s"char-gram accuracy $hit/$n: ") { hit shouldBe n }
+  }
 }

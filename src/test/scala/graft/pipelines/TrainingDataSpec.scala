@@ -145,6 +145,33 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
   }
 
+  test("model language gate scores char grams when langModelCharGrams is set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.charGrams
+    // model TRAINED on char 2-4-grams (the fastText posture) — the gate
+    // must tokenize the same way or every doc scores on default mass;
+    // tail character stock separates, shared prefix cancels
+    val prefix = goodDoc("")
+    val train = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", prefix + "joins windows rows groups")
+      else (i.toLong, "xx", prefix + "zork blar quux flib")
+    }.toDF("id", "label", "text")
+      .select(col("id"), col("label"), charGrams(col("text")).as("g"))
+    val model = graft.operators.NaiveBayes.train(train, "label", "g")
+
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("with zork and blar over quux and flib and zork here")))
+      .toDF("doc_id", "text")
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false,
+        langModel = Some(model), langModelCharGrams = Some((2, 4)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false,
+        lang = "xx", langModel = Some(model), langModelCharGrams = Some((2, 4)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+  }
+
   test("span-strip stage (1b) removes the shared boilerplate before accounting") {
     import spark.implicits._
     // an 8-word boilerplate header shared verbatim by two docs whose bodies
