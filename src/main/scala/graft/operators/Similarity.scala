@@ -421,6 +421,7 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings")
     writeCentroids(embs.sparkSession, path, centroids)
+    writeAnchor(embs, embCol, path)
   }
 
   /** Persist the nList-row centroid table under `path/centroids` — the
@@ -476,6 +477,7 @@ object Similarity {
       .drop(embCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
     writeCentroids(embs.sparkSession, path, centroids)
+    writeAnchor(embs, embCol, path)
   }
 
   /** ANN top-k against a [[writeIvfIndexQuantized]] table: identical
@@ -533,6 +535,7 @@ object Similarity {
         cents.zipWithIndex.map { case (c, cid) => (sub, cid, c) } }
       .toDF("sub", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook")
+    writeAnchor(embs, embCol, path)
   }
 
   /** The PQ codebook of a [[writeIvfPqIndex]] index — m*ksub rows, read
@@ -647,4 +650,99 @@ object Similarity {
     ivfPqPostings(embs, idCol, embCol,
       readIvfCentroids(spark, indexPath), readPqCodebook(spark, indexPath))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
+
+  // ---- drift-triggered index maintenance -------------------------------
+
+  /** Persist the fit-time drift ANCHOR beside the index: the per-dimension
+    * sum vector of the corpus the quantizer was fitted on (`dim` rows,
+    * DECIMAL-exact like [[Drift.embeddingCentroidCos]]'s aggregate —
+    * cosine is scale-invariant, so the sum direction IS the mean
+    * direction). [[indexDrift]] compares new batches against it.
+    */
+  private def writeAnchor(embs: DataFrame, embCol: String, path: String): Unit =
+    embs.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/anchor")
+
+  /** Centroid-cosine of a new batch against the index's fit-time anchor
+    * (1 = same direction as the fitted corpus). One `dim`-row aggregate
+    * over the batch; the anchor read is `dim` rows.
+    */
+  def indexDrift(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      newEmbs: DataFrame, embCol: String): Double = {
+    import spark.implicits._
+    val av =
+      try spark.read.parquet(s"$indexPath/anchor")
+        .orderBy("dim").select("s").collect().map(_.getDouble(0))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        throw new IllegalStateException(
+          s"$indexPath has no fit-time anchor - rebuild the index with " +
+            "writeIvfIndex/writeIvfPqIndex to enable drift maintenance", e)
+      }
+    Drift.embeddingCentroidCos(
+        Seq(Tuple1(av.toSeq)).toDF(embCol),
+        newEmbs.select(col(embCol).cast("array<double>").as(embCol)), embCol)
+      .head().getAs[Double]("centroid_cos")
+  }
+
+  /** Drift-triggered maintenance of a [[writeIvfIndex]] index — the
+    * q103-monitors-the-ANN-index loop closed: if the new batch's centroid
+    * cosine against the fit-time anchor stays at/above `minCentroidCos`,
+    * the batch APPENDS under the existing centroids
+    * ([[appendIvfIndex]] — cheap, no refit); below it, the coarse
+    * quantizer no longer represents the data, so the index REFITS over
+    * existing postings ∪ batch ([[writeIvfIndex]] — the float postings
+    * retain raw vectors, so the rebuild is self-contained and FOLDS all
+    * prior append increments into the fresh partition layout). Returns
+    * true when a refit ran. The union spills before the overwrite (a
+    * lazy self-read would race the rewrite).
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newEmbs: DataFrame, idCol: String, embCol: String,
+      minCentroidCos: Double = 0.95, nList: Int = 16,
+      seed: Long = 42L): Boolean = {
+    require(minCentroidCos >= -1.0 && minCentroidCos <= 1.0,
+      "minCentroidCos is a cosine")
+    val batch = newEmbs.select(col(idCol),
+      col(embCol).cast("array<double>").as(embCol))
+    if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
+      appendIvfIndex(spark, indexPath, batch, idCol, embCol)
+      false
+    } else {
+      val union = graft.io.Spill(
+        readPostings(spark, s"$indexPath/postings", "cell=*")
+          .select(col(idCol), col(embCol))
+          .unionByName(batch),
+        "graft-ivfref-")
+      writeIvfIndex(union, idCol, embCol, indexPath, nList, seed)
+      true
+    }
+  }
+
+  /** [[maintainIvfIndex]] for a [[writeIvfPqIndex]] index. PQ postings
+    * store lossy codes, not vectors, so the refit cannot rebuild from the
+    * index itself — `refitSource` must be the raw corpus INCLUDING the
+    * new batch (the table the index derives from; the caller owns it).
+    * Non-drifted batches append codes under the fixed quantizers
+    * ([[appendIvfPqIndex]]).
+    */
+  def maintainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newEmbs: DataFrame, refitSource: => DataFrame,
+      idCol: String, embCol: String, minCentroidCos: Double = 0.95,
+      nList: Int = 16, m: Int = 8, ksub: Int = 64,
+      seed: Long = 42L): Boolean = {
+    require(minCentroidCos >= -1.0 && minCentroidCos <= 1.0,
+      "minCentroidCos is a cosine")
+    val batch = newEmbs.select(col(idCol),
+      col(embCol).cast("array<double>").as(embCol))
+    if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
+      appendIvfPqIndex(spark, indexPath, batch, idCol, embCol)
+      false
+    } else {
+      writeIvfPqIndex(refitSource, idCol, embCol, indexPath, nList, m, ksub, seed)
+      true
+    }
+  }
 }
