@@ -1,0 +1,110 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** CONTINUOUS training-data prep — the q90 chain with the incremental
+  * family swapped in, composed as one `foreachBatch` pipeline over
+  * arrival epochs: cross-run exact dedup
+  * ([[Dedup.incrementalExactDedup]] — a text seen in ANY earlier epoch
+  * never re-enters), the map-only language/quality gates of
+  * [[TrainingData.clean]] (optionally the trained
+  * [[graft.operators.NaiveBayes]] gate, word or char-gram features),
+  * then cross-run near-dup removal
+  * ([[Dedup.incrementalMinhashLsh]] — the batch pairs against itself AND
+  * every previously accepted epoch's signatures).
+  *
+  * EPOCH ≡ UNION: processing epochs one at a time produces exactly the
+  * survivors of one call over the union of all epochs (spec-pinned in
+  * `StreamingPrepSpec`), PROVIDED ids are monotonically increasing
+  * across epochs — the natural shape for streaming ingestion (offsets,
+  * arrival sequence). Under that precondition "drop the id_b of a pair"
+  * is the same greedy keep-smallest decision whether the smaller doc
+  * arrived in this epoch or an earlier one, and each gate is per-doc
+  * deterministic, so the fold is exact (the associativity argument of
+  * the incremental dedup family, composed end to end).
+  *
+  * Retry safety is inherited: every persistent table write lands in an
+  * overwritten `batch=<epoch>/` dir the history read excludes, so a
+  * replayed micro-batch (checkpoint restart mid-epoch) recomputes the
+  * identical survivor set instead of anti-joining against its own first
+  * attempt. The survivor write is an overwritten per-epoch dir for the
+  * same reason. At scale, fold the accruing dirs with
+  * [[Dedup.compactFingerprints]]/[[Dedup.compactSignatures]] on a
+  * maintenance cadence.
+  */
+object StreamingPrep {
+
+  /** Survivors of one epoch against the persistent state under
+    * `tablesDir` (`fps` fingerprint table, `sigs` signature table).
+    * Returns (idCol, textCol, lang_pred, quality).
+    */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      tablesDir: String, batchId: String,
+      lang: String = "en", minQuality: Double = 0.26,
+      nearDupThreshold: Double = 0.5, minhashK: Int = 16,
+      nbModel: Option[DataFrame] = None,
+      nbCharGrams: Option[(Int, Int)] = None): DataFrame = {
+    // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
+    // against every earlier epoch's fingerprints
+    val novel = Dedup.incrementalExactDedup(
+      batch.select(col(idCol), col(textCol)), idCol, textCol,
+      s"$tablesDir/fps", batchId)
+    // 2+3. the map-only gates of TrainingData.clean, same predicates:
+    // heuristic language argmax (kept for reporting under a model gate),
+    // quality floor; optional NB model decision replacing the heuristic
+    val gated0 = novel
+      .select(col(idCol), col(textCol),
+        TextFunctions.langId(col(textCol)).as("lang_pred"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
+        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
+      .where((if (nbModel.isDefined) lit(true)
+        else col("lang_pred") === lang) && col("quality") >= minQuality)
+    val gated = graft.io.Spill( // two consumers below (sig pass + anti-join)
+      nbModel.fold(gated0.drop("w")) { m =>
+        val toks = nbCharGrams.fold(col("w")) { case (minN, maxN) =>
+          TextFunctions.charGrams(col(textCol), minN, maxN) }
+        val keep = graft.operators.NaiveBayes.classify(
+            gated0.select(col(idCol), toks.as("__nbw")), idCol, "__nbw", m)
+          .where(col("label") === lang).select(col(idCol))
+        gated0.join(keep, Seq(idCol), "left_semi").drop("w")
+      }, "graft-sprep-")
+    // 4. cross-run near-dup removal among gated docs: greedy
+    // keep-smallest — under monotonic epoch ids a cross-epoch pair's
+    // id_b is always the NEW doc, so accepted history is never retracted
+    val pairs = Dedup.incrementalMinhashLsh(
+      gated.select(col(idCol), col(textCol)), idCol, textCol,
+      s"$tablesDir/sigs", k = minhashK,
+      minEstJaccard = nearDupThreshold, batchId = batchId)
+    gated.join(pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Wire [[processBatch]] into a streaming query: each micro-batch's
+    * survivors land in `outDir/batch=epoch-<id>` (an overwritten dir —
+    * replay-idempotent), with the epoch id as the incremental tables'
+    * batch id. Checkpointed: a restart resumes from unprocessed input.
+    */
+  def stream(input: DataFrame, idCol: String, textCol: String,
+      tablesDir: String, outDir: String, checkpointDir: String,
+      lang: String = "en", minQuality: Double = 0.26,
+      nearDupThreshold: Double = 0.5, minhashK: Int = 16,
+      nbModel: Option[DataFrame] = None,
+      nbCharGrams: Option[(Int, Int)] = None): StreamingQuery =
+    input.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
+            lang, minQuality, nearDupThreshold, minhashK,
+            nbModel, nbCharGrams)
+          .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
+        graft.io.Spill.releaseAll()
+        ()
+      }.start()
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.pipelines.StreamingPrep
+
+/** The continuous prep pipeline end to end: per-epoch survivors equal the
+  * one-shot run over the union of epochs (the composed associativity of
+  * the incremental dedup family under monotonic ids), cross-epoch exact
+  * and near duplicates are dropped against persisted state, and a
+  * checkpointed restart picks up exactly the unprocessed input.
+  */
+class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // English-markered prefix that passes the lang + quality gates
+  private def goodDoc(tail: String) =
+    "the data of a table is the thing to scan and filter and sort " + tail
+
+  private val epoch1 = Seq(
+    1L -> goodDoc("with joins and windows over rows and groups here"),
+    2L -> goodDoc("with joins and windows over rows and groups here"), // exact dup of 1
+    3L -> "zzz qqq vvv kkk zzz qqq vvv kkk zzz qqq", // fails the lang gate
+    4L -> goodDoc("plus aggregates and buckets and ranges in the plan"),
+    5L -> goodDoc("plus aggregates and buckets and ranges in the graph")) // near-dup of 4
+
+  private val epoch2 = Seq(
+    11L -> goodDoc("with joins and windows over rows and groups here"), // exact dup of 1, cross-epoch
+    12L -> goodDoc("plus aggregates and buckets and ranges in the chart"), // near-dup of 4, cross-epoch
+    13L -> goodDoc("where filters and sorts and limits shape the result"))
+
+  private def survivorsUnder(outDir: String): Set[Long] =
+    spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("per-epoch survivors == one-shot pipeline over the union of epochs; " +
+      "checkpointed restart resumes from unprocessed input") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sprep-src").toString
+    val work = Files.createTempDirectory("graft-sprep").toString
+    val ckpt = checkpoint()
+
+    def feed(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runWave(): Unit = {
+      val input = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(srcDir)
+      val q = StreamingPrep.stream(input, "doc_id", "text",
+        s"$work/tables", s"$work/out", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    feed(epoch1)
+    runWave()
+    val afterE1 = survivorsUnder(s"$work/out")
+    afterE1 shouldBe Set(1L, 4L)
+
+    // RESTART: fresh query, same checkpoint — only epoch 2's file is read
+    // (epoch 1 re-processed would re-anti-join against its own
+    // fingerprints and emit nothing; the checkpoint prevents re-reads,
+    // and the per-epoch output dirs make even a replay idempotent)
+    feed(epoch2)
+    runWave()
+    val all = survivorsUnder(s"$work/out")
+    all shouldBe Set(1L, 4L, 13L) // 11 exact-dups 1, 12 near-dups 4 — across epochs
+
+    // one-shot twin over the UNION with fresh state: identical survivors
+    val union = (epoch1 ++ epoch2).toDF("doc_id", "text")
+    val oneShot = StreamingPrep.processBatch(union, "doc_id", "text",
+        s"$work/twin-tables", batchId = "all")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    oneShot shouldBe all
+  }
+
+  test("the NB language gate slots into the streaming pipeline") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.charGrams
+    // char-gram model: 'en' = the goodDoc character stock, 'xx' = zork-ish
+    val prefix = goodDoc("")
+    val train = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", prefix + "joins windows rows groups")
+      else (i.toLong, "xx", prefix + "zork blar quux flib")
+    }.toDF("id", "label", "text")
+      .select(col("id"), col("label"), charGrams(col("text")).as("g"))
+    val model = graft.operators.NaiveBayes.train(train, "label", "g")
+
+    val work = Files.createTempDirectory("graft-sprep-nb").toString
+    val survivors = StreamingPrep.processBatch(
+        Seq(
+          21L -> goodDoc("with joins and windows over rows and groups here"),
+          22L -> goodDoc("with zork and blar over quux and flib and zork here"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", s"$work/tables", batchId = "e0",
+        nbModel = Some(model), nbCharGrams = Some((2, 4)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(21L) // the xx-vocabulary doc fails the model gate
+  }
+
+  test("a replayed epoch recomputes the identical survivor set (retry safety)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-sprep-replay").toString
+    val batch = epoch1.toDF("doc_id", "text")
+    def run(): Set[Long] =
+      StreamingPrep.processBatch(batch, "doc_id", "text",
+          s"$work/tables", batchId = "epoch-0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = run()
+    first shouldBe Set(1L, 4L)
+    run() shouldBe first // the replay must NOT see its own first attempt
+  }
+}
