@@ -1246,6 +1246,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // perplexity-bucketed mixing (DoReMi-lite / CCNet head-middle-tail):
+    // q98's self-scored LM bits cut into 3 equal-mass buckets at exact
+    // quantiles, each bucket thinned to its own token budget by the
+    // deterministic unit hash — head budget exceeds its mass (the
+    // pass-through branch), middle and tail thin
+    "q128_ppl_mix" -> ((s, d) => {
+      // the scored frame feeds three consumers (quantile cuts, bucket
+      // totals, the kept-rows join) — spill it once so they scan parquet
+      // instead of re-running the whole q98 scoring subplan each
+      val scored = graft.io.Spill(graft.operators.NgramLm.selfScoreBits(
+        t(s, d, "documents"), "doc_id", "text"), "graft-pplmix-")
+      graft.operators.Mixing.mixByPerplexityBuckets(scored, "doc_id",
+          "bits", "n_bigrams", budgets = Seq(100000L, 2500L, 500L),
+          salt = "ppl")
+        .select(col("doc_id"), col("ppl_bucket"), col("n_bigrams"),
+          col("bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -3493,6 +3512,56 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(bits), 4) AS bits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // q98's scoring CTEs + exact tercile cuts (quantile_cont ≡ Spark's
+    // percentile, rounded at 9 — the q108 pin) + per-bucket totals + the
+    // q115/q116 md5 unit hash with salt 'ppl'
+    "q128_ppl_mix" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+           FROM documents),
+         big AS (
+           SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                 FROM toks WHERE len(ws) >= 2)),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(ws) AS w FROM toks)),
+         rows_ AS (
+           SELECT b.doc_id, -log2((cb.cb + 1.0) / (cu.cu + v.v)) AS bits
+           FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+         sc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(bits), 4) AS bits
+           FROM rows_ GROUP BY doc_id),
+         cuts AS (
+           SELECT round(quantile_cont(bits, 1.0 / 3), 9) AS c1,
+             round(quantile_cont(bits, 2.0 / 3), 9) AS c2
+           FROM sc),
+         bk AS (
+           SELECT s.doc_id, s.n_bigrams, s.bits,
+             (CASE WHEN s.bits > c.c1 THEN 1 ELSE 0 END
+              + CASE WHEN s.bits > c.c2 THEN 1 ELSE 0 END) AS ppl_bucket
+           FROM sc s CROSS JOIN cuts c),
+         tot AS (
+           SELECT ppl_bucket, CAST(sum(n_bigrams) AS BIGINT) AS total
+           FROM bk GROUP BY 1),
+         fr AS (
+           SELECT b.doc_id, b.ppl_bucket, b.n_bigrams, b.bits,
+             CASE WHEN t.total <= b.bud THEN 1.0
+                  ELSE CAST(b.bud AS DOUBLE) / CAST(t.total AS DOUBLE)
+             END AS frac
+           FROM (SELECT bk.*, CASE ppl_bucket WHEN 0 THEN 100000
+                   WHEN 1 THEN 2500 ELSE 500 END AS bud FROM bk) b
+           JOIN tot t USING (ppl_bucket))
+         SELECT doc_id, CAST(ppl_bucket AS INTEGER) AS ppl_bucket,
+           n_bigrams, bits
+         FROM fr
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ppl'), 1, 8))
+             AS UBIGINT) / 4294967296.0 < frac
+         ORDER BY doc_id""",
 
     "q92_profile" ->
       """WITH p AS (

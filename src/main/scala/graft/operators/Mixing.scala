@@ -72,6 +72,56 @@ object Mixing {
     * decimals so the oracle's independently-computed doubles agree
     * bit-for-bit on every membership comparison.
     */
+  /** Perplexity-bucketed mixing — the DoReMi-lite / CCNet head-middle-tail
+    * heuristic composed from the engine's own pieces: documents arrive
+    * ALREADY SCORED with LM bits ([[NgramLm.scoreBits]] /
+    * [[NgramLm.scoreBitsTrigram]], the q98/q125 quality filters), are cut
+    * into `budgets.length` equal-mass perplexity buckets at exact corpus
+    * quantiles (bucket 0 = lowest bits = the head real pipelines
+    * up-weight), and each bucket thins to ITS OWN token budget with the
+    * [[mixToTokenBudget]] math — so "keep most of the head, sample the
+    * middle, trickle the tail" is three numbers.
+    *
+    * Scale shape: ONE tiny quantile aggregate over the scored frame
+    * (cuts rounded at 9 decimals — the q108 percentile determinism pin,
+    * `quantile_cont` replayable) broadcast back as the bucket
+    * assignment, one per-bucket totals aggregate broadcast back as the
+    * keep fraction, then the map-only unit-hash filter. The corpus never
+    * shuffles; membership is a pure function of (id, salt) — nested
+    * under budget raises per bucket, reproducible, auditable.
+    *
+    * Returns the kept rows with their `ppl_bucket` (0-based) column.
+    */
+  def mixByPerplexityBuckets(scored: DataFrame, idCol: String,
+      bitsCol: String, tokensCol: String, budgets: Seq[Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.length >= 2, "need at least 2 buckets")
+    budgets.foreach(b => require(b >= 0, "budgets must be >= 0"))
+    val n = budgets.length
+    val cuts = scored.agg(
+      round(call_function("percentile", col(bitsCol), lit(1.0 / n)), 9)
+        .as("__c1"),
+      (2 until n).map(k =>
+        round(call_function("percentile", col(bitsCol), lit(k.toDouble / n)), 9)
+          .as(s"__c$k")): _*)
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        (1 until n).foldLeft(lit(0)) { (acc, k) =>
+          acc + when(col(bitsCol) > col(s"__c$k"), 1).otherwise(0) })
+      .drop((1 until n).map(k => s"__c$k"): _*)
+    val totals = bucketed.groupBy(col("ppl_bucket"))
+      .agg(sum(col(tokensCol)).cast("long").as("__total"))
+    val budget = (0 until n).foldLeft(lit(0L)) { (rest, i) =>
+      when(col("ppl_bucket") === i, lit(budgets(i))).otherwise(rest)
+    }.cast("long")
+    bucketed.join(broadcast(totals), Seq("ppl_bucket"))
+      .withColumn("__frac",
+        when(col("__total") <= budget, lit(1.0))
+          .otherwise(budget.cast("double") / col("__total").cast("double")))
+      .where(Sampling.unitHash(col(idCol), salt) < col("__frac"))
+      .drop("__total", "__frac")
+  }
+
   def mixByTemperature(docs: DataFrame, idCol: String, sourceCol: String,
       tokensCol: String, alpha: Double, totalBudget: Long,
       salt: String = "", maxRate: Double = 10.0): DataFrame = {

@@ -34,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
     "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
     "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff",
-    "q127_nb_chargram")
+    "q127_nb_chargram", "q128_ppl_mix")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -151,7 +151,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q123's scoring plan with the char-gram tokenizer + the battery
     // entry's one text repartition (parallelizes gram generation over
     // the single-file local scan)
-    "q127_nb_chargram" -> 9)
+    "q127_nb_chargram" -> 9,
+    // mixing over the SPILLED scored frame (the q98 scoring runs once,
+    // eagerly): quantile-cut agg + its broadcast, bucket-totals agg +
+    // its broadcast, hash filter map-only, final sort
+    "q128_ppl_mix" -> 7)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -111,4 +111,42 @@ class MixingSpec extends AnyFunSuite with Matchers with SparkSpec {
       alpha = 0.1, totalBudget = 1_000_000L, maxRate = 3.0)
     out.agg(max(col("mix_copy"))).collect()(0).getInt(0) should be <= 3
   }
+
+  // 300 scored docs, bits 1.0 .. 300.0 -> tercile cuts at 100.5 / 200.5,
+  // buckets of exactly 100 docs x 10 tokens (1000 tokens each)
+  private def scored = {
+    import spark.implicits._
+    (1L to 300L).map(i => (i, i.toDouble, 10L))
+      .toDF("doc_id", "bits", "tokens")
+  }
+
+  test("perplexity buckets cut at exact quantiles with per-bucket budgets") {
+    val out = Mixing.mixByPerplexityBuckets(scored, "doc_id", "bits",
+      "tokens", budgets = Seq(100000L, 300L, 0L), salt = "p")
+    val byBucket = out.groupBy("ppl_bucket")
+      .agg(count(lit(1)).as("n"), min("bits").as("lo"), max("bits").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // head: budget >> mass -> pass-through, all 100 docs, bits 1..100
+    byBucket(0)._1 shouldBe 100L
+    byBucket(0)._2 shouldBe 1.0
+    byBucket(0)._3 shouldBe 100.0
+    // middle: 300/1000 of the mass, and only middle-tercile bits
+    byBucket(1)._1 should (be > 10L and be < 60L)
+    byBucket(1)._2 should be > 100.5
+    byBucket(1)._3 should be < 200.5
+    // tail: zero budget -> dropped entirely
+    byBucket.contains(2) shouldBe false
+  }
+
+  test("perplexity-bucket membership is nested and partitioning-invariant") {
+    def ids(df: org.apache.spark.sql.DataFrame, budgets: Seq[Long]) =
+      Mixing.mixByPerplexityBuckets(df, "doc_id", "bits", "tokens",
+        budgets, salt = "p")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(scored, Seq(200L, 200L, 200L))
+    val large = ids(scored, Seq(500L, 500L, 500L))
+    small.subsetOf(large) shouldBe true // per-bucket nestedness
+    ids(scored.repartition(13), Seq(200L, 200L, 200L)) shouldBe small
+  }
 }
