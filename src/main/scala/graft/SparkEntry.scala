@@ -1246,6 +1246,47 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // acoustic near-dup: synthesize a keyed 16-bit PCM WAV per doc (seed
+    // = id/2 plants one-sample-apart even/odd pairs), energy-hash the
+    // REAL sample bytes through the RIFF/PCM parse, band-join + popcount
+    // for Hamming pairs — the audio twin of q126; every sample, frame
+    // energy, hash bit and band bucket is integer arithmetic the oracle
+    // replays from the id alone
+    "q129_audio_fp" -> ((s, d) =>
+      graft.operators.Multimodal.syntheticWavHashPipeline(
+          s, t(s, d, "documents"), "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-n-gram bucket
+    // models of a curated target slice (doc_id % 7 == 0) vs the raw rest,
+    // per-doc log-likelihood-ratio sums — the published "select data that
+    // looks like the target" scorer; every bucket count, smoothed
+    // probability and log term replays in the oracle
+    "q130_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dsir.importanceWeights(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "doc_id", "text", buckets = 256, salt = "dsir")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 4).as("logw"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR resampling: Gumbel top-k over the q130 weights — the weighted
+    // without-replacement draw (q100's A-ES in log space) that turns
+    // importance weights into the selected training subset
+    "q131_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dsir.resample(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "doc_id", "text", buckets = 256, k = 40,
+          salt = "dsir", sampleSalt = "gum")
+        .orderBy(col("rank"))
+    }),
+
     // perplexity-bucketed mixing (DoReMi-lite / CCNet head-middle-tail):
     // q98's self-scored LM bits cut into 3 equal-mass buckets at exact
     // quantiles, each bucket thinned to its own token budget by the
@@ -1705,6 +1746,51 @@ object SparkEntry {
                 WHEN len(ls) <= 2 THEN host
                 ELSE array_to_string(ls[len(ls)-1:len(ls)], '.') END AS domain
          FROM (SELECT *, string_split(host, '.') AS ls FROM h))"""
+
+  /** DSIR weight CTEs shared by q130 and q131: hashed-n-gram features
+    * (unigrams + space-joined bigrams, the q98 tokenizer), md5 unit-hash
+    * bucket fold (salt 'dsir', 256 buckets), add-one-smoothed target/raw
+    * bucket models over the doc_id % 7 split, per-doc log-ratio sums.
+    * Ends in a `w(doc_id, n_feats, logw)` CTE over all raw docs.
+    */
+  private def dsirWeightCtes: String =
+    """toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+           FROM documents),
+         feats AS (
+           SELECT doc_id, unnest(ws) AS feat FROM toks
+           UNION ALL
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS feat
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                 FROM toks WHERE len(ws) >= 2)),
+         fb AS (
+           SELECT doc_id, CAST(floor(
+             CAST(('0x' || substr(md5(feat || 'dsir'), 1, 8)) AS UBIGINT)
+               / 4294967296.0 * 256) AS INTEGER) AS bucket
+           FROM feats),
+         tb AS (SELECT bucket, count(*) AS ct FROM fb
+                WHERE doc_id % 7 = 0 GROUP BY 1),
+         rb AS (SELECT bucket, count(*) AS cr FROM fb
+                WHERE doc_id % 7 <> 0 GROUP BY 1),
+         nt AS (SELECT count(*) AS nt FROM fb WHERE doc_id % 7 = 0),
+         nr AS (SELECT count(*) AS nr FROM fb WHERE doc_id % 7 <> 0),
+         lr AS (
+           SELECT s.bucket,
+             ln((coalesce(tb.ct, 0) + 1.0) / (nt.nt + 256))
+               - ln((coalesce(rb.cr, 0) + 1.0) / (nr.nr + 256)) AS logr
+           FROM (SELECT unnest(range(0, 256)) AS bucket) s
+           LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)
+           CROSS JOIN nt CROSS JOIN nr),
+         sums AS (
+           SELECT f.doc_id, count(*) AS n_feats, sum(lr.logr) AS logw
+           FROM fb f JOIN lr USING (bucket)
+           WHERE f.doc_id % 7 <> 0 GROUP BY 1),
+         w AS (
+           SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+             coalesce(s.logw, 0.0) AS logw
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+           LEFT JOIN sums s USING (doc_id))"""
 
   /** DuckDB twin of q110 AND q117: blocked cosine pairs, recursive
     * component labeling, min-id anti-join. One definition for both — the
@@ -2260,6 +2346,70 @@ object SparkEntry {
            GROUP BY c.id_a, c.id_b)
          SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
          FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // q126's band/popcount CTEs over the acoustic energy hash: regenerate
+    // every PCM sample from the id, bucket into 64 frames, threshold on
+    // the 1/64 mean energy
+    "q129_audio_fp" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 2 AS odd, doc_id // 2 AS seed,
+             64 * (4 + (doc_id // 2) % 8) AS n
+           FROM documents),
+         smp AS (
+           SELECT doc_id, odd, seed, n, unnest(range(0, n)) AS j FROM p),
+         sv AS (
+           SELECT doc_id, (j * 64) // n AS f,
+             CASE WHEN odd = 1 AND j = 0
+               THEN ((((j * 2654435761 + seed * 3266489917) >> 16) & 65535)
+                     + 32768) % 65536
+               ELSE ((j * 2654435761 + seed * 3266489917) >> 16) & 65535
+             END AS s
+           FROM smp),
+         e AS (SELECT doc_id, f, sum(s) AS energy FROM sv GROUP BY doc_id, f),
+         bits AS (
+           SELECT doc_id, f,
+             CASE WHEN energy * 64 > sum(energy) OVER (PARTITION BY doc_id)
+               THEN 1 ELSE 0 END AS bit
+           FROM e),
+         bands AS (
+           SELECT doc_id, f // 16 AS band,
+             CAST(sum(bit << CAST(f % 16 AS INTEGER)) AS BIGINT) AS bucket
+           FROM bits GROUP BY doc_id, f // 16),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(a.bucket, b.bucket))) AS hamming
+           FROM cand c
+           JOIN bands a ON a.doc_id = c.id_a
+           JOIN bands b ON b.doc_id = c.id_b AND b.band = a.band
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+         FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "q130_dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         SELECT doc_id, n_feats, round(logw, 4) AS logw
+         FROM w ORDER BY doc_id""",
+
+    // q130's weight CTEs + the q100 Gumbel draw (salt 'gum', subnormal
+    // floor on u) -> top-40 by descending key
+    "q131_dsir_select" ->
+      s"""WITH $dsirWeightCtes,
+         keyed AS (
+           SELECT doc_id, n_feats, logw,
+             logw - ln(-ln(greatest(
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gum'), 1, 8))
+                 AS UBIGINT) / 4294967296.0,
+               CAST(4.9e-324 AS DOUBLE)))) AS key
+           FROM w)
+         SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, n_feats, round(logw, 4) AS logw
+         FROM keyed ORDER BY key DESC, doc_id LIMIT 40""",
 
     "q119_domain_gate" ->
       s"""WITH $urlDomainCtes,

@@ -342,6 +342,135 @@ object Multimodal {
     imageHashPairs(media, maxHamming)
   }
 
+  /** 64-bit acoustic fingerprint of a PCM WAV payload — the audio twin of
+    * [[ahashBmp]] (energy-profile hash, the dependency-free core of
+    * chromaprint-style audio dedup): walk the RIFF chunks for a 16-bit PCM
+    * `fmt ` + `data` chunk, read the interleaved samples as unsigned 16-bit
+    * little-endian values, bucket them into 64 time frames (sample j →
+    * frame j*64/n), and set bit f iff frame f's energy (Long sum of the
+    * u16 values — exact, no floats anywhere) exceeds the 1/64 mean.
+    * Re-encodings that preserve the energy envelope (level shifts below
+    * the frame mean, short dropouts) land within small Hamming distance;
+    * unrelated clips match a given band with probability 2^-16.
+    * Returns None for non-PCM/non-16-bit/undersized payloads (fewer than
+    * 64 samples has no stable envelope).
+    */
+  private[operators] def energyHashWav(p: Array[Byte]): Option[Long] = {
+    def u32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      // chunk walk (same discipline as parseHeader): find fmt + data
+      var pos = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataBytes = -1
+      var ok = true
+      while (ok && pos + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        if (id == "fmt " && pos + 24 <= p.length)
+          fmtOk = u16(pos + 8) == 1 && u16(pos + 22) == 16 // PCM, 16-bit
+        else if (id == "data") { dataOff = pos + 8; dataBytes = size.toInt }
+        if (size > p.length) ok = false
+        else pos += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (!ok || !fmtOk || dataOff < 0) return None
+      val n = math.min(dataBytes, p.length - dataOff) / 2
+      if (n < 64) return None
+      val energy = new Array[Long](64)
+      var total = 0L
+      var j = 0
+      while (j < n) {
+        val s = u16(dataOff + 2 * j).toLong
+        energy((j * 64L / n).toInt) += s
+        total += s
+        j += 1
+      }
+      var fp = 0L
+      var f = 0
+      while (f < 64) {
+        if (energy(f) * 64 > total) fp |= 1L << f
+        f += 1
+      }
+      Some(fp)
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Acoustic fingerprint column: (media_id, fp) — energy hash for payloads
+    * the PCM WAV path can read, xxhash64 of the raw bytes otherwise (seed
+    * 42), mirroring [[imageHash]]'s contract: unknown/compressed formats
+    * still dedup exactly on identical bytes while never near-matching by
+    * accident. Map-only; payload bytes never cross an exchange.
+    */
+  def audioHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val fp = energyHashWav(r.payload).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          r.payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          r.payload.length, 42L))
+      (r.media_id, fp)
+    }).toDF("doc_id", "fp")
+  }
+
+  /** Acoustic near-dup pairs: [[audioHash]] each payload, then the shared
+    * 16-bit pigeonhole banding + exact popcount verify
+    * ([[Dedup.fingerprintPairs]]) — audio bytes stay map-side; only 8-byte
+    * fingerprints shuffle. Returns (id_a, id_b, hamming <= maxHamming).
+    */
+  def audioHashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.fingerprintPairs(audioHash(media), maxHamming)
+
+  /** Deterministic pseudo-random 16-bit mono PCM WAV keyed by a seed — the
+    * planted-near-dup builder for the acoustic-fingerprint battery row:
+    * equal seeds give sample-identical clips; `perturb` shifts stored
+    * sample 0 by +32768 mod 65536, a one-sample edit that moves at most a
+    * frame or two of the energy hash. Sample j is stored little-endian as
+    * the unsigned 16-bit value ((j*2654435761 + seed*3266489917) >> 16) &
+    * 0xFFFF — pure 64-bit integer arithmetic, so a SQL oracle recomputes
+    * every sample, frame energy, hash bit, band bucket and popcount
+    * exactly. `nSamples` must be a positive multiple of 64 so frames
+    * partition evenly on both sides.
+    */
+  def syntheticWavKeyed(seed: Long, nSamples: Int, perturb: Boolean): Array[Byte] = {
+    require(nSamples > 0 && nSamples % 64 == 0,
+      "nSamples must be a positive multiple of 64")
+    val wav = syntheticWav(8000, 1, 16, nSamples * 2)
+    val buf = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var j = 0
+    while (j < nSamples) {
+      var s = (((j * 2654435761L + seed * 3266489917L) >> 16) & 0xFFFFL).toInt
+      if (perturb && j == 0) s = (s + 32768) & 0xFFFF
+      buf.putShort(44 + 2 * j, s.toShort)
+      j += 1
+    }
+    wav
+  }
+
+  /** Synthesize a keyed WAV per id (seed = id/2, so consecutive even/odd
+    * ids are one-sample-apart near-dups; clip length 256..704 samples from
+    * the seed), energy-hash the REAL bytes through the RIFF/PCM parse, and
+    * band-join for Hamming pairs — the oracle-checkable slice of the
+    * acoustic near-dup path, mirroring [[syntheticBmpHashPipeline]].
+    */
+  def syntheticWavHashPipeline(spark: SparkSession, ids: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id / 2
+        val n = 64 * (4 + (seed % 8).toInt)
+        MediaRecord(id, "audio", syntheticWavKeyed(seed, n, perturb = id % 2 == 1))
+      })
+    audioHashPairs(media, maxHamming)
+  }
+
   /** Feature extraction: fixed-width float vector per payload — the
     * embedding-model stage of a multimodal pipeline. STUB features (byte
     * histogram folded to `dim`, L2-normalized — deterministic); REAL

@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q31_cosine_topk", "q32_ann_lsh", "q49_asof_join", "q93_filtered_ann",
     "q98_lm_bits", "q99_pagerank", "q101_token_drift", "q103_embedding_drift",
     "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff",
-    "q127_nb_chargram", "q128_ppl_mix")
+    "q127_nb_chargram", "q128_ppl_mix",
+    // q130/q131: the DSIR feature-mass totals roll up to one-row frames
+    "q130_dsir_weights", "q131_dsir_select")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -155,7 +157,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // mixing over the SPILLED scored frame (the q98 scoring runs once,
     // eagerly): quantile-cut agg + its broadcast, bucket-totals agg +
     // its broadcast, hash filter map-only, final sort
-    "q128_ppl_mix" -> 7)
+    "q128_ppl_mix" -> 7,
+    // acoustic near-dup: q126's shape — band self-join (2 exchanges of
+    // 12-byte band rows, never samples), pair distinct agg + final sort
+    "q129_audio_fp" -> 3,
+    // DSIR weights over the SPILLED raw feature frame (raw corpus
+    // tokenized + hashed ONCE, eagerly): target bucket agg, spilled-scan
+    // bucket agg, their one-row mass rollups + broadcasts into the
+    // 256-row ratio spine, per-doc scoring agg, pruned-id left join,
+    // final sort — every exchange past the spill carries bucket rows or
+    // (doc, partials), never text
+    "q130_dsir_weights" -> 14,
+    // q130's scoring plan ending in Gumbel TakeOrdered instead of the
+    // full-frame sort, + the k-bounded rank window
+    "q131_dsir_select" -> 13)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
