@@ -547,16 +547,32 @@ object Dedup {
     */
   def incrementalSimhash(docs: DataFrame, idCol: String, textCol: String,
       fpTablePath: String, maxHamming: Int = 3,
-      batchId: String = null): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
-    val spark = docs.sparkSession
-    val bid = Option(batchId).getOrElse(
-      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-    val fp = graft.io.Spill(
+      batchId: String = null): DataFrame =
+    incrementalFingerprintPairs(
       docs.select(col(idCol).cast("long").as("doc_id"),
         GraftFunctions.simhash64(
           TextFunctions.words(col(textCol))).as("fp")),
+      fpTablePath, maxHamming, batchId)
+
+  /** Cross-run near-dup pairs for ANY 64-bit fingerprint family — the
+    * [[incrementalSimhash]] machinery over a precomputed (doc_id, fp)
+    * frame, so the perceptual ([[Multimodal.imageHash]]) and acoustic
+    * ([[Multimodal.audioHash]]) fingerprints get the identical
+    * fingerprint-table discipline (band self-join + history cross-join,
+    * popcount verify, replay-stable spill-before-append,
+    * [[compactSimhash]] folds) without re-implementing it per modality.
+    * Same contract: pairs among the batch AND against everything ever
+    * seen; empty history reduces to [[fingerprintPairs]].
+    */
+  def incrementalFingerprintPairs(fp0: DataFrame,
+      fpTablePath: String, maxHamming: Int = 3,
+      batchId: String = null): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
+    val spark = fp0.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val fp = graft.io.Spill(fp0.select(col("doc_id"), col("fp")),
       "graft-shfp-")
     val hist =
       try spark.read.schema("doc_id BIGINT, fp BIGINT, batch STRING")

@@ -43,7 +43,10 @@ import graft.operators.Dedup
   * this is a global quantile within it — the per-LANGUAGE adaptation is
   * the operator's direct multilingual use), and
   * `decontaminateProbes` drops survivors containing a benchmark doc
-  * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]).
+  * after near-dup removal (4b — [[graft.operators.TextAnalysis.decontaminate]]),
+  * and `dsirTarget` floors survivors on their DSIR importance log-weight
+  * against a curated target corpus (4d — [[graft.operators.Dsir]], the
+  * "keep data that looks like the target" selection pass).
   *
   * Scale shape: stages 1-3 and 5 are map-only or single hash-aggregate;
   * stage 4 is the inverted-index join (sub-quadratic, df-capped). Nothing
@@ -93,7 +96,10 @@ object TrainingData {
       maxPerDomain: Long = Long.MaxValue,
       dedupByUrl: Boolean = false,
       langModel: Option[DataFrame] = None,
-      langModelCharGrams: Option[(Int, Int)] = None): DataFrame = {
+      langModelCharGrams: Option[(Int, Int)] = None,
+      dsirTarget: Option[DataFrame] = None,
+      minDsirLogw: Double = 0.0,
+      dsirBuckets: Int = 1024): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
@@ -244,8 +250,31 @@ object TrainingData {
       survivors.join(tooSurprising, Seq(idCol), "left_anti")
     }
 
+    // 4d. optional DSIR target-likeness gate ([[graft.operators.Dsir]],
+    // Xie et al. 2023): keep survivors whose hashed-n-gram importance
+    // log-weight against `dsirTarget` (a frame carrying the same id and
+    // text columns — the curated corpus the cleaned data should resemble)
+    // is at least `minDsirLogw`. A floor rather than the paper's top-k
+    // draw because a pipeline stage must be per-doc decidable; the
+    // resampling form stays available as [[graft.operators.Dsir.resample]]
+    // over the pipeline output. Feature-free docs carry logw 0 (weight 1),
+    // so the default floor of 0 passes them. The survivor frame feeds the
+    // weight scorer twice (the spilled feature fold + the pruned-id join)
+    // plus the semi-join back, so under cacheIntermediate it spills BEFORE
+    // the fork — the same spill-before-self-join discipline as the model
+    // language gate above.
+    val dsirGated = dsirTarget.fold(lmGated) { tgt =>
+      val gateIn = if (cacheIntermediate) spill(lmGated) else lmGated
+      val keep = graft.operators.Dsir.importanceWeights(
+          gateIn.select(col(idCol), col(textCol)), tgt,
+          idCol, textCol, dsirBuckets, salt = "dsir")
+        .where(col("logw") >= minDsirLogw)
+        .select(col("doc_id").as(idCol))
+      gateIn.join(keep, Seq(idCol), "left_semi")
+    }
+
     // 5. token accounting
-    lmGated.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
+    dsirGated.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
       TextFunctions.wsTokenCount(col(textCol)).as("ws_tokens"),
       TextFunctions.bpeTokenCount(col(textCol)).as("bpe_tokens"))
   }

@@ -84,6 +84,32 @@ class AudioHashSpec extends AnyFunSuite with Matchers with SparkSpec {
     expected.count { case (a, b, _) => b == a + 1 && a % 2 == 0 } should be > 10
   }
 
+  test("audio fingerprints ride the cross-run fingerprint table") {
+    import spark.implicits._
+    def media(ids: Seq[Long]) = ids.toDF("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id / 2
+        MediaRecord(id, "audio", Multimodal.syntheticWavKeyed(
+          seed, 64 * (4 + (seed % 8).toInt), perturb = id % 2 == 1))
+      })
+    val table = java.nio.file.Files
+      .createTempDirectory("audio-fp-").toString
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: even ids only (the unperturbed halves) — no near-dups yet
+    val e1 = pairs(Dedup.incrementalFingerprintPairs(
+      Multimodal.audioHash(media(0L until 40L by 2)), table, batchId = "e1"))
+    // epoch 2: the odd perturbed twins — every near-dup pair is CROSS-run
+    val e2 = pairs(Dedup.incrementalFingerprintPairs(
+      Multimodal.audioHash(media(1L until 40L by 2)), table, batchId = "e2"))
+    // the two epochs together recover exactly the one-shot sweep
+    val oneShot = pairs(Multimodal.syntheticWavHashPipeline(
+      spark, (0L until 40L).toDF("doc_id"), "doc_id"))
+    (e1 ++ e2) shouldBe oneShot
+    e2 should not be empty // the planted twins surfaced across runs
+  }
+
   test("pipeline is partitioning-invariant") {
     import spark.implicits._
     val ids = (0L until 60L).toDF("doc_id")

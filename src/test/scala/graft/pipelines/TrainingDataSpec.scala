@@ -306,4 +306,43 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     floored shouldBe expected
   }
+  test("DSIR gate (4d) keeps target-like survivors and floors the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // both docs pass lang/quality; doc 2's tail vocabulary is disjoint
+    // from the target's, doc 1's matches it
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("zzz qqq xxx jjj kkk zzz qqq xxx jjj kkk zzz qqq"))
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, goodDoc("with joins and windows and groups and rows here")),
+      (101L, goodDoc("joins over rows and windows and groups again"))
+    ).toDF("doc_id", "text")
+
+    // defaults: both survive (the gate is off)
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+
+    // gated: the off-target doc's weight is negative (its features sit in
+    // raw-only buckets), the target-like doc's is not
+    val gated = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, dsirTarget = Some(target))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(1L)
+
+    // the gate replays the operator: survivors == importanceWeights >= 0
+    // over the same (lmGated) input
+    val expected = graft.operators.Dsir.importanceWeights(
+        docs, target, "doc_id", "text", 1024, salt = "dsir")
+      .where(col("logw") >= 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe expected
+
+    // spilled and unspilled plans agree
+    val spilled = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = true, dsirTarget = Some(target))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spilled shouldBe gated
+  }
 }
