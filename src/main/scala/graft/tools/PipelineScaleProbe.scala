@@ -30,10 +30,10 @@ import graft.core.{Engine, Tables}
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
-    // optional section filter: any of "q90", "q112", "q119", "q123"
-    // (default all)
+    // optional section filter: any of "q90", "q112", "q119", "q123",
+    // "q130" (default all)
     val sections: Set[String] =
-      if (args.isEmpty) Set("q90", "q112", "q119", "q123") else args.toSet
+      if (args.isEmpty) Set("q90", "q112", "q119", "q123", "q130") else args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.local("graft-pipeline-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,6 +134,29 @@ object PipelineScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"q123 m=$m%d docs=$n%d secs=$secs%.2f")
       }
+      graft.io.Spill.releaseAll()
+    }
+
+    // q130 DSIR probe: the target model is fixed-size by construction
+    // (256 buckets regardless of corpus), so weighting corpora
+    // duplicated 1x/2x/5x/10x must track rows ~linearly — the stages
+    // are one explode+md5 pass into the spill, two bucket aggregates
+    // whose exchange is capped at 256 rows per map task, the broadcast
+    // ratio join, and one doc-keyed sum. Super-linear growth would mean
+    // the ratio broadcast degraded to a shuffle or the per-doc aggregate
+    // stopped combining map-side.
+    if (sections("q130")) Seq(1, 2, 5, 10).foreach { m =>
+      val raw = (0 until m).map(i => docs.select(
+        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("text"))
+        .where(col("doc_id") % 7 =!= 0)).reduce(_ unionAll _)
+      val target = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dsir.importanceWeights(
+          raw, target, "doc_id", "text", buckets = 256, salt = "dsir")
+        .agg(count(lit(1))).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"q130 m=$m%d docs=$n%d secs=$secs%.2f")
       graft.io.Spill.releaseAll()
     }
     spark.stop()
