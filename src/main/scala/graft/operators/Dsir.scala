@@ -84,6 +84,47 @@ object Dsir {
             / (col("nr") + buckets))).as("logr"))
   }
 
+  /** The fitted selection model as a persistable table: the
+    * `buckets`-row (bucket, logr) frame of [[logRatio]] fitted from a
+    * target corpus and a raw reference snapshot. Persist it and score
+    * arbitrary later corpora with [[scoreAgainstRatio]] — the
+    * deployment/streaming posture (a selection model is fitted once,
+    * then applied; refitting per micro-batch would make per-doc
+    * decisions depend on arrival batching).
+    */
+  def fitRatio(rawReference: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int, salt: String = ""): DataFrame =
+    logRatio(featureBuckets(target, idCol, textCol, buckets, salt),
+      featureBuckets(rawReference, idCol, textCol, buckets, salt), buckets)
+
+  /** Shared scoring tail: per-doc log-ratio sums of a feature frame
+    * against a ratio table, left-joined onto the full id set so
+    * feature-free docs keep weight 1 (logw 0, n_feats 0).
+    */
+  private def weightsFromBuckets(fb: DataFrame, ids: DataFrame,
+      ratio: DataFrame): DataFrame = {
+    val sums = fb.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("logr")).as("logw"))
+    ids.join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Score `docs` against a PRECOMPUTED ratio table ([[fitRatio]] /
+    * [[logRatio]] output — `buckets` and `salt` must match the fit):
+    * (doc_id, n_feats, logw). One feature pass + the broadcast ratio
+    * join + one doc-keyed aggregate — map-only until the per-doc sum, no
+    * model fit, so it runs per micro-batch against a fixed persisted
+    * model with per-doc-deterministic results.
+    */
+  def scoreAgainstRatio(docs: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, buckets: Int, salt: String = ""): DataFrame =
+    weightsFromBuckets(
+      featureBuckets(docs, idCol, textCol, buckets, salt),
+      docs.select(col(idCol).as("doc_id")), ratio)
+
   /** Per-document importance log-weight of every `raw` document against
     * the `target` corpus: (doc_id, n_feats, logw), logw = sum over the
     * document's feature instances of the bucket log-ratio. Feature-free
@@ -103,13 +144,7 @@ object Dsir {
       featureBuckets(raw, idCol, textCol, buckets, salt), "graft-dsir-")
     val lr = logRatio(featureBuckets(target, idCol, textCol, buckets, salt),
       fbRaw, buckets)
-    val sums = fbRaw.join(broadcast(lr), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("logr")).as("logw"))
-    raw.select(col(idCol).as("doc_id")).join(sums, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("logw"), lit(0.0)).as("logw"))
+    weightsFromBuckets(fbRaw, raw.select(col(idCol).as("doc_id")), lr)
   }
 
   /** Weighted sample without replacement of `k` raw documents,

@@ -16,7 +16,9 @@ import graft.operators.Dedup
   * [[graft.operators.NaiveBayes]] gate, word or char-gram features),
   * then cross-run near-dup removal
   * ([[Dedup.incrementalMinhashLsh]] — the batch pairs against itself AND
-  * every previously accepted epoch's signatures).
+  * every previously accepted epoch's signatures), and optionally the
+  * DSIR target-likeness floor against a fixed persisted ratio table
+  * ([[graft.operators.Dsir.scoreAgainstRatio]]).
   *
   * EPOCH ≡ UNION: processing epochs one at a time produces exactly the
   * survivors of one call over the union of all epochs (spec-pinned in
@@ -48,7 +50,10 @@ object StreamingPrep {
       lang: String = "en", minQuality: Double = 0.26,
       nearDupThreshold: Double = 0.5, minhashK: Int = 16,
       nbModel: Option[DataFrame] = None,
-      nbCharGrams: Option[(Int, Int)] = None): DataFrame = {
+      nbCharGrams: Option[(Int, Int)] = None,
+      dsirRatio: Option[DataFrame] = None,
+      minDsirLogw: Double = 0.0,
+      dsirBuckets: Int = 1024): DataFrame = {
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
     val novel = Dedup.incrementalExactDedup(
@@ -82,8 +87,25 @@ object StreamingPrep {
       gated.select(col(idCol), col(textCol)), idCol, textCol,
       s"$tablesDir/sigs", k = minhashK,
       minEstJaccard = nearDupThreshold, batchId = batchId)
-    gated.join(pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
+    val deduped = gated.join(
+      pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+    // 5. optional DSIR target-likeness floor against a FIXED persisted
+    // ratio table ([[graft.operators.Dsir.fitRatio]] — fitting per epoch
+    // would make per-doc decisions depend on arrival batching, breaking
+    // epoch ≡ union; a fixed model keeps the gate per-doc deterministic,
+    // the streaming mirror of TrainingData.clean's stage 4d). The
+    // survivor frame feeds the feature fold, the id join, and the
+    // semi-join back, so it spills before the fork.
+    dsirRatio.fold(deduped) { r =>
+      val gateIn = graft.io.Spill(deduped, "graft-sprep-dsir-")
+      val keep = graft.operators.Dsir.scoreAgainstRatio(
+          gateIn.select(col(idCol), col(textCol)), idCol, textCol,
+          r, dsirBuckets, salt = "dsir")
+        .where(col("logw") >= minDsirLogw)
+        .select(col("doc_id").as(idCol))
+      gateIn.join(keep, Seq(idCol), "left_semi")
+    }
   }
 
   /** Wire [[processBatch]] into a streaming query: each micro-batch's
@@ -96,13 +118,16 @@ object StreamingPrep {
       lang: String = "en", minQuality: Double = 0.26,
       nearDupThreshold: Double = 0.5, minhashK: Int = 16,
       nbModel: Option[DataFrame] = None,
-      nbCharGrams: Option[(Int, Int)] = None): StreamingQuery =
+      nbCharGrams: Option[(Int, Int)] = None,
+      dsirRatio: Option[DataFrame] = None,
+      minDsirLogw: Double = 0.0,
+      dsirBuckets: Int = 1024): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
             lang, minQuality, nearDupThreshold, minhashK,
-            nbModel, nbCharGrams)
+            nbModel, nbCharGrams, dsirRatio, minDsirLogw, dsirBuckets)
           .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         graft.io.Spill.releaseAll()
         ()

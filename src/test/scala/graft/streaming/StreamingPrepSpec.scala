@@ -101,6 +101,42 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     survivors shouldBe Set(21L) // the xx-vocabulary doc fails the model gate
   }
 
+  test("the DSIR floor slots into the streaming pipeline with a fixed ratio table") {
+    import spark.implicits._
+    // ratio fitted ONCE from a curated target + raw reference snapshot —
+    // the persisted-selection-model posture; the stream then floors every
+    // epoch's survivors against it
+    val target = Seq(
+      100L -> goodDoc("with joins and windows and groups and rows here"),
+      101L -> goodDoc("joins over rows and windows and groups again"))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      200L -> goodDoc("with joins and windows over rows and groups here"),
+      201L -> goodDoc("the maze of twisty zorkish passages flib blar quux vex"))
+      .toDF("doc_id", "text")
+    val ratio = graft.operators.Dsir.fitRatio(
+      reference, target, "doc_id", "text", buckets = 1024, salt = "dsir")
+
+    val work = Files.createTempDirectory("graft-sprep-dsir").toString
+    val batch = Seq(
+      31L -> goodDoc("with joins and windows over rows and groups here"),
+      // passes lang+quality (the markered prefix) but its tail vocabulary
+      // sits in raw-only buckets -> negative log-weight
+      32L -> goodDoc("the maze of twisty zorkish passages flib blar quux vex"))
+      .toDF("doc_id", "text")
+    val gated = StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables", batchId = "e0",
+        dsirRatio = Some(ratio))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(31L)
+
+    // without the floor both survive — the drop IS the DSIR decision
+    val ungated = StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables2", batchId = "e0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    ungated shouldBe Set(31L, 32L)
+  }
+
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-sprep-replay").toString
