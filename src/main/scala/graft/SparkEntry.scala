@@ -1777,18 +1777,19 @@ object SparkEntry {
          nr AS (SELECT count(*) AS nr FROM fb WHERE doc_id % 7 <> 0),
          lr AS (
            SELECT s.bucket,
-             ln((coalesce(tb.ct, 0) + 1.0) / (nt.nt + 256))
-               - ln((coalesce(rb.cr, 0) + 1.0) / (nr.nr + 256)) AS logr
+             CAST(round((ln((coalesce(tb.ct, 0) + 1.0) / (nt.nt + 256))
+               - ln((coalesce(rb.cr, 0) + 1.0) / (nr.nr + 256))) * 1000000)
+               AS BIGINT) AS logr
            FROM (SELECT unnest(range(0, 256)) AS bucket) s
            LEFT JOIN tb USING (bucket) LEFT JOIN rb USING (bucket)
            CROSS JOIN nt CROSS JOIN nr),
          sums AS (
-           SELECT f.doc_id, count(*) AS n_feats, sum(lr.logr) AS logw
+           SELECT f.doc_id, count(*) AS n_feats, sum(lr.logr) AS logw_m
            FROM fb f JOIN lr USING (bucket)
            WHERE f.doc_id % 7 <> 0 GROUP BY 1),
          w AS (
            SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
-             coalesce(s.logw, 0.0) AS logw
+             coalesce(s.logw_m, 0) / 1000000.0 AS logw
            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
            LEFT JOIN sums s USING (doc_id))"""
 

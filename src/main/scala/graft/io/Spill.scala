@@ -27,15 +27,47 @@ object Spill {
       while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
     }))
 
-  private def onExit(cleanup: () => Unit): Unit = { hookInstalled; cleanups.add(cleanup): Unit }
+  private val scope =
+    new scala.util.DynamicVariable[Option[java.util.ArrayDeque[() => Unit]]](None)
+
+  private def onExit(cleanup: () => Unit): Unit = {
+    hookInstalled
+    cleanups.add(cleanup)
+    scope.value.foreach(_.add(cleanup)): Unit
+  }
 
   /** Release every spill directory created so far — callable from
     * long-running drivers between epochs once prior spilled frames are no
     * longer referenced (exit-time cleanup still covers the rest).
+    *
+    * OWNERSHIP: this drains the GLOBAL registry — it deletes every live
+    * spill in the JVM, including frames other components are still
+    * reading (e.g. a caller's Spill-persisted model table). Only call it
+    * from a context that owns all spills — a per-query battery driver
+    * (Bench/Verify). A long-running pipeline that must release its OWN
+    * per-epoch temporaries without touching anyone else's uses [[scoped]].
     */
   def releaseAll(): Unit = {
     var c = cleanups.poll()
     while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
+  }
+
+  /** Run `f` and release ONLY the spill directories registered during it
+    * (on this thread) — the safe per-epoch cleanup for `foreachBatch`
+    * bodies: a micro-batch's internal spills are deleted at batch end
+    * while spills the CALLER created earlier (persisted model tables,
+    * ratio frames) survive. Scope tracking is thread-local, matching the
+    * synchronous single-thread execution of a foreachBatch body; spills
+    * created by `f` on OTHER threads fall back to exit-time cleanup
+    * rather than being deleted out from under a racing reader.
+    */
+  def scoped[T](f: => T): T = {
+    val q = new java.util.ArrayDeque[() => Unit]()
+    try scope.withValue(Some(q))(f)
+    finally q.forEach { c =>
+      cleanups.remove(c) // exit hook / releaseAll must not double-run it
+      try c() catch { case _: Exception => }
+    }
   }
 
   /** A registered local temp directory (deleted by the same shutdown hook /

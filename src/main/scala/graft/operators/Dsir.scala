@@ -49,7 +49,7 @@ object Dsir {
     * collision handling — the paper's hashed generative model.
     */
   def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int, salt: String = ""): DataFrame = {
+      buckets: Int, salt: String = "dsir"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
       .select(col("doc_id"), explode(featureArray(col("__ws"))).as("__feat"))
@@ -66,6 +66,16 @@ object Dsir {
     * total feature masses ROLL UP from those count tables (one-row
     * frames, the sanctioned single-row broadcast), so neither corpus is
     * re-scanned for its total.
+    *
+    * `logr` is stored in MICRO-nats (round(ln-ratio × 1e6), BIGINT) —
+    * the NB integer-micros discipline: per-document weights sum hundreds
+    * of these, and a DOUBLE sum is partial-aggregation-order-dependent,
+    * so it could land on the round-at-4 output boundary differently per
+    * engine or partitioning. Long sums are exact and order-free; the one
+    * double op left (÷1e6 at the end) is deterministic. A last-ulp ln
+    * difference only matters if a bucket's ratio sits within ~1e-9 of a
+    * .5-micro boundary — negligible over a `buckets`-row table, vs. a
+    * per-document boundary exposure in the double-sum form.
     */
   def logRatio(fbTarget: DataFrame, fbRaw: DataFrame, buckets: Int): DataFrame = {
     val spark = fbTarget.sparkSession
@@ -78,10 +88,11 @@ object Dsir {
       .join(cr, Seq("bucket"), "left")
       .crossJoin(nt).crossJoin(nr) // one-row frames; broadcast by size
       .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+        round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
             / (col("nt") + buckets))
           - log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
-            / (col("nr") + buckets))).as("logr"))
+            / (col("nr") + buckets))) * 1e6)
+          .cast("long").as("logr"))
   }
 
   /** The fitted selection model as a persistable table: the
@@ -93,23 +104,25 @@ object Dsir {
     * decisions depend on arrival batching).
     */
   def fitRatio(rawReference: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int, salt: String = ""): DataFrame =
+      textCol: String, buckets: Int, salt: String = "dsir"): DataFrame =
     logRatio(featureBuckets(target, idCol, textCol, buckets, salt),
       featureBuckets(rawReference, idCol, textCol, buckets, salt), buckets)
 
-  /** Shared scoring tail: per-doc log-ratio sums of a feature frame
-    * against a ratio table, left-joined onto the full id set so
-    * feature-free docs keep weight 1 (logw 0, n_feats 0).
+  /** Shared scoring tail: per-doc sums of the micro-nat log-ratios
+    * (exact long arithmetic — order- and partitioning-free) against a
+    * ratio table, converted to nats once at the end, left-joined onto
+    * the full id set so feature-free docs keep weight 1 (logw 0,
+    * n_feats 0).
     */
   private def weightsFromBuckets(fb: DataFrame, ids: DataFrame,
       ratio: DataFrame): DataFrame = {
     val sums = fb.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("logr")).as("logw"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("logr")).as("__lwm"))
     ids.join(sums, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("logw"), lit(0.0)).as("logw"))
+        (coalesce(col("__lwm"), lit(0L)) / 1e6).as("logw"))
   }
 
   /** Score `docs` against a PRECOMPUTED ratio table ([[fitRatio]] /
@@ -120,7 +133,7 @@ object Dsir {
     * model with per-doc-deterministic results.
     */
   def scoreAgainstRatio(docs: DataFrame, idCol: String, textCol: String,
-      ratio: DataFrame, buckets: Int, salt: String = ""): DataFrame =
+      ratio: DataFrame, buckets: Int, salt: String = "dsir"): DataFrame =
     weightsFromBuckets(
       featureBuckets(docs, idCol, textCol, buckets, salt),
       docs.select(col(idCol).as("doc_id")), ratio)
@@ -139,7 +152,7 @@ object Dsir {
     * corpus twice. The id left-join re-reads only the pruned id column.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int, salt: String = ""): DataFrame = {
+      textCol: String, buckets: Int, salt: String = "dsir"): DataFrame = {
     val fbRaw = graft.io.Spill(
       featureBuckets(raw, idCol, textCol, buckets, salt), "graft-dsir-")
     val lr = logRatio(featureBuckets(target, idCol, textCol, buckets, salt),
@@ -157,7 +170,7 @@ object Dsir {
     * doc_id, n_feats, logw rounded 4), rank 1-based by descending key.
     */
   def resample(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int, k: Int, salt: String = "",
+      textCol: String, buckets: Int, k: Int, salt: String = "dsir",
       sampleSalt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
     val u = greatest(Sampling.unitHash(col("doc_id"), sampleSalt),

@@ -224,11 +224,11 @@ object NaiveBayes {
     // distinct-gram rows, not occurrence rows, and per-doc counting
     // needs no exchange at all ([[graft.functions.TokenCounts]], one
     // hashmap per row). Σ_occurrences logp ≡ Σ_distinct count·logp, and
-    // because the per-token logps are ALREADY rounded to 6 decimals the
-    // count·logp products and their sum are computed in DECIMAL — exact,
-    // partitioning/order-invariant (the PageRank decimal discipline); a
-    // double sum of thousands of tokens can land on a .00005 rounding
-    // boundary differently per engine/partitioning
+    // because the per-token logps are ALREADY exact 6-decimal values,
+    // the micros projection above makes every count·logp product and
+    // their sum plain LONG arithmetic — exact and partitioning/order-
+    // invariant; a double sum of thousands of tokens can land on a
+    // .00005 rounding boundary differently per engine/partitioning
     val scored = docs
       .select(col(idCol),
         explode(call_function("token_counts", col(tokensCol))).as("__tc"))

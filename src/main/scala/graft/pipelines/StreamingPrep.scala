@@ -43,7 +43,7 @@ object StreamingPrep {
 
   /** Survivors of one epoch against the persistent state under
     * `tablesDir` (`fps` fingerprint table, `sigs` signature table).
-    * Returns (idCol, textCol, lang_pred, quality).
+    * Returns (idCol, textCol, lang_pred, n_words, quality).
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       tablesDir: String, batchId: String,
@@ -51,35 +51,27 @@ object StreamingPrep {
       nearDupThreshold: Double = 0.5, minhashK: Int = 16,
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
+      maxDupGramFrac: Double = 1.0,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirBuckets: Int = 1024): DataFrame = {
+      dsirBuckets: Int = 1024,
+      dsirSalt: String = "dsir"): DataFrame = {
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
     val novel = Dedup.incrementalExactDedup(
       batch.select(col(idCol), col(textCol)), idCol, textCol,
       s"$tablesDir/fps", batchId)
-    // 2+3. the map-only gates of TrainingData.clean, same predicates:
-    // heuristic language argmax (kept for reporting under a model gate),
-    // quality floor; optional NB model decision replacing the heuristic
-    val gated0 = novel
-      .select(col(idCol), col(textCol),
-        TextFunctions.langId(col(textCol)).as("lang_pred"),
-        TextFunctions.words(col(textCol)).as("w"))
-      .where(size(col("w")) > 0)
-      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
-        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
-      .where((if (nbModel.isDefined) lit(true)
-        else col("lang_pred") === lang) && col("quality") >= minQuality)
-    val gated = graft.io.Spill( // two consumers below (sig pass + anti-join)
-      nbModel.fold(gated0.drop("w")) { m =>
-        val toks = nbCharGrams.fold(col("w")) { case (minN, maxN) =>
-          TextFunctions.charGrams(col(textCol), minN, maxN) }
-        val keep = graft.operators.NaiveBayes.classify(
-            gated0.select(col(idCol), toks.as("__nbw")), idCol, "__nbw", m)
-          .where(col("label") === lang).select(col(idCol))
-        gated0.join(keep, Seq(idCol), "left_semi").drop("w")
-      }, "graft-sprep-")
+    // 2+3 (+2b, +2a'): THE shared gate of TrainingData.clean — one
+    // definition, so batch and streaming survivor sets cannot silently
+    // diverge. Under a model gate the projection spills before the
+    // classify/join-back self-join (the spill-before-self-join
+    // discipline); the gate output spills again for its two consumers
+    // below (sig pass + anti-join).
+    val gated = graft.io.Spill(
+      TrainingData.langQualityGate(novel, idCol, textCol, lang, minQuality,
+        maxDupGramFrac, nbModel, nbCharGrams,
+        df => graft.io.Spill(df, "graft-sprep-g0-")),
+      "graft-sprep-")
     // 4. cross-run near-dup removal among gated docs: greedy
     // keep-smallest — under monotonic epoch ids a cross-epoch pair's
     // id_b is always the NEW doc, so accepted history is never retracted
@@ -101,7 +93,7 @@ object StreamingPrep {
       val gateIn = graft.io.Spill(deduped, "graft-sprep-dsir-")
       val keep = graft.operators.Dsir.scoreAgainstRatio(
           gateIn.select(col(idCol), col(textCol)), idCol, textCol,
-          r, dsirBuckets, salt = "dsir")
+          r, dsirBuckets, dsirSalt)
         .where(col("logw") >= minDsirLogw)
         .select(col("doc_id").as(idCol))
       gateIn.join(keep, Seq(idCol), "left_semi")
@@ -119,17 +111,24 @@ object StreamingPrep {
       nearDupThreshold: Double = 0.5, minhashK: Int = 16,
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
+      maxDupGramFrac: Double = 1.0,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirBuckets: Int = 1024): StreamingQuery =
+      dsirBuckets: Int = 1024,
+      dsirSalt: String = "dsir"): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
-            lang, minQuality, nearDupThreshold, minhashK,
-            nbModel, nbCharGrams, dsirRatio, minDsirLogw, dsirBuckets)
-          .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
-        graft.io.Spill.releaseAll()
+        // scoped, NOT releaseAll: the epoch's internal spills die at
+        // batch end, while Spill-persisted frames the CALLER passed in
+        // (nbModel, dsirRatio) must survive into the next epoch
+        graft.io.Spill.scoped {
+          processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
+              lang, minQuality, nearDupThreshold, minhashK,
+              nbModel, nbCharGrams, maxDupGramFrac,
+              dsirRatio, minDsirLogw, dsirBuckets, dsirSalt)
+            .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
+        }
         ()
       }.start()
 }

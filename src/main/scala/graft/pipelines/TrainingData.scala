@@ -99,7 +99,8 @@ object TrainingData {
       langModelCharGrams: Option[(Int, Int)] = None,
       dsirTarget: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirBuckets: Int = 1024): DataFrame = {
+      dsirBuckets: Int = 1024,
+      dsirSalt: String = "dsir"): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
@@ -140,59 +141,13 @@ object TrainingData {
     val spanStripped = stripSpansK.fold(unique)(k =>
       Dedup.stripDuplicateSpans(unique, idCol, textCol, k, stripSpansMinCount))
 
-    // 2+3. language + quality gates (words computed once, shared), plus
-    // the optional repetition gate (2b) — Gopher-style duplicate-bigram
-    // fraction; map-only like the other per-row gates, so it slots into
-    // the same projection at zero extra shuffles. Default 1.0 = disabled.
-    val gatedPlan0 = spanStripped
-      .select(col(idCol), col(textCol),
-        TextFunctions.langId(col(textCol)).as("lang_pred"),
-        TextFunctions.words(col(textCol)).as("w"))
-      .where(size(col("w")) > 0)
-      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
-        size(col("w")).cast("long").as("n_words"),
-        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
-        graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
-      .where((if (langModel.isDefined) lit(true)
-        else col("lang_pred") === lang) && col("quality") >= minQuality)
-      .where(col("__r.n_grams") === 0 ||
-        (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
-          <= maxDupGramFrac)
-      .drop("__r")
-    // 2a'. optional MODEL-based language gate: when a trained
-    // [[graft.operators.NaiveBayes]] model table is supplied, its
-    // prediction replaces the n-gram-marker heuristic as the language
-    // decision (the C4-style trained-filter posture — the model is data,
-    // so re-gating with a better classifier is a table swap). The gate
-    // runs AFTER the map-only quality/repetition filters (docs they drop
-    // never pay the scoring joins — same survivors, the predicates are
-    // independent per-doc) and reuses the `w` tokens computed above (one
-    // tokenizer pass, not two). `lang_pred` (the heuristic label) is
-    // still projected for reporting, and the 3b adaptive floor quantiles
-    // within it — under a model gate the survivors are one MODEL
-    // language but may span heuristic labels, so 3b becomes a
-    // per-heuristic-group floor there. The heuristic stays the
-    // zero-shuffle default.
-    // The classify branch and the join-back branch are a SELF-join of
-    // gatedPlan0, so under cacheIntermediate the plan spills BEFORE the
-    // fork — otherwise exact dedup, span stripping, and the scoring
-    // projection are computed twice (the same spill-before-self-join
-    // discipline as incrementalSemanticDedup).
-    // `langModelCharGrams = Some((minN, maxN))` scores the model on char
-    // n-grams of the (possibly span-stripped) surviving text instead of
-    // the word tokens — the fastText-posture lang-id pairing for a model
-    // trained with [[TextFunctions.charGrams]]; tokenization MUST match
-    // how the supplied model was fitted, which is why it is the caller's
-    // explicit choice rather than sniffed from the model table
-    val gatedPlan = langModel.fold(gatedPlan0.drop("w")) { m =>
-      val gateIn = if (cacheIntermediate) spill(gatedPlan0) else gatedPlan0
-      val nbToks = langModelCharGrams.fold(col("w")) { case (minN, maxN) =>
-        TextFunctions.charGrams(col(textCol), minN, maxN) }
-      val keep = graft.operators.NaiveBayes.classify(
-          gateIn.select(col(idCol), nbToks.as("__nbw")), idCol, "__nbw", m)
-        .where(col("label") === lang).select(col(idCol))
-      gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
-    }
+    // 2+3 (+2b, +2a'): the shared language/quality/repetition gate —
+    // ONE definition for the batch and streaming pipelines
+    // ([[langQualityGate]]), so the two survivor sets cannot silently
+    // diverge when a gate predicate changes
+    val gatedPlan = langQualityGate(spanStripped, idCol, textCol, lang,
+      minQuality, maxDupGramFrac, langModel, langModelCharGrams,
+      df => if (cacheIntermediate) spill(df) else df)
     // 3b. optional adaptive floor on top of the fixed one — applied AFTER
     // the spill so floorBy's threshold aggregate and join-back both scan
     // the materialized parquet instead of re-running dedup + scoring
@@ -267,7 +222,7 @@ object TrainingData {
       val gateIn = if (cacheIntermediate) spill(lmGated) else lmGated
       val keep = graft.operators.Dsir.importanceWeights(
           gateIn.select(col(idCol), col(textCol)), tgt,
-          idCol, textCol, dsirBuckets, salt = "dsir")
+          idCol, textCol, dsirBuckets, dsirSalt)
         .where(col("logw") >= minDsirLogw)
         .select(col("doc_id").as(idCol))
       gateIn.join(keep, Seq(idCol), "left_semi")
@@ -277,5 +232,60 @@ object TrainingData {
     dsirGated.select(col(idCol), col("lang_pred"), col("n_words"), col("quality"),
       TextFunctions.wsTokenCount(col(textCol)).as("ws_tokens"),
       TextFunctions.bpeTokenCount(col(textCol)).as("bpe_tokens"))
+  }
+
+  /** Stages 2+3 (+2b, +2a') as ONE definition shared by [[clean]] and
+    * [[StreamingPrep.processBatch]]: language gate (heuristic argmax, or
+    * the trained NaiveBayes model's prediction when `langModel` is set —
+    * the C4-style trained-filter posture), quality floor, and the
+    * Gopher-style duplicate-bigram repetition gate (`maxDupGramFrac`,
+    * 1.0 = disabled) — all map-only, one tokenizer pass (words computed
+    * once, shared by every predicate).
+    *
+    * The model gate runs AFTER the map-only filters (docs they drop
+    * never pay the scoring joins — same survivors, the predicates are
+    * independent per-doc). `lang_pred` (the heuristic label) is still
+    * projected for reporting. The classify branch and the join-back
+    * branch are a SELF-join of the gated projection, so `spillFn` is
+    * applied BEFORE the fork (the spill-before-self-join discipline) —
+    * pass identity only when the caller accepts double evaluation.
+    * `langModelCharGrams = Some((minN, maxN))` scores the model on char
+    * n-grams of the surviving text instead of the word tokens — the
+    * fastText-posture lang-id pairing for a model trained with
+    * [[TextFunctions.charGrams]]; tokenization MUST match how the
+    * supplied model was fitted, which is why it is the caller's explicit
+    * choice rather than sniffed from the model table.
+    *
+    * Output: (idCol, textCol, lang_pred, n_words, quality).
+    */
+  private[pipelines] def langQualityGate(docs: DataFrame, idCol: String,
+      textCol: String, lang: String, minQuality: Double,
+      maxDupGramFrac: Double, langModel: Option[DataFrame],
+      langModelCharGrams: Option[(Int, Int)],
+      spillFn: DataFrame => DataFrame): DataFrame = {
+    val gatedPlan0 = docs
+      .select(col(idCol), col(textCol),
+        TextFunctions.langId(col(textCol)).as("lang_pred"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
+        size(col("w")).cast("long").as("n_words"),
+        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
+        graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
+      .where((if (langModel.isDefined) lit(true)
+        else col("lang_pred") === lang) && col("quality") >= minQuality)
+      .where(col("__r.n_grams") === 0 ||
+        (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
+          <= maxDupGramFrac)
+      .drop("__r")
+    langModel.fold(gatedPlan0.drop("w")) { m =>
+      val gateIn = spillFn(gatedPlan0)
+      val nbToks = langModelCharGrams.fold(col("w")) { case (minN, maxN) =>
+        TextFunctions.charGrams(col(textCol), minN, maxN) }
+      val keep = graft.operators.NaiveBayes.classify(
+          gateIn.select(col(idCol), nbToks.as("__nbw")), idCol, "__nbw", m)
+        .where(col("label") === lang).select(col(idCol))
+      gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
+    }
   }
 }

@@ -146,9 +146,14 @@ object PipelineScaleProbe {
     // the ratio broadcast degraded to a shuffle or the per-doc aggregate
     // stopped combining map-side.
     if (sections("q130")) Seq(1, 2, 5, 10).foreach { m =>
-      val raw = (0 until m).map(i => docs.select(
-        (col("doc_id") + lit(i * 10_000_000L)).as("doc_id"), col("text"))
-        .where(col("doc_id") % 7 =!= 0)).reduce(_ unionAll _)
+      // filter on the ORIGINAL id BEFORE shifting: the copies must all be
+      // the same raw slice (and stay disjoint from the target slice) or
+      // the probe would score target-contaminated corpora of varying
+      // composition instead of true duplicates
+      val raw = (0 until m).map(i => docs
+        .where(col("doc_id") % 7 =!= 0)
+        .select((col("doc_id") + lit(i * 10_000_000L)).as("doc_id"),
+          col("text"))).reduce(_ unionAll _)
       val target = docs.where(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("text"))
       val t0 = System.nanoTime()

@@ -43,12 +43,16 @@ class DsirSpec extends AnyFunSuite with Matchers with SparkSpec {
     val rb = raw.flatMap(d => feats(d._2)).map(bucket(_, salt))
       .groupBy(identity).view.mapValues(_.size).toMap
     val (nt, nr) = (tb.values.sum, rb.values.sum)
-    def logr(b: Int): Double =
-      math.log((tb.getOrElse(b, 0) + 1.0) / (nt + B)) -
-        math.log((rb.getOrElse(b, 0) + 1.0) / (nr + B))
+    // micro-nat ratios (round half away from zero), exact long sums —
+    // the operator's cross-engine determinism contract
+    def logrMicros(b: Int): Long =
+      BigDecimal((math.log((tb.getOrElse(b, 0) + 1.0) / (nt + B)) -
+        math.log((rb.getOrElse(b, 0) + 1.0) / (nr + B))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val expected = raw.map { case (id, text) =>
       val fs = feats(text)
-      id -> ((fs.size.toLong, fs.map(f => logr(bucket(f, salt))).sum))
+      id -> ((fs.size.toLong,
+        fs.map(f => logrMicros(bucket(f, salt))).sum / 1e6))
     }.toMap
 
     val got = Dsir.importanceWeights(raw.toDF("doc_id", "text"),
