@@ -27,13 +27,20 @@ object Spill {
       while (c != null) { try c() catch { case _: Exception => }; c = cleanups.poll() }
     }))
 
-  private val scope =
-    new scala.util.DynamicVariable[Option[java.util.ArrayDeque[() => Unit]]](None)
+  // plain ThreadLocal, NOT DynamicVariable: DynamicVariable is backed by
+  // an InheritableThreadLocal, so a thread spawned inside a scoped body
+  // (e.g. a streaming query's execution thread) would inherit the scope
+  // and have its spills deleted at scope exit while still reading them —
+  // and would mutate the owner's unsynchronized deque concurrently.
+  // With a plain ThreadLocal, child-thread spills register only in the
+  // global registry (exit-time cleanup), per the documented contract.
+  private val scope = new ThreadLocal[java.util.ArrayDeque[() => Unit]]()
 
   private def onExit(cleanup: () => Unit): Unit = {
     hookInstalled
     cleanups.add(cleanup)
-    scope.value.foreach(_.add(cleanup)): Unit
+    val q = scope.get()
+    if (q != null) q.add(cleanup): Unit
   }
 
   /** Release every spill directory created so far — callable from
@@ -62,11 +69,16 @@ object Spill {
     * rather than being deleted out from under a racing reader.
     */
   def scoped[T](f: => T): T = {
+    val prev = scope.get()
     val q = new java.util.ArrayDeque[() => Unit]()
-    try scope.withValue(Some(q))(f)
-    finally q.forEach { c =>
-      cleanups.remove(c) // exit hook / releaseAll must not double-run it
-      try c() catch { case _: Exception => }
+    scope.set(q)
+    try f
+    finally {
+      if (prev == null) scope.remove() else scope.set(prev)
+      q.forEach { c =>
+        cleanups.remove(c) // exit hook / releaseAll must not double-run it
+        try c() catch { case _: Exception => }
+      }
     }
   }
 

@@ -126,17 +126,28 @@ object Dsir {
   }
 
   /** Score `docs` against a PRECOMPUTED ratio table ([[fitRatio]] /
-    * [[logRatio]] output — `buckets` and `salt` must match the fit):
-    * (doc_id, n_feats, logw). One feature pass + the broadcast ratio
-    * join + one doc-keyed aggregate — map-only until the per-doc sum, no
-    * model fit, so it runs per micro-batch against a fixed persisted
-    * model with per-doc-deterministic results.
+    * [[logRatio]] output): (doc_id, n_feats, logw). One feature pass +
+    * the broadcast ratio join + one doc-keyed aggregate — map-only until
+    * the per-doc sum, no model fit, so it runs per micro-batch against a
+    * fixed persisted model with per-doc-deterministic results.
+    *
+    * The bucket count is DERIVED from the ratio table (one tiny count of
+    * a model-sized frame — persist the ratio so this doesn't re-run an
+    * unmaterialized fit), not taken as a parameter: a caller-supplied
+    * count that disagreed with the fit would silently hash features into
+    * buckets the table doesn't cover, dropping 3/4 of them into wrong
+    * ratios with no error. `salt` must still match the fit — hash salts
+    * are not recoverable from the table, which is why every entry point
+    * shares the "dsir" default.
     */
   def scoreAgainstRatio(docs: DataFrame, idCol: String, textCol: String,
-      ratio: DataFrame, buckets: Int, salt: String = "dsir"): DataFrame =
+      ratio: DataFrame, salt: String = "dsir"): DataFrame = {
+    val buckets = ratio.count().toInt
+    require(buckets > 0, "ratio table is empty — not a fitRatio output")
     weightsFromBuckets(
       featureBuckets(docs, idCol, textCol, buckets, salt),
       docs.select(col(idCol).as("doc_id")), ratio)
+  }
 
   /** Per-document importance log-weight of every `raw` document against
     * the `target` corpus: (doc_id, n_feats, logw), logw = sum over the

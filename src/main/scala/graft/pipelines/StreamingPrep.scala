@@ -54,7 +54,6 @@ object StreamingPrep {
       maxDupGramFrac: Double = 1.0,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirBuckets: Int = 1024,
       dsirSalt: String = "dsir"): DataFrame = {
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
@@ -93,7 +92,7 @@ object StreamingPrep {
       val gateIn = graft.io.Spill(deduped, "graft-sprep-dsir-")
       val keep = graft.operators.Dsir.scoreAgainstRatio(
           gateIn.select(col(idCol), col(textCol)), idCol, textCol,
-          r, dsirBuckets, dsirSalt)
+          r, dsirSalt)
         .where(col("logw") >= minDsirLogw)
         .select(col("doc_id").as(idCol))
       gateIn.join(keep, Seq(idCol), "left_semi")
@@ -114,7 +113,6 @@ object StreamingPrep {
       maxDupGramFrac: Double = 1.0,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirBuckets: Int = 1024,
       dsirSalt: String = "dsir"): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -126,7 +124,7 @@ object StreamingPrep {
           processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
-              dsirRatio, minDsirLogw, dsirBuckets, dsirSalt)
+              dsirRatio, minDsirLogw, dsirSalt)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         }
         ()

@@ -263,21 +263,34 @@ object TrainingData {
       maxDupGramFrac: Double, langModel: Option[DataFrame],
       langModelCharGrams: Option[(Int, Int)],
       spillFn: DataFrame => DataFrame): DataFrame = {
-    val gatedPlan0 = docs
+    // the repetition gate's per-row bigram hashmap only runs when the
+    // gate can actually drop something: at the disabled default (1.0)
+    // the predicate is a tautology (1 - distinct/n <= 1 always), but
+    // Catalyst cannot eliminate the repetition_stats call behind it,
+    // so every document would pay dead per-row work
+    val repEnabled = maxDupGramFrac < 1.0
+    val repCol =
+      if (repEnabled)
+        Seq(graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
+      else Nil
+    val scored = docs
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))
       .where(size(col("w")) > 0)
-      .select(col(idCol), col(textCol), col("lang_pred"), col("w"),
+      .select(Seq(col(idCol), col(textCol), col("lang_pred"), col("w"),
         size(col("w")).cast("long").as("n_words"),
-        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"),
-        graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
+        TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
+        ++ repCol: _*)
       .where((if (langModel.isDefined) lit(true)
         else col("lang_pred") === lang) && col("quality") >= minQuality)
-      .where(col("__r.n_grams") === 0 ||
-        (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
-          <= maxDupGramFrac)
-      .drop("__r")
+    val gatedPlan0 =
+      if (repEnabled) scored
+        .where(col("__r.n_grams") === 0 ||
+          (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
+            <= maxDupGramFrac)
+        .drop("__r")
+      else scored
     langModel.fold(gatedPlan0.drop("w")) { m =>
       val gateIn = spillFn(gatedPlan0)
       val nbToks = langModelCharGrams.fold(col("w")) { case (minN, maxN) =>
