@@ -1130,6 +1130,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the same NB fit+classify over HASHED word features — the fastText
+    // hashing trick: the model table is bounded at labels x buckets rows
+    // no matter the corpus vocabulary, so the classify broadcast stays
+    // fixed-size at any corpus scale (raw word features grow with web
+    // vocabulary). Same plan; only the token fold differs
+    "q132_nb_hashed" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.operators.NaiveBayes.hashedTokens(
+          graft.functions.TextFunctions.words(col("text")), 512, "nbh")
+          .as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nbh-")
+      graft.operators.NaiveBayes.classify(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // the same NB fit+classify over CHAR 2-4-GRAM features — the
     // fastText-posture language-ID tokenizer: char grams don't fragment
     // on short/low-resource text the way word unigrams do. Same
@@ -2117,6 +2134,28 @@ object SparkEntry {
            SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\W+'),
                w -> w <> '') AS w
+           FROM documents WHERE doc_id % 2 = 1)"""),
+
+    // q123's fit+classify with the md5 bucket fold (512 buckets, salt
+    // 'nbh') applied to the word list in BOTH halves
+    "q132_nb_hashed" -> nbClassifyOracle(
+      """tr AS (
+           SELECT doc_id, lang,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\W+'),
+                 w -> w <> ''),
+               t -> CAST(CAST(floor(
+                 CAST(('0x' || substr(md5(t || 'nbh'), 1, 8)) AS UBIGINT)
+                   / 4294967296.0 * 512) AS INTEGER) AS VARCHAR)) AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         te AS (
+           SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\W+'),
+                 w -> w <> ''),
+               t -> CAST(CAST(floor(
+                 CAST(('0x' || substr(md5(t || 'nbh'), 1, 8)) AS UBIGINT)
+                   / 4294967296.0 * 512) AS INTEGER) AS VARCHAR)) AS w
            FROM documents WHERE doc_id % 2 = 1)"""),
 
     // q123's fit+classify with the char 2-4-gram tokenizer CTE swapped

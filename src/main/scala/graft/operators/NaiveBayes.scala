@@ -34,6 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
+  /** Fold a token array into `buckets` hash-bucket ids (as strings) —
+    * the fastText hashing trick applied to the NB feature space: with
+    * raw word features the (label, token) model table grows with corpus
+    * VOCABULARY (unbounded on web-scale text — a 100 TB crawl's model
+    * would outgrow the classify broadcast), while hashed features bound
+    * it at label-count × `buckets` rows no matter the corpus. Collisions
+    * merge token statistics (the standard accuracy-for-boundedness
+    * trade; more buckets = fewer collisions). Same md5 unit hash as the
+    * DSIR features ([[Sampling.unitHash]]), so external engines replay
+    * bucket membership exactly. Apply the SAME buckets+salt at train and
+    * classify time — the model table cannot reveal a mismatch.
+    */
+  def hashedTokens(toks: org.apache.spark.sql.Column, buckets: Int,
+      salt: String = "nbh"): org.apache.spark.sql.Column = {
+    require(buckets > 0, "buckets must be positive")
+    transform(toks, t =>
+      floor(Sampling.unitHash(t, salt) * buckets).cast("int").cast("string"))
+  }
+
   /** Fit on `(labelCol, tokensCol)` rows; Laplace smoothing `alpha`.
     *
     * Returns the model table, kind ∈:

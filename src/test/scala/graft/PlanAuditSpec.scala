@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q114_semantic_decontam", "q123_nb_classify", "q125_lm_backoff",
     "q127_nb_chargram", "q128_ppl_mix",
     // q130/q131: the DSIR feature-mass totals roll up to one-row frames
-    "q130_dsir_weights", "q131_dsir_select")
+    "q130_dsir_weights", "q131_dsir_select",
+    // q132: q123's classify shape (L-row label broadcast)
+    "q132_nb_hashed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -170,7 +172,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q130_dsir_weights" -> 14,
     // q130's scoring plan ending in Gumbel TakeOrdered instead of the
     // full-frame sort, + the k-bounded rank window
-    "q131_dsir_select" -> 13)
+    "q131_dsir_select" -> 13,
+    // q123's scoring plan over the md5-bucket-folded tokens (the fold is
+    // a map-side transform, adding no exchange to q123's 8)
+    "q132_nb_hashed" -> 8)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

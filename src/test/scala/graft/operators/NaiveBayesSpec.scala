@@ -220,4 +220,49 @@ class NaiveBayesSpec extends AnyFunSuite with Matchers with SparkSpec {
     n shouldBe 50L
     withClue(s"char-gram accuracy $hit/$n: ") { hit shouldBe n }
   }
+  test("hashedTokens bounds the model table and matches a manual md5 fold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Seq("alpha", "beta", "alpha")),
+      (2L, "b", Seq("gamma", "delta"))).toDF("id", "label", "toks")
+    val hashed = docs.select(col("id"), col("label"),
+      NaiveBayes.hashedTokens(col("toks"), 8, "s").as("toks"))
+    // manual fold: first 8 md5 hex chars of token+salt as u32 / 2^32 * 8
+    def bucket(t: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((t + "s").getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      math.floor(java.lang.Long.parseLong(hex, 16).toDouble
+        / 4294967296.0 * 8).toInt.toString
+    }
+    val got = hashed.orderBy("id").as[(Long, String, Seq[String])].collect()
+    got(0)._3 shouldBe Seq("alpha", "beta", "alpha").map(bucket)
+    got(1)._3 shouldBe Seq("gamma", "delta").map(bucket)
+    // model bounded at labels x buckets conds (+ 2 rows per label)
+    val model = NaiveBayes.train(hashed, "label", "toks")
+    model.where(col("kind") === "cond").count() should be <= (2L * 8L)
+  }
+
+  test("hashed features keep separable-corpus accuracy when buckets are ample") {
+    import spark.implicits._
+    def doc(id: Long): (Long, String, Seq[String]) = {
+      val label = (id % 3).toInt
+      val own = (0 until 12).map(i => s"w${label}_${(id * 7 + i * 3) % 15}")
+      val shared = (0 until 4).map(i => s"s${(id * 11 + i) % 9}")
+      (id, s"c$label", own ++ shared)
+    }
+    val all = (0L until 300L).map(doc).toDF("id", "label", "toks")
+      .select(col("id"), col("label"),
+        NaiveBayes.hashedTokens(col("toks"), 4096, "h").as("toks"))
+    val model = NaiveBayes.train(all.where(col("id") % 3 =!= 1
+      || col("id") % 2 === 0), "label", "toks")
+    val test = all.where(col("id") % 3 === 1 && col("id") % 2 === 1)
+    val scored = NaiveBayes.classify(test, "id", "toks", model)
+      .join(test.select(col("id"), col("label").as("truth")), Seq("id"))
+    val (hit, n) = (scored.where(col("label") === col("truth")).count(),
+      scored.count())
+    n should be > 40L
+    val acc = hit.toDouble / n
+    withClue(s"hashed accuracy $acc ($hit/$n): ") { acc should be >= 0.95 }
+  }
 }
