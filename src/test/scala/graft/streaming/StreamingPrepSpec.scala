@@ -137,6 +137,58 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     ungated shouldBe Set(31L, 32L)
   }
 
+  test("the NB and DSIR gates compose: each drops exactly its own offender") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.charGrams
+    val prefix = goodDoc("")
+    val nbTrain = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", prefix + "joins windows rows groups")
+      else (i.toLong, "xx", prefix + "zork blar quux flib")
+    }.toDF("id", "label", "text")
+      .select(col("id"), col("label"), charGrams(col("text")).as("g"))
+    val nbModel = graft.operators.NaiveBayes.train(nbTrain, "label", "g")
+    // the DSIR offender (43) must look ENGLISH to the char-gram NB gate
+    // (morphological variants of the en training words) while its WORD
+    // uni+bigrams are reference-only — so NB keeps it and only DSIR can
+    // drop it; the NB offender (42) carries the xx vocabulary
+    val refOnly = "joining windowing rowing grouping joining windowing here"
+    val ratio = graft.operators.Dsir.fitRatio(
+      Seq(200L -> goodDoc("with joins and windows over rows and groups here"),
+        201L -> goodDoc(refOnly)).toDF("doc_id", "text"),
+      Seq(100L -> goodDoc("with joins and windows and groups and rows here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 1024)
+
+    val batch = Seq(
+      41L -> goodDoc("with joins and windows over rows and groups here"),
+      42L -> goodDoc("with zork and blar over quux and flib and zork here"), // xx vocab -> NB drop
+      43L -> goodDoc(refOnly)) // reference-only words -> DSIR drop
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-sprep-both").toString
+    // the floor is corpus-calibrated, as in practice (a tiny 1-doc
+    // target makes every weight negative — smoothing asymmetry): derive
+    // the operating point from the observed weights, strictly between
+    // the reference-only doc and the target-adjacent ones
+    val w = graft.operators.Dsir.scoreAgainstRatio(batch, "doc_id", "text", ratio)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w(43L) should be < math.min(w(41L), w(42L))
+    val floor = (w(43L) + math.min(w(41L), w(42L))) / 2
+
+    val survivors = StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables", batchId = "e0",
+        nbModel = Some(nbModel), nbCharGrams = Some((2, 4)),
+        dsirRatio = Some(ratio), minDsirLogw = floor)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(41L)
+    // the NB gate alone keeps 43 — proof the composed run's 43 drop
+    // came from DSIR, and 42's from NB
+    val nbOnly = StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables2", batchId = "e0",
+        nbModel = Some(nbModel), nbCharGrams = Some((2, 4)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    nbOnly shouldBe Set(41L, 43L)
+  }
+
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-sprep-replay").toString
