@@ -590,7 +590,7 @@ object Similarity {
     * (lowest) cell like MLlib's findClosest.
     */
   def ivfCell(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = array(centroids.map { c =>
+    val scores = array(centroids.toIndexedSeq.map { c =>
       val cNorm = math.sqrt(c.map(x => x * x).sum)
       lit(cNorm * cNorm) - lit(2.0 * cNorm) * cosine_sim(emb, lit(c))
     }: _*)
