@@ -17,8 +17,12 @@ import graft.operators.Dedup
   * then cross-run near-dup removal
   * ([[Dedup.incrementalMinhashLsh]] — the batch pairs against itself AND
   * every previously accepted epoch's signatures), and optionally the
-  * DSIR target-likeness floor against a fixed persisted ratio table
-  * ([[graft.operators.Dsir.scoreAgainstRatio]]).
+  * fixed-model gates: trigram-LM perplexity
+  * ([[graft.operators.NgramLm.scoreBitsTrigram]]) and the DSIR
+  * target-likeness floor against a fixed persisted ratio table
+  * ([[graft.operators.Dsir.scoreAgainstRatio]]) — every model gate the
+  * batch pipeline offers, each against a model fitted ONCE (per-epoch
+  * refits would make decisions depend on arrival batching).
   *
   * EPOCH ≡ UNION: processing epochs one at a time produces exactly the
   * survivors of one call over the union of all epochs (spec-pinned in
@@ -52,6 +56,8 @@ object StreamingPrep {
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
       maxDupGramFrac: Double = 1.0,
+      lmModel: Option[(DataFrame, DataFrame)] = None,
+      maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
       dsirSalt: String = "dsir"): DataFrame = {
@@ -78,9 +84,22 @@ object StreamingPrep {
       gated.select(col(idCol), col(textCol)), idCol, textCol,
       s"$tablesDir/sigs", k = minhashK,
       minEstJaccard = nearDupThreshold, batchId = batchId)
-    val deduped = gated.join(
+    val deduped0 = gated.join(
       pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+    // 4c. optional perplexity gate against a FIXED trigram model
+    // (`lmModel` = (trainTrigram table, vocabSize frame) — the streaming
+    // mirror of TrainingData.clean's stage 4c at lmOrder=3; training per
+    // epoch would break epoch ≡ union, and CCNet's reference-trained
+    // setup is a fixed model anyway). Anti-join against the
+    // OVER-threshold ids so too-short-to-score docs pass through.
+    val deduped = lmModel.fold(deduped0) { case (model, vocab) =>
+      val tooSurprising = graft.operators.NgramLm.scoreBitsTrigram(
+          deduped0, idCol, textCol, model, vocab)
+        .where(col("bits") > maxLmBits)
+        .select(col("doc_id").as(idCol))
+      deduped0.join(tooSurprising, Seq(idCol), "left_anti")
+    }
     // 5. optional DSIR target-likeness floor against a FIXED persisted
     // ratio table ([[graft.operators.Dsir.fitRatio]] — fitting per epoch
     // would make per-doc decisions depend on arrival batching, breaking
@@ -111,6 +130,8 @@ object StreamingPrep {
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
       maxDupGramFrac: Double = 1.0,
+      lmModel: Option[(DataFrame, DataFrame)] = None,
+      maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
       dsirSalt: String = "dsir"): StreamingQuery =
@@ -119,12 +140,12 @@ object StreamingPrep {
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         // scoped, NOT releaseAll: the epoch's internal spills die at
         // batch end, while Spill-persisted frames the CALLER passed in
-        // (nbModel, dsirRatio) must survive into the next epoch
+        // (nbModel, lmModel, dsirRatio) must survive into the next epoch
         graft.io.Spill.scoped {
           processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
-              dsirRatio, minDsirLogw, dsirSalt)
+              lmModel, maxLmBits, dsirRatio, minDsirLogw, dsirSalt)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         }
         ()

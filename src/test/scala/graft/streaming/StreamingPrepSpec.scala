@@ -189,6 +189,39 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     nbOnly shouldBe Set(41L, 43L)
   }
 
+  test("the fixed trigram-LM perplexity gate slots into the streaming pipeline") {
+    import spark.implicits._
+    // reference-trained model (the CCNet fixed-model posture); the
+    // outlier's trigrams occur nowhere in the reference. Threshold
+    // derived from the measured scores, pinning the ordering the gate
+    // relies on rather than a magic constant.
+    val reference = (1L to 10L).map(i =>
+      (i, goodDoc("with joins and windows over rows and groups here")))
+      .toDF("doc_id", "text")
+    val model = graft.operators.NgramLm.trainTrigram(reference, "text")
+    val vocab = graft.operators.NgramLm.vocabSize(reference, "text")
+    val batch = Seq(
+      51L -> goodDoc("with joins and windows over rows and groups here"),
+      52L -> goodDoc("zq xv qj vx jz xq zj vq qx jv zx vj qz xj"))
+      .toDF("doc_id", "text")
+    val bits = graft.operators.NgramLm.scoreBitsTrigram(
+        batch, "doc_id", "text", model, vocab)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    bits(52L) should be > bits(51L)
+    val thr = (bits(51L) + bits(52L)) / 2
+
+    val work = java.nio.file.Files.createTempDirectory("graft-sprep-lm").toString
+    val gated = StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables", batchId = "e0",
+        lmModel = Some((model, vocab)), maxLmBits = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated shouldBe Set(51L)
+    // without the gate both survive — the drop IS the LM decision
+    StreamingPrep.processBatch(batch, "doc_id", "text",
+        s"$work/tables2", batchId = "e0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(51L, 52L)
+  }
+
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-sprep-replay").toString
