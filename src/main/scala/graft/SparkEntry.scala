@@ -1764,6 +1764,16 @@ object SparkEntry {
                 ELSE array_to_string(ls[len(ls)-1:len(ls)], '.') END AS domain
          FROM (SELECT *, string_split(host, '.') AS ls FROM h))"""
 
+  /** DuckDB md5 unit-hash bucket fold of a SQL expression — the SQL twin
+    * of `floor(Sampling.unitHash(x, salt) * buckets)` cast to INTEGER,
+    * shared by every bucket-folding oracle (q116 shards, q130 DSIR
+    * features, q132 hashed NB features) so the fold arithmetic cannot
+    * drift between oracles or between a tr/te CTE pair.
+    */
+  private def md5BucketSql(expr: String, salt: String, buckets: Int): String =
+    s"CAST(floor(CAST(('0x' || substr(md5($expr || '$salt'), 1, 8)) " +
+      s"AS UBIGINT) / 4294967296.0 * $buckets) AS INTEGER)"
+
   /** DSIR weight CTEs shared by q130 and q131: hashed-n-gram features
     * (unigrams + space-joined bigrams, the q98 tokenizer), md5 unit-hash
     * bucket fold (salt 'dsir', 256 buckets), add-one-smoothed target/raw
@@ -1771,9 +1781,9 @@ object SparkEntry {
     * Ends in a `w(doc_id, n_feats, logw)` CTE over all raw docs.
     */
   private def dsirWeightCtes: String =
-    """toks AS (
+    s"""toks AS (
            SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+             list_filter(string_split_regex(lower(text), '\\W+'), w -> w <> '') AS ws
            FROM documents),
          feats AS (
            SELECT doc_id, unnest(ws) AS feat FROM toks
@@ -1782,9 +1792,7 @@ object SparkEntry {
            FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
                  FROM toks WHERE len(ws) >= 2)),
          fb AS (
-           SELECT doc_id, CAST(floor(
-             CAST(('0x' || substr(md5(feat || 'dsir'), 1, 8)) AS UBIGINT)
-               / 4294967296.0 * 256) AS INTEGER) AS bucket
+           SELECT doc_id, ${md5BucketSql("feat", "dsir", 256)} AS bucket
            FROM feats),
          tb AS (SELECT bucket, count(*) AS ct FROM fb
                 WHERE doc_id % 7 = 0 GROUP BY 1),
@@ -2095,9 +2103,7 @@ object SparkEntry {
     "q113_simhash_incr" -> q113Oracle,
 
     "q116_shard_plan" ->
-      """SELECT CAST(floor(
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ex'), 1, 8))
-               AS UBIGINT) / 4294967296.0 * 8) AS INTEGER) AS shard,
+      s"""SELECT ${md5BucketSql("CAST(doc_id AS VARCHAR)", "ex", 8)} AS shard,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars,
            min(doc_id) AS min_id
@@ -2139,23 +2145,19 @@ object SparkEntry {
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves
     "q132_nb_hashed" -> nbClassifyOracle(
-      """tr AS (
+      s"""tr AS (
            SELECT doc_id, lang,
              list_transform(
-               list_filter(string_split_regex(lower(text), '\W+'),
+               list_filter(string_split_regex(lower(text), '\\W+'),
                  w -> w <> ''),
-               t -> CAST(CAST(floor(
-                 CAST(('0x' || substr(md5(t || 'nbh'), 1, 8)) AS UBIGINT)
-                   / 4294967296.0 * 512) AS INTEGER) AS VARCHAR)) AS w
+               t -> CAST(${md5BucketSql("t", "nbh", 512)} AS VARCHAR)) AS w
            FROM documents WHERE doc_id % 2 = 0),
          te AS (
            SELECT doc_id,
              list_transform(
-               list_filter(string_split_regex(lower(text), '\W+'),
+               list_filter(string_split_regex(lower(text), '\\W+'),
                  w -> w <> ''),
-               t -> CAST(CAST(floor(
-                 CAST(('0x' || substr(md5(t || 'nbh'), 1, 8)) AS UBIGINT)
-                   / 4294967296.0 * 512) AS INTEGER) AS VARCHAR)) AS w
+               t -> CAST(${md5BucketSql("t", "nbh", 512)} AS VARCHAR)) AS w
            FROM documents WHERE doc_id % 2 = 1)"""),
 
     // q123's fit+classify with the char 2-4-gram tokenizer CTE swapped

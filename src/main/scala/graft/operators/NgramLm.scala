@@ -101,29 +101,64 @@ object NgramLm {
     * round at 6 decimals and the per-doc mean at 4, the cross-engine
     * log determinism pin.
     */
-  def scoreBitsTrigram(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, vocab: DataFrame): DataFrame = {
-    // the FIVE tiers below all derive from `model`; spill it once (the
-    // q123 spilled-model discipline) so the training corpus pass runs
-    // once, not once per tier — the rollups then scan a count table
-    // bounded by distinct-trigram count, never the corpus
-    val m = graft.io.Spill(model, "graft-lm3-")
+  /** The lower-order rollups of a spilled trigram count table:
+    * (ctx2, big, ctx1, uni). Lazy frames — the batch scorer keeps them
+    * in-plan; [[trigramTiers]] spills them for repeated scoring.
+    */
+  private def tierRollups(m: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val ctx2 = m.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2x"))
     val big = m.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("cb"))
     val ctx1 = big.groupBy(col("w2")).agg(sum(col("cb")).as("c1x"))
     val uni = big.groupBy(col("w3")).agg(sum(col("cb")).as("cu"))
-    val mass = uni.agg(sum(col("cu")).as("n"))
+    (ctx2, big, ctx1, uni)
+  }
+
+  /** The precomputed scoring state of a backoff trigram LM: every tier
+    * materialized ONCE. Build this (outside any [[graft.io.Spill.scoped]]
+    * region) when the same fixed model scores many corpora — the
+    * streaming pipeline's per-epoch gate — so neither the training pass
+    * nor the tier rollups re-run per call. [[scoreBitsTrigram]] builds
+    * the identical tiers lazily for one-shot scoring.
+    */
+  final case class TrigramTiers private[NgramLm] (m: DataFrame,
+      ctx2: DataFrame, big: DataFrame, ctx1: DataFrame, uni: DataFrame,
+      vocab: DataFrame)
+
+  /** Materialize [[TrigramTiers]] from a [[trainTrigram]] model and a
+    * [[vocabSize]] frame: the model spills once, each rollup spills once
+    * (all bounded by distinct-n-gram counts, never the corpus), and the
+    * one-row vocab spills so a lazy count-distinct plan doesn't re-scan
+    * its corpus per scoring call.
+    */
+  def trigramTiers(model: DataFrame, vocab: DataFrame): TrigramTiers = {
+    val m = graft.io.Spill(model, "graft-lm3-")
+    val (ctx2, big, ctx1, uni) = tierRollups(m)
+    TrigramTiers(m, graft.io.Spill(ctx2, "graft-lm3c2-"),
+      graft.io.Spill(big, "graft-lm3b-"),
+      graft.io.Spill(ctx1, "graft-lm3c1-"),
+      graft.io.Spill(uni, "graft-lm3u-"),
+      graft.io.Spill(vocab, "graft-lm3v-"))
+  }
+
+  /** Score against precomputed [[TrigramTiers]] — THE single copy of the
+    * stupid-backoff arithmetic ([[scoreBitsTrigram]] routes through it
+    * with lazy tiers, so the two entry points cannot diverge).
+    */
+  def scoreBitsTiers(docs: DataFrame, idCol: String, textCol: String,
+      tiers: TrigramTiers): DataFrame = {
+    val mass = tiers.uni.agg(sum(col("cu")).as("n"))
     // λ² as ONE literal: 0.4*0.4 in binary doubles is 0.16000000000000003,
     // not 0.16 — both engines must parse the same literal
     trigrams(docs.select(col(idCol).as("doc_id"), col(textCol)), textCol,
         keep = Seq("doc_id"))
-      .join(m, Seq("w1", "w2", "w3"), "left")
-      .join(ctx2, Seq("w1", "w2"), "left")
-      .join(big, Seq("w2", "w3"), "left")
-      .join(ctx1, Seq("w2"), "left")
-      .join(uni, Seq("w3"), "left")
+      .join(tiers.m, Seq("w1", "w2", "w3"), "left")
+      .join(tiers.ctx2, Seq("w1", "w2"), "left")
+      .join(tiers.big, Seq("w2", "w3"), "left")
+      .join(tiers.ctx1, Seq("w2"), "left")
+      .join(tiers.uni, Seq("w3"), "left")
       .crossJoin(mass) // one row; broadcast by size
-      .crossJoin(vocab) // one row; broadcast by size
+      .crossJoin(tiers.vocab) // one row; broadcast by size
       .select(col("doc_id"),
         round(-log2(
           when(col("c3").isNotNull,
@@ -134,6 +169,19 @@ object NgramLm {
             / (col("n") + col("v")))), 6).as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), round(avg(col("bits")), 4).as("bits"))
+  }
+
+  def scoreBitsTrigram(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, vocab: DataFrame): DataFrame = {
+    // the five tiers all derive from `model`; spill it once (the q123
+    // spilled-model discipline) so the training corpus pass runs once,
+    // not once per tier — the rollups then scan a count table bounded
+    // by distinct-trigram count, never the corpus, and stay LAZY
+    // (in-plan) for this one-shot path
+    val m = graft.io.Spill(model, "graft-lm3-")
+    val (ctx2, big, ctx1, uni) = tierRollups(m)
+    scoreBitsTiers(docs, idCol, textCol,
+      TrigramTiers(m, ctx2, big, ctx1, uni, vocab))
   }
 
   /** Self-scoring convenience: train on `docs`, score `docs`. NOTE the

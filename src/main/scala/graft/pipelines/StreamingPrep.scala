@@ -17,8 +17,8 @@ import graft.operators.Dedup
   * then cross-run near-dup removal
   * ([[Dedup.incrementalMinhashLsh]] — the batch pairs against itself AND
   * every previously accepted epoch's signatures), and optionally the
-  * fixed-model gates: trigram-LM perplexity
-  * ([[graft.operators.NgramLm.scoreBitsTrigram]]) and the DSIR
+  * fixed-model gates: trigram-LM perplexity against precomputed tiers
+  * ([[graft.operators.NgramLm.trigramTiers]]) and the DSIR
   * target-likeness floor against a fixed persisted ratio table
   * ([[graft.operators.Dsir.scoreAgainstRatio]]) — every model gate the
   * batch pipeline offers, each against a model fitted ONCE (per-epoch
@@ -56,7 +56,7 @@ object StreamingPrep {
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
       maxDupGramFrac: Double = 1.0,
-      lmModel: Option[(DataFrame, DataFrame)] = None,
+      lmTiers: Option[graft.operators.NgramLm.TrigramTiers] = None,
       maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
@@ -87,18 +87,22 @@ object StreamingPrep {
     val deduped0 = gated.join(
       pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
-    // 4c. optional perplexity gate against a FIXED trigram model
-    // (`lmModel` = (trainTrigram table, vocabSize frame) — the streaming
-    // mirror of TrainingData.clean's stage 4c at lmOrder=3; training per
-    // epoch would break epoch ≡ union, and CCNet's reference-trained
-    // setup is a fixed model anyway). Anti-join against the
-    // OVER-threshold ids so too-short-to-score docs pass through.
-    val deduped = lmModel.fold(deduped0) { case (model, vocab) =>
-      val tooSurprising = graft.operators.NgramLm.scoreBitsTrigram(
-          deduped0, idCol, textCol, model, vocab)
+    // 4c. optional perplexity gate against FIXED precomputed trigram
+    // tiers (`NgramLm.trigramTiers`, built ONCE by the caller OUTSIDE
+    // any Spill.scoped region — the streaming mirror of
+    // TrainingData.clean's stage 4c at lmOrder=3; training or tier
+    // rollups per epoch would re-run model-sized work every micro-batch,
+    // and per-epoch training would break epoch ≡ union). The survivor
+    // frame feeds the scoring pass and the anti-join's left side, so it
+    // spills before the fork. Anti-join against the OVER-threshold ids
+    // so too-short-to-score docs pass through.
+    val deduped = lmTiers.fold(deduped0) { tiers =>
+      val gateIn = graft.io.Spill(deduped0, "graft-sprep-lm-")
+      val tooSurprising = graft.operators.NgramLm.scoreBitsTiers(
+          gateIn, idCol, textCol, tiers)
         .where(col("bits") > maxLmBits)
         .select(col("doc_id").as(idCol))
-      deduped0.join(tooSurprising, Seq(idCol), "left_anti")
+      gateIn.join(tooSurprising, Seq(idCol), "left_anti")
     }
     // 5. optional DSIR target-likeness floor against a FIXED persisted
     // ratio table ([[graft.operators.Dsir.fitRatio]] — fitting per epoch
@@ -130,7 +134,7 @@ object StreamingPrep {
       nbModel: Option[DataFrame] = None,
       nbCharGrams: Option[(Int, Int)] = None,
       maxDupGramFrac: Double = 1.0,
-      lmModel: Option[(DataFrame, DataFrame)] = None,
+      lmTiers: Option[graft.operators.NgramLm.TrigramTiers] = None,
       maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
@@ -140,12 +144,12 @@ object StreamingPrep {
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         // scoped, NOT releaseAll: the epoch's internal spills die at
         // batch end, while Spill-persisted frames the CALLER passed in
-        // (nbModel, lmModel, dsirRatio) must survive into the next epoch
+        // (nbModel, lmTiers, dsirRatio) must survive into the next epoch
         graft.io.Spill.scoped {
           processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
-              lmModel, maxLmBits, dsirRatio, minDsirLogw, dsirSalt)
+              lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         }
         ()

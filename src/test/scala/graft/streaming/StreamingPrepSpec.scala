@@ -198,14 +198,16 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     val reference = (1L to 10L).map(i =>
       (i, goodDoc("with joins and windows over rows and groups here")))
       .toDF("doc_id", "text")
-    val model = graft.operators.NgramLm.trainTrigram(reference, "text")
-    val vocab = graft.operators.NgramLm.vocabSize(reference, "text")
+    // tiers materialized ONCE (the fixed-model posture the gate requires)
+    val tiers = graft.operators.NgramLm.trigramTiers(
+      graft.operators.NgramLm.trainTrigram(reference, "text"),
+      graft.operators.NgramLm.vocabSize(reference, "text"))
     val batch = Seq(
       51L -> goodDoc("with joins and windows over rows and groups here"),
       52L -> goodDoc("zq xv qj vx jz xq zj vq qx jv zx vj qz xj"))
       .toDF("doc_id", "text")
-    val bits = graft.operators.NgramLm.scoreBitsTrigram(
-        batch, "doc_id", "text", model, vocab)
+    val bits = graft.operators.NgramLm.scoreBitsTiers(
+        batch, "doc_id", "text", tiers)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     bits(52L) should be > bits(51L)
     val thr = (bits(51L) + bits(52L)) / 2
@@ -213,13 +215,33 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     val work = java.nio.file.Files.createTempDirectory("graft-sprep-lm").toString
     val gated = StreamingPrep.processBatch(batch, "doc_id", "text",
         s"$work/tables", batchId = "e0",
-        lmModel = Some((model, vocab)), maxLmBits = thr)
+        lmTiers = Some(tiers), maxLmBits = thr)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     gated shouldBe Set(51L)
     // without the gate both survive — the drop IS the LM decision
     StreamingPrep.processBatch(batch, "doc_id", "text",
         s"$work/tables2", batchId = "e0")
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(51L, 52L)
+
+    // EPOCH ≡ UNION holds under the gate (fixed tiers make it per-doc
+    // deterministic): two single-doc epochs against fresh state produce
+    // exactly the union run's survivors
+    def half(ids: Long*) = batch.where(col("doc_id").isin(ids: _*))
+    val e0 = StreamingPrep.processBatch(half(51L), "doc_id", "text",
+        s"$work/tables3", batchId = "e0",
+        lmTiers = Some(tiers), maxLmBits = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = StreamingPrep.processBatch(half(52L), "doc_id", "text",
+        s"$work/tables3", batchId = "e1",
+        lmTiers = Some(tiers), maxLmBits = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (e0 ++ e1) shouldBe gated
+    // and a replayed epoch recomputes identically (retry safety with the
+    // gate on — the scoring pass reads fixed tiers, not per-epoch state)
+    StreamingPrep.processBatch(half(51L), "doc_id", "text",
+        s"$work/tables3", batchId = "e0",
+        lmTiers = Some(tiers), maxLmBits = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe e0
   }
 
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
