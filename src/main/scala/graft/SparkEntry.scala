@@ -1323,6 +1323,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // hard-negative mining (contrastive training data): for each anchor
+    // (the q95 probe split), the exact top-5 most-similar corpus vectors
+    // with a DIFFERENT label — near-but-wrong examples; anchors
+    // broadcast, the corpus scan stays map-only, the exchange carries
+    // <= k pairs per anchor per map task
+    "q133_hard_negatives" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+          embs.where(col("vec_id") % 50 =!= 0),
+          embs.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -2510,6 +2524,24 @@ object SparkEntry {
     "q29_simhash" -> q29Oracle,
     "q32_ann_lsh" -> q32Oracle,
     "q95_batch_ann" -> q95Oracle,
+
+    // q95's rank/tiebreak conventions over the exact label-mismatch
+    // cosine sweep (anchors = the % 50 probe split)
+    "q133_hard_negatives" ->
+      """WITH pairs AS (
+           SELECT p.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(p.embedding AS DOUBLE[])), 4) AS sim
+           FROM embeddings c JOIN embeddings p
+             ON p.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+               AND c.label <> p.label),
+         ranked AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+           FROM pairs)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",

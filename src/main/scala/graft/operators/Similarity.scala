@@ -41,6 +41,41 @@ object Similarity {
         round(cosine_sim(col("__cv"), col("__pv")), 4).as("sim"))
       .where(col("sim") >= threshold)
 
+  /** Hard-negative mining for contrastive / retrieval training data:
+    * for each probe (anchor) vector, the exact top-k most-similar CORPUS
+    * vectors carrying a DIFFERENT label — the near-but-wrong examples a
+    * contrastive objective needs (easy random negatives teach nothing;
+    * same-label neighbors are positives, not negatives). Returns
+    * (query_id, rank, idCol), rank 1..k by 4-decimal-rounded cosine with
+    * the ascending-id tiebreak (the q95 determinism contract).
+    *
+    * Shape at 100 TB: the probe batch BROADCASTS (anchors are
+    * training-batch-sized by nature) so the corpus scan stays map-only —
+    * one codegen'd cosine per (corpus row, probe) under the label
+    * mismatch filter, then the bounded
+    * [[graft.functions.TopKAggregator]] per probe: the only exchange
+    * carries at most k (score, id) pairs per probe per map task. Exact
+    * by design; at extreme probe counts generate candidates with
+    * [[batchLshTopK]]'s bucket join and label-filter those instead.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k))
+    corpus.select(col(idCol), col(embCol).as("__cv"), col(labelCol).as("__cl"))
+      .join(broadcast(probes.select(col(idCol).as("query_id"),
+          col(embCol).as("__qv"), col(labelCol).as("__ql"))),
+        col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col(idCol),
+        round(cosine_sim(col("__cv"), col("__qv")), 4).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col(idCol)).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank", idCol)))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1]). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 11L): Array[Array[Double]] =
     graft.functions.HashFamilies.hyperplanes(nPlanes, dim, seed)

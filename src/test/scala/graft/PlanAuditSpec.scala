@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q130/q131: the DSIR feature-mass totals roll up to one-row frames
     "q130_dsir_weights", "q131_dsir_select",
     // q132: q123's classify shape (L-row label broadcast)
-    "q132_nb_hashed")
+    "q132_nb_hashed",
+    // q133: anchors broadcast against the corpus scan (the q114 posture)
+    "q133_hard_negatives")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -175,7 +177,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q131_dsir_select" -> 13,
     // q123's scoring plan over the md5-bucket-folded tokens (the fold is
     // a map-side transform, adding no exchange to q123's 8)
-    "q132_nb_hashed" -> 8)
+    "q132_nb_hashed" -> 8,
+    // anchor BroadcastExchange + bounded per-anchor topk agg pair +
+    // final sort — the corpus side never shuffles
+    "q133_hard_negatives" -> 3)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

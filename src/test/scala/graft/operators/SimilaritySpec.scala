@@ -295,4 +295,39 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     flagged.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 100L), (3L, 100L))
     flagged.find(_._1 == 1L).get._3 shouldBe 1.0
   }
+  test("hardNegatives: exact label-excluded top-k vs a driver-side sweep") {
+    val k = 5
+    val probes = embs.where(col("vec_id") % 50 === 0)
+    val corpus = embs.where(col("vec_id") % 50 =!= 0)
+    val got = Similarity.hardNegatives(corpus, probes,
+        "vec_id", "embedding", "label", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // driver-side brute force over the small fixture
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding"), col("label"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.get(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val c = rows(corpus)
+    val expected = rows(probes).flatMap { case (qid, qv, ql) =>
+      c.filter(_._3 != ql)
+        .map { case (id, v, _) =>
+          (id, BigDecimal(cos(v, qv)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, _), r) => (qid, (r + 1).toLong, id) }
+    }.toSet
+    got.toSet shouldBe expected
+
+    // no same-label id ever surfaces
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    got.foreach { case (qid, _, id) => labels(id) should not be labels(qid) }
+  }
 }
