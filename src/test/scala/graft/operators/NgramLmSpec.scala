@@ -86,4 +86,25 @@ class NgramLmSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     out(1L) should be < out(99L)
   }
+  test("precomputed tiers score identically to the one-shot path") {
+    import spark.implicits._
+    // the streaming gate's central invariant: trigramTiers materializes
+    // what scoreBitsTrigram derives lazily, through ONE shared scoring
+    // implementation — the two entry points must agree exactly
+    val docs = Seq((1L, "a b c z b c a"), (2L, "a b c a b c"),
+      (3L, "c a b c a b z z a")).toDF("doc_id", "text")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val oneShot = NgramLm.scoreBitsTrigram(docs, "doc_id", "text",
+        NgramLm.trainTrigram(ref, "text"), NgramLm.vocabSize(ref, "text"))
+      .orderBy("doc_id").collect().toSeq
+    val tiers = NgramLm.trigramTiers(
+      NgramLm.trainTrigram(ref, "text"), NgramLm.vocabSize(ref, "text"))
+    val viaTiers = NgramLm.scoreBitsTiers(docs, "doc_id", "text", tiers)
+      .orderBy("doc_id").collect().toSeq
+    viaTiers shouldBe oneShot
+    // tiers are MATERIALIZED: scoring plans scan parquet, they do not
+    // re-aggregate the model (no hash aggregate over the count table in
+    // the scoring plan's tier subtrees)
+    tiers.uni.inputFiles should not be empty
+  }
 }
