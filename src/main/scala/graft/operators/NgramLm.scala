@@ -101,17 +101,26 @@ object NgramLm {
     * round at 6 decimals and the per-doc mean at 4, the cross-engine
     * log determinism pin.
     */
+  // ONE definition per tier rollup — the lazy one-shot path and the
+  // materialized tiers build both use these, so the rollup arithmetic
+  // cannot fork between them
+  private def ctx2Of(m: DataFrame): DataFrame =
+    m.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2x"))
+  private def bigOf(m: DataFrame): DataFrame =
+    m.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("cb"))
+  private def ctx1Of(big: DataFrame): DataFrame =
+    big.groupBy(col("w2")).agg(sum(col("cb")).as("c1x"))
+  private def uniOf(big: DataFrame): DataFrame =
+    big.groupBy(col("w3")).agg(sum(col("cb")).as("cu"))
+
   /** The lower-order rollups of a spilled trigram count table:
     * (ctx2, big, ctx1, uni). Lazy frames — the batch scorer keeps them
     * in-plan; [[trigramTiers]] spills them for repeated scoring.
     */
   private def tierRollups(m: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val ctx2 = m.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2x"))
-    val big = m.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("cb"))
-    val ctx1 = big.groupBy(col("w2")).agg(sum(col("cb")).as("c1x"))
-    val uni = big.groupBy(col("w3")).agg(sum(col("cb")).as("cu"))
-    (ctx2, big, ctx1, uni)
+    val big = bigOf(m)
+    (ctx2Of(m), big, ctx1Of(big), uniOf(big))
   }
 
   /** The precomputed scoring state of a backoff trigram LM: every tier
@@ -133,11 +142,13 @@ object NgramLm {
     */
   def trigramTiers(model: DataFrame, vocab: DataFrame): TrigramTiers = {
     val m = graft.io.Spill(model, "graft-lm3-")
-    val (ctx2, big, ctx1, uni) = tierRollups(m)
-    TrigramTiers(m, graft.io.Spill(ctx2, "graft-lm3c2-"),
-      graft.io.Spill(big, "graft-lm3b-"),
-      graft.io.Spill(ctx1, "graft-lm3c1-"),
-      graft.io.Spill(uni, "graft-lm3u-"),
+    // big spills BEFORE ctx1/uni roll up from it: deriving all three
+    // from the lazy rollup would re-run the (w2, w3) aggregation over
+    // the model table three times at build
+    val big = graft.io.Spill(bigOf(m), "graft-lm3b-")
+    TrigramTiers(m, graft.io.Spill(ctx2Of(m), "graft-lm3c2-"), big,
+      graft.io.Spill(ctx1Of(big), "graft-lm3c1-"),
+      graft.io.Spill(uniOf(big), "graft-lm3u-"),
       graft.io.Spill(vocab, "graft-lm3v-"))
   }
 

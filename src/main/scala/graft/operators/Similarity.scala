@@ -41,6 +41,25 @@ object Similarity {
         round(cosine_sim(col("__cv"), col("__pv")), 4).as("sim"))
       .where(col("sim") >= threshold)
 
+  /** Shared ranking tail of the batched searchers ([[batchLshTopK]],
+    * [[hardNegatives]]): bounded per-query top-k over a
+    * (query_id, id, sim) pair frame, emitted as (query_id, rank, idCol)
+    * with rank 1..k — THE single home of the q95 determinism contract
+    * (4-decimal-rounded score ordering, ascending-id tiebreak inside
+    * [[graft.functions.TopKAggregator]]), so a tiebreak or rank-shape
+    * change cannot land in one searcher and not the other.
+    */
+  private def rankTopKPerQuery(pairs: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k))
+    pairs.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col(idCol)).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank", idCol)))
+      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
+
   /** Hard-negative mining for contrastive / retrieval training data:
     * for each probe (anchor) vector, the exact top-k most-similar CORPUS
     * vectors carrying a DIFFERENT label — the near-but-wrong examples a
@@ -61,19 +80,14 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
       embCol: String, labelCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val topk = org.apache.spark.sql.functions.udaf(
-      new graft.functions.TopKAggregator(k))
-    corpus.select(col(idCol), col(embCol).as("__cv"), col(labelCol).as("__cl"))
-      .join(broadcast(probes.select(col(idCol).as("query_id"),
-          col(embCol).as("__qv"), col(labelCol).as("__ql"))),
-        col("__cl") =!= col("__ql"))
-      .select(col("query_id"), col(idCol),
-        round(cosine_sim(col("__cv"), col("__qv")), 4).as("sim"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("sim"), col(idCol)).as("ids"))
-      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank", idCol)))
-      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
-        col(idCol))
+    rankTopKPerQuery(
+      corpus.select(col(idCol), col(embCol).as("__cv"), col(labelCol).as("__cl"))
+        .join(broadcast(probes.select(col(idCol).as("query_id"),
+            col(embCol).as("__qv"), col(labelCol).as("__ql"))),
+          col("__cl") =!= col("__ql"))
+        .select(col("query_id"), col(idCol),
+          round(cosine_sim(col("__cv"), col("__qv")), 4).as("sim")),
+      idCol, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG, values in [-1,1]). */
@@ -153,19 +167,14 @@ object Similarity {
     val qp = lshPostings(queries, idCol, embCol, nPlanes, nTables, d, seed)
       .select(col(idCol).as("query_id"), col(embCol).as("qv"),
         col("table"), col("bucket"))
-    val topk = org.apache.spark.sql.functions.udaf(
-      new graft.functions.TopKAggregator(k))
-    cp.join(qp, Seq("table", "bucket"))
-      .where(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol),
-        round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(max(col("sim")).as("sim")) // a pair may match in several tables
-      .groupBy(col("query_id"))
-      .agg(topk(col("sim"), col(idCol)).as("ids"))
-      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank", idCol)))
-      .select(col("query_id"), (col("rank") + 1).cast("long").as("rank"),
-        col(idCol))
+    rankTopKPerQuery(
+      cp.join(qp, Seq("table", "bucket"))
+        .where(col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(cosine_sim(col(embCol), col("qv")), 4).as("sim"))
+        .groupBy(col("query_id"), col(idCol))
+        .agg(max(col("sim")).as("sim")), // a pair may match in several tables
+      idCol, k)
   }
 
   /** Embedding width, inferred from the data when the caller doesn't know

@@ -102,9 +102,9 @@ class NgramLmSpec extends AnyFunSuite with Matchers with SparkSpec {
     val viaTiers = NgramLm.scoreBitsTiers(docs, "doc_id", "text", tiers)
       .orderBy("doc_id").collect().toSeq
     viaTiers shouldBe oneShot
-    // tiers are MATERIALIZED: scoring plans scan parquet, they do not
-    // re-aggregate the model (no hash aggregate over the count table in
-    // the scoring plan's tier subtrees)
-    tiers.uni.inputFiles should not be empty
+    // every tier is MATERIALIZED: scoring plans scan parquet, they do
+    // not re-aggregate the model in any tier subtree
+    Seq(tiers.m, tiers.ctx2, tiers.big, tiers.ctx1, tiers.uni, tiers.vocab)
+      .foreach(_.inputFiles should not be empty)
   }
 }
