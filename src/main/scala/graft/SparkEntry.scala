@@ -1337,6 +1337,49 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // persisted lexical index: seed with even docs, APPEND odd docs
+    // (meta-derived bucket count, summed stats fold), then the same
+    // retrieval as q134 through the partition-pruned posting scan — the
+    // oracle is q134's (identical math over the union); the incremental
+    // build/append/scan machinery is what this row pins
+    "q135_bm25_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      // 16 buckets: the fixture vocabulary is 31 words — the default 64
+      // would mean mostly-empty directories at this scale
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
+            .as("qterms"))
+      graft.operators.LexicalIndex.bm25TopKIndexed(s, dir,
+          queries, "doc_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // batched BM25 top-k retrieval (the lexical twin of q95/q133):
+    // queries = the q95/q133 probe split's first 8 words, top-5 corpus
+    // docs per query in ONE plan — query terms broadcast, corpus tokens
+    // semi-join-pruned before any exchange, integer-micro scores summed
+    // order-invariantly, bounded TopKAggregator ranking tail. The text
+    // repartition parallelizes tokenization over the one-file local
+    // fixture (the q127 note); the % 50 probe split keeps the fixture's
+    // 31-word vocabulary from fanning every query into every doc
+    "q134_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
+            .as("qterms"))
+      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queries, "doc_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // deterministic global shuffle: reproducible training order via a
     // range-partitioned sort on the unit hash — no RNG state, identical
     // permutation cross-engine and cross-run
@@ -1993,6 +2036,53 @@ object SparkEntry {
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
+    * indexed — identical math over the full corpus): tokenize, corpus
+    * stats, tf/df over the query-matching terms, the 6-decimal-rounded
+    * per-term score -> exact integer micros -> order-invariant
+    * per-(query, doc) sum, ranked with the q95 tiebreak.
+    */
+  private def bm25TopKOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           avg(CAST(len(w) AS DOUBLE)) AS avgdl
+         FROM toks),
+       q AS (
+         SELECT doc_id AS query_id, unnest(list_distinct(w[1:8])) AS term
+         FROM toks WHERE doc_id % 50 = 0),
+       corpus AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS doc_len, unnest(w) AS term
+         FROM toks),
+       tf AS (
+         SELECT doc_id, doc_len, term, count(*) AS tf
+         FROM corpus
+         WHERE term IN (SELECT DISTINCT term FROM q)
+         GROUP BY doc_id, doc_len, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       sm AS (
+         SELECT tf.term, tf.doc_id,
+           CAST(round(round(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / stats.avgdl)),
+             6) * 1000000) AS BIGINT) AS sm
+         FROM tf JOIN df USING (term) CROSS JOIN stats),
+       pairs AS (
+         SELECT q.query_id, sm.doc_id, sum(sm.sm) AS m
+         FROM sm JOIN q USING (term)
+         GROUP BY q.query_id, sm.doc_id),
+       ranked AS (
+         SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY m DESC, doc_id) AS rank
+         FROM pairs)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
     * (both engines lowercase, zero-padded).
@@ -2542,6 +2632,16 @@ object SparkEntry {
            FROM pairs)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // replays bm25TopK end-to-end: tokenize, corpus stats, tf/df over
+    // the query-matching terms, the 6-decimal-rounded per-term score ->
+    // exact integer micros -> order-invariant per-(query, doc) sum,
+    // ranked with the q95 tiebreak
+    "q134_bm25_topk" -> bm25TopKOracle,
+    // the indexed path serves IDENTICAL results over the union of its
+    // epochs (shared scoring tail; equality one-shot ≡ indexed is
+    // spec-pinned in LexicalIndexSpec) — same replay
+    "q135_bm25_indexed" -> bm25TopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",

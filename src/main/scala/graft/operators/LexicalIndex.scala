@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+
+/** Persisted inverted (lexical) index — the BM25 member of the persisted
+  * index family ([[Similarity]]'s LSH/IVF/IVF-PQ for embeddings): build a
+  * term-bucket-partitioned posting table once, append new document
+  * batches as they arrive, and serve [[TextAnalysis.bm25TopK]]-identical
+  * batched retrieval against it without re-tokenizing the corpus.
+  *
+  * Reference scope: the scaffold's closest analog is the continuously
+  * maintained interactive-query store
+  * (`/root/reference/services/src/main/java/io/confluent/services/PurchasesService.java:63-78`,
+  * a Kafka Streams state store queried out-of-band); this is the same
+  * build-once/maintain/serve contract for lexical retrieval, re-expressed
+  * as partitioned parquet + Spark plans.
+  *
+  * Layout under `path`:
+  *   - `postings/tb=<bucket>/`: (term, doc_id, doc_len, tf) rows,
+  *     partitioned by the md5 term bucket. Partitioning by RAW term would
+  *     create a directory per vocabulary word (~10^7 at web scale, a
+  *     metadata explosion); `nBuckets` hash buckets bound the layout
+  *     while every posting of one term still lands in exactly ONE
+  *     directory — a query's scan prunes to at most |distinct query-term
+  *     buckets| directories (plan-pinned in the spec).
+  *   - `stats/`: per-batch (n_docs, total_len) DELTA rows; corpus totals
+  *     are their sum (the incremental-dedup summed-compaction fold), so
+  *     an append never rewrites history and the fold is exact integer
+  *     arithmetic.
+  *   - `meta/`: one (n_buckets) row. Append and query derive the bucket
+  *     count from the table instead of trusting a caller argument (the
+  *     round-11 DSIR lesson: a caller-supplied count that disagrees with
+  *     the fitted layout corrupts silently).
+  *
+  * The per-doc tf projection is the exchange-free TokenCounts bag, so
+  * build and append plans are the tokenize scan plus ONE bucket-cluster
+  * exchange into the partitioned sink (see [[clustered]]) — the exchange
+  * carries integer posting rows, never text. Appends must carry only NEW
+  * doc ids (the appendIvfIndex contract); re-appending a doc would double
+  * its postings and stats.
+  */
+object LexicalIndex {
+
+  /** Deterministic term -> partition bucket: md5-prefix integer modulo
+    * `nBuckets` (the [[Sampling.unitHash]] fold family).
+    */
+  private def termBucket(term: Column, nBuckets: Int): Column =
+    (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
+      .cast("int")
+
+  /** Map-only (doc_id, doc_len, term, tf, tb) posting projection. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
+        explode(call_function("token_counts", col("__w"))).as("__tc"))
+      .select(col("doc_id"), col("doc_len"),
+        col("__tc.token").as("term"), col("__tc.n").as("tf"))
+      .withColumn("tb", termBucket(col("term"), nBuckets))
+
+  /** One (n_docs, total_len) delta row for a batch (exact longs; docs
+    * with zero tokens count toward n_docs like the one-shot scorer's N).
+    */
+  private def statsDelta(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(size(words(col(textCol))).cast("long").as("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("l")), lit(0L)).as("total_len"))
+
+  /** Cluster postings on their bucket before the partitioned write:
+    * `partitionBy` alone makes EVERY task open a file in every bucket it
+    * holds terms for (tasks x buckets tiny files — the classic
+    * small-files explosion; measured 7 s of file churn on the local
+    * fixture), while one hash exchange on `tb` gives each bucket
+    * directory one writer. At 100 TB add more writers per bucket by
+    * salting the repartition key, not by skipping it.
+    */
+  private def clustered(p: DataFrame): DataFrame = p.repartition(col("tb"))
+
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    clustered(postings(docs, idCol, textCol, nBuckets))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    statsDelta(docs, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readNBuckets(spark: SparkSession, path: String): Int =
+    try spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" =>
+      throw new IllegalStateException(
+        s"$path is not a lexical index (no meta table) - build it with " +
+          "LexicalIndex.write first", e)
+    }
+
+  /** Append a batch of NEW documents under the index's own bucket count.
+    * Postings append into their term buckets; the stats fold gains one
+    * delta row. Nothing existing is rewritten.
+    */
+  def append(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val nBuckets = readNBuckets(spark, path)
+    clustered(postings(docs, idCol, textCol, nBuckets))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    statsDelta(docs, idCol, textCol)
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Streaming maintenance: each micro-batch of documents [[append]]s
+    * into the index (the maintained-index discipline of the ANN family).
+    * The stats delta is a per-batch aggregate, so the append runs through
+    * foreachBatch rather than a direct file sink.
+    */
+  def maintain(spark: SparkSession, path: String, streamingDocs: DataFrame,
+      idCol: String, textCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        append(spark, path, batch, idCol, textCol))
+      .start()
+
+  /** Batched BM25 top-k against the index —
+    * [[TextAnalysis.bm25TopK]]-identical results (same integer tf/df/len
+    * inputs, same shared scoring tail; exact equality spec-pinned)
+    * without touching corpus text: the scan reads only the query terms'
+    * bucket directories (a pure partition filter — the bucket list is
+    * computed driver-side from the query terms, the
+    * [[Similarity.queryBuckets]] discipline, bounded by `nBuckets`), the
+    * exact term semi-join prunes bucket-mates, and corpus stats fold from
+    * the delta rows. At 100 TB the difference is reading |query-term
+    * buckets| directories of integer postings vs tokenizing the corpus.
+    */
+  def bm25TopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, queryTermsCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nBuckets = readNBuckets(spark, path)
+    val qterms = TextAnalysis.bm25QueryTerms(queries, queryIdCol, queryTermsCol)
+    // bounded driver action: |distinct buckets| <= min(|query terms|, nBuckets)
+    val buckets = qterms
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // glob + basePath read (the readPostings discipline): a streaming
+    // maintainer's _spark_metadata log must not shadow batch-written files
+    val tf = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings/tb=*")
+      .where(col("tb").isin(buckets: _*))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+      .select(col("doc_id"), col("doc_len"), col("term"), col("tf"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+        (sum(col("total_len")).cast("double")
+          / sum(col("n_docs")).cast("double")).as("avgdl"))
+    TextAnalysis.bm25RankTail(tf, stats, qterms, k, k1, b)
+  }
+}

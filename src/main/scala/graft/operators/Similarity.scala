@@ -42,14 +42,16 @@ object Similarity {
       .where(col("sim") >= threshold)
 
   /** Shared ranking tail of the batched searchers ([[batchLshTopK]],
-    * [[hardNegatives]]): bounded per-query top-k over a
-    * (query_id, id, sim) pair frame, emitted as (query_id, rank, idCol)
-    * with rank 1..k — THE single home of the q95 determinism contract
-    * (4-decimal-rounded score ordering, ascending-id tiebreak inside
+    * [[hardNegatives]], [[TextAnalysis.bm25TopK]]): bounded per-query
+    * top-k over a (query_id, id, sim) pair frame, emitted as
+    * (query_id, rank, idCol) with rank 1..k — THE single home of the q95
+    * determinism contract (rounded-score ordering — 4-decimal cosines
+    * for the embedding searchers, exact integer micros for the lexical
+    * one — with the ascending-id tiebreak inside
     * [[graft.functions.TopKAggregator]]), so a tiebreak or rank-shape
     * change cannot land in one searcher and not the other.
     */
-  private def rankTopKPerQuery(pairs: DataFrame, idCol: String,
+  private[operators] def rankTopKPerQuery(pairs: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKAggregator(k))

@@ -164,6 +164,110 @@ object TextAnalysis {
       .agg(sum(col("score")).as("bm25"), count(lit(1)).as("terms_hit"))
   }
 
+  /** Batched BM25 top-k retrieval — the lexical twin of
+    * [[Similarity.hardNegatives]]/batchLshTopK: for EVERY query in
+    * `queries` (an id column + a term-array column), the k
+    * highest-BM25-scoring corpus documents in one plan. This is the
+    * retrieval shape an LLM data pipeline runs constantly: dedup- and
+    * decontamination-by-retrieval (benchmark items as queries), kNN-LM /
+    * RAG training-pair construction, and counterfactual-document mining
+    * all reduce to "top-k BM25 per query over the corpus".
+    *
+    * Plan at 100 TB: queries are training-batch-sized by nature, so the
+    * query-term table BROADCASTS three ways — a semi-join that prunes the
+    * corpus token stream down to query-matching terms before ANYTHING
+    * shuffles, the per-term df table, and the term→query fan-out onto
+    * scored rows. The only exchanges carry (doc, matching-term) integer
+    * stats, never corpus text; corpus stats (N, avgdl) are a one-row
+    * aggregate joined in as the sanctioned single-row BNLJ. The ranking
+    * tail is the bounded [[graft.functions.TopKAggregator]] — at most k
+    * (score, id) pairs per query per map task cross the final exchange,
+    * where the `row_number` window idiom would shuffle and sort every
+    * scored pair. Like the other spilling operators (q125/q128/q130),
+    * this one is EAGER: the (doc, term) tf stats materialize once at
+    * call time and both their consumers (df rollup, scoring) scan the
+    * spill.
+    *
+    * Determinism is the NaiveBayes integer-micros discipline, not the
+    * 4-decimal cosine one: each per-(doc, term) score rounds to 6
+    * decimals (the one `ln` sits there, where a last-ulp engine
+    * difference moves at most one rounding boundary), scales to exact
+    * integer micros, and the per-(query, doc) total is then an
+    * order-invariant integer sum — a double sum of per-term scores would
+    * land on ranking boundaries differently per partitioning. Ranks
+    * break ties by ascending doc id (the q95 contract). Query terms are
+    * de-duplicated (standard query-side BM25 with no k3 query-tf
+    * saturation); docs sharing no term with a query are absent, so a
+    * query can return fewer than k rows.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = bm25QueryTerms(queries, queryIdCol, queryTermsCol)
+    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+    val stats = toks
+      .select(size(col("__w")).cast("double").as("l"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
+    // The tf frame feeds BOTH the df rollup and the scoring projection;
+    // spill it once (the q130 raw-feature discipline) so the second
+    // consumer scans integer (doc, doc_len, term, tf) parquet instead of
+    // re-running the tokenize corpus pass. Per-doc tf comes from the
+    // exchange-free TokenCounts bag (the q123 argument: per-document
+    // aggregation needs no shuffle), so the whole tf phase is map-only.
+    // The spill holds query-matching term stats only — never text.
+    val tf = graft.io.Spill(toks
+      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
+        explode(call_function("token_counts", col("__w"))).as("__tc"))
+      .select(col("doc_id"), col("doc_len"),
+        col("__tc.token").as("term"), col("__tc.n").as("tf"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+        "left_semi"), "graft-bm25tf-")
+    bm25RankTail(tf, stats, qterms, k, k1, b)
+  }
+
+  /** Scoring + ranking tail shared by [[bm25TopK]] (spilled in-plan tf)
+    * and [[LexicalIndex.bm25TopKIndexed]] (partition-pruned index scan):
+    * per-term df rollup, the 6-decimal-rounded Robertson-idf x k1/b
+    * saturation score scaled to exact integer micros, the
+    * order-invariant per-(query, doc) micro sum, and the bounded shared
+    * [[Similarity.rankTopKPerQuery]] tail. `tf` must be
+    * (doc_id, doc_len, term, tf) rows already restricted to
+    * query-matching terms; `stats` one (n, avgdl) row; `qterms`
+    * (query_id, term) rows (broadcast onto the scored frame). Keeping
+    * this tail single-homed means the one-shot and indexed paths cannot
+    * drift — their exact-equality is spec-pinned.
+    */
+  private[operators] def bm25RankTail(tf: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        round(round(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1)
+              * (lit(1 - b) + lit(b) * col("doc_len") / col("avgdl"))),
+          6) * 1e6).cast("long").as("__sm"))
+    Similarity.rankTopKPerQuery(
+      scored.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("__sm")).as("__m"))
+        .select(col("query_id"), col("doc_id"),
+          col("__m").cast("double").as("sim")),
+      "doc_id", k)
+  }
+
+  /** The (query_id, term) frame of a batched lexical search: ids cast to
+    * long, terms de-duplicated per query (no k3 query-tf saturation).
+    */
+  private[operators] def bm25QueryTerms(queries: DataFrame,
+      queryIdCol: String, queryTermsCol: String): DataFrame =
+    queries.select(col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(col(queryTermsCol))).as("term"))
+
   /** Gopher-style repetition quality stats per document: duplicate-n-gram
     * fraction (1 - distinct/total over the POSITIONAL n-gram multiset) and
     * top-n-gram share (count of the most frequent n-gram / total) — the

@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q132: q123's classify shape (L-row label broadcast)
     "q132_nb_hashed",
     // q133: anchors broadcast against the corpus scan (the q114 posture)
-    "q133_hard_negatives")
+    "q133_hard_negatives",
+    // q134/q135: the one-row (N, avgdl) corpus-stats broadcast
+    "q134_bm25_topk", "q135_bm25_indexed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -180,7 +182,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q132_nb_hashed" -> 8,
     // anchor BroadcastExchange + bounded per-anchor topk agg pair +
     // final sort — the corpus side never shuffles
-    "q133_hard_negatives" -> 3)
+    "q133_hard_negatives" -> 3,
+    // batched BM25 over the SPILLED tf stats (the tokenize + semi-join
+    // + tf aggregate corpus pass runs once, eagerly — this guards the
+    // returned scoring plan): df agg over the spill scan + its
+    // broadcast, the one-row (N, avgdl) corpus-stats agg + broadcast
+    // (and the battery repartition feeding it), qterm broadcast,
+    // (query, doc) micro-sum agg, bounded topk agg, final sort — every
+    // shuffled row is integer stats, never text
+    "q134_bm25_topk" -> 10,
+    // retrieval against the PERSISTED index (build/append run eagerly at
+    // entry construction): q134's tail with the spilled-tf scan replaced
+    // by the partition-pruned posting scan + its term semi-join
+    // broadcast, and the stats fold over the delta rows; the tiny
+    // query-term subplan (battery repartition + probe tokenize) is
+    // re-planned under each of its three broadcasts (ReuseExchange
+    // collapses them at runtime)
+    "q135_bm25_indexed" -> 15)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

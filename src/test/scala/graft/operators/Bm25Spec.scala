@@ -59,4 +59,83 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     s(1L) should be > s(2L)
     s(1L) should be < s(2L) * 3 // far below linear in tf
   }
+
+  // ---- bm25TopK (batched retrieval, the q134 shape) ----
+
+  private def queryDf(rows: (Long, Seq[String])*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "qterms")
+  }
+
+  private def topk(d: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame, k: Int) =
+    TextAnalysis.bm25TopK(d, "doc_id", "text", q, "query_id", "qterms", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** The retrieval ranking must agree with an independent from-the-
+    * definition replication: per-(doc, term) Robertson idf x tf
+    * saturation, rounded to 6 decimals, scaled to micros, summed.
+    */
+  test("bm25TopK ranks match a hand-computed replication of the formula") {
+    val corpus = Seq(
+      1L -> "data model training corpus",
+      2L -> "data data data filler words here",
+      3L -> "model checkpoint",
+      4L -> "entirely unrelated text body")
+    val d = docs(corpus: _*)
+    val out = topk(d, queryDf(100L -> Seq("data", "model")), k = 4)
+
+    // independent replication (k1 = 1.2, b = 0.75)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def micros(term: String, id: Long): Long = {
+      val tf = toks(id).count(_ == term).toDouble
+      val df = toks.values.count(_.contains(term)).toDouble
+      if (tf == 0) 0L
+      else {
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        val s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+        val s6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (s6 * 1000000).toLongExact
+      }
+    }
+    val want = toks.keys.toSeq
+      .map(id => id -> (micros("data", id) + micros("model", id)))
+      .filter(_._2 != 0)
+      .sortBy { case (id, m) => (-m, id) }
+      .zipWithIndex.map { case ((id, _), i) => (100L, (i + 1).toLong, id) }
+    out.sortBy(r => (r._1, r._2)) shouldBe want
+  }
+
+  test("bm25TopK is per-query: each query ranks against its own terms") {
+    val d = docs(
+      1L -> "alpha alpha beta", 2L -> "beta beta gamma", 3L -> "gamma delta")
+    val out = topk(d,
+      queryDf(10L -> Seq("alpha"), 20L -> Seq("gamma")), k = 1)
+    out.toSet shouldBe Set((10L, 1L, 1L), (20L, 1L, 3L))
+  }
+
+  test("bm25TopK returns fewer than k rows when fewer docs match") {
+    val d = docs(1L -> "only here", 2L -> "nothing shared")
+    val out = topk(d, queryDf(7L -> Seq("only")), k = 5)
+    out shouldBe Array((7L, 1L, 1L))
+  }
+
+  test("bm25TopK duplicates in the query term list do not double-count") {
+    val d = docs(1L -> "alpha beta", 2L -> "alpha alpha beta beta")
+    val once = topk(d, queryDf(1L -> Seq("alpha", "beta")), k = 2)
+    val dup = topk(d, queryDf(1L -> Seq("alpha", "beta", "alpha")), k = 2)
+    dup shouldBe once
+  }
+
+  test("bm25TopK result is invariant under input partitioning") {
+    val base = docs((1L to 40L).map(i =>
+      i -> s"term${i % 5} term${i % 7} term${i % 3} filler pad"): _*)
+    val q = queryDf(1L -> Seq("term1", "term2"), 2L -> Seq("term0"))
+    val a = topk(base, q, k = 3).sortBy(r => (r._1, r._2))
+    val b = topk(base.repartition(13), q, k = 3).sortBy(r => (r._1, r._2))
+    b shouldBe a
+  }
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Persisted lexical index: indexed retrieval must EXACTLY equal the
+  * one-shot scorer (same integer inputs through the shared tail), appends
+  * must fold incrementally (epochs ≡ one-shot over the union), the bucket
+  * scan must actually prune partitions, and the streaming maintainer must
+  * converge to the batch index.
+  */
+class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).map(i =>
+      i -> s"term${i % 7} term${i % 5} term${i % 3} shared filler pad$i")
+      .toDF("doc_id", "text")
+  }
+
+  private def queriesOf(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => i -> Seq(s"term${i % 7}", s"term${i % 5}", "shared"))
+      .toDF("query_id", "qterms")
+  }
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+
+  test("indexed retrieval exactly equals the one-shot scorer") {
+    val docs = corpus(60)
+    val q = queriesOf(1L, 2L, 9L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val indexed = collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4))
+    val oneShot = collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+    indexed shouldBe oneShot
+    indexed should not be empty
+  }
+
+  test("appended epochs equal one index built over the union") {
+    val docs = corpus(50)
+    val q = queriesOf(3L, 4L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    // epoch split by parity; append derives nBuckets from the meta table
+    LexicalIndex.write(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text")
+    val incremental = collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5))
+    incremental shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+  }
+
+  test("the indexed scan prunes to the query terms' bucket partitions") {
+    val docs = corpus(40)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    // enough buckets that a 1-term query cannot touch them all
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 16)
+    val totalBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    totalBuckets should be > 2 // the fixture vocabulary spans buckets
+
+    import spark.implicits._
+    val oneTerm = Seq(1L -> Seq("shared")).toDF("query_id", "qterms")
+    val out = LexicalIndex.bm25TopKIndexed(
+      spark, dir, oneTerm, "query_id", "qterms", k = 3)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingScans = scans(out.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "doc_len"))
+    postingScans should not be empty
+    val selected = postingScans.map(_.selectedPartitions.partitionCount).max
+    withClue(s"selected $selected of $totalBuckets bucket partitions: ") {
+      selected shouldBe 1 // one query term -> one bucket directory
+    }
+    out.collect() should not be empty
+  }
+
+  test("querying or appending a non-index path fails loud") {
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/nothere"
+    val q = queriesOf(1L)
+    val e = intercept[IllegalStateException] {
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 1)
+    }
+    e.getMessage should include("not a lexical index")
+  }
+
+  test("streaming maintenance converges to the batch-built index") {
+    import spark.implicits._
+    val docs = corpus(30)
+    val q = queriesOf(5L, 6L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    // seed with the first third, stream the rest in two micro-batches
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8)
+    val rows = docs.where(col("doc_id") > 10)
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = LexicalIndex.maintain(spark, dir,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", checkpoint())
+    input.addData(rows.take(10).toIndexedSeq)
+    query.processAllAvailable()
+    input.addData(rows.drop(10).toIndexedSeq)
+    query.processAllAvailable()
+    query.stop()
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+  }
+}
