@@ -1337,6 +1337,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // blocklist phrase filter (the LDNOOBW-style gate): per-(doc,
+    // phrase) occurrence counts at word granularity — one positional
+    // shingle explode per distinct phrase length, broadcast phrase
+    // join, (doc, phrase) count agg; "a a" pins self-overlap counting,
+    // "Key, AGG row!" pins phrase normalization, the zebra phrase pins
+    // zero-hit absence
+    "q136_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistHits(t(s, d, "documents"), "doc_id", "text",
+          Seq("fast table", "a a", "table table", "value table part",
+            "Key, AGG row!", "zebra crossing"))
+        .orderBy(col("doc_id"), col("phrase"))),
+
     // persisted lexical index: seed with even docs, APPEND odd docs
     // (meta-derived bucket count, summed stats fold), then the same
     // retrieval as q134 through the partition-pruned posting scan — the
@@ -2642,6 +2654,30 @@ object SparkEntry {
     // epochs (shared scoring tail; equality one-shot ≡ indexed is
     // spec-pinned in LexicalIndexSpec) — same replay
     "q135_bm25_indexed" -> bm25TopKOracle,
+
+    // replays the positional-shingle blocklist: every start position
+    // per phrase length, literal phrase join, per-(doc, phrase) counts
+    "q136_blocklist" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         ph(phrase) AS (VALUES ('fast table'), ('a a'), ('table table'),
+           ('value table part'), ('key agg row'), ('zebra crossing')),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS shingle
+           FROM toks WHERE len(w) >= 2
+           UNION ALL
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3)
+         SELECT doc_id, phrase, count(*) AS n_hits
+         FROM sh JOIN ph ON shingle = phrase
+         GROUP BY doc_id, phrase
+         ORDER BY doc_id, phrase""",
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",

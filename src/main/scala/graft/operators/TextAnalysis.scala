@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -267,6 +267,88 @@ object TextAnalysis {
       queryIdCol: String, queryTermsCol: String): DataFrame =
     queries.select(col(queryIdCol).cast("long").as("query_id"),
       explode(array_distinct(col(queryTermsCol))).as("term"))
+
+  // ---- blocklist phrase filtering --------------------------------------
+
+  /** POSITIONAL word n-grams of a bound word-array column — every start
+    * position, duplicates kept ([[graft.functions.WordShingles]] dedupes,
+    * which is right for containment but wrong for occurrence counts).
+    * Pure sequence/slice/concat_ws column arithmetic, replayed verbatim
+    * by the oracle's list_transform.
+    */
+  private def positionalShingles(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Phrases normalized through the [[words]] convention (lowercase,
+    * non-word split) so "Fast, TABLE!" matches the tokens of
+    * "fast table"; de-duplicated, empty-after-normalization rejected.
+    */
+  private def normalizedPhrases(phrases: Seq[String]): Seq[Seq[String]] = {
+    require(phrases.nonEmpty, "at least one phrase")
+    val norm = phrases
+      .map(p => p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+    norm.zip(phrases).foreach { case (ws, p) =>
+      require(ws.nonEmpty, s"phrase '$p' is empty after tokenization")
+    }
+    norm.distinct
+  }
+
+  /** Per-(doc, phrase) occurrence counts for a blocklist of word
+    * sequences (the LDNOOBW-style phrase filter every public pretraining
+    * pipeline runs). Matching is at word granularity through the [[words]]
+    * convention — punctuation and case cannot hide a hit — and counts are
+    * ALL start positions, so self-overlapping phrases ("a a" in "a a a")
+    * count each occurrence. Docs with no hits are absent.
+    *
+    * Shape at 100 TB: one positional-shingle explode per DISTINCT phrase
+    * length (not per phrase), a broadcast join against the phrase table
+    * — thousands of phrases stay one map-side hash probe where the
+    * regex-alternation idiom ([[Pii]]'s tool, right for patterns, wrong
+    * for big literal lists) degrades with every added phrase — then one
+    * (doc, phrase) count aggregate; the exchange carries matched
+    * (doc, phrase) hits only, never text.
+    */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val norm = normalizedPhrases(phrases)
+    val lens = norm.map(_.length).distinct.sorted
+    import docs.sparkSession.implicits._
+    val phraseDf = broadcast(norm.map(_.mkString(" ")).toDF("phrase"))
+    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+    lens.map(n => toks.select(col("doc_id"),
+        explode(positionalShingles(col("__w"), n)).as("shingle")))
+      .reduce(_ unionByName _)
+      .join(phraseDf, col("shingle") === col("phrase"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Survivors of the blocklist gate: documents whose TOTAL phrase
+    * occurrence count is at most `maxHits` (0 = any hit drops). Map-only
+    * — the per-doc total folds over higher-order filters against the
+    * broadcast-literal phrase arrays (the [[Pii.flagged]] posture), so
+    * the gate runs at scan speed with zero shuffles and composes into
+    * the cleaning pipelines like the other per-document gates. Totals
+    * agree with [[blocklistHits]] by construction (spec-pinned).
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], maxHits: Long = 0): DataFrame = {
+    require(maxHits >= 0, "maxHits must be >= 0")
+    val byLen = normalizedPhrases(phrases).groupBy(_.length)
+    // bind the token array once; inlining words() inside the HOF lambdas
+    // is the CodegenFallback O(tokens^2) trap (PLANS.md q130)
+    val total = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val lits = typedlit(ps.map(_.mkString(" ")))
+      size(filter(positionalShingles(col("__blw"), n),
+        x => array_contains(lits, x))).cast("long")
+    }.reduce(_ + _)
+    docs.withColumn("__blw", words(col(textCol)))
+      .where(total <= maxHits)
+      .drop("__blw")
+  }
 
   /** Gopher-style repetition quality stats per document: duplicate-n-gram
     * fraction (1 - distinct/total over the POSITIONAL n-gram multiset) and

@@ -198,7 +198,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // query-term subplan (battery repartition + probe tokenize) is
     // re-planned under each of its three broadcasts (ReuseExchange
     // collapses them at runtime)
-    "q135_bm25_indexed" -> 15)
+    "q135_bm25_indexed" -> 15,
+    // blocklist hits: one union of per-length positional-shingle
+    // projections, the broadcast phrase join, one (doc, phrase) count
+    // agg + final sort — the exchange carries matched hits only
+    "q136_blocklist" -> 3)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

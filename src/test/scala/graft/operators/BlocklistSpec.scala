@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Blocklist phrase filter: occurrence counting at word granularity
+  * (all start positions, so self-overlapping phrases count every hit),
+  * normalization through the words() convention, gate/hits agreement,
+  * and the gate's zero-shuffle plan.
+  */
+class BlocklistSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def hits(d: org.apache.spark.sql.DataFrame, phrases: Seq[String]) =
+    TextAnalysis.blocklistHits(d, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("counts every start position, including self-overlapping hits") {
+    val h = hits(docs(
+      1L -> "a a a b a a",   // "a a": starts 0,1,4 -> 3
+      2L -> "x a a y",       // 1
+      3L -> "nothing here"),
+      Seq("a a"))
+    h shouldBe Map((1L, "a a") -> 3L, (2L, "a a") -> 1L)
+  }
+
+  test("phrases and text normalize through the words() convention") {
+    val h = hits(docs(1L -> "Stop! Bad-Phrase... here, bad phrase again"),
+      Seq("BAD, phrase!"))
+    h shouldBe Map((1L, "bad phrase") -> 2L)
+  }
+
+  test("mixed phrase lengths resolve against their own shingle width") {
+    val h = hits(docs(1L -> "one two three one two"),
+      Seq("one two", "one two three"))
+    h shouldBe Map((1L, "one two") -> 2L, (1L, "one two three") -> 1L)
+  }
+
+  test("gate agrees with hits totals and keeps zero-hit docs") {
+    val d = docs(
+      1L -> "clean document text",
+      2L -> "bad phrase once",
+      3L -> "bad phrase and bad phrase again",
+      4L -> "also spotless")
+    val phrases = Seq("bad phrase")
+    val survivors = TextAnalysis.blocklistGate(d, "doc_id", "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(1L, 4L)
+    // maxHits = 1 tolerates the single-hit doc, still drops the double
+    TextAnalysis.blocklistGate(d, "doc_id", "text", phrases, maxHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 4L)
+    // cross-check: dropped ids are exactly those whose summed hits exceed
+    val totals = TextAnalysis.blocklistHits(d, "doc_id", "text", phrases)
+      .groupBy("doc_id").agg(sum("n_hits").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    totals.filter(_._2 > 1).keySet shouldBe Set(3L)
+  }
+
+  test("the gate is map-only: zero exchanges in the physical plan") {
+    val plan = TextAnalysis.blocklistGate(
+      docs(1L -> "x y z"), "doc_id", "text", Seq("bad phrase", "worse longer phrase"))
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 0
+  }
+
+  test("gate preserves the input schema") {
+    val d = docs(1L -> "fine text").withColumn("extra", lit(7))
+    TextAnalysis.blocklistGate(d, "doc_id", "text", Seq("bad phrase"))
+      .columns.toSeq shouldBe Seq("doc_id", "text", "extra")
+  }
+
+  test("degenerate phrases fail loud") {
+    val d = docs(1L -> "x")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(d, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(d, "doc_id", "text", Seq("!!!"))
+    }
+  }
+}
