@@ -1349,6 +1349,29 @@ object SparkEntry {
             "Key, AGG row!", "zebra crossing"))
         .orderBy(col("doc_id"), col("phrase"))),
 
+    // hybrid retrieval: the q134 lexical ranking fused with an exact
+    // dense cosine ranking over the aligned embeddings table by
+    // reciprocal-rank fusion — integer-micro contributions summed
+    // order-invariantly, the q95 tiebreak; the fusion input is
+    // rankers x queries x k rows by construction
+    "q137_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val embs = t(s, d, "embeddings")
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
+            .as("qterms"))
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "qterms", k = 5)
+      val dense = graft.operators.Similarity.batchExactTopK(
+          embs.select(col("vec_id").as("doc_id"), col("embedding")),
+          embs.where(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id", "embedding", k = 5)
+      graft.operators.RankFusion.rrf(Seq(lex, dense), "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // persisted lexical index: seed with even docs, APPEND odd docs
     // (meta-derived bucket count, summed stats fold), then the same
     // retrieval as q134 through the partition-pruned posting scan — the
@@ -2055,7 +2078,16 @@ object SparkEntry {
     * per-(query, doc) sum, ranked with the q95 tiebreak.
     */
   private def bm25TopKOracle: String =
-    """WITH toks AS (
+    s"""WITH $bm25RankedCtes
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The q134 scorer as composable CTEs ending in
+    * `ranked(query_id, doc_id, rank)` — shared with the q137 hybrid
+    * fusion oracle.
+    */
+  private def bm25RankedCtes: String =
+    """toks AS (
          SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
          FROM documents),
@@ -2091,9 +2123,7 @@ object SparkEntry {
          SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY m DESC, doc_id) AS rank
-         FROM pairs)
-       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
-       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+         FROM pairs)"""
 
   /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
@@ -2654,6 +2684,43 @@ object SparkEntry {
     // epochs (shared scoring tail; equality one-shot ≡ indexed is
     // spec-pinned in LexicalIndexSpec) — same replay
     "q135_bm25_indexed" -> bm25TopKOracle,
+
+    // the q134 CTEs for the lexical list, the q133-style cosine sweep
+    // for the dense list, then integer-micro RRF contributions summed
+    // per (query, doc) and re-ranked with the q95 tiebreak
+    "q137_hybrid_rrf" ->
+      s"""WITH $bm25RankedCtes,
+         lex AS (
+           SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5),
+         dpairs AS (
+           SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(p.embedding AS DOUBLE[])), 4) AS sim
+           FROM embeddings c JOIN embeddings p
+             ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+         dense AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, doc_id) AS rank
+             FROM dpairs)
+           WHERE rank <= 5),
+         contrib AS (
+           SELECT query_id, doc_id,
+             CAST(round(1e9 / (60 + rank)) AS BIGINT) AS s FROM lex
+           UNION ALL
+           SELECT query_id, doc_id,
+             CAST(round(1e9 / (60 + rank)) AS BIGINT) AS s FROM dense),
+         fused AS (
+           SELECT query_id, doc_id, sum(s) AS m FROM contrib
+           GROUP BY query_id, doc_id),
+         franked AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY m DESC, doc_id) AS rank
+           FROM fused)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+         FROM franked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // replays the positional-shingle blocklist: every start position
     // per phrase length, literal phrase join, per-(doc, phrase) counts

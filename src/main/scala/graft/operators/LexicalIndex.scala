@@ -94,8 +94,13 @@ object LexicalIndex {
   }
 
   private def readNBuckets(spark: SparkSession, path: String): Int =
-    try spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
-    catch { case e: org.apache.spark.sql.AnalysisException
+    try {
+      val rows = spark.read.parquet(s"$path/meta").collect()
+      require(rows.length == 1,
+        s"$path/meta must hold exactly one row, found ${rows.length} - " +
+          "the index write was interrupted; rebuild with LexicalIndex.write")
+      rows(0).getAs[Int]("n_buckets")
+    } catch { case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "PATH_NOT_FOUND" =>
       throw new IllegalStateException(
         s"$path is not a lexical index (no meta table) - build it with " +
@@ -104,7 +109,13 @@ object LexicalIndex {
 
   /** Append a batch of NEW documents under the index's own bucket count.
     * Postings append into their term buckets; the stats fold gains one
-    * delta row. Nothing existing is rewritten.
+    * delta row. Nothing existing is rewritten. The two appends are not
+    * atomic: a crash between them leaves postings without their stats
+    * delta (slightly stale N/avgdl — a ranking perturbation, not
+    * corruption); recovery is re-running the append's stats write or
+    * rebuilding with [[write]]. The streaming [[maintain]] path replays
+    * the whole epoch from its checkpoint, which re-appends BOTH — pair
+    * it with epoch-unique doc ids so a replayed epoch is detectable.
     */
   def append(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {

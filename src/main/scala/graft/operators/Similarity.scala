@@ -62,6 +62,30 @@ object Similarity {
         col(idCol))
   }
 
+  /** EXACT batched top-k: for every probe, the k most-cosine-similar
+    * corpus vectors (self excluded) — the dense side of hybrid
+    * retrieval ([[RankFusion.rrf]]) and the exact twin of
+    * [[batchLshTopK]]. Probes broadcast (training-batch-sized by
+    * nature), the corpus scan stays map-only with one codegen'd cosine
+    * per (corpus row, probe), and the bounded
+    * [[graft.functions.TopKAggregator]] ships ≤ k pairs per probe per
+    * map task. Returns (query_id, rank, idCol), the q95 determinism
+    * contract; at extreme probe counts use [[batchLshTopK]]'s bucket
+    * join instead.
+    */
+  def batchExactTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    rankTopKPerQuery(
+      corpus.select(col(idCol), col(embCol).as("__cv"))
+        .join(broadcast(probes.select(col(idCol).as("query_id"),
+            col(embCol).as("__qv"))),
+          col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(cosine_sim(col("__cv"), col("__qv")), 4).as("sim")),
+      idCol, k)
+  }
+
   /** Hard-negative mining for contrastive / retrieval training data:
     * for each probe (anchor) vector, the exact top-k most-similar CORPUS
     * vectors carrying a DIFFERENT label — the near-but-wrong examples a

@@ -337,6 +337,8 @@ object TextAnalysis {
   def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String], maxHits: Long = 0): DataFrame = {
     require(maxHits >= 0, "maxHits must be >= 0")
+    require(!docs.columns.contains("__blw"),
+      "blocklistGate binds a temporary __blw column; rename the input's")
     val byLen = normalizedPhrases(phrases).groupBy(_.length)
     // bind the token array once; inlining words() inside the HOF lambdas
     // is the CodegenFallback O(tokens^2) trap (PLANS.md q130)

@@ -9,7 +9,9 @@ import graft.operators.Dedup
 
 /** CONTINUOUS training-data prep — the q90 chain with the incremental
   * family swapped in, composed as one `foreachBatch` pipeline over
-  * arrival epochs: cross-run exact dedup
+  * arrival epochs: the optional map-only literal-phrase blocklist
+  * (stage 0, the same [[graft.operators.TextAnalysis.blocklistGate]]
+  * the batch pipeline runs first), cross-run exact dedup
   * ([[Dedup.incrementalExactDedup]] — a text seen in ANY earlier epoch
   * never re-enters), the map-only language/quality gates of
   * [[TrainingData.clean]] (optionally the trained
@@ -60,11 +62,21 @@ object StreamingPrep {
       maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirSalt: String = "dsir"): DataFrame = {
+      dsirSalt: String = "dsir",
+      blocklistPhrases: Seq[String] = Nil,
+      blocklistMaxHits: Long = 0): DataFrame = {
+    // 0. optional literal-phrase blocklist — the same map-only
+    // [[graft.operators.TextAnalysis.blocklistGate]] the batch pipeline
+    // runs first, at the same point: per-doc deterministic, so it
+    // commutes with the dedup fold (identical text gates identically)
+    // and blocked docs never enter the fingerprint table
+    val listed = if (blocklistPhrases.isEmpty) batch
+      else graft.operators.TextAnalysis.blocklistGate(
+        batch, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
     val novel = Dedup.incrementalExactDedup(
-      batch.select(col(idCol), col(textCol)), idCol, textCol,
+      listed.select(col(idCol), col(textCol)), idCol, textCol,
       s"$tablesDir/fps", batchId)
     // 2+3 (+2b, +2a'): THE shared gate of TrainingData.clean — one
     // definition, so batch and streaming survivor sets cannot silently
@@ -138,7 +150,9 @@ object StreamingPrep {
       maxLmBits: Double = Double.MaxValue,
       dsirRatio: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
-      dsirSalt: String = "dsir"): StreamingQuery =
+      dsirSalt: String = "dsir",
+      blocklistPhrases: Seq[String] = Nil,
+      blocklistMaxHits: Long = 0): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
@@ -149,7 +163,8 @@ object StreamingPrep {
           processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
-              lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt)
+              lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
+              blocklistPhrases, blocklistMaxHits)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         }
         ()

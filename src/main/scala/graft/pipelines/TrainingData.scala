@@ -25,7 +25,11 @@ import graft.operators.Dedup
   *   5. per-doc token accounting for the surviving corpus.
   *
   * Optional gates (off by default, so the q45 oracle semantics are the
-  * five stages above): `stripSpansK` removes corpus-duplicated k-token
+  * five stages above): `blocklistPhrases` drops docs whose literal-phrase
+  * occurrence total exceeds `blocklistMaxHits` BEFORE every other stage
+  * (0a — [[graft.operators.TextAnalysis.blocklistGate]], map-only, so
+  * blocked docs consume no domain-cap budget and never pay dedup),
+  * `stripSpansK` removes corpus-duplicated k-token
   * spans from each survivor's normalized text after exact dedup (1b —
   * [[Dedup.stripDuplicateSpans]], the RefinedWeb exact-substring pass),
   * `langModel` swaps the n-gram-marker language heuristic for a trained
@@ -100,16 +104,28 @@ object TrainingData {
       dsirTarget: Option[DataFrame] = None,
       minDsirLogw: Double = 0.0,
       dsirBuckets: Int = 1024,
-      dsirSalt: String = "dsir"): DataFrame = {
+      dsirSalt: String = "dsir",
+      blocklistPhrases: Seq[String] = Nil,
+      blocklistMaxHits: Long = 0): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
+    // 0a. optional literal-phrase blocklist (the LDNOOBW gate) — map-only
+    // ([[graft.operators.TextAnalysis.blocklistGate]]), so it runs before
+    // EVERYTHING: a blocked doc consumes no domain-cap budget and never
+    // pays dedup or scoring. Per-doc deterministic, so the streaming
+    // pipeline applies the same gate at the same point (epoch ≡ union
+    // holds — identical text gates identically, so exact-dup groups
+    // drop or survive together)
+    val docs0 = if (blocklistPhrases.isEmpty) docs
+      else graft.operators.TextAnalysis.blocklistGate(
+        docs, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
     // per-domain cap) — runs FIRST so a blocked or over-cap domain's
     // docs never pay dedup or scoring; blocklist is a pushed-down scan
     // filter, the cap windows only over-cap domains
     // ([[graft.operators.Urls.domainGate]])
-    val sourced = urlCol.fold(docs)(u =>
-      graft.operators.Urls.domainGate(docs, u, idCol,
+    val sourced = urlCol.fold(docs0)(u =>
+      graft.operators.Urls.domainGate(docs0, u, idCol,
         domainBlocklist, maxPerDomain))
     // 0b. optional URL-keyed dedup: refetches of the SAME page under
     // crawl-noise URL variants (fragments, utm_* params, case, default

@@ -42,7 +42,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q133: anchors broadcast against the corpus scan (the q114 posture)
     "q133_hard_negatives",
     // q134/q135: the one-row (N, avgdl) corpus-stats broadcast
-    "q134_bm25_topk", "q135_bm25_indexed")
+    "q134_bm25_topk", "q135_bm25_indexed",
+    // q137: q134's stats broadcast + the dense side's broadcast probe
+    // sweep (the q133 posture)
+    "q137_hybrid_rrf")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -202,7 +205,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // blocklist hits: one union of per-length positional-shingle
     // projections, the broadcast phrase join, one (doc, phrase) count
     // agg + final sort — the exchange carries matched hits only
-    "q136_blocklist" -> 3)
+    "q136_blocklist" -> 3,
+    // hybrid fusion: q134's post-spill lexical tail + the dense probe
+    // broadcast + its bounded topk agg, the tiny rankers-x-queries-x-k
+    // fusion union agg + topk, final sort
+    "q137_hybrid_rrf" -> 12)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

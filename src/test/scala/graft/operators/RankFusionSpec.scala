@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** RRF fusion semantics (consensus beats a single first place, single-list
+  * passthrough, deterministic ties) and the exact batched dense searcher's
+  * parity with the single-query brute-force path.
+  */
+class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ranking(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "rank", "doc_id")
+  }
+
+  private def fused(rankings: Seq[org.apache.spark.sql.DataFrame], k: Int) =
+    RankFusion.rrf(rankings, "doc_id", k)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("a doc ranked 2nd by both lists beats a doc ranked 1st by one") {
+    val a = ranking((1L, 1L, 100L), (1L, 2L, 200L))
+    val b = ranking((1L, 1L, 300L), (1L, 2L, 200L))
+    // 200: 2/(60+2) > 100 or 300: 1/(60+1)
+    fused(Seq(a, b), k = 3) shouldBe Array(
+      (1L, 1L, 200L), (1L, 2L, 100L), (1L, 3L, 300L))
+  }
+
+  test("hand-computed integer-micro scores decide the fused order") {
+    val a = ranking((7L, 1L, 10L), (7L, 2L, 11L), (7L, 3L, 12L))
+    val b = ranking((7L, 1L, 11L), (7L, 2L, 12L), (7L, 3L, 10L))
+    def u(rank: Long) = math.round(1e9 / (60 + rank))
+    val scores = Map(
+      10L -> (u(1) + u(3)), 11L -> (u(2) + u(1)), 12L -> (u(3) + u(2)))
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => (7L, (i + 1).toLong, id) }
+    fused(Seq(a, b), k = 3) shouldBe want.toArray
+  }
+
+  test("fusing a single ranking preserves its order") {
+    val a = ranking((1L, 1L, 5L), (1L, 2L, 9L), (1L, 3L, 2L))
+    fused(Seq(a), k = 3) shouldBe Array((1L, 1L, 5L), (1L, 2L, 9L), (1L, 3L, 2L))
+  }
+
+  test("equal fused scores break to the ascending doc id") {
+    // both docs appear at rank 1 in exactly one list each -> equal score
+    val a = ranking((1L, 1L, 42L))
+    val b = ranking((1L, 1L, 7L))
+    fused(Seq(a, b), k = 2) shouldBe Array((1L, 1L, 7L), (1L, 2L, 42L))
+  }
+
+  test("queries fuse independently") {
+    val a = ranking((1L, 1L, 10L), (2L, 1L, 20L))
+    val b = ranking((2L, 1L, 21L))
+    fused(Seq(a, b), k = 2) shouldBe Array(
+      (1L, 1L, 10L), (2L, 1L, 20L), (2L, 2L, 21L))
+  }
+
+  test("batchExactTopK matches bruteForceTopK per query") {
+    import spark.implicits._
+    val embs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3.1 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = embs.where(col("vec_id") % 10 === 0)
+    val batched = Similarity.batchExactTopK(embs, probes, "vec_id",
+        "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- Seq(0L, 10L, 20L)) {
+      val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          q, k = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      batched(q) shouldBe brute
+    }
+  }
+
+  test("degenerate fusion inputs fail loud") {
+    intercept[IllegalArgumentException] { RankFusion.rrf(Nil, "doc_id", 1) }
+    intercept[IllegalArgumentException] {
+      RankFusion.rrf(Seq(ranking((1L, 1L, 1L))), "doc_id", 0)
+    }
+  }
+}

@@ -46,6 +46,27 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     decontaminated shouldBe Set(1L) // doc 3 contains the benchmark item
   }
 
+  test("blocklist gate (stage 0a) runs before dedup: a blocked keeper " +
+      "does not shadow its clean near-duplicate") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 hits the blocklist; doc 2 is its near-dup with smaller-id 1
+      // as the would-be keeper — gating FIRST must let doc 2 survive
+      (1L, goodDoc("plus aggregates and buckets with the bad phrase inside")),
+      (2L, goodDoc("plus aggregates and buckets with a clean sentence inside")),
+      (3L, goodDoc("where filters and sorts and limits shape the result"))
+    ).toDF("doc_id", "text")
+    val cleaned = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false,
+        blocklistPhrases = Seq("bad phrase"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    cleaned shouldBe Set(2L, 3L)
+    // without the blocklist, the smaller id keeps and the near-dup drops
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 3L)
+  }
+
   test("domain gate (stage 0) drops blocked and over-cap domains before dedup") {
     import spark.implicits._
     val docs = Seq(

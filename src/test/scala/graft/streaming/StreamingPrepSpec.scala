@@ -256,4 +256,36 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     first shouldBe Set(1L, 4L)
     run() shouldBe first // the replay must NOT see its own first attempt
   }
+
+  test("the blocklist gate slots into the streaming pipeline; a blocked " +
+      "doc never enters the fingerprint table") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-sprep-bl").toString
+    // doc 21 hits the blocklist and is ALSO the exact-dup seed of 22:
+    // with the gate the pair never forms, so 22 must survive
+    val e1 = Seq(
+      21L -> goodDoc("plus a bad phrase lurking in the clause"),
+      22L -> goodDoc("with joins and windows over rows and groups here"))
+    val e2 = Seq(
+      31L -> goodDoc("plus a bad phrase lurking in the clause"), // dup of blocked 21
+      32L -> goodDoc("where filters and sorts and limits shape the result"))
+    val phrases = Seq("bad phrase")
+    def ep(docs: Seq[(Long, String)], id: String) =
+      StreamingPrep.processBatch(docs.toDF("doc_id", "text"), "doc_id",
+          "text", s"$work/tables", batchId = id,
+          blocklistPhrases = phrases)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ep(e1, "e1")
+    s1 shouldBe Set(22L)
+    // 31 is an exact dup of BLOCKED 21 — it must fall to the gate, not
+    // survive because 21's fingerprint is absent
+    val s2 = ep(e2, "e2")
+    s2 shouldBe Set(32L)
+    // epoch ≡ union with the gate on (per-doc deterministic)
+    val oneShot = StreamingPrep.processBatch(
+        (e1 ++ e2).toDF("doc_id", "text"), "doc_id", "text",
+        s"$work/twin", batchId = "all", blocklistPhrases = phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    oneShot shouldBe (s1 ++ s2)
+  }
 }
