@@ -1349,6 +1349,20 @@ object SparkEntry {
             "Key, AGG row!", "zebra crossing"))
         .orderBy(col("doc_id"), col("phrase"))),
 
+    // ANN recall audit: q95's LSH ranking measured against the exact
+    // cosine sweep, per probe — the index-quality metric the drift/refit
+    // loop protects, as a battery row ("measure, don't guess"); both
+    // lists are queries x k rows so the audit is a tiny join + agg
+    "q138_ann_recall" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val probes = embs.where(col("vec_id") % 50 === 0)
+      graft.operators.RankFusion.rankingRecall(
+          Similarity.batchLshTopK(embs, probes, "vec_id", "embedding", k = 5),
+          Similarity.batchExactTopK(embs, probes, "vec_id", "embedding", k = 5),
+          "vec_id")
+        .orderBy(col("query_id"))
+    }),
+
     // hybrid retrieval: the q134 lexical ranking fused with an exact
     // dense cosine ranking over the aligned embeddings table by
     // reciprocal-rank fusion — integer-micro contributions summed
@@ -2071,6 +2085,46 @@ object SparkEntry {
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Recall audit replay: the q95 LSH candidate list and the exact
+    * cosine reference list, left-joined per (query, id), counted.
+    */
+  private def q138Oracle: String =
+    s"""WITH $lshPostedCte,
+        q AS (SELECT vec_id AS query_id, tbl, bucket, v AS qv
+              FROM posted WHERE vec_id % 50 = 0),
+        lpairs AS (
+          SELECT q.query_id, p.vec_id,
+            max(round(list_cosine_similarity(p.v, q.qv), 4)) AS sim
+          FROM posted p JOIN q ON p.tbl = q.tbl AND p.bucket = q.bucket
+          WHERE p.vec_id <> q.query_id
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rank
+            FROM lpairs)
+          WHERE rank <= 5),
+        epairs AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS vec_id,
+            round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+              CAST(p.embedding AS DOUBLE[])), 4) AS sim
+          FROM embeddings c JOIN embeddings p
+            ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+        ref AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rank
+            FROM epairs)
+          WHERE rank <= 5)
+        SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_ref,
+          CAST(count(c.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(c.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM ref r LEFT JOIN cand c
+          ON c.query_id = r.query_id AND c.vec_id = r.vec_id
+        GROUP BY r.query_id ORDER BY r.query_id"""
+
   /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
     * indexed — identical math over the full corpus): tokenize, corpus
     * stats, tf/df over the query-matching terms, the 6-decimal-rounded
@@ -2684,6 +2738,8 @@ object SparkEntry {
     // epochs (shared scoring tail; equality one-shot ≡ indexed is
     // spec-pinned in LexicalIndexSpec) — same replay
     "q135_bm25_indexed" -> bm25TopKOracle,
+
+    "q138_ann_recall" -> q138Oracle,
 
     // the q134 CTEs for the lexical list, the q133-style cosine sweep
     // for the dense list, then integer-micro RRF contributions summed

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Registry + Column-level API for graft's custom Catalyst expressions.
   *
@@ -77,6 +77,21 @@ object GraftFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"word_shingles(words, n literal); got ${other.size} args")
+    },
+    "positional_shingles" -> {
+      case Seq(child, Literal(n: Int, _)) => PositionalShingles(child, n)
+      case other =>
+        throw new IllegalArgumentException(
+          s"positional_shingles(words, n literal); got ${other.size} args")
+    },
+    "phrase_hits" -> {
+      case Seq(child, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(StringType, _))) =>
+        PhraseHits(child,
+          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+      case other =>
+        throw new IllegalArgumentException(
+          s"phrase_hits(words, phrases array literal); got ${other.size} args")
     },
     "gram_fingerprints" -> {
       case Seq(child, Literal(k: Int, _)) => GramFingerprints(child, k)

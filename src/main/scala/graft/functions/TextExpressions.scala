@@ -113,6 +113,91 @@ case class CharGrams(child: Expression, minN: Int, maxN: Int)
     copy(child = newChild)
 }
 
+/** ALL-POSITION n-word shingles of an `array<string>` — [[WordShingles]]
+  * minus its dedup set: every start position kept, so downstream counts
+  * see occurrences, not presence (the blocklist contract). Same
+  * imperative-over-interpreted-HOF argument as [[WordShingles]]: the
+  * `transform(sequence(...), i -> concat_ws(...))` form runs interpreted
+  * per position. Inputs shorter than n yield an empty array.
+  */
+case class PositionalShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "positional_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total occurrences of any of `phrases` (space-joined normalized word
+  * sequences) in a word array — the blocklist gate's per-document
+  * counter as ONE imperative pass: for each distinct phrase length a
+  * hash-set probe per start position, so cost is O(positions x distinct
+  * lengths) regardless of phrase count, where the
+  * `size(filter(transform(...), x -> array_contains(lit, x)))` form is
+  * interpreted AND linear in the phrase list per position.
+  */
+case class PhraseHits(child: Expression, phrases: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(phrases.nonEmpty, "at least one phrase")
+
+  @transient private lazy val byLen: Array[(Int, java.util.HashSet[UTF8String])] =
+    phrases.groupBy(_.split(" ").length).toArray.sortBy(_._1).map {
+      case (n, ps) =>
+        val set = new java.util.HashSet[UTF8String](ps.size * 2)
+        ps.foreach(p => set.add(UTF8String.fromString(p)))
+        (n, set)
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_hits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val space = UTF8String.fromString(" ")
+    var total = 0L
+    var g = 0
+    while (g < byLen.length) {
+      val (n, set) = byLen(g)
+      val m = words.numElements() - n + 1
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+        if (set.contains(UTF8String.concatWs(space, parts: _*))) total += 1
+        i += 1
+      }
+      g += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-row token bag: `array<struct<token, n>>` in first-occurrence order
   * — semantically the explode → groupBy(row, token) → count subplan of a
   * bag-of-words scorer, computed as ONE hashmap per row instead (the

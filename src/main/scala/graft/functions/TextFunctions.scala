@@ -48,6 +48,20 @@ object TextFunctions {
   def wordShingles(ws: Column, n: Int): Column =
     call_function("word_shingles", ws, lit(n))
 
+  /** ALL-POSITION n-word shingles (occurrence counting, the blocklist
+    * contract); imperative [[PositionalShingles]] — same interpreted-HOF
+    * argument as [[wordShingles]]. Short inputs yield an empty array.
+    */
+  def positionalShingles(ws: Column, n: Int): Column =
+    call_function("positional_shingles", ws, lit(n))
+
+  /** Total occurrences of any of `phrases` (space-joined normalized word
+    * sequences) in a word array; one imperative pass over distinct
+    * phrase lengths with hash-set probes ([[PhraseHits]]).
+    */
+  def phraseHits(ws: Column, phrases: Seq[String]): Column =
+    call_function("phrase_hits", ws, typedlit(phrases))
+
   /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
     * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).
     */

@@ -51,25 +51,27 @@ object LexicalIndex {
     (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
       .cast("int")
 
-  /** Map-only (doc_id, doc_len, term, tf, tb) posting projection. */
+  /** Map-only (doc_id, doc_len, term, tf, tb) posting projection — the
+    * tokenize/tf semantics are [[TextAnalysis.tfProjection]], single-homed
+    * so the indexed and one-shot paths cannot drift.
+    */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame =
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        words(col(textCol)).as("__w"))
-      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
-        explode(call_function("token_counts", col("__w"))).as("__tc"))
-      .select(col("doc_id"), col("doc_len"),
-        col("__tc.token").as("term"), col("__tc.n").as("tf"))
+    TextAnalysis.tfProjection(docs, idCol, textCol)
       .withColumn("tb", termBucket(col("term"), nBuckets))
 
-  /** One (n_docs, total_len) delta row for a batch (exact longs; docs
-    * with zero tokens count toward n_docs like the one-shot scorer's N).
+  /** One (n_docs, n_len, total_len) delta row for a batch (exact longs).
+    * `n_docs` counts every row (the one-shot scorer's N counts null-text
+    * docs too); `n_len` counts docs with a NON-NULL token array — the
+    * avgdl divisor, because the one-shot `avg(l)` and the DuckDB oracle
+    * both skip nulls. Folding total_len/n_docs instead would silently
+    * shift avgdl on corpora with null text and break the pinned
+    * one-shot ≡ indexed equality.
     */
   private def statsDelta(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(size(words(col(textCol))).cast("long").as("l"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(lit(1)).as("n_docs"), count(col("l")).as("n_len"),
         coalesce(sum(col("l")), lit(0L)).as("total_len"))
 
   /** Cluster postings on their bucket before the partitioned write:
@@ -173,7 +175,7 @@ object LexicalIndex {
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).cast("double").as("n"),
         (sum(col("total_len")).cast("double")
-          / sum(col("n_docs")).cast("double")).as("avgdl"))
+          / sum(col("n_len")).cast("double")).as("avgdl"))
     TextAnalysis.bm25RankTail(tf, stats, qterms, k, k1, b)
   }
 }

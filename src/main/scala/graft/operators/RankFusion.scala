@@ -46,4 +46,34 @@ object RankFusion {
           col("__m").cast("double").as("sim")),
       idCol, k)
   }
+
+  /** Per-query recall of a candidate ranking against a reference
+    * ranking: |candidate ∩ reference| / |reference| — the direct
+    * quality metric of an approximate index
+    * ([[Similarity.batchLshTopK]] vs [[Similarity.batchExactTopK]]),
+    * and the measurement the drift-triggered refit loop
+    * ([[Similarity.maintainIvfIndex]]) exists to protect. "Measure,
+    * don't guess": a recall sweep on a probe sample belongs in the
+    * same maintenance cadence as the drift check.
+    *
+    * Queries present in `reference` but absent from `candidate` report
+    * recall 0; queries only in `candidate` are ignored (no reference to
+    * recall against). Inputs are top-k lists, so this is queries x k
+    * rows end to end — one left join + one count aggregate. Recall
+    * rounds to 6 decimals (an exact small-integer ratio; rounding only
+    * pins the cross-engine repr).
+    */
+  def rankingRecall(candidate: DataFrame, reference: DataFrame,
+      idCol: String): DataFrame = {
+    val cand = candidate.select(col("query_id"), col(idCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    reference.select(col("query_id"), col(idCol))
+      .join(cand, Seq("query_id", idCol), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ref"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_ref"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_ref").cast("double"), 6)
+          .as("recall"))
+  }
 }

@@ -213,16 +213,12 @@ object TextAnalysis {
     // spill it once (the q130 raw-feature discipline) so the second
     // consumer scans integer (doc, doc_len, term, tf) parquet instead of
     // re-running the tokenize corpus pass. Per-doc tf comes from the
-    // exchange-free TokenCounts bag (the q123 argument: per-document
-    // aggregation needs no shuffle), so the whole tf phase is map-only.
-    // The spill holds query-matching term stats only — never text.
-    val tf = graft.io.Spill(toks
-      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
-        explode(call_function("token_counts", col("__w"))).as("__tc"))
-      .select(col("doc_id"), col("doc_len"),
-        col("__tc.token").as("term"), col("__tc.n").as("tf"))
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
-        "left_semi"), "graft-bm25tf-")
+    // shared map-only [[tfProjection]] (the exchange-free TokenCounts
+    // bag). The spill holds query-matching term stats only — never text.
+    val tf = graft.io.Spill(
+      tfProjection(docs, idCol, textCol)
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+          "left_semi"), "graft-bm25tf-")
     bm25RankTail(tf, stats, qterms, k, k1, b)
   }
 
@@ -270,26 +266,19 @@ object TextAnalysis {
 
   // ---- blocklist phrase filtering --------------------------------------
 
-  /** POSITIONAL word n-grams of a bound word-array column — every start
-    * position, duplicates kept ([[graft.functions.WordShingles]] dedupes,
-    * which is right for containment but wrong for occurrence counts).
-    * Pure sequence/slice/concat_ws column arithmetic, replayed verbatim
-    * by the oracle's list_transform.
-    */
-  private def positionalShingles(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Phrases normalized through the [[words]] convention (lowercase,
-    * non-word split) so "Fast, TABLE!" matches the tokens of
-    * "fast table"; de-duplicated, empty-after-normalization rejected.
+  /** Phrases normalized through the [[words]] convention so
+    * "Fast, TABLE!" matches the tokens of "fast table"; de-duplicated,
+    * empty-after-normalization rejected. Locale.ROOT lowering: document
+    * text is lowered by Spark's locale-independent `lower()`, and the
+    * JVM-default `toLowerCase` would silently mismatch it on tr/az/lt
+    * locales (dotless-i) — the [[graft.functions.UrlCanonicalize]]
+    * convention.
     */
   private def normalizedPhrases(phrases: Seq[String]): Seq[Seq[String]] = {
     require(phrases.nonEmpty, "at least one phrase")
     val norm = phrases
-      .map(p => p.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+      .map(p => p.toLowerCase(java.util.Locale.ROOT)
+        .split("\\W+").filter(_.nonEmpty).toSeq)
     norm.zip(phrases).foreach { case (ws, p) =>
       require(ws.nonEmpty, s"phrase '$p' is empty after tokenization")
     }
@@ -326,6 +315,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The (doc_id, doc_len, term, tf) projection shared by [[bm25TopK]]
+    * and [[LexicalIndex]] — ONE home for the tokenize + TokenCounts-bag
+    * semantics (the bm25RankTail argument: a fork here would let the
+    * one-shot and indexed paths drift). Map-only: per-doc tf needs no
+    * exchange.
+    */
+  private[operators] def tfProjection(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
+        explode(call_function("token_counts", col("__w"))).as("__tc"))
+      .select(col("doc_id"), col("doc_len"),
+        col("__tc.token").as("term"), col("__tc.n").as("tf"))
+
   /** Survivors of the blocklist gate: documents whose TOTAL phrase
     * occurrence count is at most `maxHits` (0 = any hit drops). Map-only
     * — the per-doc total folds over higher-order filters against the
@@ -339,14 +344,15 @@ object TextAnalysis {
     require(maxHits >= 0, "maxHits must be >= 0")
     require(!docs.columns.contains("__blw"),
       "blocklistGate binds a temporary __blw column; rename the input's")
-    val byLen = normalizedPhrases(phrases).groupBy(_.length)
-    // bind the token array once; inlining words() inside the HOF lambdas
-    // is the CodegenFallback O(tokens^2) trap (PLANS.md q130)
-    val total = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
-      val lits = typedlit(ps.map(_.mkString(" ")))
-      size(filter(positionalShingles(col("__blw"), n),
-        x => array_contains(lits, x))).cast("long")
-    }.reduce(_ + _)
+    // ONE imperative pass per document (PhraseHits: hash-set probe per
+    // start position per distinct phrase length) — the interpreted
+    // filter/array_contains HOF form is linear in the phrase list per
+    // position, the wrong trade inside the hot pipeline gates
+    // null text -> null token array -> null hits; a doc with no text has
+    // nothing to match, so it PASSES (it falls to later gates, not this
+    // one)
+    val total = coalesce(phraseHits(col("__blw"),
+      normalizedPhrases(phrases).map(_.mkString(" "))), lit(0L))
     docs.withColumn("__blw", words(col(textCol)))
       .where(total <= maxHits)
       .drop("__blw")

@@ -120,8 +120,9 @@ object TrainingData {
       else graft.operators.TextAnalysis.blocklistGate(
         docs, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
-    // per-domain cap) — runs FIRST so a blocked or over-cap domain's
-    // docs never pay dedup or scoring; blocklist is a pushed-down scan
+    // per-domain cap) — runs before dedup and scoring (only the 0a
+    // phrase blocklist precedes it, so blocked docs don't consume
+    // domain-cap budget); the domain blocklist is a pushed-down scan
     // filter, the cap windows only over-cap domains
     // ([[graft.operators.Urls.domainGate]])
     val sourced = urlCol.fold(docs0)(u =>

@@ -43,9 +43,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q133_hard_negatives",
     // q134/q135: the one-row (N, avgdl) corpus-stats broadcast
     "q134_bm25_topk", "q135_bm25_indexed",
-    // q137: q134's stats broadcast + the dense side's broadcast probe
-    // sweep (the q133 posture)
-    "q137_hybrid_rrf")
+    // q137/q138: the dense side's broadcast probe sweep (the q133
+    // posture; q137 adds q134's stats broadcast)
+    "q137_hybrid_rrf", "q138_ann_recall")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -77,6 +77,16 @@ class BlocklistSpec extends AnyFunSuite with Matchers with SparkSpec {
       .columns.toSeq shouldBe Seq("doc_id", "text", "extra")
   }
 
+  test("null text passes the gate and is absent from hits") {
+    import spark.implicits._
+    val d = Seq((1L, Option("bad phrase here")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    TextAnalysis.blocklistGate(d, "doc_id", "text", Seq("bad phrase"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+    TextAnalysis.blocklistHits(d, "doc_id", "text", Seq("bad phrase"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
   test("degenerate phrases fail loud") {
     val d = docs(1L -> "x")
     intercept[IllegalArgumentException] {

@@ -60,6 +60,21 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
   }
 
+  test("null-text docs leave indexed stats identical to the one-shot " +
+      "scorer (N counts them, avgdl skips them)") {
+    import spark.implicits._
+    val docs = corpus(20).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("text")).as("text"))
+    val q = queriesOf(1L, 2L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+  }
+
   test("the indexed scan prunes to the query terms' bucket partitions") {
     val docs = corpus(40)
     val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"

@@ -78,6 +78,27 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("rankingRecall counts overlap per query against the reference") {
+    val ref = ranking((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (3L, 1L, 30L))
+    val cand = ranking(
+      (1L, 1L, 11L), (1L, 2L, 99L), (1L, 3L, 12L), // 2 of 3 hit
+      (9L, 1L, 90L)) // candidate-only query: ignored
+    val out = RankFusion.rankingRecall(cand, ref, "doc_id")
+      .orderBy(col("query_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      (1L, 3L, 2L, 0.666667), // round(2/3, 6)
+      (2L, 1L, 0L, 0.0),      // query absent from candidate -> recall 0
+      (3L, 1L, 0L, 0.0))
+  }
+
+  test("rankingRecall is 1.0 when the candidate equals the reference") {
+    val ref = ranking((1L, 1L, 10L), (1L, 2L, 11L))
+    RankFusion.rankingRecall(ref, ref, "doc_id")
+      .select("recall").collect().map(_.getDouble(0)) shouldBe Array(1.0)
+  }
+
   test("degenerate fusion inputs fail loud") {
     intercept[IllegalArgumentException] { RankFusion.rrf(Nil, "doc_id", 1) }
     intercept[IllegalArgumentException] {
