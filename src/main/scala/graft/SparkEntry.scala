@@ -1349,6 +1349,36 @@ object SparkEntry {
             "Key, AGG row!", "zebra crossing"))
         .orderBy(col("doc_id"), col("phrase"))),
 
+    // MMR-diversified retrieval: the exact top-10 per probe re-ranked
+    // by greedy maximal marginal relevance (lambda=0.5) down to 5 —
+    // per-query candidates collect into one row, the imperative
+    // MmrSelect pass picks with integer-micro scores and the q95
+    // tiebreaks, and the oracle replays the greedy unrolled
+    "q140_mmr_diverse" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val probes = embs.where(col("vec_id") % 50 === 0)
+      val cands = Similarity.batchExactTopK(
+          embs, probes, "vec_id", "embedding", k = 10)
+        .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(probes.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          GraftFunctions.cosine_sim(col("embedding"), col("__qv")).as("rel"),
+          col("embedding"))
+      Similarity.mmrSelect(cands, "vec_id", "rel", "embedding",
+          k = 5, lambda = 0.5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // tf-idf keyword extraction: top-3 characteristic terms per doc —
+    // map-only tf bag, term-keyed df join (vocabulary outgrows
+    // broadcast at web scale), per-doc bounded sort fold, NB-micros
+    // determinism with the ascending-term tiebreak
+    "q139_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(t(s, d, "documents").repartition(32),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // ANN recall audit: q95's LSH ranking measured against the exact
     // cosine sweep, per probe — the index-quality metric the drift/refit
     // loop protects, as a battery row ("measure, don't guess"); both
@@ -2085,6 +2115,71 @@ object SparkEntry {
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q140 replay: the exact top-10 candidates, the pairwise candidate
+    * cosine matrix, then the MMR greedy UNROLLED into five pick stages —
+    * each stage excludes prior picks, scores
+    * lam*rel_m - (1e6-lam)*max(sim_m to picks), and takes the
+    * row_number=1 winner with the ascending-id tiebreak, exactly the
+    * integer comparisons MmrSelect makes.
+    */
+  private def q140Oracle: String = {
+    val lam = 500000L
+    val stages = (2 to 5).map { t =>
+      s"""scored$t AS (
+          SELECT c.query_id, c.id,
+            $lam * c.rel_m - ${1000000L - lam} * (
+              SELECT max(s.sim_m) FROM msims s
+              JOIN picks${t - 1} p
+                ON p.query_id = s.query_id AND p.id = s.id_b
+              WHERE s.query_id = c.query_id AND s.id_a = c.id) AS score
+          FROM mcand c
+          WHERE NOT EXISTS (SELECT 1 FROM picks${t - 1} p
+            WHERE p.query_id = c.query_id AND p.id = c.id)),
+        pick$t AS (
+          SELECT query_id, id, $t AS rank FROM (
+            SELECT query_id, id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, id) AS rn
+            FROM scored$t)
+          WHERE rn = 1),
+        picks$t AS (SELECT * FROM picks${t - 1} UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n        ")
+    s"""WITH epairs AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS id,
+            round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+              CAST(p.embedding AS DOUBLE[])), 4) AS sim
+          FROM embeddings c JOIN embeddings p
+            ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+        mcand AS (
+          SELECT query_id, id,
+            CAST(round(sim * 1000000) AS BIGINT) AS rel_m
+          FROM (
+            SELECT query_id, id, sim,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, id) AS rank
+            FROM epairs)
+          WHERE rank <= 10),
+        msims AS (
+          SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+            CAST(round(round(list_cosine_similarity(
+              CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])),
+              4) * 1000000) AS BIGINT) AS sim_m
+          FROM mcand a JOIN mcand b
+            ON a.query_id = b.query_id AND a.id <> b.id
+          JOIN embeddings ea ON ea.vec_id = a.id
+          JOIN embeddings eb ON eb.vec_id = b.id),
+        picks1 AS (
+          SELECT query_id, id, 1 AS rank FROM (
+            SELECT query_id, id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel_m DESC, id) AS rn
+            FROM mcand)
+          WHERE rn = 1),
+        $stages
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS vec_id
+        FROM picks5 ORDER BY query_id, rank"""
+  }
+
   /** Recall audit replay: the q95 LSH candidate list and the exact
     * cosine reference list, left-joined per (query, id), counted.
     */
@@ -2740,6 +2835,35 @@ object SparkEntry {
     "q135_bm25_indexed" -> bm25TopKOracle,
 
     "q138_ann_recall" -> q138Oracle,
+    "q140_mmr_diverse" -> q140Oracle,
+
+    // replays the tf-idf keyword ranking: full-corpus tf/df, the
+    // 6-decimal idf x integer tf micros, per-doc rank with term tiebreak
+    "q139_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sm AS (
+           SELECT tf.doc_id, tf.term,
+             CAST(round(round(ln(n.n / df.df), 6) * tf.tf * 1000000)
+               AS BIGINT) AS sm
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, sm,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY sm DESC, term) AS rank
+           FROM sm)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(sm AS DOUBLE) / 1e6 AS score
+         FROM ranked WHERE rank <= 3
+         ORDER BY doc_id, rank""",
 
     // the q134 CTEs for the lexical list, the q133-style cosine sweep
     // for the dense list, then integer-micro RRF contributions summed

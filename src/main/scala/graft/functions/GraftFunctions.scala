@@ -84,11 +84,18 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"positional_shingles(words, n literal); got ${other.size} args")
     },
+    // the phrase list must be a plan constant but arrives as a Literal
+    // from typedlit and as a foldable CreateArray from SQL text — accept
+    // any foldable array<string>
     "phrase_hits" -> {
-      case Seq(child, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
-          ArrayType(StringType, _))) =>
+      case Seq(child, arr) if arr.foldable && (arr.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }) =>
+        val a = arr.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         PhraseHits(child,
-          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString))
       case other =>
         throw new IllegalArgumentException(
           s"phrase_hits(words, phrases array literal); got ${other.size} args")
@@ -139,6 +146,13 @@ object GraftFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"pq_adc(codes, dtable literal); got ${other.size} args")
+    },
+    "mmr_select" -> {
+      case Seq(child, Literal(k: Int, _), Literal(lamMicros: Long, _)) =>
+        MmrSelect(child, k, lamMicros)
+      case other =>
+        throw new IllegalArgumentException(
+          s"mmr_select(candidates, k literal, lamMicros literal); got ${other.size} args")
     },
     "int8_quantize" -> (exprs => Int8Quantize(asDoubleArray(exprs.head))),
     "int8_pack" -> (exprs => Int8Pack(exprs.head)),

@@ -127,3 +127,109 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Greedy Maximal-Marginal-Relevance selection over ONE query's candidate
+  * array — the diversity-aware re-ranker (Carbonell & Goldstein 1998)
+  * behind diverse retrieval results, diverse few-shot example picking,
+  * and dedup-aware sample selection: each step takes the candidate
+  * maximizing lam*rel - (1-lam)*maxSimToSelected, so near-duplicates of
+  * an already-selected item are penalized by exactly their similarity.
+  *
+  * Input: `array<struct<id: long, rel: long, emb: array<double>>>` (rel
+  * already in integer micros); output the <= k selected ids in order.
+  * Greedy selection is inherently sequential in k, so the right Spark
+  * shape is this per-row imperative pass over the per-query collected
+  * candidates (tiny by construction: candidates come from a top-m
+  * searcher), not a plan-level iteration.
+  *
+  * Every comparison is integer: lam in micros, rel in micros, each
+  * pairwise cosine computed in the [[CosineSimilarity]] accumulation
+  * order then rounded to 4 decimals and scaled to micros (the q95
+  * contract), ties to the ascending id — so an unrolled SQL replay
+  * (the q140 oracle) reproduces the selection exactly. maxSim over an
+  * empty selected set is 0, making step 1 the pure-relevance argmax.
+  */
+case class MmrSelect(child: Expression, k: Int, lamMicros: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, "k must be positive")
+  require(lamMicros >= 0L && lamMicros <= 1000000L,
+    "lamMicros must be in [0, 1e6]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "mmr_select"
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def simMicros(a: Array[Double], b: Array[Double]): Long = {
+    val s4 = java.math.BigDecimal.valueOf(cos(a, b))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    math.round(s4 * 1e6)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Long](n)
+    val embs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rels(i) = row.getLong(1)
+      embs(i) = row.getArray(2).toDoubleArray()
+      i += 1
+    }
+    val taken = new Array[Boolean](n)
+    // Long.MinValue = "no selected neighbor yet": the penalty term is 0
+    // for an empty selected set, but once anything is selected the TRUE
+    // max similarity applies — including negative cosines (initializing
+    // to 0 instead would silently clamp anti-correlated candidates'
+    // reward, diverging from the standard formula and the SQL replay)
+    val maxSim = Array.fill(n)(Long.MinValue)
+    val out = new Array[Any](math.min(k, n))
+    var step = 0
+    while (step < out.length) {
+      var best = -1
+      var bestScore = Long.MinValue
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val penalty =
+            if (maxSim(i) == Long.MinValue) 0L
+            else (1000000L - lamMicros) * maxSim(i)
+          val score = lamMicros * rels(i) - penalty
+          if (best < 0 || score > bestScore ||
+              (score == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(step) = ids(best)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = simMicros(embs(i), embs(best))
+          if (s > maxSim(i)) maxSim(i) = s
+        }
+        i += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -86,6 +86,41 @@ object Similarity {
       idCol, k)
   }
 
+  /** MMR-diversified top-k: re-rank each query's scored candidates by
+    * Maximal Marginal Relevance — greedy lam*rel - (1-lam)*maxSimToSelected
+    * — so near-duplicate results are traded for diverse ones (diverse
+    * retrieval, diverse few-shot selection, dedup-aware sampling).
+    * `candidates` is (query_id, idCol, relCol double, embCol); feed it
+    * from [[batchExactTopK]]/[[batchLshTopK]] with the similarity joined
+    * back, or any scorer. lambda=1 degenerates to pure relevance order.
+    *
+    * Greedy selection is sequential in k by definition, so the plan
+    * collects each query's candidates (top-m sized by construction —
+    * tiny) into one row and runs the imperative
+    * [[graft.functions.MmrSelect]] pass: one aggregate + a map-only
+    * projection, nothing corpus-sized moves. Determinism: rel rounds to
+    * 4 decimals then micros, pairwise cosines take the q95 4-decimal
+    * contract inside the expression, ties to the ascending id — the
+    * oracle replays the unrolled greedy exactly.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, relCol: String,
+      embCol: String, k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val lamMicros = math.round(lambda * 1e6)
+    candidates
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(
+        col(idCol).cast("long").as("id"),
+        round(round(col(relCol), 4) * 1e6).cast("long").as("rel"),
+        col(embCol).cast("array<double>").as("emb"))).as("__c"))
+      .select(col("query_id"),
+        posexplode(call_function("mmr_select", col("__c"), lit(k),
+          lit(lamMicros))).as(Seq("__r", idCol)))
+      .select(col("query_id"), (col("__r") + 1).cast("long").as("rank"),
+        col(idCol))
+  }
+
   /** Hard-negative mining for contrastive / retrieval training data:
     * for each probe (anchor) vector, the exact top-k most-similar CORPUS
     * vectors carrying a DIFFERENT label — the near-but-wrong examples a

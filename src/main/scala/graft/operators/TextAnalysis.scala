@@ -264,6 +264,44 @@ object TextAnalysis {
     queries.select(col(queryIdCol).cast("long").as("query_id"),
       explode(array_distinct(col(queryTermsCol))).as("term"))
 
+  /** Top-k characteristic terms per document by tf-idf — keyword/topic
+    * tagging for corpus profiling, mixture design, and search-facet
+    * construction. Score = tf x ln(N/df): ubiquitous terms idf toward 0
+    * and fall out of the top-k naturally, so no stopword list is needed.
+    *
+    * Shape at 100 TB: the per-doc tf bag is the map-only
+    * [[tfProjection]]; the df rollup and its join back onto tf key on
+    * `term` — vocabulary can exceed broadcast thresholds at web scale,
+    * so this is a plain shuffled equi-join (the classic tf-idf batch
+    * shape; the exchanges carry integer (doc, term, tf) stats, never
+    * text). Per-doc top-k folds inside ONE aggregate
+    * (sort_array∘collect_list, bounded by the doc's own distinct-term
+    * count) instead of a corpus-wide rank window.
+    *
+    * Determinism is the NB micros discipline: idf rounds to 6 decimals,
+    * scales by the integer tf into exact micros, ranks break ties on
+    * the ascending term. Output (doc_id, rank, term, score).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = tfProjection(docs, idCol, textCol)
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(round(log(col("n") / col("df")), 6) * col("tf") * 1e6)
+          .cast("long").as("__sm"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("__sm")).as("m"), col("term")))), 1, k).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("doc_id"), (col("__r") + 1).cast("long").as("rank"),
+        col("__t.term").as("term"),
+        ((-col("__t.m")).cast("double") / lit(1e6)).as("score"))
+  }
+
   // ---- blocklist phrase filtering --------------------------------------
 
   /** Phrases normalized through the [[words]] convention so

@@ -45,6 +45,23 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       mh should have length 4
       fp should not be 0L
 
+      // round-11 additions: positional (non-distinct) shingles, the
+      // blocklist counter (SQL array() arrives as a foldable
+      // CreateArray, not a Literal — the registry must take both), and
+      // the MMR greedy
+      spark.sql("SELECT positional_shingles(array('a','a','a'), 2) AS s")
+        .head().getSeq[String](0) shouldBe Seq("a a", "a a")
+      spark.sql(
+        "SELECT phrase_hits(array('a','a','a','b'), array('a a', 'a b')) AS h")
+        .head().getLong(0) shouldBe 3L
+      spark.sql(
+        """SELECT mmr_select(array(
+             named_struct('id', 1L, 'rel', 900000L, 'emb', array(1.0d, 0.0d)),
+             named_struct('id', 2L, 'rel', 899999L, 'emb', array(0.999d, 0.01d)),
+             named_struct('id', 3L, 'rel', 500000L, 'emb', array(0.0d, 1.0d))),
+           2, 500000L) AS sel""")
+        .head().getSeq[Long](0) shouldBe Seq(1L, 3L)
+
       // the injected optimizer rule guards edit-distance filters with the
       // O(1) length lower bound, once (idempotent under fixpoint), without
       // changing results (parquet input — a local relation would be

@@ -45,7 +45,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q134_bm25_topk", "q135_bm25_indexed",
     // q137/q138: the dense side's broadcast probe sweep (the q133
     // posture; q137 adds q134's stats broadcast)
-    "q137_hybrid_rrf", "q138_ann_recall")
+    "q137_hybrid_rrf", "q138_ann_recall",
+    // q139: the one-row corpus-N broadcast
+    "q139_tfidf_keywords",
+    // q140: the dense probe sweep feeding the MMR candidates
+    "q140_mmr_diverse")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -209,7 +213,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // hybrid fusion: q134's post-spill lexical tail + the dense probe
     // broadcast + its bounded topk agg, the tiny rankers-x-queries-x-k
     // fusion union agg + topk, final sort
-    "q137_hybrid_rrf" -> 12)
+    "q137_hybrid_rrf" -> 12,
+    // tf-idf keywords: the term-keyed tf-df join pair (tf subplan
+    // re-planned under both join inputs; ReuseExchange collapses at
+    // runtime), one-row N broadcast + battery repartition, per-doc fold
+    // agg, final sort
+    "q139_tfidf_keywords" -> 9,
+    // MMR: probe broadcast + bounded topk agg pair feeding candidates,
+    // the id join-back, per-query collect agg, final sort
+    "q140_mmr_diverse" -> 5)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

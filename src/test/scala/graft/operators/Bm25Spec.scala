@@ -130,6 +130,46 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     dup shouldBe once
   }
 
+  // ---- tfidfKeywords (the q139 shape) ----
+
+  private def keywords(d: org.apache.spark.sql.DataFrame, k: Int) =
+    TextAnalysis.tfidfKeywords(d, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2))
+
+  test("tfidfKeywords ranks a doc's rare terms above ubiquitous ones") {
+    val d = docs(
+      1L -> "shared shared quark",
+      2L -> "shared boson boson",
+      3L -> "shared lepton")
+    val out = keywords(d, k = 1)
+    // 'shared' has idf ln(3/3)=0; each doc's distinctive term wins
+    out shouldBe Seq((1L, 1L, "quark"), (2L, 1L, "boson"), (3L, 1L, "lepton"))
+  }
+
+  test("tfidfKeywords scores match a hand computation and tie on term") {
+    import spark.implicits._
+    val d = docs(1L -> "alpha alpha beta gamma", 2L -> "delta")
+    val out = TextAnalysis.tfidfKeywords(d, "doc_id", "text", k = 4)
+      .where(col("doc_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    def sc(tf: Long, df: Long): Double = {
+      val idf6 = BigDecimal(math.log(2.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      ((idf6 * tf * 1000000).toLongExact.toDouble) / 1e6
+    }
+    // alpha tf=2 df=1; beta/gamma tf=1 df=1 (tie -> beta before gamma)
+    out shouldBe Array(
+      (1L, "alpha", sc(2, 1)), (2L, "beta", sc(1, 1)),
+      (3L, "gamma", sc(1, 1)))
+  }
+
+  test("tfidfKeywords returns fewer rows than k for short docs") {
+    val d = docs(1L -> "single", 2L -> "pad pad other words here")
+    keywords(d, k = 5).count(_._1 == 1L) shouldBe 1
+  }
+
   test("bm25TopK result is invariant under input partitioning") {
     val base = docs((1L to 40L).map(i =>
       i -> s"term${i % 5} term${i % 7} term${i % 3} filler pad"): _*)

@@ -99,6 +99,74 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("recall").collect().map(_.getDouble(0)) shouldBe Array(1.0)
   }
 
+  // ---- MMR diversified selection (the q140 shape) ----
+
+  private def mmrOf(cands: Seq[(Long, Long, Double, Seq[Double])], k: Int,
+      lambda: Double) = {
+    import spark.implicits._
+    Similarity.mmrSelect(
+        cands.toDF("query_id", "vec_id", "rel", "emb"),
+        "vec_id", "rel", "emb", k, lambda)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("MMR trades a near-duplicate for a diverse lower-relevance pick") {
+    val e1 = Seq(1.0, 0.0, 0.0)
+    val cands = Seq(
+      (1L, 10L, 0.95, e1),                    // top pick
+      (1L, 11L, 0.94, Seq(0.999, 0.01, 0.0)), // near-dup of 10
+      (1L, 12L, 0.60, Seq(0.0, 1.0, 0.0)))    // diverse
+    mmrOf(cands, k = 2, lambda = 0.5) shouldBe Array(
+      (1L, 1L, 10L), (1L, 2L, 12L))
+    // pure-relevance degenerate case keeps the near-dup
+    mmrOf(cands, k = 2, lambda = 1.0) shouldBe Array(
+      (1L, 1L, 10L), (1L, 2L, 11L))
+  }
+
+  test("MMR matches a from-the-definition greedy replication") {
+    val rnd = new scala.util.Random(7)
+    val cands = (0 until 12).map { i =>
+      (5L, i.toLong, rnd.nextDouble(),
+        Seq.fill(4)(rnd.nextDouble() * 2 - 1))
+    }
+    val lam = 0.5
+    // independent replication in plain Scala
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    def m4(x: Double): Long = math.round(
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val relM = cands.map(c => c._2 -> m4(c._3)).toMap
+    val emb = cands.map(c => c._2 -> c._4).toMap
+    var selected = Vector.empty[Long]
+    while (selected.size < 5) {
+      val best = cands.map(_._2).filterNot(selected.contains).map { id =>
+        val pen =
+          if (selected.isEmpty) 0L
+          else 500000L * selected.map(s => m4(cos(emb(id), emb(s)))).max
+        (500000L * relM(id) - pen, id)
+      }.minBy { case (s, id) => (-s, id) }._2
+      selected :+= best
+    }
+    mmrOf(cands, k = 5, lambda = lam).map(_._3).toSeq shouldBe selected
+  }
+
+  test("MMR rewards anti-correlated candidates (no clamp at zero sim)") {
+    val cands = Seq(
+      (1L, 1L, 0.95, Seq(1.0, 0.0)),
+      (1L, 2L, 0.50, Seq(-1.0, 0.0)), // anti-correlated to pick 1
+      (1L, 3L, 0.90, Seq(0.0, 1.0)))  // orthogonal (sim 0)
+    // score_2 = .5*.5 - .5*(-1) = 0.75 > score_3 = .45 - 0 = 0.45:
+    // a zero-clamped penalty would flip this to 3
+    mmrOf(cands, k = 2, lambda = 0.5) shouldBe Array(
+      (1L, 1L, 1L), (1L, 2L, 2L))
+  }
+
   test("degenerate fusion inputs fail loud") {
     intercept[IllegalArgumentException] { RankFusion.rrf(Nil, "doc_id", 1) }
     intercept[IllegalArgumentException] {
