@@ -94,11 +94,21 @@ object GraftFunctions {
         }) =>
         val a = arr.eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        if (a == null)
+          throw new IllegalArgumentException(
+            "phrase_hits: the phrase array must not be NULL")
         PhraseHits(child,
-          (0 until a.numElements()).map(i => a.getUTF8String(i).toString))
+          (0 until a.numElements()).map { i =>
+            val p = a.getUTF8String(i)
+            if (p == null)
+              throw new IllegalArgumentException(
+                "phrase_hits: phrase elements must not be NULL")
+            p.toString
+          })
       case other =>
         throw new IllegalArgumentException(
-          s"phrase_hits(words, phrases array literal); got ${other.size} args")
+          "phrase_hits(words, phrases non-null array<string> constant); " +
+            s"got ${other.map(_.dataType.simpleString).mkString("(", ", ", ")")}")
     },
     "gram_fingerprints" -> {
       case Seq(child, Literal(k: Int, _)) => GramFingerprints(child, k)

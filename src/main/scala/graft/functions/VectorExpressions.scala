@@ -146,8 +146,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * pairwise cosine computed in the [[CosineSimilarity]] accumulation
   * order then rounded to 4 decimals and scaled to micros (the q95
   * contract), ties to the ascending id — so an unrolled SQL replay
-  * (the q140 oracle) reproduces the selection exactly. maxSim over an
-  * empty selected set is 0, making step 1 the pure-relevance argmax.
+  * (the q140 oracle) reproduces the selection exactly. Step 1 (empty
+  * selected set) seeds with the pure-relevance argmax — identical to
+  * the lam-scaled score for lam > 0, and the conventional seed at
+  * lam == 0 where the scaled score would collapse to an id tiebreak.
   */
 case class MmrSelect(child: Expression, k: Int, lamMicros: Long)
     extends UnaryExpression with CodegenFallback {
@@ -160,6 +162,9 @@ case class MmrSelect(child: Expression, k: Int, lamMicros: Long)
   override def prettyName: String = "mmr_select"
 
   private def cos(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"mmr_select: embedding dimension mismatch ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       val x = a(i); val y = b(i)
@@ -184,6 +189,11 @@ case class MmrSelect(child: Expression, k: Int, lamMicros: Long)
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 3)
+      // fail loud on a malformed candidate (null field from a bad
+      // upstream row) instead of an opaque executor NPE mid-greedy
+      if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"mmr_select: candidate $i has a null id/rel/emb field")
       ids(i) = row.getLong(0)
       rels(i) = row.getLong(1)
       embs(i) = row.getArray(2).toDoubleArray()
@@ -204,10 +214,13 @@ case class MmrSelect(child: Expression, k: Int, lamMicros: Long)
       i = 0
       while (i < n) {
         if (!taken(i)) {
-          val penalty =
-            if (maxSim(i) == Long.MinValue) 0L
-            else (1000000L - lamMicros) * maxSim(i)
-          val score = lamMicros * rels(i) - penalty
+          // step 1 (empty selected set) seeds with PURE relevance — for
+          // lamMicros > 0 this is the same argmax as lam*rel, and at
+          // lamMicros == 0 it keeps the conventional top-relevance seed
+          // instead of degenerating to the lowest-id tiebreak
+          val score =
+            if (maxSim(i) == Long.MinValue) rels(i)
+            else lamMicros * rels(i) - (1000000L - lamMicros) * maxSim(i)
           if (best < 0 || score > bestScore ||
               (score == bestScore && ids(i) < ids(best))) {
             best = i; bestScore = score

@@ -172,10 +172,20 @@ object LexicalIndex {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "left_semi")
       .select(col("doc_id"), col("doc_len"), col("term"), col("tf"))
-    val stats = spark.read.parquet(s"$path/stats")
+    // explicit schema-on-read: delta rows written before n_len existed
+    // (round-11 null-text fix) surface it as NULL — for those batches
+    // n_len == n_docs by construction (the old fold divided by n_docs,
+    // which was only correct because null-text docs contributed no
+    // rows), so the coalesce reconstructs the exact pre-change totals
+    // and a mixed-generation stats directory folds correctly instead of
+    // failing resolution or silently inflating avgdl
+    val stats = spark.read
+      .schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
+      .parquet(s"$path/stats")
       .agg(sum(col("n_docs")).cast("double").as("n"),
         (sum(col("total_len")).cast("double")
-          / sum(col("n_len")).cast("double")).as("avgdl"))
+          / sum(coalesce(col("n_len"), col("n_docs"))).cast("double"))
+          .as("avgdl"))
     TextAnalysis.bm25RankTail(tf, stats, qterms, k, k1, b)
   }
 }

@@ -65,9 +65,12 @@ object RankFusion {
     */
   def rankingRecall(candidate: DataFrame, reference: DataFrame,
       idCol: String): DataFrame = {
+    // BOTH sides dedup defensively: a raw multi-table match list passed
+    // as either argument (the mistake the distinct anticipates) must not
+    // inflate n_ref or double-count hits
     val cand = candidate.select(col("query_id"), col(idCol)).distinct()
       .withColumn("__hit", lit(1L))
-    reference.select(col("query_id"), col(idCol))
+    reference.select(col("query_id"), col(idCol)).distinct()
       .join(cand, Seq("query_id", idCol), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_ref"),

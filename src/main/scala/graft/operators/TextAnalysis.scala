@@ -285,7 +285,12 @@ object TextAnalysis {
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val tf = tfProjection(docs, idCol, textCol)
+    // tf feeds BOTH the df rollup and the scoring join's left input —
+    // different subtrees, so ReuseExchange cannot collapse them and the
+    // tokenize corpus pass would run twice; spill once (the bm25TopK /
+    // q130 discipline — integer rows, never text)
+    val tf = graft.io.Spill(tfProjection(docs, idCol, textCol),
+      "graft-tfidf-")
     val stats = docs.agg(count(lit(1)).cast("double").as("n"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))

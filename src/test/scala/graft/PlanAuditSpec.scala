@@ -214,11 +214,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // broadcast + its bounded topk agg, the tiny rankers-x-queries-x-k
     // fusion union agg + topk, final sort
     "q137_hybrid_rrf" -> 12,
-    // tf-idf keywords: the term-keyed tf-df join pair (tf subplan
-    // re-planned under both join inputs; ReuseExchange collapses at
-    // runtime), one-row N broadcast + battery repartition, per-doc fold
-    // agg, final sort
-    "q139_tfidf_keywords" -> 9,
+    // tf-idf keywords over the SPILLED tf bag (the tokenize corpus pass
+    // runs once, eagerly — ReuseExchange could NOT collapse the two
+    // consumers, their subtrees differ): df agg over the spill scan +
+    // the term join pair, one-row N broadcast, per-doc fold agg, final
+    // sort
+    "q139_tfidf_keywords" -> 7,
     // MMR: probe broadcast + bounded topk agg pair feeding candidates,
     // the id join-back, per-query collect agg, final sort
     "q140_mmr_diverse" -> 5)

@@ -75,6 +75,30 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  test("stats deltas written before the n_len column still fold exactly") {
+    import spark.implicits._
+    val docs = corpus(24)
+    val q = queriesOf(1L, 2L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 12),
+      "doc_id", "text", dir, nBuckets = 8)
+    // simulate a pre-change index generation: rewrite the seed batch's
+    // delta WITHOUT n_len (the old schema; its corpora had no null
+    // text, so n_len == n_docs held implicitly)
+    val old = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "total_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    old.toDF("n_docs", "total_len").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    // a post-change append adds a new-schema delta into the same dir
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 12),
+      "doc_id", "text")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+  }
+
   test("the indexed scan prunes to the query terms' bucket partitions") {
     val docs = corpus(40)
     val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"

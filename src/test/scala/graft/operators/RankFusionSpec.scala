@@ -167,6 +167,40 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
       (1L, 1L, 1L), (1L, 2L, 2L))
   }
 
+  test("MMR at lambda=0 still seeds with the most relevant item") {
+    val cands = Seq(
+      (1L, 5L, 0.3, Seq(1.0, 0.0)),
+      (1L, 9L, 0.9, Seq(0.0, 1.0))) // higher rel, higher id
+    mmrOf(cands, k = 1, lambda = 0.0) shouldBe Array((1L, 1L, 9L))
+  }
+
+  test("MMR fails loud on ragged dimensions and null embeddings") {
+    val ragged = Seq(
+      (1L, 1L, 0.9, Seq(1.0, 0.0)),
+      (1L, 2L, 0.8, Seq(0.0, 1.0, 0.5)))
+    val e1 = intercept[Exception] { mmrOf(ragged, k = 2, lambda = 0.5) }
+    e1.getMessage should include("dimension mismatch")
+    import spark.implicits._
+    val withNull = Seq((1L, 1L, 0.9, Seq(1.0)), (1L, 2L, 0.8, null: Seq[Double]))
+      .toDF("query_id", "vec_id", "rel", "emb")
+    val e2 = intercept[Exception] {
+      Similarity.mmrSelect(withNull, "vec_id", "rel", "emb", 2, 0.5).collect()
+    }
+    e2.getMessage should include("null id/rel/emb")
+  }
+
+  test("rankingRecall dedups BOTH sides: duplicate rows cannot skew it") {
+    val ref = ranking((1L, 1L, 10L), (1L, 2L, 11L))
+    val refDup = ranking((1L, 1L, 10L), (1L, 2L, 11L), (1L, 9L, 10L))
+    val cand = ranking((1L, 1L, 10L))
+    val clean = RankFusion.rankingRecall(cand, ref, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dup = RankFusion.rankingRecall(cand, refDup, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    dup shouldBe clean
+    clean shouldBe Array((2L, 1L, 0.5))
+  }
+
   test("degenerate fusion inputs fail loud") {
     intercept[IllegalArgumentException] { RankFusion.rrf(Nil, "doc_id", 1) }
     intercept[IllegalArgumentException] {
