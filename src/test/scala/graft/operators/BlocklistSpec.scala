@@ -87,6 +87,30 @@ class BlocklistSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
   }
 
+  test("fuzz: gate total always equals the summed hits report (and " +
+      "neither throws) on random token soups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "cc", "ddd", "é", "x1")
+    val docs = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val phrases = Seq("a a", "b cc", "ddd é x1", "cc")
+    val totals = TextAnalysis.blocklistHits(docs, "doc_id", "text", phrases)
+      .groupBy("doc_id").agg(sum("n_hits").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the imperative PhraseHits gate must agree with the explode/join
+    // report on every document, for every cut of maxHits
+    for (cut <- Seq(0L, 1L, 3L)) {
+      val survivors = TextAnalysis
+        .blocklistGate(docs, "doc_id", "text", phrases, maxHits = cut)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = (1L to 60L).filter(i => totals.getOrElse(i, 0L) <= cut).toSet
+      survivors shouldBe expected
+    }
+  }
+
   test("degenerate phrases fail loud") {
     val d = docs(1L -> "x")
     intercept[IllegalArgumentException] {

@@ -201,6 +201,23 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
     clean shouldBe Array((2L, 1L, 0.5))
   }
 
+  test("fuzz: MMR selections are valid permutations of candidates for " +
+      "random inputs across lambdas") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 4; lambda <- Seq(0.0, 0.3, 1.0)) {
+      val m = 3 + rnd.nextInt(8)
+      val cands = (0 until m).map { i =>
+        (trial.toLong, i.toLong, rnd.nextDouble() * 2 - 1,
+          Seq.fill(3)(rnd.nextDouble() * 2 - 1))
+      }
+      val out = mmrOf(cands, k = 5, lambda)
+      val picked = out.map(_._3)
+      picked.distinct.length shouldBe picked.length // no repeats
+      picked.toSet.subsetOf(cands.map(_._2).toSet) shouldBe true
+      out.map(_._2).toSeq shouldBe (1L to math.min(5, m).toLong) // dense ranks
+    }
+  }
+
   test("degenerate fusion inputs fail loud") {
     intercept[IllegalArgumentException] { RankFusion.rrf(Nil, "doc_id", 1) }
     intercept[IllegalArgumentException] {
