@@ -1349,6 +1349,22 @@ object SparkEntry {
             "Key, AGG row!", "zebra crossing"))
         .orderBy(col("doc_id"), col("phrase"))),
 
+    // keyword analytics FROM the persisted index (no tokenize pass):
+    // the posting table is the tf bag, N folds from the stats deltas,
+    // the scoring tail is q139's — oracle identical since the math is
+    // single-homed; the build/append/scan path is what this row pins
+    "q141_tfidf_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.operators.LexicalIndex.tfidfKeywordsIndexed(s, dir, k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // MMR-diversified retrieval: the exact top-10 per probe re-ranked
     // by greedy maximal marginal relevance (lambda=0.5) down to 5 —
     // per-query candidates collect into one row, the imperative
@@ -2180,6 +2196,35 @@ object SparkEntry {
         FROM picks5 ORDER BY query_id, rank"""
   }
 
+  /** Shared replay of the tf-idf keyword ranking (q139 one-shot, q141
+    * from the persisted index — identical single-homed math).
+    */
+  private def tfidfOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf
+         FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+         GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       sm AS (
+         SELECT tf.doc_id, tf.term,
+           CAST(round(round(ln(n.n / df.df), 6) * tf.tf * 1000000)
+             AS BIGINT) AS sm
+         FROM tf JOIN df USING (term) CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, term, sm,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY sm DESC, term) AS rank
+         FROM sm)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+         CAST(sm AS DOUBLE) / 1e6 AS score
+       FROM ranked WHERE rank <= 3
+       ORDER BY doc_id, rank"""
+
   /** Recall audit replay: the q95 LSH candidate list and the exact
     * cosine reference list, left-joined per (query, id), counted.
     */
@@ -2838,32 +2883,12 @@ object SparkEntry {
     "q140_mmr_diverse" -> q140Oracle,
 
     // replays the tf-idf keyword ranking: full-corpus tf/df, the
-    // 6-decimal idf x integer tf micros, per-doc rank with term tiebreak
-    "q139_tfidf_keywords" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
-           FROM documents),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         tf AS (
-           SELECT doc_id, term, count(*) AS tf
-           FROM (SELECT doc_id, unnest(w) AS term FROM toks)
-           GROUP BY doc_id, term),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         sm AS (
-           SELECT tf.doc_id, tf.term,
-             CAST(round(round(ln(n.n / df.df), 6) * tf.tf * 1000000)
-               AS BIGINT) AS sm
-           FROM tf JOIN df USING (term) CROSS JOIN n),
-         ranked AS (
-           SELECT doc_id, term, sm,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY sm DESC, term) AS rank
-           FROM sm)
-         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
-           CAST(sm AS DOUBLE) / 1e6 AS score
-         FROM ranked WHERE rank <= 3
-         ORDER BY doc_id, rank""",
+    // 6-decimal idf x integer tf micros, per-doc rank with term
+    // tiebreak; q141 serves the IDENTICAL math from the persisted index
+    // (single-homed tail, indexed ≡ one-shot spec-pinned) so it shares
+    // the replay
+    "q139_tfidf_keywords" -> tfidfOracle,
+    "q141_tfidf_indexed" -> tfidfOracle,
 
     // the q134 CTEs for the lexical list, the q133-style cosine sweep
     // for the dense list, then integer-micro RRF contributions summed

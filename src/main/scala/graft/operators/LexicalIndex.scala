@@ -143,6 +143,30 @@ object LexicalIndex {
         append(spark, path, batch, idCol, textCol))
       .start()
 
+  /** [[TextAnalysis.tfidfKeywords]] served FROM the index — per-doc
+    * characteristic terms without touching corpus text: the posting
+    * table IS the tf bag (keyword extraction is corpus-wide, so the
+    * scan reads every bucket — no pruning to claim, but also no
+    * tokenize pass), corpus N folds from the stats deltas, and the
+    * scoring tail is the single-homed
+    * [[TextAnalysis.tfidfRankTail]] — indexed ≡ one-shot exactly
+    * (spec-pinned), which makes the index the corpus-analytics
+    * substrate, not just the retrieval one.
+    */
+  def tfidfKeywordsIndexed(spark: SparkSession, path: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    readNBuckets(spark, path) // fail loud on a non-index path
+    val tf = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings/tb=*")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val stats = spark.read
+      .schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
+      .parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).cast("double").as("n"))
+    TextAnalysis.tfidfRankTail(tf, stats, k)
+  }
+
   /** Batched BM25 top-k against the index —
     * [[TextAnalysis.bm25TopK]]-identical results (same integer tf/df/len
     * inputs, same shared scoring tail; exact equality spec-pinned)

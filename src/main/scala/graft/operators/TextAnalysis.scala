@@ -291,7 +291,18 @@ object TextAnalysis {
     // q130 discipline — integer rows, never text)
     val tf = graft.io.Spill(tfProjection(docs, idCol, textCol),
       "graft-tfidf-")
-    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+    tfidfRankTail(tf, docs.agg(count(lit(1)).cast("double").as("n")), k)
+  }
+
+  /** Scoring + ranking tail shared by [[tfidfKeywords]] (spilled
+    * in-plan tf) and [[LexicalIndex.tfidfKeywordsIndexed]] (posting
+    * scan): df rollup, the 6-decimal idf x integer tf micros, the
+    * bounded per-doc sort fold — single-homed like [[bm25RankTail]] so
+    * the two paths cannot drift. `tf` is (doc_id, term, tf) rows (full
+    * vocabulary); `stats` one (n) row.
+    */
+  private[operators] def tfidfRankTail(tf: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .join(broadcast(stats))

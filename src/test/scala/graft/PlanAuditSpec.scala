@@ -49,7 +49,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q139: the one-row corpus-N broadcast
     "q139_tfidf_keywords",
     // q140: the dense probe sweep feeding the MMR candidates
-    "q140_mmr_diverse")
+    "q140_mmr_diverse",
+    // q141: q139's one-row corpus-N broadcast (folded from the index
+    // stats deltas)
+    "q141_tfidf_indexed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -222,7 +225,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q139_tfidf_keywords" -> 7,
     // MMR: probe broadcast + bounded topk agg pair feeding candidates,
     // the id join-back, per-query collect agg, final sort
-    "q140_mmr_diverse" -> 5)
+    "q140_mmr_diverse" -> 5,
+    // indexed keywords: df agg over the posting scan + the term join
+    // pair, one-row N fold from the stats deltas + its broadcast,
+    // per-doc fold agg, final sort — the build/append phases run
+    // eagerly at entry construction
+    "q141_tfidf_indexed" -> 6)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -75,6 +75,21 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  test("indexed keyword extraction equals the one-shot operator over " +
+      "appended epochs") {
+    val docs = corpus(30)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).sortBy(r => (r._1, r._2)).toSeq
+    rows(LexicalIndex.tfidfKeywordsIndexed(spark, dir, k = 2)) shouldBe
+      rows(TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2))
+  }
+
   test("stats deltas written before the n_len column still fold exactly") {
     import spark.implicits._
     val docs = corpus(24)
