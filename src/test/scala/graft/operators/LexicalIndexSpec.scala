@@ -75,6 +75,39 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  test("compaction folds append-accrued files without changing answers") {
+    val docs = corpus(40)
+    val q = queriesOf(1L, 2L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8)
+    for (epoch <- 1 to 3)
+      LexicalIndex.append(spark, dir,
+        docs.where(col("doc_id") > epoch * 10 && col("doc_id") <= (epoch + 1) * 10),
+        "doc_id", "text")
+    def files(sub: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files("postings") + files("stats")
+    val retrievalBefore = collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4))
+    val after = LexicalIndex.compact(spark, dir)
+    after should be < before
+    files("stats") shouldBe 1 // the summed fold is one row, one file
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe retrievalBefore
+    // appends keep working after a fold, and a re-fold is idempotent
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 40 - 0),
+      "doc_id", "text")
+    LexicalIndex.compact(spark, dir)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe retrievalBefore // the extra append matched no docs (empty)
+  }
+
   test("indexed keyword extraction equals the one-shot operator over " +
       "appended epochs") {
     val docs = corpus(30)
