@@ -32,6 +32,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4's default, pinned explicitly: null-handling parity with
+      // the DuckDB oracle (e.g. size(null) = NULL, not the legacy -1)
+      // must not depend on a user's spark-defaults overriding it. The
+      // stats folds are additionally null-safe (TextFunctions.sizeOrNull)
+      // so correctness does not hinge on this flag alone.
+      .config("spark.sql.ansi.enabled", "true")
       // JSON mutation ([[graft.functions.JsonFunctions.jsonSetFields]])
       // models a document as map<string,variant>; LAST_WIN makes
       // map_concat overwrite an existing key IN PLACE (keeping its

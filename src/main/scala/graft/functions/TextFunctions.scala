@@ -55,12 +55,47 @@ object TextFunctions {
   def positionalShingles(ws: Column, n: Int): Column =
     call_function("positional_shingles", ws, lit(n))
 
-  /** Total occurrences of any of `phrases` (space-joined normalized word
-    * sequences) in a word array; one imperative pass over distinct
-    * phrase lengths with hash-set probes ([[PhraseHits]]).
+  /** Total occurrences of any of `phrases` in a word array; one
+    * imperative pass over distinct phrase lengths with hash-set probes
+    * ([[PhraseHits]]). Phrases are [[normalizedPhrases]]-normalized here
+    * — a caller passing "Bad, Phrase!" or double-spaced text previously
+    * got silent zero matches because the expression probes exact
+    * space-joined token strings; normalization is idempotent, so
+    * already-normalized callers ([[graft.operators.TextAnalysis
+    * .blocklistGate]]) are unchanged.
     */
   def phraseHits(ws: Column, phrases: Seq[String]): Column =
-    call_function("phrase_hits", ws, typedlit(phrases))
+    call_function("phrase_hits", ws,
+      typedlit(normalizedPhrases(phrases).map(_.mkString(" "))))
+
+  /** Phrases normalized through the [[words]] convention so
+    * "Fast, TABLE!" matches the tokens of "fast table"; de-duplicated,
+    * empty-after-normalization rejected. Locale.ROOT lowering: document
+    * text is lowered by Spark's locale-independent `lower()`, and the
+    * JVM-default `toLowerCase` would silently mismatch it on tr/az/lt
+    * locales (dotless-i) — the [[UrlCanonicalize]] convention.
+    */
+  def normalizedPhrases(phrases: Seq[String]): Seq[Seq[String]] = {
+    require(phrases.nonEmpty, "at least one phrase")
+    val norm = phrases
+      .map(p => p.toLowerCase(java.util.Locale.ROOT)
+        .split("\\W+").filter(_.nonEmpty).toSeq)
+    norm.zip(phrases).foreach { case (ws, p) =>
+      require(ws.nonEmpty, s"phrase '$p' is empty after tokenization")
+    }
+    norm.distinct
+  }
+
+  /** Null-safe array length: NULL array -> NULL. `size(null)` is NULL
+    * only under ANSI mode; with `spark.sql.ansi.enabled=false` it
+    * returns -1, which would silently count null-text docs into avgdl
+    * denominators and fold -1s into corpus length totals. [[graft.core
+    * .Engine]] pins ANSI on, but the BM25/index stats folds must not
+    * hinge oracle parity on a session flag (the QuantizationSpec
+    * posture).
+    */
+  def sizeOrNull(arr: Column): Column =
+    when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
 
   /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
     * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).

@@ -2,14 +2,17 @@ package graft.io
 
 import org.apache.spark.sql.SparkSession
 
-/** Shared temp-sibling + rename swap used by [[Layout.compact]] and
-  * [[Merge.upsertWrite]]: write the replacement NEXT TO the target, then
-  * two renames exchange them — never a lazy read-then-overwrite of the
-  * same path (which loses the table). If the replacement write throws,
-  * the partial temp directory is deleted and the target is untouched.
-  * The swap window is not atomic for concurrent readers.
+/** Shared temp-sibling + rename swap used by [[Layout.compact]],
+  * [[Merge.upsertWrite]], and [[graft.operators.LexicalIndex.compact]]:
+  * write the replacement NEXT TO the target, then two renames exchange
+  * them — never a lazy read-then-overwrite of the same path (which loses
+  * the table), and never delete-then-rename (which leaves the table
+  * OFFLINE if the rename fails; the old copy stays in place until the
+  * new one is in). If the replacement write throws, the partial temp
+  * directory is deleted and the target is untouched. The swap window is
+  * not atomic for concurrent readers.
   */
-private[io] object Swap {
+private[graft] object Swap {
 
   /** `write` receives the temp path and must materialize the replacement
     * there; on success the temp is swapped into `path`.

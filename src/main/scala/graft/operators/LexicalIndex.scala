@@ -70,7 +70,8 @@ object LexicalIndex {
     */
   private def statsDelta(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(size(words(col(textCol))).cast("long").as("l"))
+    docs.select(graft.functions.TextFunctions
+        .sizeOrNull(words(col(textCol))).cast("long").as("l"))
       .agg(count(lit(1)).as("n_docs"), count(col("l")).as("n_len"),
         coalesce(sum(col("l")), lit(0L)).as("total_len"))
 
@@ -149,41 +150,36 @@ object LexicalIndex {
     * after many streaming epochs the pruned scan is file-open-bound —
     * compaction rewrites each bucket to one coalesced file and the
     * stats to ONE pre-summed row (old-generation deltas fold through
-    * the n_len coalesce). Both rewrites go write-new-then-swap: the
-    * folded copy is COMPLETE on disk before the live directory is
-    * replaced, so a crash loses no data — mid-write leaves the live
-    * index untouched; between delete and rename leaves the finished
-    * `<dir>-compact` copy, and recovery is renaming it into place.
-    * Single-maintainer contract: do not run concurrently with
-    * [[append]]/[[maintain]] (an append landing mid-fold would be
-    * dropped by the swap). Returns the table's parquet file count.
+    * the n_len coalesce). Both rewrites go through [[graft.io.Swap]]'s
+    * write-new-then-rename-aside: the folded copy is COMPLETE on disk
+    * before the live directory moves, and the live copy is renamed
+    * ASIDE (not deleted) until the replacement is in place — no crash
+    * point leaves the index offline. Single-maintainer contract
+    * (mechanically fenced by [[Maintenance.withLease]]): an append
+    * landing mid-fold would be dropped by the swap. Returns the
+    * table's parquet file count.
     */
   def compact(spark: SparkSession, path: String): Int = {
     readNBuckets(spark, path) // fail loud on a non-index path
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(live: String, rebuilt: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(live), true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(rebuilt),
-          new org.apache.hadoop.fs.Path(live)))
-        throw new IllegalStateException(
-          s"compact: could not swap $rebuilt into place - rename it to " +
-            s"$live manually to recover")
+    // each rewrite reads the LIVE directory and writes a temp SIBLING
+    // (graft.io.Swap: the fold fully materializes before any rename, and
+    // the old copy stays in place until the new one is in — a failed
+    // rename can never leave the index offline)
+    graft.io.Swap.swapInto(spark, s"$path/postings", "compact") { tmp =>
+      clustered(spark.read.option("basePath", s"$path/postings")
+          .parquet(s"$path/postings/tb=*"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
     }
-    // the rewrite reads the LIVE directory and writes a sibling, so the
-    // fold fully materializes before the swap touches anything
-    clustered(spark.read.option("basePath", s"$path/postings")
-        .parquet(s"$path/postings/tb=*"))
-      .write.mode("overwrite")
-      .partitionBy("tb").parquet(s"$path/postings-compact")
-    swap(s"$path/postings", s"$path/postings-compact")
-    spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
-      .parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(coalesce(col("n_len"), col("n_docs"))).as("n_len"),
-        sum(col("total_len")).as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats-compact")
-    swap(s"$path/stats", s"$path/stats-compact")
+    graft.io.Swap.swapInto(spark, s"$path/stats", "compact") { tmp =>
+      spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
+        .parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(coalesce(col("n_len"), col("n_docs"))).as("n_len"),
+          sum(col("total_len")).as("total_len"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
     val it = fs.listFiles(root, true)
     var n = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1

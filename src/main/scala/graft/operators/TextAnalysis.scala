@@ -151,7 +151,7 @@ object TextAnalysis {
     // BroadcastNestedLoopJoin over one row, the same shape as the
     // query-vector joins in Similarity.
     val stats = docs
-      .select(size(words(col(textCol))).cast("double").as("l"))
+      .select(sizeOrNull(words(col(textCol))).cast("double").as("l"))
       .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
     termStats(docs, idCol, textCol, terms)
       .join(broadcast(stats))
@@ -207,7 +207,7 @@ object TextAnalysis {
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTermsCol)
     val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
     val stats = toks
-      .select(size(col("__w")).cast("double").as("l"))
+      .select(sizeOrNull(col("__w")).cast("double").as("l"))
       .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
     // The tf frame feeds BOTH the df rollup and the scoring projection;
     // spill it once (the q130 raw-feature discipline) so the second
@@ -320,24 +320,13 @@ object TextAnalysis {
 
   // ---- blocklist phrase filtering --------------------------------------
 
-  /** Phrases normalized through the [[words]] convention so
-    * "Fast, TABLE!" matches the tokens of "fast table"; de-duplicated,
-    * empty-after-normalization rejected. Locale.ROOT lowering: document
-    * text is lowered by Spark's locale-independent `lower()`, and the
-    * JVM-default `toLowerCase` would silently mismatch it on tr/az/lt
-    * locales (dotless-i) — the [[graft.functions.UrlCanonicalize]]
-    * convention.
+  /** See [[graft.functions.TextFunctions.normalizedPhrases]] — moved
+    * there so [[graft.functions.TextFunctions.phraseHits]] (the public
+    * Column API) normalizes its own phrase list instead of silently
+    * zero-matching un-normalized input.
     */
-  private def normalizedPhrases(phrases: Seq[String]): Seq[Seq[String]] = {
-    require(phrases.nonEmpty, "at least one phrase")
-    val norm = phrases
-      .map(p => p.toLowerCase(java.util.Locale.ROOT)
-        .split("\\W+").filter(_.nonEmpty).toSeq)
-    norm.zip(phrases).foreach { case (ws, p) =>
-      require(ws.nonEmpty, s"phrase '$p' is empty after tokenization")
-    }
-    norm.distinct
-  }
+  private def normalizedPhrases(phrases: Seq[String]): Seq[Seq[String]] =
+    graft.functions.TextFunctions.normalizedPhrases(phrases)
 
   /** Per-(doc, phrase) occurrence counts for a blocklist of word
     * sequences (the LDNOOBW-style phrase filter every public pretraining
