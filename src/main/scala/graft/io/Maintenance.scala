@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * append landing while a compaction folds would be silently dropped by
   * the fold's swap. Round 11 documented that as a prose contract; this
   * replaces it with a lease FILE so an operator error fails LOUD instead
-  * of silently losing data: every mutator creates `_maintenance.lease`
+  * of silently losing data: every mutator of an EXISTING index
+  * (LexicalIndex append/compact and each epoch of maintain; Similarity
+  * appendIvf[Pq]Index and the whole decision+mutation of
+  * maintainIvf[Pq]Index — the initial `write*` builds bootstrap the root
+  * and are single-owner by construction) creates `_maintenance.lease`
   * under the index root with the atomic create-if-absent primitive
   * (HDFS/local `FileSystem.create(overwrite = false)`), runs, then
   * deletes it. A second mutator arriving mid-run throws
@@ -50,6 +54,9 @@ object Maintenance {
     // the index root must exist before a mutator can fence on it (write()
     // creates it); creating the lease would otherwise create the root and
     // mask a typo'd path
+    require(fs.exists(new Path(path)),
+      s"index root $path does not exist - refusing to create a lease " +
+        "under a path no index was written to (typo'd path?)")
     val out =
       try fs.create(lease, false)
       catch {
@@ -60,12 +67,16 @@ object Maintenance {
           // IOException rather than the typed subclass
           throw held(lease, fs, e)
       }
+    // once fs.create has succeeded we own the lease: any failure from here
+    // on (header write included) must delete it, or later maintainers are
+    // blocked until manual recovery
     try {
-      out.write(s"op=$op pid=${ProcessHandle.current().pid()} " +
-        s"at=${java.time.Instant.now()}\n".getBytes("UTF-8"))
-    } finally out.close()
-    try body
-    finally fs.delete(lease, false)
+      try {
+        out.write((s"op=$op pid=${ProcessHandle.current().pid()} " +
+          s"at=${java.time.Instant.now()}\n").getBytes("UTF-8"))
+      } finally out.close()
+      body
+    } finally fs.delete(lease, false)
   }
 
   private def held(lease: Path, fs: org.apache.hadoop.fs.FileSystem,

@@ -19,17 +19,23 @@ import graft.functions.TextFunctions.words
   * as partitioned parquet + Spark plans.
   *
   * Layout under `path`:
-  *   - `postings/tb=<bucket>/`: (term, doc_id, doc_len, tf) rows,
-  *     partitioned by the md5 term bucket. Partitioning by RAW term would
-  *     create a directory per vocabulary word (~10^7 at web scale, a
-  *     metadata explosion); `nBuckets` hash buckets bound the layout
-  *     while every posting of one term still lands in exactly ONE
-  *     directory — a query's scan prunes to at most |distinct query-term
-  *     buckets| directories (plan-pinned in the spec).
-  *   - `stats/`: per-batch (n_docs, total_len) DELTA rows; corpus totals
-  *     are their sum (the incremental-dedup summed-compaction fold), so
-  *     an append never rewrites history and the fold is exact integer
-  *     arithmetic.
+  *   - `postings/batch=<id>/tb=<bucket>/`: (term, doc_id, doc_len, tf)
+  *     rows, partitioned by append batch then the md5 term bucket.
+  *     Partitioning by RAW term would create a directory per vocabulary
+  *     word (~10^7 at web scale, a metadata explosion); `nBuckets` hash
+  *     buckets bound the layout while every posting of one term still
+  *     lands in exactly ONE directory per batch — a query's scan prunes
+  *     to at most |batches| x |distinct query-term buckets| directories
+  *     (plan-pinned in the spec). The OUTER `batch=` level is the
+  *     [[graft.operators.Dedup.incrementalExactDedup]] retry discipline:
+  *     each append OVERWRITES its own batch directory, so a streaming
+  *     replay of an epoch rewrites the same files instead of doubling
+  *     postings.
+  *   - `stats/batch=<id>/`: one (n_docs, n_len, total_len) DELTA row per
+  *     batch; corpus totals are their sum (the incremental-dedup
+  *     summed-compaction fold), so an append never rewrites history, the
+  *     fold is exact integer arithmetic, and a replayed epoch overwrites
+  *     its own delta rather than double-counting it.
   *   - `meta/`: one (n_buckets) row. Append and query derive the bucket
   *     count from the table instead of trusting a caller argument (the
   *     round-11 DSIR lesson: a caller-supplied count that disagrees with
@@ -88,13 +94,43 @@ object LexicalIndex {
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // a rebuild replaces ALL accrued batches, not just the seed's
+    // directory — clear the two batch-partitioned tables first (meta is
+    // a plain overwrite below)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
     clustered(postings(docs, idCol, textCol, nBuckets))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings/batch=init")
     statsDelta(docs, idCol, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/batch=init")
     docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** All accrued posting batches as one frame (partition columns `batch`
+    * STRING and `tb` INT discovered under the basePath; the `batch=*`
+    * glob keeps a stray streaming `_spark_metadata` log from shadowing
+    * batch-written files).
+    */
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings/batch=*")
+
+  /** All accrued stats deltas. Explicit schema-on-read: delta rows
+    * written before `n_len` existed (round-11 null-text fix) surface it
+    * as NULL — for those batches n_len == n_docs by construction (the
+    * old fold divided by n_docs, which was only correct because
+    * null-text docs contributed no rows), so folds coalesce(n_len,
+    * n_docs) and a mixed-generation stats directory folds correctly
+    * instead of failing resolution or silently inflating avgdl.
+    */
+  private def readStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
+      .option("basePath", s"$path/stats").parquet(s"$path/stats/batch=*")
 
   private def readNBuckets(spark: SparkSession, path: String): Int =
     try {
@@ -111,38 +147,59 @@ object LexicalIndex {
     }
 
   /** Append a batch of NEW documents under the index's own bucket count.
-    * Postings append into their term buckets; the stats fold gains one
-    * delta row. Nothing existing is rewritten. The two appends are not
-    * atomic: a crash between them leaves postings without their stats
-    * delta (slightly stale N/avgdl — a ranking perturbation, not
-    * corruption); recovery is re-running the append's stats write or
-    * rebuilding with [[write]]. The streaming [[maintain]] path replays
-    * the whole epoch from its checkpoint, which re-appends BOTH — pair
-    * it with epoch-unique doc ids so a replayed epoch is detectable.
+    * The batch's postings and its one stats delta row land in their own
+    * `batch=<id>` directories (OVERWRITTEN, not appended — the
+    * [[Dedup.incrementalExactDedup]] retry discipline), so a retried
+    * append with the SAME `batchId` rewrites the same directories and
+    * the index holds the batch exactly once; a crash between the two
+    * writes leaves postings without their stats delta only until the
+    * retry. Callers without a stable id get a random one (no replay
+    * exists to collide with — but a HUMAN retry of a failed one-shot
+    * append must re-pass the failed call's id, or re-run [[write]]).
+    * Mechanically fenced by [[graft.io.Maintenance.withLease]]: an
+    * append racing a [[compact]] would be dropped by the fold's swap,
+    * so the second mutator fails loud instead.
     */
   def append(spark: SparkSession, path: String, docs: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    val nBuckets = readNBuckets(spark, path)
-    clustered(postings(docs, idCol, textCol, nBuckets))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    statsDelta(docs, idCol, textCol)
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
-  }
+      idCol: String, textCol: String, batchId: String = null): Unit =
+    graft.io.Maintenance.withLease(spark, path, "lexical-append") {
+      val bid = Option(batchId).getOrElse(
+        "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+      val nBuckets = readNBuckets(spark, path)
+      clustered(postings(docs, idCol, textCol, nBuckets))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/postings/batch=$bid")
+      statsDelta(docs, idCol, textCol)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stats/batch=$bid")
+    }
 
   /** Streaming maintenance: each micro-batch of documents [[append]]s
     * into the index (the maintained-index discipline of the ANN family).
     * The stats delta is a per-batch aggregate, so the append runs through
-    * foreachBatch rather than a direct file sink.
+    * foreachBatch rather than a direct file sink. EPOCH-IDEMPOTENT: the
+    * epoch id keys the append's `batch=` directory, so a crash/restart
+    * that replays an epoch from the checkpoint overwrites that epoch's
+    * own postings and stats delta instead of re-appending them (doubled
+    * tf/df/N would silently corrupt BM25 rankings). The id is prefixed
+    * with a digest of the checkpoint path: epoch numbering restarts at 0
+    * per checkpoint, so a SECOND stream (new checkpoint) maintaining the
+    * same index must not overwrite the first stream's epoch directories.
     */
   def maintain(spark: SparkSession, path: String, streamingDocs: DataFrame,
       idCol: String, textCol: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     streamingDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        append(spark, path, batch, idCol, textCol))
+      .foreachBatch((batch: DataFrame, bid: Long) =>
+        append(spark, path, batch, idCol, textCol,
+          batchId = s"epoch-$stream-$bid"))
       .start()
+  }
 
   /** Fold the index's accrued appends (the compactFingerprints
     * maintenance discipline, adapted to the partitioned layout): every
@@ -154,37 +211,40 @@ object LexicalIndex {
     * write-new-then-rename-aside: the folded copy is COMPLETE on disk
     * before the live directory moves, and the live copy is renamed
     * ASIDE (not deleted) until the replacement is in place — no crash
-    * point leaves the index offline. Single-maintainer contract
-    * (mechanically fenced by [[Maintenance.withLease]]): an append
-    * landing mid-fold would be dropped by the swap. Returns the
-    * table's parquet file count.
+    * point leaves the index offline. Single-maintainer contract,
+    * mechanically fenced by [[graft.io.Maintenance.withLease]]: an
+    * append landing mid-fold would be dropped by the swap, so it throws
+    * instead. Returns the table's parquet file count.
     */
-  def compact(spark: SparkSession, path: String): Int = {
-    readNBuckets(spark, path) // fail loud on a non-index path
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // each rewrite reads the LIVE directory and writes a temp SIBLING
-    // (graft.io.Swap: the fold fully materializes before any rename, and
-    // the old copy stays in place until the new one is in — a failed
-    // rename can never leave the index offline)
-    graft.io.Swap.swapInto(spark, s"$path/postings", "compact") { tmp =>
-      clustered(spark.read.option("basePath", s"$path/postings")
-          .parquet(s"$path/postings/tb=*"))
-        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+  def compact(spark: SparkSession, path: String): Int =
+    graft.io.Maintenance.withLease(spark, path, "lexical-compact") {
+      readNBuckets(spark, path) // fail loud on a non-index path
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // each rewrite reads the LIVE directory and writes a temp SIBLING
+      // (graft.io.Swap: the fold fully materializes before any rename,
+      // and the old copy stays in place until the new one is in — a
+      // failed rename can never leave the index offline). The folds land
+      // in a single `batch=compacted` generation, keeping the
+      // batch-partitioned layout uniform for later appends and reads.
+      graft.io.Swap.swapInto(spark, s"$path/postings", "compact") { tmp =>
+        clustered(readPostings(spark, path).drop("batch"))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$tmp/batch=compacted")
+      }
+      graft.io.Swap.swapInto(spark, s"$path/stats", "compact") { tmp =>
+        readStats(spark, path)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(coalesce(col("n_len"), col("n_docs"))).as("n_len"),
+            sum(col("total_len")).as("total_len"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/batch=compacted")
+      }
+      val it = fs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
     }
-    graft.io.Swap.swapInto(spark, s"$path/stats", "compact") { tmp =>
-      spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
-        .parquet(s"$path/stats")
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(coalesce(col("n_len"), col("n_docs"))).as("n_len"),
-          sum(col("total_len")).as("total_len"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
-    val it = fs.listFiles(root, true)
-    var n = 0
-    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-    n
-  }
 
   /** [[TextAnalysis.tfidfKeywords]] served FROM the index — per-doc
     * characteristic terms without touching corpus text: the posting
@@ -200,12 +260,9 @@ object LexicalIndex {
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     readNBuckets(spark, path) // fail loud on a non-index path
-    val tf = spark.read.option("basePath", s"$path/postings")
-      .parquet(s"$path/postings/tb=*")
+    val tf = readPostings(spark, path)
       .select(col("doc_id"), col("term"), col("tf"))
-    val stats = spark.read
-      .schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
-      .parquet(s"$path/stats")
+    val stats = readStats(spark, path)
       .agg(sum(col("n_docs")).cast("double").as("n"))
     TextAnalysis.tfidfRankTail(tf, stats, k)
   }
@@ -231,24 +288,12 @@ object LexicalIndex {
     val buckets = qterms
       .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // glob + basePath read (the readPostings discipline): a streaming
-    // maintainer's _spark_metadata log must not shadow batch-written files
-    val tf = spark.read.option("basePath", s"$path/postings")
-      .parquet(s"$path/postings/tb=*")
+    val tf = readPostings(spark, path)
       .where(col("tb").isin(buckets: _*))
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "left_semi")
       .select(col("doc_id"), col("doc_len"), col("term"), col("tf"))
-    // explicit schema-on-read: delta rows written before n_len existed
-    // (round-11 null-text fix) surface it as NULL — for those batches
-    // n_len == n_docs by construction (the old fold divided by n_docs,
-    // which was only correct because null-text docs contributed no
-    // rows), so the coalesce reconstructs the exact pre-change totals
-    // and a mixed-generation stats directory folds correctly instead of
-    // failing resolution or silently inflating avgdl
-    val stats = spark.read
-      .schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
-      .parquet(s"$path/stats")
+    val stats = readStats(spark, path)
       .agg(sum(col("n_docs")).cast("double").as("n"),
         (sum(col("total_len")).cast("double")
           / sum(coalesce(col("n_len"), col("n_docs"))).cast("double"))

@@ -720,6 +720,17 @@ object Similarity {
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       embs: DataFrame, idCol: String, embCol: String): Unit =
+    graft.io.Maintenance.withLease(spark, indexPath, "ivf-append") {
+      appendIvfUnfenced(spark, indexPath, embs, idCol, embCol)
+    }
+
+  /** [[appendIvfIndex]] without the maintenance lease — for callers that
+    * already hold it ([[maintainIvfIndex]]); taking it twice would
+    * deadlock-by-throw on our own fence.
+    */
+  private def appendIvfUnfenced(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, embs: DataFrame, idCol: String,
+      embCol: String): Unit =
     ivfPostings(embs, idCol, embCol, readIvfCentroids(spark, indexPath))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
 
@@ -750,6 +761,16 @@ object Similarity {
     * appends between rebuilds, rebuild on a rebalance cadence).
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, embs: DataFrame, idCol: String,
+      embCol: String): Unit =
+    graft.io.Maintenance.withLease(spark, indexPath, "ivfpq-append") {
+      appendIvfPqUnfenced(spark, indexPath, embs, idCol, embCol)
+    }
+
+  /** [[appendIvfPqIndex]] without the lease (held by
+    * [[maintainIvfPqIndex]]).
+    */
+  private def appendIvfPqUnfenced(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, embs: DataFrame, idCol: String,
       embCol: String): Unit =
     ivfPqPostings(embs, idCol, embCol,
@@ -810,19 +831,23 @@ object Similarity {
       seed: Long = 42L): Boolean = {
     require(minCentroidCos >= -1.0 && minCentroidCos <= 1.0,
       "minCentroidCos is a cosine")
-    val batch = newEmbs.select(col(idCol),
-      col(embCol).cast("array<double>").as(embCol))
-    if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
-      appendIvfIndex(spark, indexPath, batch, idCol, embCol)
-      false
-    } else {
-      val union = graft.io.Spill(
-        readPostings(spark, s"$indexPath/postings", "cell=*")
-          .select(col(idCol), col(embCol))
-          .unionByName(batch),
-        "graft-ivfref-")
-      writeIvfIndex(union, idCol, embCol, indexPath, nList, seed)
-      true
+    // the lease spans the drift DECISION too: a concurrent mutator
+    // between the measure and the append/refit would invalidate it
+    graft.io.Maintenance.withLease(spark, indexPath, "ivf-maintain") {
+      val batch = newEmbs.select(col(idCol),
+        col(embCol).cast("array<double>").as(embCol))
+      if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
+        appendIvfUnfenced(spark, indexPath, batch, idCol, embCol)
+        false
+      } else {
+        val union = graft.io.Spill(
+          readPostings(spark, s"$indexPath/postings", "cell=*")
+            .select(col(idCol), col(embCol))
+            .unionByName(batch),
+          "graft-ivfref-")
+        writeIvfIndex(union, idCol, embCol, indexPath, nList, seed)
+        true
+      }
     }
   }
 
@@ -840,14 +865,17 @@ object Similarity {
       seed: Long = 42L): Boolean = {
     require(minCentroidCos >= -1.0 && minCentroidCos <= 1.0,
       "minCentroidCos is a cosine")
-    val batch = newEmbs.select(col(idCol),
-      col(embCol).cast("array<double>").as(embCol))
-    if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
-      appendIvfPqIndex(spark, indexPath, batch, idCol, embCol)
-      false
-    } else {
-      writeIvfPqIndex(refitSource, idCol, embCol, indexPath, nList, m, ksub, seed)
-      true
+    graft.io.Maintenance.withLease(spark, indexPath, "ivfpq-maintain") {
+      val batch = newEmbs.select(col(idCol),
+        col(embCol).cast("array<double>").as(embCol))
+      if (indexDrift(spark, indexPath, batch, embCol) >= minCentroidCos) {
+        appendIvfPqUnfenced(spark, indexPath, batch, idCol, embCol)
+        false
+      } else {
+        writeIvfPqIndex(refitSource, idCol, embCol, indexPath, nList, m,
+          ksub, seed)
+        true
+      }
     }
   }
 }

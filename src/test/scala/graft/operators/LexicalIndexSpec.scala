@@ -133,11 +133,11 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     // simulate a pre-change index generation: rewrite the seed batch's
     // delta WITHOUT n_len (the old schema; its corpora had no null
     // text, so n_len == n_docs held implicitly)
-    val old = spark.read.parquet(s"$dir/stats")
+    val old = spark.read.parquet(s"$dir/stats/batch=init")
       .select("n_docs", "total_len").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     old.toDF("n_docs", "total_len").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$dir/stats/batch=init")
     // a post-change append adds a new-schema delta into the same dir
     LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 12),
       "doc_id", "text")
@@ -152,8 +152,10 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
     // enough buckets that a 1-term query cannot touch them all
     LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 16)
+    // layout v2: postings/batch=<id>/tb=<bucket>/
     val totalBuckets = new java.io.File(s"$dir/postings").listFiles()
-      .count(_.getName.startsWith("tb="))
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(_.listFiles()).count(_.getName.startsWith("tb="))
     totalBuckets should be > 2 // the fixture vocabulary spans buckets
 
     import spark.implicits._
@@ -175,6 +177,51 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       selected shouldBe 1 // one query term -> one bucket directory
     }
     out.collect() should not be empty
+  }
+
+  test("replaying an epoch's append is idempotent (no doubled tf/df/N)") {
+    val docs = corpus(30)
+    val q = queriesOf(5L, 6L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 15),
+      "doc_id", "text", dir, nBuckets = 8)
+    val epoch = docs.where(col("doc_id") > 15)
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-test-0")
+    // a checkpoint replay re-runs the SAME epoch append verbatim — twice
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-test-0")
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-test-0")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+  }
+
+  test("a mid-epoch crash (postings written, stats delta lost) heals on " +
+      "the replay") {
+    val docs = corpus(24)
+    val q = queriesOf(1L, 3L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 12),
+      "doc_id", "text", dir, nBuckets = 8)
+    val epoch = docs.where(col("doc_id") > 12)
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-crash-1")
+    // simulate the crash window: the epoch's stats delta never landed
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/stats/batch=epoch-crash-1"))
+    // the replay overwrites the epoch's postings and rewrites its delta
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-crash-1")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
   test("querying or appending a non-index path fails loud") {
@@ -205,9 +252,25 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     input.addData(rows.drop(10).toIndexedSeq)
     query.processAllAvailable()
     query.stop()
+    val expected = collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
     collectRanks(
       LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
-    ) shouldBe collectRanks(
-      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+    ) shouldBe expected
+    // kill-and-restart replay: a recovering stream re-runs its LAST
+    // epoch's foreachBatch with the same epoch id — maintain keys the
+    // append's batch= directory on it, so the replay overwrites instead
+    // of double-appending. Replay epoch 1 (the second micro-batch)
+    // verbatim and pin the ranking unchanged.
+    val epochIds = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=epoch-")).sorted
+    epochIds should have size 2
+    val lastEpoch = epochIds.last.stripPrefix("batch=")
+    LexicalIndex.append(spark, dir,
+      rows.drop(10).toIndexedSeq.toDF("doc_id", "text"),
+      "doc_id", "text", batchId = lastEpoch)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe expected
   }
 }
