@@ -1349,6 +1349,47 @@ object SparkEntry {
             "Key, AGG row!", "zebra crossing"))
         .orderBy(col("doc_id"), col("phrase"))),
 
+    // quoted-phrase top-k retrieval (one-shot): exact word-sequence
+    // occurrence counts per (query, doc) — per-length positional
+    // shingle explode + broadcast phrase join (the q136 counting), then
+    // the shared exact-integer ranking tail (count desc, doc_id asc).
+    // Phrases reuse q136's: "a a" pins self-overlap counting, the
+    // capitalized one pins in-plan normalization, zebra pins absence
+    "q142_phrase_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "a a", 3L -> "table table",
+          4L -> "value table part", 5L -> "Key, AGG row!",
+          6L -> "zebra crossing")
+        .toDF("query_id", "phrase")
+      TextAnalysis.phraseTopK(t(s, d, "documents"), "doc_id", "text",
+          q, "query_id", "phrase", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // quoted-phrase retrieval FROM the positional index: same queries
+    // and oracle as q142 (single-homed tail, indexed ≡ one-shot
+    // spec-pinned) served from persisted position lists — bucket-pruned
+    // posting scan, broadcast (query, offset, term) join, one
+    // candidate-doc aggregate, the PhraseStartCount adjacency check;
+    // the positional build/append path is what this row pins
+    "q143_phrase_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16, positional = true)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val q = Seq(1L -> "fast table", 2L -> "a a", 3L -> "table table",
+          4L -> "value table part", 5L -> "Key, AGG row!",
+          6L -> "zebra crossing")
+        .toDF("query_id", "phrase")
+      graft.operators.LexicalIndex.phraseTopKIndexed(s, dir,
+          q, "query_id", "phrase", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // keyword analytics FROM the persisted index (no tokenize pass):
     // the posting table is the tf bag, N folds from the stats deltas,
     // the scoring tail is q139's — oracle identical since the math is
@@ -2265,6 +2306,41 @@ object SparkEntry {
           ON c.query_id = r.query_id AND c.vec_id = r.vec_id
         GROUP BY r.query_id ORDER BY r.query_id"""
 
+  /** Shared replay of the quoted-phrase searcher (q142 one-shot, q143
+    * positional-indexed — identical counts by construction): q136's
+    * per-length shingle counting keyed by query, ranked by exact
+    * occurrence count with the ascending-doc-id tiebreak, top 10.
+    */
+  private def phraseTopKOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       ph(query_id, phrase) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast table'), (2, 'a a'), (3, 'table table'),
+         (4, 'value table part'), (5, 'key agg row'), (6, 'zebra crossing')),
+       sh AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS shingle
+         FROM toks WHERE len(w) >= 2
+         UNION ALL
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+         FROM toks WHERE len(w) >= 3),
+       counts AS (
+         SELECT query_id, doc_id, count(*) AS n_hits
+         FROM sh JOIN ph ON shingle = phrase
+         GROUP BY query_id, doc_id),
+       ranked AS (
+         SELECT query_id, doc_id, n_hits,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY n_hits DESC, doc_id) AS rank
+         FROM counts)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hits
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
     * indexed — identical math over the full corpus): tokenize, corpus
     * stats, tf/df over the query-matching terms, the 6-decimal-rounded
@@ -2950,6 +3026,14 @@ object SparkEntry {
          FROM sh JOIN ph ON shingle = phrase
          GROUP BY doc_id, phrase
          ORDER BY doc_id, phrase""",
+
+    // replays phraseTopK: q136's shingle counting keyed per query, then
+    // the exact-integer rank (count desc, doc_id asc tiebreak, top 10);
+    // q143 serves IDENTICAL results from the positional index
+    // (single-homed tail, indexed ≡ one-shot spec-pinned) so it shares
+    // the replay
+    "q142_phrase_topk" -> phraseTopKOracle,
+    "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,
     "q01_scan_count" -> "SELECT count(*) AS n FROM events",

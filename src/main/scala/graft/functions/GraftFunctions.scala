@@ -122,6 +122,18 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"token_counts(tokens); got ${other.size} args")
     },
+    "token_positions" -> {
+      case Seq(child) => TokenPositions(child)
+      case other =>
+        throw new IllegalArgumentException(
+          s"token_positions(tokens); got ${other.size} args")
+    },
+    "phrase_start_count" -> {
+      case Seq(child) => PhraseStartCount(child)
+      case other =>
+        throw new IllegalArgumentException(
+          s"phrase_start_count(entries); got ${other.size} args")
+    },
     "char_grams" -> {
       case Seq(child, Literal(minN: Int, _), Literal(maxN: Int, _)) =>
         CharGrams(child, minN, maxN)

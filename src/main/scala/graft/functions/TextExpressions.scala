@@ -240,6 +240,107 @@ case class TokenCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row positional token bag: `array<struct<token, pos: array<int>>>`
+  * in first-occurrence order — [[TokenCounts]] extended with every word
+  * position (ascending by construction), the projection a POSITIONAL
+  * inverted index stores so quoted-phrase retrieval can verify term
+  * adjacency without re-reading corpus text (tf is `size(pos)`, so the
+  * bag subsumes the count one). Same one-hashmap-per-row argument as
+  * [[TokenCounts]]: the explode → groupBy(row, token) →
+  * collect_list(pos) subplan would shuffle every token of the corpus.
+  */
+case class TokenPositions(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = true),
+    StructField("pos", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def prettyName: String = "token_positions"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val positions =
+      new java.util.LinkedHashMap[UTF8String, java.util.ArrayList[Int]](m * 2)
+    var i = 0
+    while (i < m) {
+      positions.computeIfAbsent(toks.getUTF8String(i),
+        _ => new java.util.ArrayList[Int](4)).add(i)
+      i += 1
+    }
+    val out = new Array[Any](positions.size())
+    val it = positions.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val arr = new Array[Any](ps.size())
+      var j = 0
+      while (j < ps.size()) { arr(j) = ps.get(j); j += 1 }
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, new GenericArrayData(arr)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Occurrences of an n-term phrase given each term-offset's position list:
+  * input `array<struct<off: int, pos: array<int>>>` with ONE entry per
+  * phrase offset 0..n-1 (n = the entry count; entry order free), output
+  * the count of start positions `p` with `p + j` present in offset j's
+  * list for every j — the adjacency verification of positional-index
+  * phrase retrieval ([[graft.operators.LexicalIndex]]), run AFTER the
+  * index scan has pruned to (candidate doc, query term) postings and the
+  * all-terms-present filter pinned the entry count to the phrase length,
+  * so each eval sees only one document's positions of one phrase's
+  * terms. Empty input or malformed offsets (out of range / duplicate —
+  * impossible from the index plan) count 0.
+  */
+case class PhraseStartCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_start_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val n = entries.numElements()
+    if (n == 0) return 0L
+    // offset -> position hash set; reject duplicate/out-of-range offsets
+    val sets = new Array[java.util.HashSet[Int]](n)
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      val off = row.getInt(0)
+      if (off < 0 || off >= n || sets(off) != null) return 0L
+      val ps = row.getArray(1)
+      val set = new java.util.HashSet[Int](ps.numElements() * 2)
+      var j = 0
+      while (j < ps.numElements()) { set.add(ps.getInt(j)); j += 1 }
+      sets(off) = set
+      i += 1
+    }
+    var total = 0L
+    val starts = sets(0).iterator()
+    while (starts.hasNext) {
+      val p = starts.next()
+      var j = 1
+      var ok = true
+      while (ok && j < n) { ok = sets(j).contains(p + j); j += 1 }
+      if (ok) total += 1L
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document n-gram repetition statistics of an `array<string>` word
   * column: `struct<n_grams, distinct_grams, top_count>` over the
   * POSITIONAL (non-distinct) n-gram multiset — the inputs of the

@@ -97,6 +97,18 @@ object TextFunctions {
   def sizeOrNull(arr: Column): Column =
     when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
 
+  /** Per-row positional token bag (`array<struct<token, pos>>`); see
+    * [[TokenPositions]]. tf is `size(pos)`.
+    */
+  def tokenPositions(ws: Column): Column =
+    call_function("token_positions", ws)
+
+  /** Count of phrase start positions given per-offset position lists;
+    * see [[PhraseStartCount]].
+    */
+  def phraseStartCount(entries: Column): Column =
+    call_function("phrase_start_count", entries)
+
   /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
     * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).
     */

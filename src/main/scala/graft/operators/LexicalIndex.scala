@@ -57,14 +57,33 @@ object LexicalIndex {
     (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
       .cast("int")
 
-  /** Map-only (doc_id, doc_len, term, tf, tb) posting projection — the
-    * tokenize/tf semantics are [[TextAnalysis.tfProjection]], single-homed
-    * so the indexed and one-shot paths cannot drift.
+  /** Map-only (doc_id, doc_len, term, tf[, pos], tb) posting projection.
+    * Non-positional: the tokenize/tf semantics are
+    * [[TextAnalysis.tfProjection]], single-homed so the indexed and
+    * one-shot paths cannot drift. Positional: the
+    * [[graft.functions.TokenPositions]] bag adds each term's ascending
+    * word positions (tf = size(pos), so the positional projection
+    * subsumes the count one and BM25 reads of a positional index prune
+    * the `pos` column away at the parquet scan) — the standard
+    * store-positions trade (a larger index buys quoted-phrase retrieval
+    * without re-tokenizing the corpus).
     */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
-    TextAnalysis.tfProjection(docs, idCol, textCol)
-      .withColumn("tb", termBucket(col("term"), nBuckets))
+      nBuckets: Int, positional: Boolean): DataFrame = {
+    val base =
+      if (!positional) TextAnalysis.tfProjection(docs, idCol, textCol)
+      else docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          words(col(textCol)).as("__w"))
+        .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
+          explode(graft.functions.TextFunctions.tokenPositions(col("__w")))
+            .as("__tp"))
+        .select(col("doc_id"), col("doc_len"),
+          col("__tp.token").as("term"),
+          size(col("__tp.pos")).cast("long").as("tf"),
+          col("__tp.pos").as("pos"))
+    base.withColumn("tb", termBucket(col("term"), nBuckets))
+  }
 
   /** One (n_docs, n_len, total_len) delta row for a batch (exact longs).
     * `n_docs` counts every row (the one-shot scorer's N counts null-text
@@ -92,7 +111,7 @@ object LexicalIndex {
   private def clustered(p: DataFrame): DataFrame = p.repartition(col("tb"))
 
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, positional: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     // a rebuild replaces ALL accrued batches, not just the seed's
     // directory — clear the two batch-partitioned tables first (meta is
@@ -102,12 +121,13 @@ object LexicalIndex {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
-    clustered(postings(docs, idCol, textCol, nBuckets))
+    clustered(postings(docs, idCol, textCol, nBuckets, positional))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch=init")
     statsDelta(docs, idCol, textCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/batch=init")
-    docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+    docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"),
+        lit(positional).as("positional"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -132,19 +152,30 @@ object LexicalIndex {
     spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
       .option("basePath", s"$path/stats").parquet(s"$path/stats/batch=*")
 
-  private def readNBuckets(spark: SparkSession, path: String): Int =
+  /** (n_buckets, positional) from the meta table. Explicit
+    * schema-on-read: indexes written before the `positional` column
+    * existed surface it as NULL → non-positional (they stored no
+    * positions).
+    */
+  private def readMeta(spark: SparkSession, path: String): (Int, Boolean) =
     try {
-      val rows = spark.read.parquet(s"$path/meta").collect()
+      val rows = spark.read.schema("n_buckets INT, positional BOOLEAN")
+        .parquet(s"$path/meta").collect()
       require(rows.length == 1,
         s"$path/meta must hold exactly one row, found ${rows.length} - " +
           "the index write was interrupted; rebuild with LexicalIndex.write")
-      rows(0).getAs[Int]("n_buckets")
+      (rows(0).getAs[Int]("n_buckets"),
+        Option(rows(0).getAs[java.lang.Boolean]("positional"))
+          .exists(_.booleanValue()))
     } catch { case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "PATH_NOT_FOUND" =>
       throw new IllegalStateException(
         s"$path is not a lexical index (no meta table) - build it with " +
           "LexicalIndex.write first", e)
     }
+
+  private def readNBuckets(spark: SparkSession, path: String): Int =
+    readMeta(spark, path)._1
 
   /** Append a batch of NEW documents under the index's own bucket count.
     * The batch's postings and its one stats delta row land in their own
@@ -165,8 +196,11 @@ object LexicalIndex {
     graft.io.Maintenance.withLease(spark, path, "lexical-append") {
       val bid = Option(batchId).getOrElse(
         "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-      val nBuckets = readNBuckets(spark, path)
-      clustered(postings(docs, idCol, textCol, nBuckets))
+      // the index's OWN meta decides the projection: appending countless
+      // postings into a positional index would silently break phrase
+      // queries over the appended docs
+      val (nBuckets, positional) = readMeta(spark, path)
+      clustered(postings(docs, idCol, textCol, nBuckets, positional))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$path/postings/batch=$bid")
       statsDelta(docs, idCol, textCol)
@@ -299,5 +333,53 @@ object LexicalIndex {
           / sum(coalesce(col("n_len"), col("n_docs"))).cast("double"))
           .as("avgdl"))
     TextAnalysis.bm25RankTail(tf, stats, qterms, k, k1, b)
+  }
+
+  /** Batched quoted-phrase top-k against a POSITIONAL index —
+    * [[TextAnalysis.phraseTopK]]-identical results (same normalization,
+    * same exact-count ranking tail; equality spec-pinned) without
+    * touching corpus text: the scan prunes to the phrase terms' bucket
+    * directories, the broadcast (query, offset, term) join keeps only
+    * candidate postings, one (query, doc) aggregate collects each
+    * phrase offset's position list, the all-terms-present filter pins
+    * the entry count to the phrase length, and
+    * [[graft.functions.PhraseStartCount]] verifies adjacency per
+    * candidate — at 100 TB the exchange carries integer position lists
+    * of candidate docs only, never text or non-matching postings. Fails
+    * loud on an index built without `positional = true` (it stored no
+    * positions to verify against).
+    */
+  def phraseTopKIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, phraseCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (nBuckets, positional) = readMeta(spark, path)
+    if (!positional)
+      throw new IllegalStateException(
+        s"$path is not a positional index - phrase retrieval needs word " +
+          "positions; rebuild it with LexicalIndex.write(..., " +
+          "positional = true)")
+    val qp = TextAnalysis.phraseQueries(queries, queryIdCol, phraseCol)
+    val qterms = qp.select(col("query_id"), col("__n"),
+      posexplode(col("__pt")).as(Seq("off", "term")))
+    // bounded driver action: |distinct buckets| <= min(|phrase terms|, nBuckets)
+    val buckets = qterms
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val counts = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("__n"))
+      .agg(collect_list(struct(col("off"), col("pos"))).as("__e"))
+      // candidate docs hold ALL n offsets (a repeated term joins once
+      // per offset, so the row count is the offset count exactly)
+      .where(size(col("__e")) === col("__n"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.TextFunctions.phraseStartCount(col("__e"))
+          .as("n_hits"))
+      // all terms present but never adjacent: not a phrase match
+      .where(col("n_hits") > 0)
+    TextAnalysis.phraseRankTail(counts, k)
   }
 }

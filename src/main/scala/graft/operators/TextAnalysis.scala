@@ -256,6 +256,91 @@ object TextAnalysis {
       "doc_id", k)
   }
 
+  /** Batched quoted-phrase top-k retrieval: for every query (an id
+    * column + a STRING phrase column), the k corpus documents with the
+    * most exact word-sequence occurrences of that phrase — the
+    * "find documents containing this exact quote" shape of
+    * decontamination and attribution audits, where bag-of-words BM25
+    * ([[bm25TopK]]) would also return adjacency-less matches. Phrases
+    * and text normalize through the one [[words]] convention (the
+    * blocklist contract), and a phrase empty after tokenization fails
+    * loud.
+    *
+    * Plan: one [[graft.functions.PositionalShingles]] explode per
+    * DISTINCT phrase length (driver-bounded by |queries|), each joined
+    * against the broadcast phrase table of that length, then one
+    * (query, doc) count aggregate into the shared ranking tail
+    * ([[phraseRankTail]]: counts are exact integers, ties break by
+    * ascending doc id — the q95 contract). The only exchange carries
+    * (query, matching-doc) integer counts; the shingle stream is pruned
+    * by the broadcast hash join at scan speed.
+    * [[LexicalIndex.phraseTopKIndexed]] serves IDENTICAL results from a
+    * positional index without touching corpus text (spec-pinned).
+    */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, phraseCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qp = phraseQueries(queries, queryIdCol, phraseCol)
+    // bounded driver action (the queryBuckets discipline): the distinct
+    // phrase lengths drive how many shingle widths explode
+    val lengths = qp.select(col("__n")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      words(col(textCol)).as("__w"))
+    val counts = lengths.map { n =>
+      toks
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .positionalShingles(col("__w"), n)).as("__sh"))
+        .join(broadcast(qp.where(col("__n") === n)
+          .select(col("query_id"), col("__ps"))),
+          col("__sh") === col("__ps"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    }.reduce(_.unionByName(_))
+    phraseRankTail(counts, k)
+  }
+
+  /** The (query_id, __pt terms, __n length, __ps space-joined) phrase
+    * frame, length-validated: an empty-after-tokenization phrase is a
+    * caller bug ([[graft.functions.TextFunctions.normalizedPhrases]]
+    * posture), surfaced loud via one bounded driver check instead of
+    * silent zero results.
+    */
+  private[operators] def phraseQueries(queries: DataFrame,
+      queryIdCol: String, phraseCol: String): DataFrame = {
+    val qp = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        words(col(phraseCol)).as("__pt"))
+      .select(col("query_id"), col("__pt"), size(col("__pt")).as("__n"),
+        concat_ws(" ", col("__pt")).as("__ps"))
+    val empties = qp.where(col("__n") < 1).select(col("query_id"))
+      .limit(1).collect()
+    require(empties.isEmpty,
+      s"query ${empties.headOption.map(_.getLong(0)).getOrElse(-1L)} has " +
+        "a phrase that is empty after tokenization")
+    qp
+  }
+
+  /** Ranking tail shared by [[phraseTopK]] and
+    * [[LexicalIndex.phraseTopKIndexed]] — single-homed like
+    * [[bm25RankTail]] so indexed ≡ one-shot exactly: exact integer
+    * occurrence counts through the bounded
+    * [[Similarity.rankTopKPerQuery]] top-k (ascending-doc-id tiebreak),
+    * with `n_hits` rejoined onto the k-bounded rank frame (the counts
+    * spill once — they are (query, matching-doc) integers, probe-sized).
+    */
+  private[operators] def phraseRankTail(countsIn: DataFrame,
+      k: Int): DataFrame = {
+    val counts = graft.io.Spill(countsIn, "graft-phrase-")
+    Similarity.rankTopKPerQuery(
+        counts.select(col("query_id"), col("doc_id"),
+          col("n_hits").cast("double").as("sim")),
+        "doc_id", k)
+      .join(counts, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hits"))
+  }
+
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).
     */

@@ -65,6 +65,23 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     routing = Some((selfIndex, peers)); this
   }
 
+  /** Retrieval configuration: None until [[retrieval]] is called. */
+  @volatile private var retrievalConf: Option[HttpApi.Retrieval] = None
+
+  /** Enable the `/search/...` routes over persisted, continuously
+    * maintained indexes ([[graft.operators.LexicalIndex]] /
+    * [[graft.operators.Similarity.writeIvfIndex]]) — the reference's
+    * interactive-query posture (`services/PurchasesService.java:58-94`:
+    * query continuously maintained state out-of-band) extended from the
+    * point/range serving tables to the retrieval family. Each request
+    * runs the library's own indexed query plan (partition-pruned scans),
+    * so an index mid-[[graft.operators.LexicalIndex.maintain]] serves
+    * its committed epochs.
+    */
+  def retrieval(conf: HttpApi.Retrieval): this.type = {
+    retrievalConf = Some(conf); this
+  }
+
   // ---- JSON emission (flat values: numbers, strings, maps thereof) ----
 
   // shared with the spill tier's round-trip codec so a spilled entry is
@@ -188,11 +205,158 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  // ---- retrieval routes (enabled by [[retrieval]]) ----
+
+  /** `?k=` override, else the configured default. */
+  private def kOf(ex: HttpExchange, conf: HttpApi.Retrieval): Int = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    q.split("&").collectFirst { case s if s.startsWith("k=") =>
+      s.stripPrefix("k=").toInt }.getOrElse(conf.k)
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .collectFirst { case s if s.startsWith(name + "=") =>
+        java.net.URLDecoder.decode(s.stripPrefix(name + "="), UTF_8) }
+
+  /** Run a retrieval handler with uniform error mapping: a caller error
+    * (bad phrase, non-positional index, malformed vector) answers 400
+    * with the message — the fail-loud library contract surfaced as a
+    * client error, not a 500.
+    */
+  private def searchRoute(ex: HttpExchange)(
+      body: HttpApi.Retrieval => String): Unit =
+    retrievalConf match {
+      case None => respond(ex, 404,
+        """{"error":"retrieval not configured"}""")
+      case Some(conf) =>
+        try respond(ex, 200, body(conf))
+        catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+              _: NumberFormatException) =>
+            respond(ex, 400, "{\"error\":" + jsonStr(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) + "}")
+        }
+    }
+
+  /** The one-row (query_id = 0) query frame of a single HTTP search. */
+  private def oneQuery(conf: HttpApi.Retrieval,
+      cols: (String, org.apache.spark.sql.Column)*)
+      : org.apache.spark.sql.DataFrame =
+    conf.spark.range(1).select(cols.map { case (n, c) => c.as(n) }: _*)
+
+  /** `/search/bm25/{terms}`: whitespace-separated terms → top-k doc ids
+    * from the maintained lexical index, `[{"rank":1,"doc_id":42},...]`.
+    */
+  server.createContext("/search/bm25/", { ex =>
+    searchRoute(ex) { conf =>
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val terms = pathKey(ex, "/search/bm25/")
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException("no query terms"))
+      val q = oneQuery(conf,
+        "query_id" -> org.apache.spark.sql.functions.lit(0L),
+        "qterms" -> org.apache.spark.sql.functions.typedlit(terms))
+      graft.operators.LexicalIndex
+        .bm25TopKIndexed(conf.spark, path, q, "query_id", "qterms",
+          kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
+  /** `/search/phrase/{phrase}`: quoted-phrase retrieval from a
+    * POSITIONAL lexical index,
+    * `[{"rank":1,"doc_id":4,"n_hits":3},...]`; 400 on a
+    * non-positional index (the library's fail-loud contract).
+    */
+  server.createContext("/search/phrase/", { ex =>
+    searchRoute(ex) { conf =>
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val phrase = pathKey(ex, "/search/phrase/").getOrElse(
+        throw new IllegalArgumentException("no phrase"))
+      val q = oneQuery(conf,
+        "query_id" -> org.apache.spark.sql.functions.lit(0L),
+        "phrase" -> org.apache.spark.sql.functions.lit(phrase))
+      graft.operators.LexicalIndex
+        .phraseTopKIndexed(conf.spark, path, q, "query_id", "phrase",
+          kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
+  /** `/search/hybrid/{terms}?vec=0.1,0.2,...`: reciprocal-rank fusion
+    * ([[graft.operators.RankFusion.rrf]] — the q137 math, single-homed)
+    * of the lexical BM25 list with the dense
+    * [[graft.operators.Similarity.ivfTopKIndexed]] list over the
+    * configured ANN index; the caller supplies the query embedding (the
+    * encoder lives outside the engine). `[{"rank":1,"doc_id":42},...]`.
+    */
+  server.createContext("/search/hybrid/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.{lit, typedlit}
+      val lexPath = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val annPath = conf.annIndexPath.getOrElse(
+        throw new IllegalStateException("no ANN index configured"))
+      val terms = pathKey(ex, "/search/hybrid/")
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException("no query terms"))
+      val qv = queryParam(ex, "vec")
+        .map(_.split(",").map(_.trim.toDouble))
+        .getOrElse(throw new IllegalArgumentException(
+          "hybrid search needs ?vec=<comma-separated query embedding>"))
+      val k = kOf(ex, conf)
+      val lex = graft.operators.LexicalIndex.bm25TopKIndexed(conf.spark,
+        lexPath,
+        oneQuery(conf, "query_id" -> lit(0L), "qterms" -> typedlit(terms)),
+        "query_id", "qterms", k)
+      // the dense list is ordered (sim desc, id asc); rebuild the
+      // (query_id, rank, doc_id) shape rrf expects from its k rows
+      val dense = graft.operators.Similarity.ivfTopKIndexed(conf.spark,
+          annPath, conf.annIdCol, conf.annEmbCol, qv, queryId = -1L, k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (0L, (i + 1).toLong, r.getLong(0)) }
+      import conf.spark.implicits._
+      val denseDf = dense.toSeq.toDF("query_id", "rank", "doc_id")
+      graft.operators.RankFusion
+        .rrf(Seq(lex.select("query_id", "rank", "doc_id"), denseDf),
+          "doc_id", k)
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
   def start(): this.type = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 object HttpApi {
+
+  /** Configuration of the `/search/...` retrieval routes: the persisted
+    * index paths the instance serves (either may be absent — a route
+    * whose index is unconfigured answers 400) and the ANN index's id /
+    * embedding column names. `k` is the default result count
+    * (`?k=` overrides per request).
+    */
+  final case class Retrieval(
+      spark: org.apache.spark.sql.SparkSession,
+      lexicalIndexPath: Option[String] = None,
+      annIndexPath: Option[String] = None,
+      annIdCol: String = "vec_id",
+      annEmbCol: String = "embedding",
+      k: Int = 5)
 
   /** Percent-encode one path segment (URLEncoder is form-encoding; its '+'
     * for space is wrong in a path).

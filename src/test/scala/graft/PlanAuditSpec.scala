@@ -230,7 +230,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // pair, one-row N fold from the stats deltas + its broadcast,
     // per-doc fold agg, final sort — the build/append phases run
     // eagerly at entry construction
-    "q141_tfidf_indexed" -> 6)
+    "q141_tfidf_indexed" -> 6,
+    // one-shot phrase top-k: per-length shingle explode + broadcast
+    // phrase join pair feeding one (query, doc) count agg (spilled),
+    // bounded topk agg + the n_hits join-back broadcast, final sort —
+    // exchanges carry (query, matching-doc) integer counts only
+    "q142_phrase_topk" -> 7,
+    // indexed phrase top-k: bucket-pruned posting scan + the broadcast
+    // (query, offset, term) join, one candidate-doc collect agg into
+    // the spilled counts, then q142's ranking tail — the build/append
+    // phases run eagerly at entry construction
+    "q143_phrase_indexed" -> 9)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -40,6 +40,53 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers with SparkSpec 
     })
   }
 
+  test("TokenPositions: positions replay the token array exactly and " +
+      "tf == size(pos) == TokenCounts") {
+    import spark.implicits._
+    check(Prop.forAll(wordsGen) { ws =>
+      val df = Seq(Tuple1(ws)).toDF("w")
+      val bag = df.select(explode(TextFunctions.tokenPositions(col("w")))
+          .as("tp"))
+        .select(col("tp.token"), col("tp.pos"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+      // every position holds its token, positions are ascending, and
+      // the multiset reconstructs the input exactly
+      val replayed = bag.toSeq.flatMap { case (t, ps) => ps.map(_ -> t) }
+        .sortBy(_._1).map(_._2)
+      val counts = df.select(explode(call_function("token_counts", col("w")))
+          .as("tc"))
+        .select(col("tc.token"), col("tc.n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      replayed == ws &&
+        bag.forall { case (_, ps) => ps == ps.sorted } &&
+        bag.view.mapValues(_.size.toLong).toMap == counts
+    })
+  }
+
+  test("PhraseStartCount == the shingle-equality count on random inputs") {
+    import spark.implicits._
+    val phraseGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val soupGen = Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    check(Prop.forAll(soupGen, phraseGen) { (ws, phrase) =>
+      val n = phrase.length
+      val df = Seq(Tuple1(ws)).toDF("w")
+      // entries: one (off, positions-of-term) row per phrase offset
+      val entries = phrase.zipWithIndex.map { case (t, off) =>
+        (off, ws.zipWithIndex.filter(_._1 == t).map(_._2))
+      }
+      val viaExpr =
+        if (entries.exists(_._2.isEmpty)) -1L // candidate filter drops it
+        else Seq(Tuple1(entries)).toDF("e")
+          .select(TextFunctions.phraseStartCount(col("e")).as("c"))
+          .head().getLong(0)
+      val bySlide = ws.sliding(n).count(_ == phrase)
+      if (viaExpr == -1L) bySlide == 0
+      else viaExpr == bySlide.toLong
+    })
+  }
+
   test("Int8Quantize codegen path == interpreted nullSafeEval on random vectors") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -37,6 +37,24 @@ class BlocklistSpec extends AnyFunSuite with Matchers with SparkSpec {
     h shouldBe Map((1L, "bad phrase") -> 2L)
   }
 
+  test("the public phraseHits normalizes un-normalized phrases (direct " +
+      "callers match, not silent zero)") {
+    // round-12 change: normalization moved INSIDE phraseHits — a direct
+    // caller passing punctuation/case/double spaces must match the
+    // tokens words() produces, and already-normalized phrases must
+    // count identically (idempotence)
+    val d = docs(1L -> "bad phrase here and bad phrase again",
+      2L -> "clean text")
+    def total(phrases: Seq[String]) =
+      d.select(col("doc_id"),
+          graft.functions.TextFunctions.phraseHits(
+            graft.functions.TextFunctions.words(col("text")), phrases)
+            .as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    total(Seq("Bad,  Phrase!")) shouldBe Map(1L -> 2L, 2L -> 0L)
+    total(Seq("bad phrase")) shouldBe Map(1L -> 2L, 2L -> 0L)
+  }
+
   test("mixed phrase lengths resolve against their own shingle width") {
     val h = hits(docs(1L -> "one two three one two"),
       Seq("one two", "one two three"))

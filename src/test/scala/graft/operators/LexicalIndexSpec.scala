@@ -224,6 +224,85 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  test("indexed phrase retrieval exactly equals the one-shot scorer " +
+      "(appends included)") {
+    import spark.implicits._
+    // corpus with real adjacency structure: repeated bigrams, a
+    // self-overlapping run, and docs holding both terms NON-adjacent
+    val docs = Seq(
+      1L -> "alpha beta gamma alpha beta",
+      2L -> "alpha x beta alpha y beta",   // both terms, never adjacent
+      3L -> "alpha beta alpha beta alpha beta",
+      4L -> "a a a a",                      // self-overlap: "a a" x3
+      5L -> "gamma delta epsilon",
+      6L -> "beta alpha",                   // reversed order only
+      7L -> "alpha beta gamma delta"
+    ).toDF("doc_id", "text")
+    val q = Seq(1L -> "Alpha, Beta!", 2L -> "a a", 3L -> "gamma delta")
+      .toDF("query_id", "phrase") // un-normalized phrase normalizes in-plan
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 4), "doc_id", "text",
+      dir, nBuckets = 8, positional = true)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 4),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+    val indexed = rows(LexicalIndex.phraseTopKIndexed(
+      spark, dir, q, "query_id", "phrase", k = 3))
+    indexed shouldBe rows(TextAnalysis.phraseTopK(
+      docs, "doc_id", "text", q, "query_id", "phrase", k = 3))
+    // spot-pin the semantics, not just the equality: self-overlap counts
+    // every start, non-adjacent docs are absent, counts rank the order
+    indexed.filter(_._1 == 2L).map(r => (r._3, r._4)) shouldBe Seq((4L, 3L))
+    indexed.filter(_._1 == 1L).map(_._3) should contain(3L)
+    indexed.filter(_._1 == 1L).map(_._3) should not contain 2L
+    indexed.filter(_._1 == 1L).map(_._3) should not contain 6L
+  }
+
+  test("phrase retrieval on a non-positional index fails loud; BM25 on " +
+      "a positional index still matches the one-shot scorer") {
+    import spark.implicits._
+    val docs = corpus(30)
+    val qPhrase = Seq(1L -> "shared filler").toDF("query_id", "phrase")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 8)
+    val e = intercept[IllegalStateException] {
+      LexicalIndex.phraseTopKIndexed(spark, dir, qPhrase, "query_id",
+        "phrase", k = 3)
+    }
+    e.getMessage should include("not a positional index")
+    // a positional index serves BOTH phrase and BM25 queries (the pos
+    // column prunes away at the parquet scan for the latter)
+    val pdir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", pdir, nBuckets = 8,
+      positional = true)
+    val q = queriesOf(1L, 2L, 9L)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, pdir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+    LexicalIndex.phraseTopKIndexed(spark, pdir, qPhrase, "query_id",
+      "phrase", k = 3).collect() should not be empty
+  }
+
+  test("an empty-after-tokenization phrase fails loud on both paths") {
+    import spark.implicits._
+    val docs = corpus(10)
+    val q = Seq(1L -> "!!!").toDF("query_id", "phrase")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 4,
+      positional = true)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseTopK(docs, "doc_id", "text", q, "query_id",
+        "phrase", k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      LexicalIndex.phraseTopKIndexed(spark, dir, q, "query_id", "phrase",
+        k = 2)
+    }
+  }
+
   test("querying or appending a non-index path fails loud") {
     val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/nothere"
     val q = queriesOf(1L)

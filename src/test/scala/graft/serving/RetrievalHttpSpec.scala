@@ -1,0 +1,102 @@
+package graft.serving
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.operators.{LexicalIndex, Similarity}
+
+/** Interactive retrieval over maintained indexes — the reference's
+  * query-continuously-maintained-state posture
+  * (`services/PurchasesService.java:58-94`) extended to the search
+  * family: stream documents INTO a positional lexical index via
+  * [[LexicalIndex.maintain]], build an IVF ANN index beside it, then GET
+  * the `/search` endpoints and assert exact JSON bodies (the
+  * `HttpApiSpec` discipline).
+  */
+class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(addr: String, path: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://$addr$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("bm25, phrase and hybrid search serve a streamed-into index " +
+      "with exact JSON bodies") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // corpus with a hand-checkable ranking: for "alpha", doc 1 (tf 2)
+    // outranks doc 2 (tf 1); "beta beta" occurs twice in doc 3 only
+    val dir = graft.io.Spill.tempDir("graft-http-idx-")
+    val lexDir = s"$dir/lex"
+    LexicalIndex.write(
+      Seq(1L -> "alpha beta alpha", 2L -> "alpha gamma").toDF("doc_id", "text"),
+      "doc_id", "text", lexDir, nBuckets = 8, positional = true)
+    // docs 3 and 4 arrive through the streaming maintainer
+    val input = MemoryStream[(Long, String)]
+    val query = LexicalIndex.maintain(spark, lexDir,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", checkpoint())
+    input.addData(Seq(3L -> "beta beta beta", 4L -> "delta epsilon"))
+    query.processAllAvailable()
+    query.stop()
+
+    // dense side: cosines to [1, 0] are doc1 1.0 > doc2 0.8 > doc3 0 > doc4 -1
+    val annDir = s"$dir/ann"
+    Similarity.writeIvfIndex(
+      Seq(1L -> Array(1.0, 0.0), 2L -> Array(0.8, 0.6),
+        3L -> Array(0.0, 1.0), 4L -> Array(-1.0, 0.0))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", annDir, nList = 2)
+
+    val api = new HttpApi(new Serving)
+      .retrieval(HttpApi.Retrieval(spark,
+        lexicalIndexPath = Some(lexDir), annIndexPath = Some(annDir)))
+      .start()
+    try {
+      // lexical: tf 2 in the shorter-normalized doc wins; the streamed
+      // doc 3 holds no "alpha"
+      get(api.address, "/search/bm25/alpha") shouldBe
+        (200, """[{"rank":1,"doc_id":1},{"rank":2,"doc_id":2}]""")
+      // phrase adjacency over the STREAMED doc, self-overlap counted
+      get(api.address, "/search/phrase/beta%20beta") shouldBe
+        (200, """[{"rank":1,"doc_id":3,"n_hits":2}]""")
+      // hybrid RRF: doc 1 leads both lists, doc 2 is second in both,
+      // doc 3 only dense (rank 3)
+      get(api.address, "/search/hybrid/alpha?vec=1.0,0.0&k=3") shouldBe
+        (200, """[{"rank":1,"doc_id":1},{"rank":2,"doc_id":2},{"rank":3,"doc_id":3}]""")
+      // k override truncates
+      get(api.address, "/search/bm25/alpha?k=1") shouldBe
+        (200, """[{"rank":1,"doc_id":1}]""")
+      // caller errors answer 400 with the library's message, not a 500
+      val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
+      badVec shouldBe 400
+      badBody should include("vec=")
+      get(api.address, "/search/phrase/%21%21%21")._1 shouldBe 400 // "!!!"
+    } finally api.stop()
+  }
+
+  test("search routes answer 404 until retrieval is configured, and 400 " +
+      "when the route's index is absent") {
+    val api = new HttpApi(new Serving).start()
+    try {
+      get(api.address, "/search/bm25/alpha")._1 shouldBe 404
+    } finally api.stop()
+    val api2 = new HttpApi(new Serving)
+      .retrieval(HttpApi.Retrieval(spark)).start()
+    try {
+      val (code, body) = get(api2.address, "/search/bm25/alpha")
+      code shouldBe 400
+      body should include("no lexical index")
+      get(api2.address, "/search/hybrid/alpha?vec=1.0,0.0")._1 shouldBe 400
+    } finally api2.stop()
+  }
+}
