@@ -258,6 +258,37 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     indexed.filter(_._1 == 1L).map(_._3) should contain(3L)
     indexed.filter(_._1 == 1L).map(_._3) should not contain 2L
     indexed.filter(_._1 == 1L).map(_._3) should not contain 6L
+    // compaction preserves the position lists (the fold rewrites every
+    // posting column, pos included)
+    LexicalIndex.compact(spark, dir)
+    rows(LexicalIndex.phraseTopKIndexed(
+      spark, dir, q, "query_id", "phrase", k = 3)) shouldBe indexed
+    // the phrase path's posting scan prunes on the tb partition column
+    // exactly like the bm25 one (phraseTopKIndexed runs its rank tail
+    // through an eager spill, so pin the pruned READ it issues — the
+    // same readPostings + isin filter — rather than the returned plan,
+    // which scans the spilled counts)
+    import spark.implicits._
+    val prunedRead = spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings/batch=*")
+      .where(col("tb").isin(3))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingScans = scans(prunedRead.queryExecution.executedPlan)
+    postingScans should not be empty
+    val total = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(_.listFiles()).count(_.getName.startsWith("tb="))
+    total should be > 1 // the fixture vocabulary spans buckets
+    val selected = postingScans.map(_.selectedPartitions.partitionCount).max
+    withClue(s"selected $selected of $total bucket partitions: ") {
+      selected should be <= 1 // one bucket value -> at most one directory
+    }
   }
 
   test("phrase retrieval on a non-positional index fails loud; BM25 on " +
