@@ -1393,6 +1393,47 @@ object SparkEntry {
     // keyword analytics FROM the persisted index (no tokenize pass):
     // the posting table is the tf bag, N folds from the stats deltas,
     // the scoring tail is q139's — oracle identical since the math is
+    // proximity ("terms near each other") top-k retrieval (one-shot):
+    // min word-window span covering every distinct query term, kept if
+    // <= slop 8, ranked tightest-first with the ascending-doc-id
+    // tiebreak — BM25 without the bag-of-words blindness, phrases
+    // without exact adjacency. "Key, AGG row!" pins normalization,
+    // "table table" pins term dedup (single-term containment, span 0),
+    // zebra pins absence
+    "q144_proximity_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "value table part", 4L -> "Key, AGG row!",
+          5L -> "zebra crossing", 6L -> "table table")
+        .toDF("query_id", "qterms")
+      TextAnalysis.proximityTopK(t(s, d, "documents"), "doc_id", "text",
+          q, "query_id", "qterms", slop = 8, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // proximity retrieval FROM the positional index: same queries and
+    // oracle as q144 (single-homed candidate aggregate + rank tail,
+    // indexed ≡ one-shot spec-pinned) served from persisted position
+    // lists — bucket-pruned posting scan, broadcast (query, off, term)
+    // join, the MinWindowSpan sweep per candidate
+    "q145_proximity_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16, positional = true)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "value table part", 4L -> "Key, AGG row!",
+          5L -> "zebra crossing", 6L -> "table table")
+        .toDF("query_id", "qterms")
+      graft.operators.LexicalIndex.proximityTopKIndexed(s, dir,
+          q, "query_id", "qterms", slop = 8, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // single-homed; the build/append/scan path is what this row pins
     "q141_tfidf_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents").repartition(32)
@@ -2341,6 +2382,61 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hits
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Shared replay of the proximity searcher (q144 one-shot, q145
+    * positional-indexed — identical spans by construction): per-doc
+    * word positions via zipped unnests, one per-arity chain of
+    * doc-keyed position joins (terms pinned by offset), min span =
+    * min(greatest - least) per (query, doc), slop-8 filter, span-asc /
+    * doc-asc ranking, top 10. Single-term query 6 replays "table table"
+    * after dedup (bare containment, span 0).
+    */
+  private def proximityTopKOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       pos AS (
+         SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS p
+         FROM toks),
+       ph1(query_id, t0) AS (VALUES (CAST(6 AS BIGINT), 'table')),
+       ph2(query_id, t0, t1) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast', 'table'), (2, 'value', 'part'),
+         (5, 'zebra', 'crossing')),
+       ph3(query_id, t0, t1, t2) AS (VALUES
+         (CAST(3 AS BIGINT), 'value', 'table', 'part'),
+         (4, 'key', 'agg', 'row')),
+       s1 AS (
+         SELECT q.query_id, p0.doc_id, CAST(0 AS BIGINT) AS span
+         FROM ph1 q JOIN pos p0 ON p0.term = q.t0
+         GROUP BY 1, 2),
+       s2 AS (
+         SELECT q.query_id, p0.doc_id,
+           CAST(min(greatest(p0.p, p1.p) - least(p0.p, p1.p)) AS BIGINT)
+             AS span
+         FROM ph2 q
+         JOIN pos p0 ON p0.term = q.t0
+         JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.term = q.t1
+         GROUP BY 1, 2),
+       s3 AS (
+         SELECT q.query_id, p0.doc_id,
+           CAST(min(greatest(p0.p, p1.p, p2.p)
+             - least(p0.p, p1.p, p2.p)) AS BIGINT) AS span
+         FROM ph3 q
+         JOIN pos p0 ON p0.term = q.t0
+         JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.term = q.t1
+         JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.term = q.t2
+         GROUP BY 1, 2),
+       spans AS (
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         UNION ALL SELECT * FROM s3),
+       ranked AS (
+         SELECT query_id, doc_id, span,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY span, doc_id) AS rank
+         FROM spans WHERE span <= 8)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, span
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
     * indexed — identical math over the full corpus): tokenize, corpus
     * stats, tf/df over the query-matching terms, the 6-decimal-rounded
@@ -3033,6 +3129,10 @@ object SparkEntry {
     // (single-homed tail, indexed ≡ one-shot spec-pinned) so it shares
     // the replay
     "q142_phrase_topk" -> phraseTopKOracle,
+    // q145 serves IDENTICAL results from the positional index
+    // (candidate aggregate + rank tail single-homed; spec-pinned)
+    "q144_proximity_topk" -> proximityTopKOracle,
+    "q145_proximity_indexed" -> proximityTopKOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

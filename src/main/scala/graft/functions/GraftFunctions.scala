@@ -134,6 +134,12 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"phrase_start_count(entries); got ${other.size} args")
     },
+    "min_window_span" -> {
+      case Seq(child) => MinWindowSpan(child)
+      case other =>
+        throw new IllegalArgumentException(
+          s"min_window_span(entries); got ${other.size} args")
+    },
     "char_grams" -> {
       case Seq(child, Literal(minN: Int, _), Literal(maxN: Int, _)) =>
         CharGrams(child, minN, maxN)

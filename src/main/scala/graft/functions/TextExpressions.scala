@@ -341,6 +341,71 @@ case class PhraseStartCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Minimal word-window span covering one occurrence of every query term,
+  * given each term's position list: input
+  * `array<struct<off: int, pos: array<int>>>` with ONE entry per
+  * DISTINCT query term (off 0..n-1, entry order free), output the
+  * minimum of `max - min` over choices of one position per entry — the
+  * proximity measure of sloppy ("terms near each other") retrieval, run
+  * after the same candidate aggregate as [[PhraseStartCount]] so each
+  * eval sees one document's positions of one query's terms. n = 1 spans
+  * 0 (bare containment); empty input or malformed offsets (out of
+  * range / duplicate — impossible from the index plan) yield null so
+  * the slop filter drops the row.
+  *
+  * Classic k-sorted-lists sweep: repeatedly tighten the window by
+  * advancing the list holding the current minimum — O(total positions x
+  * n) with query n small. Lists are copied and sorted defensively (index
+  * and [[TokenPositions]] both emit ascending order, but SQL callers may
+  * not).
+  */
+case class MinWindowSpan(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_window_span"
+
+  override def nullSafeEval(input: Any): Any = {
+    val entries = input.asInstanceOf[ArrayData]
+    val n = entries.numElements()
+    if (n == 0) return null
+    val lists = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      val off = row.getInt(0)
+      if (off < 0 || off >= n || lists(off) != null) return null
+      val ps = row.getArray(1)
+      if (ps.numElements() == 0) return null
+      lists(off) = ps.toIntArray().sorted
+      i += 1
+    }
+    val idx = new Array[Int](n)
+    var best = Long.MaxValue
+    var exhausted = false
+    while (!exhausted) {
+      var minV = Int.MaxValue
+      var maxV = Int.MinValue
+      var minI = 0
+      var j = 0
+      while (j < n) {
+        val v = lists(j)(idx(j))
+        if (v < minV) { minV = v; minI = j }
+        if (v > maxV) maxV = v
+        j += 1
+      }
+      val span = (maxV - minV).toLong
+      if (span < best) best = span
+      idx(minI) += 1
+      if (idx(minI) >= lists(minI).length) exhausted = true
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document n-gram repetition statistics of an `array<string>` word
   * column: `struct<n_grams, distinct_grams, top_count>` over the
   * POSITIONAL (non-distinct) n-gram multiset — the inputs of the

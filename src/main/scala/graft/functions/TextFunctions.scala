@@ -109,6 +109,12 @@ object TextFunctions {
   def phraseStartCount(entries: Column): Column =
     call_function("phrase_start_count", entries)
 
+  /** Minimal window span covering every query term given per-term
+    * position lists; see [[MinWindowSpan]].
+    */
+  def minWindowSpan(entries: Column): Column =
+    call_function("min_window_span", entries)
+
   /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
     * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).
     */

@@ -382,4 +382,40 @@ object LexicalIndex {
       .where(col("n_hits") > 0)
     TextAnalysis.phraseRankTail(counts, k)
   }
+
+  /** Batched proximity top-k against a POSITIONAL index —
+    * [[TextAnalysis.proximityTopK]]-identical results (same
+    * normalization/dedup, same candidate aggregate and span-ascending
+    * ranking tail; equality spec-pinned) without touching corpus text:
+    * the scan prunes to the query terms' bucket directories, the
+    * broadcast (query, off, term) join keeps candidate postings, and
+    * [[graft.functions.MinWindowSpan]] sweeps each candidate's position
+    * lists — at 100 TB the exchange carries integer position lists of
+    * candidate docs only. Fails loud on a non-positional index (the
+    * [[phraseTopKIndexed]] contract).
+    */
+  def proximityTopKIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      slop: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(slop >= 0, "slop must be >= 0")
+    val (nBuckets, positional) = readMeta(spark, path)
+    if (!positional)
+      throw new IllegalStateException(
+        s"$path is not a positional index - proximity retrieval needs " +
+          "word positions; rebuild it with LexicalIndex.write(..., " +
+          "positional = true)")
+    val qterms = TextAnalysis.proximityQueryTerms(queries, queryIdCol,
+      termsCol)
+    // bounded driver action: |distinct buckets| <= min(|query terms|, nBuckets)
+    val buckets = qterms
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val entries = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
+      .join(broadcast(qterms), Seq("term"))
+    TextAnalysis.proximityRankTail(
+      TextAnalysis.candidateSpans(entries), slop, k)
+  }
 }

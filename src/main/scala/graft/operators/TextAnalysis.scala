@@ -341,6 +341,98 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_hits"))
   }
 
+  /** Batched proximity ("terms near each other") top-k retrieval: for
+    * every query (an id column + a STRING terms column), the k corpus
+    * documents whose minimal word-window span covering one occurrence of
+    * EVERY distinct query term is <= `slop`, ranked tightest-first —
+    * the middle ground between bag-of-words BM25 (no position
+    * constraint) and exact quoted phrases ([[phraseTopK]]): "these
+    * terms, near each other, any order". Terms normalize through the one
+    * [[words]] convention and de-duplicate (a repeated term adds no
+    * constraint); a query empty after tokenization fails loud.
+    *
+    * Plan: the corpus tokenizes once into the map-only
+    * [[graft.functions.TokenPositions]] bag, the broadcast
+    * (query, off, term) join keeps only query-term entries, one
+    * (query, doc) aggregate collects per-term position lists, the
+    * all-terms-present filter bounds candidates, and
+    * [[graft.functions.MinWindowSpan]] sweeps each candidate's lists —
+    * the only exchange carries integer position lists of candidate docs.
+    * [[LexicalIndex.proximityTopKIndexed]] serves IDENTICAL results from
+    * a positional index without touching corpus text (spec-pinned).
+    */
+  def proximityTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      slop: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(slop >= 0, "slop must be >= 0")
+    val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
+    val entries = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenPositions(col("__w")))
+          .as("__tp"))
+      .select(col("doc_id"), col("__tp.token").as("term"),
+        col("__tp.pos").as("pos"))
+      .join(broadcast(qterms), Seq("term"))
+    proximityRankTail(candidateSpans(entries), slop, k)
+  }
+
+  /** The per-(query, doc) minimal-span frame shared by [[proximityTopK]]
+    * and [[LexicalIndex.proximityTopKIndexed]]: collect each term
+    * offset's position list, keep docs holding ALL `__n` distinct terms
+    * (a distinct term joins exactly once, so the entry count pins it),
+    * sweep with [[graft.functions.MinWindowSpan]].
+    */
+  private[operators] def candidateSpans(entries: DataFrame): DataFrame =
+    entries
+      .groupBy(col("query_id"), col("doc_id"), col("__n"))
+      .agg(collect_list(struct(col("off"), col("pos"))).as("__e"))
+      .where(size(col("__e")) === col("__n"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.TextFunctions.minWindowSpan(col("__e")).as("span"))
+
+  /** The (query_id, __n, off, term) frame of a batched proximity search:
+    * terms normalized via [[words]], de-duplicated per query in
+    * first-occurrence order, offsets 0..n-1; empty-after-tokenization
+    * queries fail loud (the [[phraseQueries]] posture).
+    */
+  private[operators] def proximityQueryTerms(queries: DataFrame,
+      queryIdCol: String, termsCol: String): DataFrame = {
+    val qp = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        array_distinct(words(col(termsCol))).as("__t"))
+      .select(col("query_id"), col("__t"), size(col("__t")).as("__n"))
+    val empties = qp.where(col("__n") < 1).select(col("query_id"))
+      .limit(1).collect()
+    require(empties.isEmpty,
+      s"query ${empties.headOption.map(_.getLong(0)).getOrElse(-1L)} has " +
+        "a terms string that is empty after tokenization")
+    qp.select(col("query_id"), col("__n"),
+      posexplode(col("__t")).as(Seq("off", "term")))
+  }
+
+  /** Ranking tail shared by [[proximityTopK]] and
+    * [[LexicalIndex.proximityTopKIndexed]] — single-homed so indexed ≡
+    * one-shot exactly: drop candidates looser than `slop`, rank by span
+    * ascending (negated through the bounded
+    * [[Similarity.rankTopKPerQuery]] top-k, ascending-doc-id tiebreak),
+    * rejoin `span` onto the k-bounded rank frame (the [[phraseRankTail]]
+    * spill discipline — spans are (query, candidate-doc) integers,
+    * probe-sized).
+    */
+  private[operators] def proximityRankTail(spansIn: DataFrame, slop: Int,
+      k: Int): DataFrame = {
+    val spans = graft.io.Spill(
+      spansIn.where(col("span") <= slop), "graft-prox-")
+    Similarity.rankTopKPerQuery(
+        spans.select(col("query_id"), col("doc_id"),
+          (-col("span").cast("double")).as("sim")),
+        "doc_id", k)
+      .join(spans, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("span"))
+  }
+
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).
     */

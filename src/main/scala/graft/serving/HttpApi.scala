@@ -293,6 +293,32 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  /** `/search/near/{terms}?slop=N`: proximity retrieval from a
+    * POSITIONAL lexical index — docs holding every term within a word
+    * window of `slop` (default 8), tightest-first,
+    * `[{"rank":1,"doc_id":4,"span":2},...]`; 400 on a non-positional
+    * index or a malformed slop (the library's fail-loud contract).
+    */
+  server.createContext("/search/near/", { ex =>
+    searchRoute(ex) { conf =>
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val terms = pathKey(ex, "/search/near/").getOrElse(
+        throw new IllegalArgumentException("no query terms"))
+      val slop = queryParam(ex, "slop").map(_.toInt).getOrElse(8)
+      val q = oneQuery(conf,
+        "query_id" -> org.apache.spark.sql.functions.lit(0L),
+        "qterms" -> org.apache.spark.sql.functions.lit(terms))
+      graft.operators.LexicalIndex
+        .proximityTopKIndexed(conf.spark, path, q, "query_id", "qterms",
+          slop, kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")},"span":${r.getAs[Long]("span")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
   /** `/search/hybrid/{terms}?vec=0.1,0.2,...`: reciprocal-rank fusion
     * ([[graft.operators.RankFusion.rrf]] — the q137 math, single-homed)
     * of the lexical BM25 list with the dense

@@ -240,7 +240,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // (query, offset, term) join, one candidate-doc collect agg into
     // the spilled counts, then q142's ranking tail — the build/append
     // phases run eagerly at entry construction
-    "q143_phrase_indexed" -> 9)
+    "q143_phrase_indexed" -> 9,
+    // proximity top-k (both paths): the candidate-span frame spills
+    // eagerly (tokenize/posting phases run at spill time), so the
+    // audited plan is the shared rank tail — topk agg over the spill
+    // scan, the span rejoin broadcast, final sort
+    "q144_proximity_topk" -> 6,
+    "q145_proximity_indexed" -> 6)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

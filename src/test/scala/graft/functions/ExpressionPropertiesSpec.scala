@@ -87,6 +87,51 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers with SparkSpec 
     })
   }
 
+  test("MinWindowSpan == the brute-force cartesian minimum on random " +
+      "inputs (entry order and list order free)") {
+    import spark.implicits._
+    val termsGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.pick(n, Seq("a", "b", "c"))).map(_.toList)
+    val soupGen = Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    check(Prop.forAll(soupGen, termsGen, Gen.long) { (ws, terms, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // entries in shuffled order with shuffled position lists: the
+      // expression must not depend on either (SQL callers may not
+      // deliver the index plan's ascending order)
+      val entries = rnd.shuffle(terms.zipWithIndex.map { case (t, off) =>
+        (off, rnd.shuffle(ws.zipWithIndex.filter(_._1 == t).map(_._2)))
+      })
+      val viaExpr =
+        if (entries.exists(_._2.isEmpty)) None // candidate filter drops it
+        else Option(Seq(Tuple1(entries)).toDF("e")
+          .select(TextFunctions.minWindowSpan(col("e")).as("s"))
+          .head().get(0)).map(_.asInstanceOf[Long])
+      val combos = entries.map(_._2).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, ps) => acc.flatMap(c => ps.map(c :+ _))
+      }
+      val brute =
+        if (entries.exists(_._2.isEmpty)) None
+        else Some(combos.map(c => (c.max - c.min).toLong).min)
+      viaExpr == brute
+    })
+  }
+
+  test("MinWindowSpan rejects malformed offsets with null") {
+    import spark.implicits._
+    // duplicate offset, out-of-range offset, empty entry list, empty pos
+    Seq(
+      Seq((0, Seq(1)), (0, Seq(2))),
+      Seq((0, Seq(1)), (2, Seq(2))),
+      Seq.empty[(Int, Seq[Int])],
+      Seq((0, Seq(1)), (1, Seq.empty[Int]))
+    ).foreach { e =>
+      Seq(Tuple1(e)).toDF("e")
+        .select(TextFunctions.minWindowSpan(col("e")).as("s"))
+        .head().isNullAt(0) shouldBe true
+    }
+  }
+
   test("Int8Quantize codegen path == interpreted nullSafeEval on random vectors") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -291,6 +291,54 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("indexed proximity retrieval exactly equals the one-shot scorer, " +
+      "with hand-checked spans") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta",                     // span 1
+      2L -> "alpha x y z beta",               // span 4 > slop 3
+      3L -> "beta q alpha",                   // span 2 (order-free)
+      4L -> "alpha b c d e f g h i j beta",   // span 10, well out
+      5L -> "gamma delta",
+      6L -> "alpha alpha beta alpha"          // min span 1
+    ).toDF("doc_id", "text")
+    // un-normalized terms normalize in-plan; "alpha alpha" dedups to a
+    // single-term containment query (span 0); zebra never occurs
+    val q = Seq(1L -> "Alpha, Beta!", 2L -> "alpha alpha",
+      3L -> "gamma zebra").toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 3), "doc_id", "text",
+      dir, nBuckets = 8, positional = true)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 3),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+    val indexed = rows(LexicalIndex.proximityTopKIndexed(
+      spark, dir, q, "query_id", "qterms", slop = 3, k = 10))
+    indexed shouldBe rows(TextAnalysis.proximityTopK(
+      docs, "doc_id", "text", q, "query_id", "qterms", slop = 3, k = 10))
+    // spans rank tightest-first with the ascending-doc-id tiebreak;
+    // out-of-slop and absent-term docs are gone
+    indexed.filter(_._1 == 1L)
+      .map(r => (r._2, r._3, r._4)) shouldBe Seq(
+      (1L, 1L, 1L), (2L, 6L, 1L), (3L, 3L, 2L))
+    // the deduped single-term query is containment, span 0, every doc
+    // holding the term, doc-id order
+    indexed.filter(_._1 == 2L)
+      .map(r => (r._2, r._3, r._4)) shouldBe Seq(
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L), (5L, 6L, 0L))
+    indexed.filter(_._1 == 3L) shouldBe empty
+    // proximity needs positions: a count-only index fails loud
+    val cdir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", cdir, nBuckets = 8)
+    val e = intercept[IllegalStateException] {
+      LexicalIndex.proximityTopKIndexed(spark, cdir, q, "query_id",
+        "qterms", slop = 3, k = 10)
+    }
+    e.getMessage should include("not a positional index")
+  }
+
   test("phrase retrieval on a non-positional index fails loud; BM25 on " +
       "a positional index still matches the one-shot scorer") {
     import spark.implicits._

@@ -76,6 +76,13 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
       // k override truncates
       get(api.address, "/search/bm25/alpha?k=1") shouldBe
         (200, """[{"rank":1,"doc_id":1}]""")
+      // proximity: only doc 1 holds alpha AND beta within a word
+      // (min span 1: alpha@0, beta@1); no doc pairs beta with gamma
+      get(api.address, "/search/near/alpha%20beta?slop=1") shouldBe
+        (200, """[{"rank":1,"doc_id":1,"span":1}]""")
+      get(api.address, "/search/near/beta%20gamma") shouldBe (200, "[]")
+      // malformed slop is a caller error
+      get(api.address, "/search/near/alpha%20beta?slop=wide")._1 shouldBe 400
       // caller errors answer 400 with the library's message, not a 500
       val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
       badVec shouldBe 400
