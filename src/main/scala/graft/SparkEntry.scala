@@ -1434,6 +1434,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // video near-dup: synthesize a keyed uncompressed-24bpp AVI per doc
+    // (seed = id/2 plants even/odd pairs differing by one pixel of
+    // frame 0; 2-4 frames), per-frame aHash through the REAL RIFF/DIB
+    // parse, slot-aligned band join + popcount, pairs kept at >= 2
+    // matched frames — the video member of the q126/q129 modality
+    // family; every pixel, gray, hash bit, band bucket and frame-match
+    // count is integer arithmetic the oracle replays from the id alone
+    "q146_video_fp" -> ((s, d) =>
+      graft.operators.Multimodal.syntheticAviHashPipeline(
+          s, t(s, d, "documents"), "doc_id", maxHamming = 3,
+          minMatchedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_match"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // single-homed; the build/append/scan path is what this row pins
     "q141_tfidf_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents").repartition(32)
@@ -2943,6 +2957,70 @@ object SparkEntry {
            GROUP BY c.id_a, c.id_b)
          SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
          FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // q126's pixel/gray/bit/band CTEs with a frame dimension (the frame
+    // index folds into the seed as seed*31 + f; the odd perturbation
+    // hits frame 0's pixel (0,0) only), candidates must match band AND
+    // frame slot, per-slot popcount <= 3, then the matched-slot count
+    // kept at >= 2 — mirrors Multimodal.syntheticAviHashPipeline end to
+    // end without touching a byte
+    "q146_video_fp" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 2 AS odd, doc_id // 2 AS seed,
+             8 + (doc_id // 2) % 16 AS w, 4 + (doc_id // 2) % 8 AS h,
+             2 + (doc_id // 2) % 3 AS nf
+           FROM documents),
+         fr AS (
+           SELECT doc_id, odd, seed, w, h, unnest(range(0, nf)) AS f
+           FROM p),
+         cells AS (
+           SELECT fr.doc_id, fr.f, u2.j * 8 + u1.i AS idx,
+             least(fr.w - 1, (u1.i * fr.w) // 8) AS sx,
+             least(fr.h - 1, (u2.j * fr.h) // 8) AS sy,
+             fr.odd, fr.seed
+           FROM fr,
+             LATERAL (SELECT unnest(range(0, 8)) AS i) u1,
+             LATERAL (SELECT unnest(range(0, 8)) AS j) u2),
+         px AS (
+           SELECT doc_id, f, idx,
+             sx * 2654435761 + sy * 2246822519
+               + (seed * 31 + f) * 3266489917 AS v,
+             CASE WHEN odd = 1 AND f = 0 AND sx = 0 AND sy = 0
+               THEN 128 ELSE 0 END AS dp
+           FROM cells),
+         g AS (
+           SELECT doc_id, f, idx,
+             ((((v >> 8) & 255) + dp) % 256
+              + (((v >> 16) & 255) + dp) % 256
+              + (((v >> 24) & 255) + dp) % 256) // 3 AS gray
+           FROM px),
+         bits AS (
+           SELECT doc_id, f, idx,
+             CASE WHEN gray * 64 > sum(gray) OVER (PARTITION BY doc_id, f)
+               THEN 1 ELSE 0 END AS bit
+           FROM g),
+         bands AS (
+           SELECT doc_id, f, idx // 16 AS band,
+             CAST(sum(bit << CAST(idx % 16 AS INTEGER)) AS BIGINT) AS bucket
+           FROM bits GROUP BY doc_id, f, idx // 16),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f
+           FROM bands a JOIN bands b
+             ON a.f = b.f AND a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.id_a, c.id_b, c.f,
+             sum(bit_count(xor(a.bucket, b.bucket))) AS hamming
+           FROM cand c
+           JOIN bands a ON a.doc_id = c.id_a AND a.f = c.f
+           JOIN bands b ON b.doc_id = c.id_b AND b.f = c.f
+             AND b.band = a.band
+           GROUP BY c.id_a, c.id_b, c.f),
+         pairs AS (
+           SELECT id_a, id_b, count(*) AS n_match
+           FROM ham WHERE hamming <= 3 GROUP BY id_a, id_b)
+         SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match
+         FROM pairs WHERE n_match >= 2 ORDER BY id_a, id_b""",
 
     "q130_dsir_weights" ->
       s"""WITH $dsirWeightCtes

@@ -237,30 +237,42 @@ object Multimodal {
       if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
       val stride = (w * 3 + 3) & ~3
       if (dataOff + stride.toLong * h > p.length) return None
-      val gray = new Array[Int](64)
-      var sum = 0L
-      var j = 0
-      while (j < 8) {
-        val sy = math.min(h - 1, (j.toLong * h / 8).toInt)
-        var i = 0
-        while (i < 8) {
-          val sx = math.min(w - 1, (i.toLong * w / 8).toInt)
-          val o = dataOff + sy * stride + sx * 3
-          val g = ((p(o) & 0xFF) + (p(o + 1) & 0xFF) + (p(o + 2) & 0xFF)) / 3
-          gray(j * 8 + i) = g
-          sum += g
-          i += 1
-        }
-        j += 1
-      }
-      var fp = 0L
-      var idx = 0
-      while (idx < 64) {
-        if (gray(idx).toLong * 64 > sum) fp |= 1L << idx
-        idx += 1
-      }
-      Some(fp)
+      Some(ahashPixels(p, dataOff, w, h, stride))
     } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** The aHash grid/gray/mean core over one 24bpp pixel plane at
+    * `dataOff` — shared by [[ahashBmp]] and the per-frame hashing of
+    * [[frameHashesAvi]] (an AVI `00db` frame is the same DIB plane
+    * without the 14-byte BMP file header), so image and video
+    * fingerprints are bit-identical for identical pixels by
+    * construction. Caller validates bounds.
+    */
+  private def ahashPixels(p: Array[Byte], dataOff: Int, w: Int, h: Int,
+      stride: Int): Long = {
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = math.min(h - 1, (j.toLong * h / 8).toInt)
+      var i = 0
+      while (i < 8) {
+        val sx = math.min(w - 1, (i.toLong * w / 8).toInt)
+        val o = dataOff + sy * stride + sx * 3
+        val g = ((p(o) & 0xFF) + (p(o + 1) & 0xFF) + (p(o + 2) & 0xFF)) / 3
+        gray(j * 8 + i) = g
+        sum += g
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var idx = 0
+    while (idx < 64) {
+      if (gray(idx).toLong * 64 > sum) fp |= 1L << idx
+      idx += 1
+    }
+    fp
   }
 
   /** Perceptual fingerprint column: (media_id, fp) — aHash for payloads the
@@ -469,6 +481,225 @@ object Multimodal {
         MediaRecord(id, "audio", syntheticWavKeyed(seed, n, perturb = id % 2 == 1))
       })
     audioHashPairs(media, maxHamming)
+  }
+
+  /** Per-frame aHash fingerprints of an uncompressed 24bpp AVI payload —
+    * the video member of the perceptual-fingerprint family
+    * ([[ahashBmp]] image, [[energyHashWav]] audio): walk the RIFF
+    * chunks (the [[energyHashWav]] discipline — AVI is RIFF too) to the
+    * `hdrl` stream-format header for the frame geometry and the `movi`
+    * list for the `00db` uncompressed-frame chunks, then hash every
+    * frame's DIB plane through the one [[ahashPixels]] core — identical
+    * pixels hash identically across the image and video paths by
+    * construction. Returns one 64-bit fingerprint per stored frame, in
+    * stream order; None for payloads that are not such an AVI
+    * (compressed streams, non-24bpp, truncated chunks).
+    */
+  private[operators] def frameHashesAvi(p: Array[Byte]): Option[Seq[Long]] = {
+    def u32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (p.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      // recursive chunk walk: find the first `strf` BITMAPINFOHEADER
+      // (frame geometry) and collect `00db` frame chunk offsets
+      var w = -1; var h = -1; var ok = true
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+      // depth-bounded so adversarial LIST-in-LIST nesting cannot blow
+      // the stack (real AVIs nest hdrl/strl/movi <= 3 deep; the parsers
+      // must be TOTAL — the MediaFuzzSpec contract)
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > 16) { ok = false; return }
+        var pos = from
+        while (ok && pos + 8 <= to) {
+          val id = tag(pos)
+          val size = u32(pos + 4)
+          if (pos + 8 + size > to) { ok = false; return }
+          if (id == "LIST" && size >= 4)
+            walk(pos + 12, pos + 8 + size.toInt, depth + 1)
+          else if (id == "strf" && size >= 40 && w < 0) {
+            if (u16(pos + 8 + 14) != 24 || u32(pos + 8 + 16) != 0) ok = false
+            else { w = u32(pos + 8 + 4).toInt; h = u32(pos + 8 + 8).toInt }
+          } else if (id == "00db") frames += pos + 8
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+      }
+      walk(12, p.length, 0)
+      if (!ok || w <= 0 || h <= 0 || frames.isEmpty) return None
+      // Long stride math: a forged 2^30-wide header must fail the bounds
+      // check, not wrap Int arithmetic into in-bounds garbage reads
+      val strideL = (w.toLong * 3 + 3) & ~3L
+      if (strideL * h > p.length) return None
+      val stride = strideL.toInt
+      if (frames.exists(_ + stride.toLong * h > p.length)) return None
+      Some(frames.toSeq.map(off => ahashPixels(p, off, w, h, stride)))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Per-frame fingerprint column: (doc_id, f, fp) — aHash per stored
+    * frame for payloads the dependency-free AVI path can read, one
+    * frame-0 xxhash64 row of the raw bytes otherwise (seed 42, the
+    * [[imageHash]]/[[audioHash]] contract: unknown/compressed containers
+    * still dedup exactly on identical bytes while never near-matching
+    * by accident). Map-only; video bytes never cross an exchange — at
+    * 100 TB only (id, frame-slot, 8-byte fingerprint) rows shuffle.
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      frameHashesAvi(r.payload) match {
+        case Some(hs) =>
+          hs.zipWithIndex.map { case (fp, f) => (r.media_id, f, fp) }
+        case None => Seq((r.media_id, 0,
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            r.payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            r.payload.length, 42L)))
+      }
+    }).toDF("doc_id", "f", "fp")
+  }
+
+  /** Video near-dup pairs: per-frame perceptual fingerprints
+    * ([[videoFrameHashes]]), the 16-bit pigeonhole banding PER FRAME
+    * SLOT (candidates must match band AND slot — two clips are near-dups
+    * when their frames align, not when any frame of one resembles any
+    * frame of the other), the exact popcount verify per slot, then one
+    * (pair) aggregate counting matched slots, kept at
+    * `minMatchedFrames`+ — a short re-encode that preserves most frames
+    * still pairs, one coincidentally similar frame does not. Returns
+    * (id_a, id_b, n_match). Same scale posture as
+    * [[Dedup.fingerprintPairs]]: banded equi-joins, never all-pairs;
+    * only fingerprints and slot indexes shuffle.
+    */
+  def videoHashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3,
+      minMatchedFrames: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
+    require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
+    val fps = videoFrameHashes(media)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    val bands = fps.select(col("doc_id"), col("f"), col("fp"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("f"), col("fp"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.f") === col("b.f") && col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.f").as("f"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatchedFrames)
+  }
+
+  /** Deterministic pseudo-random uncompressed 24bpp AVI keyed by a seed
+    * — the planted-near-dup builder for the video battery row,
+    * mirroring [[syntheticBmpKeyed]]/[[syntheticWavKeyed]]: a REAL
+    * RIFF/AVI container (`hdrl` with avih + one `vids`/`DIB ` stream,
+    * `movi` with one `00db` DIB chunk per frame) whose frame-f pixel
+    * (x, y) channels derive from v = x*2654435761 + y*2246822519 +
+    * (seed*31 + f)*3266489917 (b,g,r = bytes 1..3 of v) — the
+    * [[syntheticBmpKeyed]] formula with the frame index folded into the
+    * seed, pure 64-bit integer arithmetic a SQL oracle replays exactly.
+    * Equal seeds give frame-identical clips; `perturb` shifts the three
+    * channels of frame 0's stored pixel (0, 0) by +128 mod 256 — a
+    * one-pixel edit in one frame, so every OTHER frame still matches
+    * exactly.
+    */
+  def syntheticAviKeyed(seed: Long, w: Int, h: Int, nFrames: Int,
+      perturb: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, "w, h, nFrames must be positive")
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = s.foreach(c => buf.put(c.toByte))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(100000).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, pad, flags
+    buf.putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0.toShort).putShort(0.toShort) // flags, prio, lang
+    buf.putInt(0).putInt(1).putInt(10) // initial, scale, rate
+    buf.putInt(0).putInt(nFrames).putInt(frameBytes).putInt(0) // start, length, bufsize, quality
+    buf.putInt(0) // sample size
+    buf.putShort(0.toShort).putShort(0.toShort) // rcFrame
+    buf.putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40) // BITMAPINFOHEADER
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1.toShort).putShort(24.toShort)
+    buf.putInt(0).putInt(frameBytes)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      val base = buf.position()
+      val fSeed = seed * 31 + f
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = x * 2654435761L + y * 2246822519L + fSeed * 3266489917L
+          var b = ((v >> 8) & 0xFF).toInt
+          var g = ((v >> 16) & 0xFF).toInt
+          var r = ((v >> 24) & 0xFF).toInt
+          if (perturb && f == 0 && x == 0 && y == 0) {
+            b = (b + 128) & 0xFF; g = (g + 128) & 0xFF; r = (r + 128) & 0xFF
+          }
+          val o = base + y * stride + x * 3
+          buf.put(o, b.toByte); buf.put(o + 1, g.toByte)
+          buf.put(o + 2, r.toByte)
+          x += 1
+        }
+        y += 1
+      }
+      buf.position(base + frameBytes)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize a keyed AVI per id (seed = id/2, so consecutive even/odd
+    * ids are near-dups differing by one pixel of frame 0; 2-4 frames and
+    * the geometry from the seed), per-frame-hash the REAL bytes through
+    * the RIFF/DIB parse, and slot-aligned band-join for
+    * matched-frame-count pairs — the oracle-checkable slice of the video
+    * near-dup path, mirroring [[syntheticBmpHashPipeline]].
+    */
+  def syntheticAviHashPipeline(spark: SparkSession, ids: DataFrame,
+      idCol: String, maxHamming: Int = 3,
+      minMatchedFrames: Int = 2): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id / 2
+        val w = 8 + (seed % 16).toInt
+        val h = 4 + (seed % 8).toInt
+        val nf = 2 + (seed % 3).toInt
+        MediaRecord(id, "video",
+          syntheticAviKeyed(seed, w, h, nf, perturb = id % 2 == 1))
+      })
+    videoHashPairs(media, maxHamming, minMatchedFrames)
   }
 
   /** Feature extraction: fixed-width float vector per payload — the

@@ -245,8 +245,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // eagerly (tokenize/posting phases run at spill time), so the
     // audited plan is the shared rank tail — topk agg over the spill
     // scan, the span rejoin broadcast, final sort
-    "q144_proximity_topk" -> 6,
-    "q145_proximity_indexed" -> 6)
+    "q144_proximity_topk" -> 3,
+    "q145_proximity_indexed" -> 3,
+    // video near-dup: map-only synthesize+hash scans on both sides of
+    // the slot-aligned band join (one side broadcasts at battery scale;
+    // at corpus scale it becomes the fingerprintPairs sort-merge on
+    // (f, band, bucket) — fingerprints only, never frames), the
+    // distinct + matched-slot aggs, final sort
+    "q146_video_fp" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -75,6 +75,28 @@ class MediaFuzzSpec extends AnyFunSuite with Matchers {
     })
   }
 
+  private val validAvi: Gen[Array[Byte]] = for {
+    seed <- Gen.choose(0L, 5000L)
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 12)
+    nf <- Gen.choose(1, 4)
+    perturb <- Gen.oneOf(true, false)
+  } yield Multimodal.syntheticAviKeyed(seed, w, h, nf, perturb)
+
+  test("frameHashesAvi is total on arbitrary, corrupted, and truncated bytes") {
+    check(Prop.forAll(arbitraryBytes) { p =>
+      Multimodal.frameHashesAvi(p); true
+    })
+    check(Prop.forAll(validAvi.flatMap(mutated)) { p =>
+      Multimodal.frameHashesAvi(p); true
+    })
+    check(Prop.forAll(for {
+      v <- validAvi; cut <- Gen.choose(0, v.length)
+    } yield v.take(cut)) { p =>
+      Multimodal.frameHashesAvi(p); true
+    })
+  }
+
   test("parseHeader is total on arbitrary bytes for both media kinds") {
     check(Prop.forAll(arbitraryBytes, Gen.oneOf("audio", "image", "video")) {
       (p, kind) => Multimodal.parseHeader(kind, p); true
@@ -98,6 +120,7 @@ class MediaFuzzSpec extends AnyFunSuite with Matchers {
   test("valid synthetic media always parse (the fallback never masks a regression)") {
     check(Prop.forAll(validWav)(p => Multimodal.energyHashWav(p).isDefined))
     check(Prop.forAll(validBmp)(p => Multimodal.ahashBmp(p).isDefined))
+    check(Prop.forAll(validAvi)(p => Multimodal.frameHashesAvi(p).isDefined))
   }
 
   test("hashes are deterministic: equal bytes give equal fingerprints") {
@@ -106,6 +129,9 @@ class MediaFuzzSpec extends AnyFunSuite with Matchers {
     })
     check(Prop.forAll(validBmp) { p =>
       Multimodal.ahashBmp(p) == Multimodal.ahashBmp(p.clone())
+    })
+    check(Prop.forAll(validAvi) { p =>
+      Multimodal.frameHashesAvi(p) == Multimodal.frameHashesAvi(p.clone())
     })
   }
 }
