@@ -1434,6 +1434,44 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // windowed-passage top-k retrieval (one-shot): docs ranked by the
+    // query-term-densest 8-word passage they contain (occurrence count,
+    // earliest window on ties), with the winning start returned — the
+    // RAG context-selection shape. Query set reuses q144's pins
+    // (normalization, dedup-to-single-term, absent terms)
+    "q147_passage_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "value table part", 4L -> "Key, AGG row!",
+          5L -> "zebra crossing", 6L -> "table table")
+        .toDF("query_id", "qterms")
+      TextAnalysis.passageTopK(t(s, d, "documents"), "doc_id", "text",
+          q, "query_id", "qterms", window = 8, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // windowed-passage retrieval FROM the positional index: same
+    // queries and oracle as q147 (single-homed candidate aggregate +
+    // rank tail, indexed ≡ one-shot spec-pinned) served from persisted
+    // position lists
+    "q148_passage_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16, positional = true)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "value table part", 4L -> "Key, AGG row!",
+          5L -> "zebra crossing", 6L -> "table table")
+        .toDF("query_id", "qterms")
+      graft.operators.LexicalIndex.passageTopKIndexed(s, dir,
+          q, "query_id", "qterms", window = 8, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // video near-dup: synthesize a keyed uncompressed-24bpp AVI per doc
     // (seed = id/2 plants even/odd pairs differing by one pixel of
     // frame 0; 2-4 frames), per-frame aHash through the REAL RIFF/DIB
@@ -2451,6 +2489,50 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, span
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Shared replay of the windowed-passage searcher (q147 one-shot,
+    * q148 positional-indexed — identical windows by construction):
+    * per-doc word positions, the (query, term) match join, per-start
+    * window counts via a position self-join (the optimal window always
+    * starts on an occurrence), best-per-doc by count desc / start asc,
+    * then count-desc / doc-asc ranking, top 10.
+    */
+  private def passageTopKOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       pos AS (
+         SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS p
+         FROM toks),
+       qt(query_id, term) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast'), (1, 'table'),
+         (2, 'value'), (2, 'part'),
+         (3, 'value'), (3, 'table'), (3, 'part'),
+         (4, 'key'), (4, 'agg'), (4, 'row'),
+         (5, 'zebra'), (5, 'crossing'),
+         (6, 'table')),
+       m AS (
+         SELECT q.query_id, pos.doc_id, pos.p
+         FROM qt q JOIN pos ON pos.term = q.term),
+       w AS (
+         SELECT a.query_id, a.doc_id, a.p AS start, count(*) AS n
+         FROM m a JOIN m b ON b.query_id = a.query_id
+           AND b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + 8
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT query_id, doc_id, n, start,
+           row_number() OVER (PARTITION BY query_id, doc_id
+             ORDER BY n DESC, start) AS rn
+         FROM w),
+       ranked AS (
+         SELECT query_id, doc_id, n AS n_hits, start,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY n DESC, doc_id) AS rank
+         FROM best WHERE rn = 1)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         CAST(n_hits AS BIGINT) AS n_hits, CAST(start AS BIGINT) AS start
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
     * indexed — identical math over the full corpus): tokenize, corpus
     * stats, tf/df over the query-matching terms, the 6-decimal-rounded
@@ -3211,6 +3293,9 @@ object SparkEntry {
     // (candidate aggregate + rank tail single-homed; spec-pinned)
     "q144_proximity_topk" -> proximityTopKOracle,
     "q145_proximity_indexed" -> proximityTopKOracle,
+    // q148 serves IDENTICAL results from the positional index
+    "q147_passage_topk" -> passageTopKOracle,
+    "q148_passage_indexed" -> passageTopKOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

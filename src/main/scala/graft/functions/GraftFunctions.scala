@@ -140,6 +140,12 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"min_window_span(entries); got ${other.size} args")
     },
+    "best_window" -> {
+      case Seq(child, Literal(w: Int, _)) => BestWindow(child, w)
+      case other =>
+        throw new IllegalArgumentException(
+          s"best_window(positions, window literal); got ${other.size} args")
+    },
     "char_grams" -> {
       case Seq(child, Literal(minN: Int, _), Literal(maxN: Int, _)) =>
         CharGrams(child, minN, maxN)

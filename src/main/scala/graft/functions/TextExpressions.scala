@@ -406,6 +406,53 @@ case class MinWindowSpan(child: Expression)
     copy(child = newChild)
 }
 
+/** Densest fixed-width word window over a query-term position multiset:
+  * input `array<int>` of every query-term occurrence position in one
+  * document (order free, duplicates impossible from the tokenize/index
+  * plans), output `struct<n_hits: bigint, start: int>` — the window
+  * `[start, start + window)` holding the most query-term occurrences,
+  * earliest start on ties — the passage-selection core of windowed
+  * (RAG-style) retrieval: BM25/proximity rank DOCUMENTS, this ranks the
+  * best PASSAGE within each. The optimal window can always be shifted
+  * right until it starts on an occurrence, so only occurrence starts are
+  * scanned — one sort + two-pointer sweep, O(m log m) per candidate doc
+  * with m = matched positions, run AFTER the candidate aggregate so each
+  * eval sees one document's matches of one query. Empty input yields
+  * null (no query term occurs — not a candidate).
+  */
+case class BestWindow(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, "window width must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false)))
+  override def prettyName: String = "best_window"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val ps = arr.toIntArray().sorted
+    var best = 0L
+    var bestStart = 0
+    var i = 0
+    var j = 0
+    while (i < m) {
+      while (j < m && ps(j) < ps(i).toLong + window) j += 1
+      val n = (j - i).toLong
+      if (n > best) { best = n; bestStart = ps(i) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestStart))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document n-gram repetition statistics of an `array<string>` word
   * column: `struct<n_grams, distinct_grams, top_count>` over the
   * POSITIONAL (non-distinct) n-gram multiset — the inputs of the

@@ -115,6 +115,12 @@ object TextFunctions {
   def minWindowSpan(entries: Column): Column =
     call_function("min_window_span", entries)
 
+  /** Densest fixed-width window over a query-term position multiset;
+    * see [[BestWindow]].
+    */
+  def bestWindow(positions: Column, window: Int): Column =
+    call_function("best_window", positions, lit(window))
+
   /** Positional (non-distinct) k-gram md5-prefix fingerprints; see
     * [[GramFingerprints]]. `posexplode` recovers (position, fingerprint).
     */

@@ -418,4 +418,36 @@ object LexicalIndex {
     TextAnalysis.proximityRankTail(
       TextAnalysis.candidateSpans(entries), slop, k)
   }
+
+  /** Batched windowed-passage top-k against a POSITIONAL index —
+    * [[TextAnalysis.passageTopK]]-identical results (single-homed
+    * candidate aggregate and rank tail; equality spec-pinned) without
+    * touching corpus text: the bucket-pruned posting scan, the
+    * broadcast query-term join, and the [[graft.functions.BestWindow]]
+    * sweep per candidate. Fails loud on a non-positional index.
+    */
+  def passageTopKIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      window: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(window >= 1, "window must be >= 1")
+    val (nBuckets, positional) = readMeta(spark, path)
+    if (!positional)
+      throw new IllegalStateException(
+        s"$path is not a positional index - passage retrieval needs " +
+          "word positions; rebuild it with LexicalIndex.write(..., " +
+          "positional = true)")
+    val qterms = TextAnalysis.proximityQueryTerms(queries, queryIdCol,
+      termsCol)
+    // bounded driver action: |distinct buckets| <= min(|query terms|, nBuckets)
+    val buckets = qterms
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val entries = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
+      .join(broadcast(qterms), Seq("term"))
+    TextAnalysis.passageRankTail(
+      TextAnalysis.passageCandidates(entries, window), k)
+  }
 }

@@ -433,6 +433,80 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("span"))
   }
 
+  /** Batched windowed-passage top-k retrieval: for every query, the k
+    * corpus documents ranked by the query-term-densest `window`-word
+    * passage they contain — most query-term OCCURRENCES in any
+    * `window`-wide word span, earliest such span on ties — with the
+    * winning passage's start position returned, the "which documents
+    * hold a quotable passage, and where" shape of RAG context selection
+    * (BM25 ranks whole documents; a long document with one dense
+    * paragraph should rank by the paragraph). Terms normalize and
+    * de-duplicate through the [[proximityTopK]] convention; any single
+    * occurrence makes a candidate (no all-terms gate — density is the
+    * score).
+    *
+    * Plan: the same tokenize-once positional bag + broadcast query-term
+    * join as [[proximityTopK]], one (query, doc) aggregate flattening
+    * matched position lists, and the imperative
+    * [[graft.functions.BestWindow]] two-pointer sweep per candidate —
+    * the only exchange carries integer positions of matching docs.
+    * [[LexicalIndex.passageTopKIndexed]] serves IDENTICAL results from a
+    * positional index (spec-pinned).
+    */
+  def passageTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      window: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(window >= 1, "window must be >= 1")
+    val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
+    val entries = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenPositions(col("__w")))
+          .as("__tp"))
+      .select(col("doc_id"), col("__tp.token").as("term"),
+        col("__tp.pos").as("pos"))
+      .join(broadcast(qterms), Seq("term"))
+    passageRankTail(passageCandidates(entries, window), k)
+  }
+
+  /** The per-(query, doc) best-window frame shared by [[passageTopK]]
+    * and [[LexicalIndex.passageTopKIndexed]]: flatten every matched
+    * term's positions into one multiset, sweep with
+    * [[graft.functions.BestWindow]].
+    */
+  private[operators] def passageCandidates(entries: DataFrame,
+      window: Int): DataFrame =
+    entries
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(flatten(collect_list(col("pos"))).as("__ps"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.TextFunctions.bestWindow(col("__ps"), window)
+          .as("__bw"))
+      .select(col("query_id"), col("doc_id"),
+        col("__bw.n_hits").as("n_hits"), col("__bw.start").as("start"))
+
+  /** Ranking tail shared by [[passageTopK]] and
+    * [[LexicalIndex.passageTopKIndexed]] — single-homed so indexed ≡
+    * one-shot exactly: exact integer window counts through the bounded
+    * [[Similarity.rankTopKPerQuery]] top-k (descending n_hits,
+    * ascending-doc-id tiebreak), with the winning passage's
+    * (n_hits, start) rejoined onto the k-bounded rank frame (the
+    * [[phraseRankTail]] spill discipline).
+    */
+  private[operators] def passageRankTail(candsIn: DataFrame,
+      k: Int): DataFrame = {
+    val cands = graft.io.Spill(candsIn, "graft-passage-")
+    Similarity.rankTopKPerQuery(
+        cands.select(col("query_id"), col("doc_id"),
+          col("n_hits").cast("double").as("sim")),
+        "doc_id", k)
+      .join(cands, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hits"), col("start").cast("long").as("start"))
+  }
+
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).
     */

@@ -319,6 +319,33 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  /** `/search/passage/{terms}?window=N`: windowed-passage retrieval
+    * from a POSITIONAL lexical index — docs ranked by their
+    * query-term-densest `window`-word span (default 8), winning start
+    * returned, `[{"rank":1,"doc_id":4,"n_hits":3,"start":12},...]`;
+    * 400 on a non-positional index or malformed window.
+    */
+  server.createContext("/search/passage/", { ex =>
+    searchRoute(ex) { conf =>
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val terms = pathKey(ex, "/search/passage/").getOrElse(
+        throw new IllegalArgumentException("no query terms"))
+      val window = queryParam(ex, "window").map(_.toInt).getOrElse(8)
+      val q = oneQuery(conf,
+        "query_id" -> org.apache.spark.sql.functions.lit(0L),
+        "qterms" -> org.apache.spark.sql.functions.lit(terms))
+      graft.operators.LexicalIndex
+        .passageTopKIndexed(conf.spark, path, q, "query_id", "qterms",
+          window, kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")
+          },"start":${r.getAs[Long]("start")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
   /** `/search/hybrid/{terms}?vec=0.1,0.2,...`: reciprocal-rank fusion
     * ([[graft.operators.RankFusion.rrf]] — the q137 math, single-homed)
     * of the lexical BM25 list with the dense

@@ -247,6 +247,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // scan, the span rejoin broadcast, final sort
     "q144_proximity_topk" -> 3,
     "q145_proximity_indexed" -> 3,
+    // windowed passage top-k (both paths): the q144 tail shape — the
+    // best-window frame spills eagerly, topk agg over the spill scan,
+    // the (n_hits, start) rejoin broadcast, final sort
+    "q147_passage_topk" -> 3,
+    "q148_passage_indexed" -> 3,
     // video near-dup: map-only synthesize+hash scans on both sides of
     // the slot-aligned band join (one side broadcasts at battery scale;
     // at corpus scale it becomes the fingerprintPairs sort-merge on

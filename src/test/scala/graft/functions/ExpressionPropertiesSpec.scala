@@ -117,6 +117,34 @@ class ExpressionPropertiesSpec extends AnyFunSuite with Matchers with SparkSpec 
     })
   }
 
+  test("BestWindow == the brute-force all-starts maximum on random " +
+      "inputs (list order free; earliest start wins ties)") {
+    import spark.implicits._
+    val posGen = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 30))).map(_.distinct)
+    check(Prop.forAll(posGen, Gen.choose(1, 6), Gen.long) { (ps0, w, seed) =>
+      val ps = new scala.util.Random(seed).shuffle(ps0)
+      val row = Seq(Tuple1(ps)).toDF("p")
+        .select(TextFunctions.bestWindow(col("p"), w).as("b"))
+        .select(col("b.n_hits"), col("b.start")).head()
+      val viaExpr = (row.getLong(0), row.getInt(1))
+      // brute force over EVERY start (not just occurrences) — proves
+      // the shift-to-occurrence argument, not just the implementation
+      val starts = 0 to ps.max
+      val brute = starts.map(s => (ps.count(p => p >= s && p < s + w).toLong, s))
+      val bestN = brute.map(_._1).max
+      // expression start must be an occurrence achieving the max, and
+      // the earliest occurrence start achieving it
+      val bestOccStarts = ps.sorted.filter(s =>
+        ps.count(p => p >= s && p < s + w).toLong == bestN)
+      viaExpr == ((bestN, bestOccStarts.head))
+    })
+    // empty input -> null (no query term occurs)
+    Seq(Tuple1(Seq.empty[Int])).toDF("p")
+      .select(TextFunctions.bestWindow(col("p"), 3).as("b"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("MinWindowSpan rejects malformed offsets with null") {
     import spark.implicits._
     // duplicate offset, out-of-range offset, empty entry list, empty pos

@@ -339,6 +339,53 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("not a positional index")
   }
 
+  test("indexed passage retrieval exactly equals the one-shot scorer, " +
+      "with hand-checked windows") {
+    import spark.implicits._
+    val docs = Seq(
+      // best 4-window: positions 5..7 hold alpha beta alpha -> 3 hits
+      // starting at 5 (the earlier pair at 0,2 only counts 2)
+      1L -> "alpha x alpha c d alpha beta alpha",
+      2L -> "alpha beta",                  // 2 hits at 0
+      3L -> "beta e f g h alpha",          // windows never span both
+      4L -> "gamma delta",
+      5L -> "beta beta beta beta"          // 4 hits at 0
+    ).toDF("doc_id", "text")
+    val q = Seq(1L -> "Alpha, Beta!", 2L -> "beta beta", 3L -> "zebra")
+      .toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 2), "doc_id", "text",
+      dir, nBuckets = 8, positional = true)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 2),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(r => (r._1, r._2)).toSeq
+    val indexed = rows(LexicalIndex.passageTopKIndexed(
+      spark, dir, q, "query_id", "qterms", window = 4, k = 10))
+    indexed shouldBe rows(TextAnalysis.passageTopK(
+      docs, "doc_id", "text", q, "query_id", "qterms", window = 4, k = 10))
+    // (query, rank, doc, n_hits, start): density ranks docs, the
+    // winning window's start comes back, singleton matches still rank
+    // (doc 5's beta run scores 4 for {alpha, beta} too — occurrences,
+    // not distinct terms, are the density measure)
+    indexed.filter(_._1 == 1L) shouldBe Seq(
+      (1L, 1L, 5L, 4L, 0L), (1L, 2L, 1L, 3L, 5L), (1L, 3L, 2L, 2L, 0L),
+      (1L, 4L, 3L, 1L, 0L))
+    // dedup to {beta}: doc 5's run of 4 wins; doc 3 has one beta
+    indexed.filter(_._1 == 2L) shouldBe Seq(
+      (2L, 1L, 5L, 4L, 0L), (2L, 2L, 1L, 1L, 6L), (2L, 3L, 2L, 1L, 1L),
+      (2L, 4L, 3L, 1L, 0L))
+    indexed.filter(_._1 == 3L) shouldBe empty
+    // passage retrieval needs positions: a count-only index fails loud
+    val cdir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", cdir, nBuckets = 8)
+    intercept[IllegalStateException] {
+      LexicalIndex.passageTopKIndexed(spark, cdir, q, "query_id",
+        "qterms", window = 4, k = 10)
+    }.getMessage should include("not a positional index")
+  }
+
   test("phrase retrieval on a non-positional index fails loud; BM25 on " +
       "a positional index still matches the one-shot scorer") {
     import spark.implicits._

@@ -83,6 +83,14 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
       get(api.address, "/search/near/beta%20gamma") shouldBe (200, "[]")
       // malformed slop is a caller error
       get(api.address, "/search/near/alpha%20beta?slop=wide")._1 shouldBe 400
+      // passage: doc 1 "alpha beta alpha" packs 3 hits from start 0;
+      // doc 2 has one alpha, doc 3's beta run scores 3 as well but
+      // ranks after doc 1 on the ascending-doc tiebreak
+      get(api.address, "/search/passage/alpha%20beta?window=3") shouldBe
+        (200, """[{"rank":1,"doc_id":1,"n_hits":3,"start":0},""" +
+          """{"rank":2,"doc_id":3,"n_hits":3,"start":0},""" +
+          """{"rank":3,"doc_id":2,"n_hits":1,"start":0}]""")
+      get(api.address, "/search/passage/alpha?window=bad")._1 shouldBe 400
       // caller errors answer 400 with the library's message, not a 500
       val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
       badVec shouldBe 400
