@@ -1472,6 +1472,43 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // typo-tolerant BM25 (one-shot): each query term expands to every
+    // vocabulary term within Levenshtein 1 via the SymSpell
+    // deletion-variant equi-join (verified by the exact distance), then
+    // the q134 scorer runs over the expanded sets — "tabel" finds
+    // table; "zzzzz" expands to nothing and contributes nothing
+    "q149_fuzzy_bm25" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> Seq("tabl"), 2L -> Seq("valu", "pert"),
+          3L -> Seq("fastt", "zzzzz"), 4L -> Seq("key", "agg"))
+        .toDF("query_id", "qterms")
+      TextAnalysis.bm25TopKFuzzy(
+          t(s, d, "documents").repartition(32), "doc_id", "text",
+          q, "query_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // typo-tolerant BM25 FROM the persisted index: same queries and
+    // oracle as q149 (expansion + scoring single-homed; spec-pinned) —
+    // the vocabulary folds from the posting table's pruned term column,
+    // the expanded query then scans bucket-pruned as usual
+    "q150_fuzzy_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val q = Seq(1L -> Seq("tabl"), 2L -> Seq("valu", "pert"),
+          3L -> Seq("fastt", "zzzzz"), 4L -> Seq("key", "agg"))
+        .toDF("query_id", "qterms")
+      graft.operators.LexicalIndex.bm25TopKFuzzyIndexed(s, dir,
+          q, "query_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // video near-dup: synthesize a keyed uncompressed-24bpp AVI per doc
     // (seed = id/2 plants even/odd pairs differing by one pixel of
     // frame 0; 2-4 frames), per-frame aHash through the REAL RIFF/DIB
@@ -2548,18 +2585,26 @@ object SparkEntry {
     * `ranked(query_id, doc_id, rank)` — shared with the q137 hybrid
     * fusion oracle.
     */
-  private def bm25RankedCtes: String =
-    """toks AS (
+  private def bm25RankedCtes: String = bm25RankedCtesWith(
+    """SELECT doc_id AS query_id, unnest(list_distinct(w[1:8])) AS term
+         FROM toks WHERE doc_id % 50 = 0""")
+
+  /** The q134 scorer scaffold with a caller-supplied `q` CTE body
+    * (query_id, term) — the fuzzy battery rows swap in a
+    * vocabulary-expanded term set while every scoring CTE stays
+    * byte-identical to the exact path's.
+    */
+  private def bm25RankedCtesWith(qBody: String): String =
+    s"""toks AS (
          SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+           list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
          FROM documents),
        stats AS (
          SELECT CAST(count(*) AS DOUBLE) AS n,
            avg(CAST(len(w) AS DOUBLE)) AS avgdl
          FROM toks),
        q AS (
-         SELECT doc_id AS query_id, unnest(list_distinct(w[1:8])) AS term
-         FROM toks WHERE doc_id % 50 = 0),
+         $qBody),
        corpus AS (
          SELECT doc_id, CAST(len(w) AS BIGINT) AS doc_len, unnest(w) AS term
          FROM toks),
@@ -2586,6 +2631,26 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_id
              ORDER BY m DESC, doc_id) AS rank
          FROM pairs)"""
+
+  /** Shared replay of the typo-tolerant BM25 searcher (q149 one-shot,
+    * q150 indexed — identical expansion and scoring by construction):
+    * the fixed typo'd term set expands against the corpus vocabulary by
+    * exact Levenshtein <= 1 (the oracle may brute-force the distance
+    * join; the engine's deletion-variant equi-join is
+    * candidate-complete for dist <= 1 and verified by the same
+    * levenshtein), then the q134 scoring CTEs run byte-identical over
+    * the expanded (query_id, term) set.
+    */
+  private def bm25FuzzyOracle: String =
+    s"""WITH ${bm25RankedCtesWith(
+      """SELECT DISTINCT q0.query_id, v.term
+         FROM (VALUES (CAST(1 AS BIGINT), 'tabl'), (2, 'valu'),
+           (2, 'pert'), (3, 'fastt'), (3, 'zzzzz'), (4, 'key'),
+           (4, 'agg')) q0(query_id, term)
+         JOIN (SELECT DISTINCT unnest(w) AS term FROM toks) v
+           ON levenshtein(q0.term, v.term) <= 1""")}
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** DuckDB twin of q29: per-word md5-derived 64-bit hash, per-bit +1/-1
     * votes, sign -> bit, fingerprint compared as unsigned 16-hex-char text
@@ -3296,6 +3361,9 @@ object SparkEntry {
     // q148 serves IDENTICAL results from the positional index
     "q147_passage_topk" -> passageTopKOracle,
     "q148_passage_indexed" -> passageTopKOracle,
+    // q150 serves IDENTICAL results from the persisted index
+    "q149_fuzzy_bm25" -> bm25FuzzyOracle,
+    "q150_fuzzy_indexed" -> bm25FuzzyOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

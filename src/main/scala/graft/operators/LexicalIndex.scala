@@ -450,4 +450,26 @@ object LexicalIndex {
     TextAnalysis.passageRankTail(
       TextAnalysis.passageCandidates(entries, window), k)
   }
+
+  /** Typo-tolerant batched BM25 against the index —
+    * [[TextAnalysis.bm25TopKFuzzy]]-identical results (same
+    * deletion-variant expansion against the same vocabulary, the
+    * single-homed [[bm25TopKIndexed]] scoring; equality spec-pinned):
+    * the vocabulary reads ONLY the `term` column of the posting table
+    * (parquet column pruning — no text, positions, or counts move) and
+    * the expanded query then scans bucket-pruned as usual. At 100 TB
+    * maintain the distinct-term frame as a side table beside the index
+    * rather than folding it per query — the expansion join itself never
+    * touches posting rows.
+    */
+  def bm25TopKFuzzyIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, queryTermsCol: String,
+      k: Int, maxDist: Int = 1): DataFrame = {
+    val vocab = readPostings(spark, path).select(col("term")).distinct()
+    val expanded = TextAnalysis.fuzzyExpandTerms(vocab,
+        TextAnalysis.bm25QueryTerms(queries, queryIdCol, queryTermsCol),
+        maxDist)
+      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt"))
+    bm25TopKIndexed(spark, path, expanded, "query_id", "__qt", k)
+  }
 }

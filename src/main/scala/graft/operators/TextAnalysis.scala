@@ -507,6 +507,62 @@ object TextAnalysis {
         col("n_hits"), col("start").cast("long").as("start"))
   }
 
+  /** Typo-tolerant batched BM25: each query term expands to every
+    * corpus-vocabulary term within Levenshtein distance `maxDist`
+    * (itself included), then the expanded term sets score through the
+    * one [[bm25TopK]] path — "tabl" finds table-bearing documents.
+    * Same output contract as [[bm25TopK]]; a query whose terms expand
+    * to nothing returns no rows.
+    *
+    * Expansion is the SymSpell deletion-variant discipline
+    * ([[fuzzyExpandTerms]]): candidates come from an EQUI-join on
+    * single-deletion variants, then the exact `levenshtein` filter
+    * verifies — never a vocabulary x query-term distance cross-sweep.
+    */
+  def bm25TopKFuzzy(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTermsCol: String,
+      k: Int, maxDist: Int = 1, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("term")).distinct()
+    val expanded = fuzzyExpandTerms(vocab,
+        bm25QueryTerms(queries, queryIdCol, queryTermsCol), maxDist)
+      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt"))
+    bm25TopK(docs, idCol, textCol, expanded, "query_id", "__qt", k, k1, b)
+  }
+
+  /** Expand (query_id, term) rows to every `vocab` term within
+    * Levenshtein distance `maxDist` — the SymSpell candidate scheme:
+    * every dist<=1 pair (equal / one delete / one insert / one
+    * substitute) shares at least one single-deletion variant (the term
+    * itself counts as a variant), so candidates come from one equi-join
+    * of the exploded variant sets — the tiny query side broadcasts, the
+    * vocabulary side stays map-only, and the exact `levenshtein` filter
+    * drops the shared-variant false positives (e.g. "ab"/"ba"). At 100
+    * TB the vocabulary frame is the bounded side artifact every fuzzy
+    * engine maintains; nothing here touches corpus rows.
+    */
+  private[operators] def fuzzyExpandTerms(vocab: DataFrame,
+      qterms: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 0 || maxDist == 1,
+      "single-deletion variants cover Levenshtein distance <= 1 only")
+    if (maxDist == 0)
+      return qterms.join(vocab, Seq("term")).select("query_id", "term")
+    def variants(t: Column): Column = array_union(array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(t.substr(lit(1), i - 1),
+          t.substr(i + 1, length(t) - i))))
+    val qv = qterms
+      .select(col("query_id"), col("term").as("__qterm"),
+        explode(variants(col("term"))).as("__v"))
+    val vv = vocab.select(col("term"),
+      explode(variants(col("term"))).as("__v"))
+    vv.join(broadcast(qv), Seq("__v"))
+      .select(col("query_id"), col("__qterm"), col("term")).distinct()
+      .where(levenshtein(col("__qterm"), col("term")) <= maxDist)
+      .select(col("query_id"), col("term")).distinct()
+  }
+
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).
     */

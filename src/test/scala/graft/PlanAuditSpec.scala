@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q140_mmr_diverse",
     // q141: q139's one-row corpus-N broadcast (folded from the index
     // stats deltas)
-    "q141_tfidf_indexed")
+    "q141_tfidf_indexed",
+    // q149/q150: q134/q135's one-row (N, avgdl) stats broadcast under
+    // the fuzzy-expanded query set
+    "q149_fuzzy_bm25", "q150_fuzzy_indexed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -252,6 +255,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the (n_hits, start) rejoin broadcast, final sort
     "q147_passage_topk" -> 3,
     "q148_passage_indexed" -> 3,
+    // fuzzy BM25: the deletion-variant expansion subplan (vocab
+    // distinct + variant explode + the broadcast query-variant join +
+    // levenshtein verify) is re-planned under each broadcast consumer
+    // of the q134/q135 scoring tail (ReuseExchange collapses at
+    // runtime, the q135 pattern) — every expansion exchange carries
+    // VOCABULARY terms/variants, bounded by |vocab|, never corpus rows
+    "q149_fuzzy_bm25" -> 13,
+    "q150_fuzzy_indexed" -> 21,
     // video near-dup: map-only synthesize+hash scans on both sides of
     // the slot-aligned band join (one side broadcasts at battery scale;
     // at corpus scale it becomes the fingerprintPairs sort-merge on

@@ -178,4 +178,59 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     val b = topk(base.repartition(13), q, k = 3).sortBy(r => (r._1, r._2))
     b shouldBe a
   }
+
+  test("fuzzyExpandTerms == the brute-force Levenshtein sweep on a " +
+      "random vocabulary (deletion-variant candidates are complete)") {
+    import spark.implicits._
+    // adversarially small alphabet: shared-deletion false candidates
+    // (swaps like ab/ba) and every edit kind occur constantly
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to (1 + rnd.nextInt(4)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val vocab = Seq.fill(120)(word()).distinct
+    val qterms = Seq.fill(25)(word()).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (q, i) <- qterms.zipWithIndex; v <- vocab if lev(q, v) <= 1
+    } yield (i.toLong, v)).toSet
+    val got = TextAnalysis.fuzzyExpandTerms(
+        vocab.toDF("term"),
+        qterms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("query_id", "term"),
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  test("bm25TopKFuzzy: a typo'd term scores exactly like the corrected " +
+      "query; unknown terms expand to nothing") {
+    val d = docs(
+      1L -> "table table chair",
+      2L -> "table lamp desk",
+      3L -> "sofa lamp rug")
+    import spark.implicits._
+    // "tabl" is Levenshtein 1 from "table" only (lamp 3, desk 4, ...),
+    // so the fuzzy query must reproduce the corrected exact query
+    // rank-for-rank; "zzzzz" expands to nothing and returns no rows
+    val fuzzy = TextAnalysis.bm25TopKFuzzy(d, "doc_id", "text",
+        Seq(1L -> Seq("tabl"), 2L -> Seq("zzzzz"))
+          .toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = TextAnalysis.bm25TopK(d, "doc_id", "text",
+        Seq(1L -> Seq("table")).toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    fuzzy.filter(_._1 == 1L) shouldBe exact
+    fuzzy.count(_._1 == 2L) shouldBe 0
+  }
 }

@@ -386,6 +386,40 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.getMessage should include("not a positional index")
   }
 
+  test("indexed fuzzy BM25 exactly equals the one-shot scorer and the " +
+      "corrected exact query") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "table table chair",
+      2L -> "table lamp desk",
+      3L -> "sofa lamp rug",
+      4L -> "chair chairs rug"  // chairs: insert-typo neighbor of chair
+    ).toDF("doc_id", "text")
+    val q = Seq(1L -> Seq("tabl"), 2L -> Seq("chair"), 3L -> Seq("zzzzz"))
+      .toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 2), "doc_id", "text",
+      dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 2),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    val indexed = rows(LexicalIndex.bm25TopKFuzzyIndexed(
+      spark, dir, q, "query_id", "qterms", k = 4))
+    indexed shouldBe rows(TextAnalysis.bm25TopKFuzzy(
+      docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+    // "tabl" ranks exactly like the corrected single-term query...
+    rows(LexicalIndex.bm25TopKIndexed(spark, dir,
+        Seq(1L -> Seq("table")).toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 4)) shouldBe
+      indexed.filter(_._1 == 1L)
+    // ...while "chair" ALSO pulls its insert-neighbor "chairs" (doc 4
+    // scores on both), and the unknown term returns nothing
+    indexed.filter(_._1 == 2L).map(_._3) should contain(4L)
+    indexed.filter(_._1 == 3L) shouldBe empty
+  }
+
   test("phrase retrieval on a non-positional index fails loud; BM25 on " +
       "a positional index still matches the one-shot scorer") {
     import spark.implicits._
