@@ -1472,6 +1472,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // search-facet counts: each query's match set (docs containing ANY
+    // query term — the exact BM25 candidate set, not top-k) distributed
+    // over the language facet; the facet rides the tokenize projection
+    // so matching needs no corpus join-back. "table table" pins dedup,
+    // zebra pins the empty match set (no rows)
+    "q151_facet_counts" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "zebra crossing", 4L -> "table table")
+        .toDF("query_id", "qterms")
+      TextAnalysis.facetCounts(t(s, d, "documents"), "doc_id", "text",
+          q, "query_id", "qterms", "lang")
+        .orderBy(col("query_id"), col("facet"))
+    }),
+
+    // passage snippets: q147's ranked windows joined back to the corpus
+    // and sliced to text (the retrieve-then-quote RAG step) — the
+    // queries x k ranked frame broadcasts onto the corpus scan, so
+    // snippet extraction is one more map-only pass
+    "q152_passage_snippets" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "value table part", 4L -> "Key, AGG row!",
+          5L -> "zebra crossing", 6L -> "table table")
+        .toDF("query_id", "qterms")
+      TextAnalysis.passageSnippets(t(s, d, "documents"), "doc_id", "text",
+          q, "query_id", "qterms", window = 8, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // typo-tolerant BM25 (one-shot): each query term expands to every
     // vocabulary term within Levenshtein 1 via the SymSpell
     // deletion-variant equi-join (verified by the exact distance), then
@@ -2534,7 +2564,18 @@ object SparkEntry {
     * then count-desc / doc-asc ranking, top 10.
     */
   private def passageTopKOracle: String =
-    """WITH toks AS (
+    s"""WITH $passageRankedCtes
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         CAST(n_hits AS BIGINT) AS n_hits, CAST(start AS BIGINT) AS start
+       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** The q147 ranking as composable CTEs ending in
+    * `ranked(query_id, doc_id, n_hits, start, rank)` — shared with the
+    * q152 snippet oracle (which joins the winning rows back to `toks`
+    * and slices the window).
+    */
+  private def passageRankedCtes: String =
+    """toks AS (
          SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
          FROM documents),
@@ -2565,10 +2606,7 @@ object SparkEntry {
          SELECT query_id, doc_id, n AS n_hits, start,
            row_number() OVER (PARTITION BY query_id
              ORDER BY n DESC, doc_id) AS rank
-         FROM best WHERE rn = 1)
-       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-         CAST(n_hits AS BIGINT) AS n_hits, CAST(start AS BIGINT) AS start
-       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+         FROM best WHERE rn = 1)"""
 
   /** Shared replay of the batched BM25 scorer (q134 one-shot, q135
     * indexed — identical math over the full corpus): tokenize, corpus
@@ -2631,6 +2669,45 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_id
              ORDER BY m DESC, doc_id) AS rank
          FROM pairs)"""
+
+  /** q147's ranking CTEs with the winning rows joined back to the token
+    * arrays and the window sliced to text — DuckDB list slices are
+    * 1-based inclusive, so `[start+1 : start+8]` is exactly the 8-word
+    * window at 0-based `start`, clipped at the document end like
+    * Spark's `slice`.
+    */
+  private def passageSnippetsOracle: String =
+    s"""WITH $passageRankedCtes
+       SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+         CAST(r.n_hits AS BIGINT) AS n_hits,
+         CAST(r.start AS BIGINT) AS start,
+         array_to_string(t.w[r.start + 1 : r.start + 8], ' ') AS snippet
+       FROM ranked r JOIN toks t USING (doc_id)
+       WHERE r.rank <= 10 ORDER BY r.query_id, r.rank"""
+
+  /** Facet distribution of each query's match set (docs containing ANY
+    * query term) over the language column — distinct matched docs per
+    * (query, facet), the aggregation-over-retrieval panel.
+    */
+  private def facetCountsOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       qt(query_id, term) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast'), (1, 'table'),
+         (2, 'value'), (2, 'part'),
+         (3, 'zebra'), (3, 'crossing'),
+         (4, 'table')),
+       m AS (
+         SELECT DISTINCT q.query_id, t.doc_id
+         FROM qt q
+         JOIN (SELECT doc_id, unnest(list_distinct(w)) AS term
+               FROM toks) t ON t.term = q.term)
+       SELECT m.query_id, d.lang AS facet,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM m JOIN documents d USING (doc_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Shared replay of the typo-tolerant BM25 searcher (q149 one-shot,
     * q150 indexed — identical expansion and scoring by construction):
@@ -3364,6 +3441,8 @@ object SparkEntry {
     // q150 serves IDENTICAL results from the persisted index
     "q149_fuzzy_bm25" -> bm25FuzzyOracle,
     "q150_fuzzy_indexed" -> bm25FuzzyOracle,
+    "q151_facet_counts" -> facetCountsOracle,
+    "q152_passage_snippets" -> passageSnippetsOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

@@ -563,6 +563,57 @@ object TextAnalysis {
       .select(col("query_id"), col("term")).distinct()
   }
 
+  /** Batched search-facet counts: for every query, how the documents
+    * matching ANY of its terms distribute over a facet attribute
+    * (language, source, ...) — the aggregation-over-retrieval panel
+    * beside every search result page, and the corpus-slicing view a
+    * mixture designer reads before pulling a subset. Terms normalize
+    * and de-duplicate through the [[proximityTopK]] convention.
+    *
+    * Plan: the facet column rides the tokenize projection, so matching
+    * needs no join back to the corpus — one distinct over
+    * (query, doc, facet) then one count aggregate; the exchanges carry
+    * matched (ids, facet) rows only, never text. Match = "contains any
+    * query term" (the BM25 candidate set, exact, not top-k-truncated).
+    */
+  def facetCounts(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      facetCol: String): DataFrame = {
+    val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
+      .select(col("query_id"), col("term"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet"),
+        explode(array_distinct(words(col(textCol)))).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("facet")).distinct()
+      .groupBy(col("query_id"), col("facet"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** [[passageTopK]] with the winning passage's TEXT attached: the
+    * ranked (query, doc, n_hits, start) rows join back to the corpus
+    * and slice `window` words from the winning start — the final
+    * retrieve-then-quote step of a RAG pipeline. The ranked frame is
+    * queries x k rows by construction, so it BROADCASTS onto the corpus
+    * scan: snippet extraction is one more map-only pass, never a
+    * corpus shuffle.
+    */
+  def passageSnippets(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      window: Int, k: Int): DataFrame = {
+    val ranked = passageTopK(docs, idCol, textCol, queries, queryIdCol,
+      termsCol, window, k)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .join(broadcast(ranked), Seq("doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hits"), col("start"),
+        concat_ws(" ", slice(col("__w"),
+          (col("start") + 1).cast("int"), lit(window))).as("snippet"))
+  }
+
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).
     */
