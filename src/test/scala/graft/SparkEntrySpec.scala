@@ -38,21 +38,21 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // where query names themselves must shrink.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
     val line = Bench.jsonLine(worst, "/root/testdata/sf0.1")
-    line.length should be <= 1910
+    line.length should be <= 1840
     line should startWith("{\"metric\":\"total\"")
     line should endWith("}")
     // a realistic full-battery result must keep sub-second resolution —
     // past 84 queries full names no longer fit at 0.1 s, so the keys
     // degrade to their unique qNN ordinals BEFORE the values lose
     // precision (BASELINE.md documents the prefix mapping); past ~149
-    // queries a uniformly-3-decimal line no longer fits the 1910-byte
+    // queries a uniformly-3-decimal line no longer fits the byte
     // budget either, so the adaptive fallback drops to centisecond
     // values — still sub-second, and only when the line demands it
     // (real lines keep ms while their digit mix fits)
     val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.488)
     val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
     rLine should include(":0.49") // at worst centisecond resolution
-    rLine.length should be <= 1910
+    rLine.length should be <= 1840
     // the shortened keys stay unique and keep their ordinal
     val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     prefixes.distinct.size shouldBe prefixes.size
@@ -61,8 +61,21 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // still fits the same tail-capture budget
     val adj = worst.take(5).map { case (n, _) => n -> 88.888 }
     val aLine = Bench.jsonLine(worst, "/root/testdata/sf0.1", adjudicated = adj)
-    aLine.length should be <= 1910
+    aLine.length should be <= 1840
     aLine should include("\"adjudicated\":{")
+    // GROWTH headroom: the degradation tiers must keep a 165-query
+    // battery inside the driver's ~1850-byte capture (r13 shipped 1834
+    // bytes at 152 queries — 16 bytes of margin; this pins the next
+    // tier before a new query can truncate the line, the r3 failure
+    // mode). At 165 uniform-0.488 queries the 1-decimal tier renders
+    // 1796 bytes (BENCH_ANCHORS.txt header records the simulation).
+    val grown = (1 to 165).map(i => f"q$i%02d_synthetic" -> 0.488)
+    val gLine = Bench.jsonLine(grown, "/root/testdata/sf0.1")
+    gLine.length should be <= 1840
+    gLine should include(":0.5") // still sub-second at 165 queries
+    val gAdj = grown.take(5).map { case (n, _) => n -> 88.888 }
+    Bench.jsonLine(grown, "/root/testdata/sf0.1", adjudicated = gAdj)
+      .length should be <= 1840
   }
 
   test("checked-in anchors parse and cover the battery at both SFs") {
