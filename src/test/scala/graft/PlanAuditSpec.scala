@@ -268,7 +268,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // at corpus scale it becomes the fingerprintPairs sort-merge on
     // (f, band, bucket) — fingerprints only, never frames), the
     // distinct + matched-slot aggs, final sort
-    "q146_video_fp" -> 4)
+    "q146_video_fp" -> 4,
+    // facet counts: the facet rides the tokenize projection (no corpus
+    // join-back), broadcast query-term join, the (query, doc, facet)
+    // distinct pair + the count agg, final sort — exchanges carry
+    // matched (ids, facet) rows only
+    "q151_facet_counts" -> 4,
+    // passage snippets: the q147 rank tail (spilled best-window frame,
+    // topk agg, the (n_hits, start) rejoin broadcast) + the queries x k
+    // ranked frame BROADCAST back onto the corpus tokenize scan (a
+    // fifth exchange here means the snippet join stopped broadcasting
+    // and reshuffled the corpus), final sort
+    "q152_passage_snippets" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

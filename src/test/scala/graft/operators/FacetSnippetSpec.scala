@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Edge behavior of the q151/q152 operators: facet distribution over a
+  * query's match set ([[TextAnalysis.facetCounts]]) and the
+  * retrieve-then-quote snippet slice ([[TextAnalysis.passageSnippets]]).
+  * The battery rows pin the happy path against the DuckDB oracle; this
+  * suite pins the edges the oracle fixture cannot reach — null facet
+  * values, window overrun at the document tail, and term-dedup
+  * semantics.
+  */
+class FacetSnippetSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private def queries(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "qterms")
+  }
+
+  test("facetCounts: matched docs distribute over the facet; a doc " +
+    "counts once per query no matter how many terms it matches") {
+    val d = docs(
+      (1L, "fast table fast", "en"),   // matches both terms — counts once
+      (2L, "a fast horse", "en"),
+      (3L, "une table", "fr"),
+      (4L, "nothing relevant", "de"))
+    val out = TextAnalysis.facetCounts(d, "doc_id", "text",
+        queries(1L -> "fast table"), "query_id", "qterms", "lang")
+      .orderBy("facet")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array((1L, "en", 2L), (1L, "fr", 1L))
+  }
+
+  test("facetCounts: a null facet value is a real group, not a dropped " +
+    "row (unlabeled docs must stay visible in the panel)") {
+    import spark.implicits._
+    val d = Seq((1L, "fast table", Option("en")),
+        (2L, "fast boat", Option.empty[String]))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.facetCounts(d, "doc_id", "text",
+        queries(1L -> "fast"), "query_id", "qterms", "lang")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2))).toSet
+    out shouldBe Set((1L, Some("en"), 1L), (1L, None, 1L))
+  }
+
+  test("facetCounts: repeated query terms add nothing, and a query " +
+    "matching no docs yields no rows (not zero-count rows)") {
+    val d = docs((1L, "fast table", "en"), (2L, "slow chair", "fr"))
+    val out = TextAnalysis.facetCounts(d, "doc_id", "text",
+        queries(1L -> "fast fast fast", 2L -> "zebra"),
+        "query_id", "qterms", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array((1L, "en", 1L))
+  }
+
+  test("passageSnippets: the snippet is exactly `window` normalized " +
+    "words from the winning start") {
+    val d = docs(
+      (1L, "aa bb cc dd ee ff gg hh", "en"))
+    val out = TextAnalysis.passageSnippets(d, "doc_id", "text",
+        queries(1L -> "cc dd"), "query_id", "qterms", window = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    // best window covering cc(2) dd(3) starts at 2; slice is 3 words
+    out shouldBe Array((1L, 1L, 1L, 2L, 2L, "cc dd ee"))
+  }
+
+  test("passageSnippets: a window overrunning the document tail clamps " +
+    "to the words that exist instead of crashing or padding") {
+    val d = docs((1L, "aa bb target", "en"))
+    val out = TextAnalysis.passageSnippets(d, "doc_id", "text",
+        queries(1L -> "target"), "query_id", "qterms", window = 8, k = 5)
+      .collect().map(r => (r.getLong(4), r.getString(5)))
+    // the hit is the final word: start=2, only one word remains
+    out shouldBe Array((2L, "target"))
+  }
+
+  test("passageSnippets: snippet text is the NORMALIZED token stream " +
+    "(the positions index normalized words, so the slice must too)") {
+    val d = docs((1L, "The QUICK, brown fox!", "en"))
+    val out = TextAnalysis.passageSnippets(d, "doc_id", "text",
+        queries(1L -> "quick brown"), "query_id", "qterms",
+        window = 2, k = 5)
+      .collect().map(_.getString(5))
+    out shouldBe Array("quick brown")
+  }
+
+  test("passageSnippets: repeated query terms do not double-count hits " +
+    "(same ranking as the deduped query)") {
+    val d = docs(
+      (1L, "table x y z table", "en"),
+      (2L, "table table table q", "en"))
+    def run(terms: String) =
+      TextAnalysis.passageSnippets(d, "doc_id", "text",
+          queries(1L -> terms), "query_id", "qterms", window = 4, k = 5)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    run("table table") shouldBe run("table")
+    // doc 2 packs 3 occurrences into one window and must outrank doc 1
+    run("table").head shouldBe ((1L, 2L, 3L))
+  }
+}
