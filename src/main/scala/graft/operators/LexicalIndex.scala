@@ -121,6 +121,10 @@ object LexicalIndex {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats"), true)
+    // a rebuild resets the generation history, so the folded-batch
+    // manifest must reset with it — stale entries would silently
+    // swallow future appends that legitimately reuse an epoch id
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/folded"), true)
     clustered(postings(docs, idCol, textCol, nBuckets, positional))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch=init")
@@ -131,14 +135,54 @@ object LexicalIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The `batch=<id>` generation ids present under `$path/$table`
+    * (driver-side listing of one directory level — bounded by the
+    * append count, and compaction folds that back to one).
+    */
+  private def generationIds(spark: SparkSession, path: String,
+      table: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).toSeq
+  }
+
+  /** Fail loud (with the rebuild remedy) when `$path/$table` predates
+    * the `batch=` generation layout — tb= buckets or bare parquet
+    * directly under the table — instead of surfacing a raw
+    * PATH_NOT_FOUND from the `batch=*` glob.
+    */
+  private def requireBatchLayout(spark: SparkSession, path: String,
+      table: String): Unit =
+    if (generationIds(spark, path, table).isEmpty) {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val fs = fsOf(spark, dir)
+      val stale = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("tb=") || n.endsWith(".parquet")
+      }
+      throw new IllegalStateException(if (stale)
+        s"$path/$table was written under the pre-batch index layout - " +
+          "rebuild with LexicalIndex.write"
+      else
+        s"$path/$table holds no batch=* generations - build the index " +
+          "with LexicalIndex.write first")
+    }
+
   /** All accrued posting batches as one frame (partition columns `batch`
     * STRING and `tb` INT discovered under the basePath; the `batch=*`
     * glob keeps a stray streaming `_spark_metadata` log from shadowing
     * batch-written files).
     */
-  private def readPostings(spark: SparkSession, path: String): DataFrame =
+  private def readPostings(spark: SparkSession, path: String): DataFrame = {
+    requireBatchLayout(spark, path, "postings")
     spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings/batch=*")
+  }
 
   /** All accrued stats deltas. Explicit schema-on-read: delta rows
     * written before `n_len` existed (round-11 null-text fix) surface it
@@ -148,9 +192,11 @@ object LexicalIndex {
     * n_docs) and a mixed-generation stats directory folds correctly
     * instead of failing resolution or silently inflating avgdl.
     */
-  private def readStats(spark: SparkSession, path: String): DataFrame =
+  private def readStats(spark: SparkSession, path: String): DataFrame = {
+    requireBatchLayout(spark, path, "stats")
     spark.read.schema("n_docs BIGINT, n_len BIGINT, total_len BIGINT")
       .option("basePath", s"$path/stats").parquet(s"$path/stats/batch=*")
+  }
 
   /** (n_buckets, positional) from the meta table. Explicit
     * schema-on-read: indexes written before the `positional` column
@@ -177,6 +223,38 @@ object LexicalIndex {
   private def readNBuckets(spark: SparkSession, path: String): Int =
     readMeta(spark, path)._1
 
+  /** Batch ids whose data [[compact]] has folded into the
+    * `batch=compacted` generation — the union of every manifest file
+    * under `$path/folded/` (each compact writes one immutable
+    * uuid-named file; no read-modify-write). [[append]] consults this
+    * so a streaming epoch replayed AFTER a compaction absorbed it
+    * becomes a no-op instead of a fresh `batch=` directory that
+    * double-counts its tf/df/N (the epoch-idempotency contract must
+    * survive compaction, not just directory overwrite).
+    */
+  private def foldedIds(spark: SparkSession, path: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/folded")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).filter(_.isFile).iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def recordFolded(spark: SparkSession, path: String,
+      ids: Seq[String]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/folded")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val f = new org.apache.hadoop.fs.Path(dir,
+      "manifest-" + java.util.UUID.randomUUID().toString.take(12) + ".txt")
+    val out = fs.create(f, false)
+    try out.write((ids.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Append a batch of NEW documents under the index's own bucket count.
     * The batch's postings and its one stats delta row land in their own
     * `batch=<id>` directories (OVERWRITTEN, not appended — the
@@ -187,6 +265,11 @@ object LexicalIndex {
     * retry. Callers without a stable id get a random one (no replay
     * exists to collide with — but a HUMAN retry of a failed one-shot
     * append must re-pass the failed call's id, or re-run [[write]]).
+    * A batchId that [[compact]] already folded into `batch=compacted`
+    * is a NO-OP: the directory-overwrite idempotency can no longer
+    * apply once the epoch's own directory is gone, so without the
+    * manifest check a post-compaction replay would re-append the
+    * epoch's rows and double-count its tf/df/N.
     * Mechanically fenced by [[graft.io.Maintenance.withLease]]: an
     * append racing a [[compact]] would be dropped by the fold's swap,
     * so the second mutator fails loud instead.
@@ -196,16 +279,19 @@ object LexicalIndex {
     graft.io.Maintenance.withLease(spark, path, "lexical-append") {
       val bid = Option(batchId).getOrElse(
         "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
-      // the index's OWN meta decides the projection: appending countless
-      // postings into a positional index would silently break phrase
-      // queries over the appended docs
-      val (nBuckets, positional) = readMeta(spark, path)
-      clustered(postings(docs, idCol, textCol, nBuckets, positional))
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$path/postings/batch=$bid")
-      statsDelta(docs, idCol, textCol)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/stats/batch=$bid")
+      // a replay of a batch compaction already absorbed: no-op
+      if (!foldedIds(spark, path).contains(bid)) {
+        // the index's OWN meta decides the projection: appending
+        // countless postings into a positional index would silently
+        // break phrase queries over the appended docs
+        val (nBuckets, positional) = readMeta(spark, path)
+        clustered(postings(docs, idCol, textCol, nBuckets, positional))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$path/postings/batch=$bid")
+        statsDelta(docs, idCol, textCol)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/stats/batch=$bid")
+      }
     }
 
   /** Streaming maintenance: each micro-batch of documents [[append]]s
@@ -249,12 +335,41 @@ object LexicalIndex {
     * mechanically fenced by [[graft.io.Maintenance.withLease]]: an
     * append landing mid-fold would be dropped by the swap, so it throws
     * instead. Returns the table's parquet file count.
+    *
+    * Replay safety: only COMMITTED generations fold — a batch id
+    * present in postings but missing its stats delta is a mid-append
+    * crash whose epoch the stream will replay (the append never
+    * returned, so its checkpoint never committed); folding it would
+    * bake postings without their N into `batch=compacted` forever.
+    * Such orphans are dropped by the swap and rewritten whole by the
+    * replay. The folded ids are recorded in the `$path/folded/`
+    * manifest BEFORE the swaps: at every crash point the manifest only
+    * ever says "this batch's rows are durably in the index exactly
+    * once" (pre-swap they still sit in their own directories, post-swap
+    * in `batch=compacted`), and [[append]] consults it so a replayed
+    * epoch cannot double-count after its directory is gone.
     */
   def compact(spark: SparkSession, path: String): Int =
     graft.io.Maintenance.withLease(spark, path, "lexical-compact") {
       readNBuckets(spark, path) // fail loud on a non-index path
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pIds = generationIds(spark, path, "postings")
+      val sIds = generationIds(spark, path, "stats")
+      // an id with postings but no stats delta is a mid-APPEND crash:
+      // exclude it (the replay rewrites it whole). The reverse — stats
+      // generations whose postings id is gone — is a mid-COMPACT crash
+      // (postings swapped, stats swap lost): that data is real and
+      // already inside postings' batch=compacted, so ALL stats
+      // generations always fold; requiring postings∩stats here would
+      // deadlock recovery compaction after exactly that crash.
+      val postingsToFold = pIds.filter(id =>
+        id == "compacted" || sIds.contains(id))
+      require(postingsToFold.nonEmpty,
+        s"$path holds no committed batch generations to compact")
+      val newlyFolded = postingsToFold.filterNot(_ == "compacted")
+        .filterNot(foldedIds(spark, path))
+      if (newlyFolded.nonEmpty) recordFolded(spark, path, newlyFolded)
       // each rewrite reads the LIVE directory and writes a temp SIBLING
       // (graft.io.Swap: the fold fully materializes before any rename,
       // and the old copy stays in place until the new one is in — a
@@ -262,7 +377,9 @@ object LexicalIndex {
       // in a single `batch=compacted` generation, keeping the
       // batch-partitioned layout uniform for later appends and reads.
       graft.io.Swap.swapInto(spark, s"$path/postings", "compact") { tmp =>
-        clustered(readPostings(spark, path).drop("batch"))
+        clustered(spark.read.option("basePath", s"$path/postings")
+            .parquet(postingsToFold.map(id => s"$path/postings/batch=$id"): _*)
+            .drop("batch"))
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$tmp/batch=compacted")
       }

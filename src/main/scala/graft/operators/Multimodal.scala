@@ -547,18 +547,27 @@ object Multimodal {
     * by accident). Map-only; video bytes never cross an exchange — at
     * 100 TB only (id, frame-slot, 8-byte fingerprint) rows shuffle.
     */
-  def videoFrameHashes(media: Dataset[MediaRecord]): DataFrame = {
+  def videoFrameHashes(media: Dataset[MediaRecord]): DataFrame =
+    frameHashRows(media).drop("nf")
+
+  /** [[videoFrameHashes]] plus the payload's own frame count `nf`,
+    * computed map-side while the frames are in hand (fallback rows have
+    * nf = 1) — [[videoHashPairs]] needs each side's slot count to cap
+    * its matched-frame gate, and carrying the integer here costs zero
+    * joins/exchanges where a groupBy-count rollup would cost one.
+    */
+  private def frameHashRows(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       frameHashesAvi(r.payload) match {
         case Some(hs) =>
-          hs.zipWithIndex.map { case (fp, f) => (r.media_id, f, fp) }
+          hs.zipWithIndex.map { case (fp, f) => (r.media_id, f, fp, hs.length) }
         case None => Seq((r.media_id, 0,
           org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             r.payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            r.payload.length, 42L)))
+            r.payload.length, 42L), 1))
       }
-    }).toDF("doc_id", "f", "fp")
+    }).toDF("doc_id", "f", "fp", "nf")
   }
 
   /** Video near-dup pairs: per-frame perceptual fingerprints
@@ -568,24 +577,30 @@ object Multimodal {
     * frame of the other), the exact popcount verify per slot, then one
     * (pair) aggregate counting matched slots, kept at
     * `minMatchedFrames`+ — a short re-encode that preserves most frames
-    * still pairs, one coincidentally similar frame does not. Returns
+    * still pairs, one coincidentally similar frame does not. The gate
+    * caps at the pair's OWN slot count, `least(minMatchedFrames, nf_a,
+    * nf_b)`: a 1-frame clip or a fallback-hashed unknown container has
+    * exactly one slot to match, and demanding two would silently drop
+    * byte-identical payloads — contradicting [[videoFrameHashes]]'s
+    * unknown-formats-still-dedup-exactly contract. Returns
     * (id_a, id_b, n_match). Same scale posture as
     * [[Dedup.fingerprintPairs]]: banded equi-joins, never all-pairs;
-    * only fingerprints and slot indexes shuffle.
+    * only fingerprints and slot indexes shuffle (the per-payload frame
+    * count rides the map-side hash rows, costing no rollup join).
     */
   def videoHashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3,
       minMatchedFrames: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees candidate recall only for maxHamming <= 3 (pigeonhole)")
     require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
-    val fps = videoFrameHashes(media)
+    val fps = frameHashRows(media)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }
-    val bands = fps.select(col("doc_id"), col("f"), col("fp"),
+    val bands = fps.select(col("doc_id"), col("f"), col("fp"), col("nf"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("f"), col("fp"),
+      .select(col("doc_id"), col("f"), col("fp"), col("nf"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("a")
       .join(bands.as("b"),
@@ -593,13 +608,16 @@ object Multimodal {
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.f").as("f"),
+        col("a.f").as("f"), col("a.nf").as("nf_a"), col("b.nf").as("nf_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_match"))
-      .where(col("n_match") >= minMatchedFrames)
+      .agg(count(lit(1)).as("n_match"),
+        least(min(col("nf_a")), min(col("nf_b")),
+          lit(minMatchedFrames)).as("__gate"))
+      .where(col("n_match") >= col("__gate"))
+      .select(col("id_a"), col("id_b"), col("n_match"))
   }
 
   /** Deterministic pseudo-random uncompressed 24bpp AVI keyed by a seed

@@ -286,6 +286,12 @@ object TextAnalysis {
     // phrase lengths drive how many shingle widths explode
     val lengths = qp.select(col("__n")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // zero queries degrade to zero rows like every other retrieval
+    // entry point (the per-length reduce below would otherwise throw
+    // on an empty seq)
+    if (lengths.isEmpty)
+      return qp.select(col("query_id"), lit(0L).as("rank"),
+        col("query_id").as("doc_id"), lit(0L).as("n_hits")).limit(0)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       words(col(textCol)).as("__w"))
     val counts = lengths.map { n =>

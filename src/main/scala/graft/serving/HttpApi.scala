@@ -378,7 +378,19 @@ final class HttpApi(serving: Serving, port: Int = 0) {
       val dense = graft.operators.Similarity.ivfTopKIndexed(conf.spark,
           annPath, conf.annIdCol, conf.annEmbCol, qv, queryId = -1L, k)
         .collect().zipWithIndex
-        .map { case (r, i) => (0L, (i + 1).toLong, r.getLong(0)) }
+        // read the id defensively: a non-integral annIdCol must surface
+        // as the route's 400 (searchRoute maps IllegalArgumentException),
+        // not as a ClassCastException-driven 500 on every request
+        .map { case (r, i) =>
+          val id = r.get(0) match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"ANN id column '${conf.annIdCol}' must be integral; " +
+                s"index holds ${if (other == null) "null"
+                  else other.getClass.getSimpleName}")
+          }
+          (0L, (i + 1).toLong, id)
+        }
       import conf.spark.implicits._
       val denseDf = dense.toSeq.toDF("query_id", "rank", "doc_id")
       graft.operators.RankFusion

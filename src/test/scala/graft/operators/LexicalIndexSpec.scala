@@ -224,6 +224,127 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  private def rmrfDir(path: String): Unit = {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(path))
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst): Unit
+    }
+  }
+
+  test("an epoch replayed AFTER compaction absorbed it is a no-op " +
+      "(the folded manifest outlives the epoch directory)") {
+    val docs = corpus(30)
+    val q = queriesOf(5L, 6L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 15),
+      "doc_id", "text", dir, nBuckets = 8)
+    val epoch = docs.where(col("doc_id") > 15)
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-fold-0")
+    LexicalIndex.compact(spark, dir)
+    // the stream restarts from a checkpoint that predates the commit:
+    // directory overwrite can't help (batch=epoch-fold-0 is gone), the
+    // manifest must make the replay a no-op instead of a double-count
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-fold-0")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+    new java.io.File(s"$dir/postings/batch=epoch-fold-0")
+      .exists() shouldBe false
+  }
+
+  test("compact drops a stats-less crash orphan instead of folding it; " +
+      "the orphan's replay then appends for real") {
+    val docs = corpus(24)
+    val q = queriesOf(1L, 3L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 12),
+      "doc_id", "text", dir, nBuckets = 8)
+    val epoch = docs.where(col("doc_id") > 12)
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-orphan-1")
+    // mid-append crash: postings landed, the stats delta did not
+    rmrfDir(s"$dir/stats/batch=epoch-orphan-1")
+    LexicalIndex.compact(spark, dir)
+    // folding the orphan would have baked its postings in WITHOUT its
+    // stats; instead the fold must hold exactly the committed seed
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs.where(col("doc_id") <= 12),
+        "doc_id", "text", q, "query_id", "qterms", k = 4))
+    // the epoch was never manifested as folded, so its replay is a
+    // REAL append (a no-op here would silently lose the batch)
+    LexicalIndex.append(spark, dir, epoch, "doc_id", "text",
+      batchId = "epoch-orphan-1")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 4)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
+  }
+
+  test("a mid-compact crash (postings swapped, stats swap lost) keeps " +
+      "answering correctly and the next compact recovers") {
+    val docs = corpus(30)
+    val q = queriesOf(2L, 4L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 15),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 15),
+      "doc_id", "text", batchId = "epoch-mc-0")
+    val statsBackup = graft.io.Spill.tempDir("graft-lexidx-bak-")
+    copyDir(s"$dir/stats", statsBackup)
+    LexicalIndex.compact(spark, dir)
+    // rewind the stats table to its pre-compact generations: the exact
+    // on-disk state of a crash between the two swaps
+    rmrfDir(s"$dir/stats")
+    copyDir(statsBackup, s"$dir/stats")
+    val expected = collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+    // per-epoch deltas and the folded row sum to the same totals
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe expected
+    // recovery compact must not require postings∩stats (it is empty
+    // here: postings=[compacted], stats=[init, epoch-mc-0])
+    LexicalIndex.compact(spark, dir)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe expected
+  }
+
+  test("a pre-batch layout fails loud with the rebuild remedy, not a " +
+      "raw PATH_NOT_FOUND") {
+    val docs = corpus(12)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 4)
+    // devolve to the old layout: tb=* buckets directly under postings/
+    val init = new java.io.File(s"$dir/postings/batch=init")
+    init.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/postings/${f.getName}")): Unit
+    }
+    rmrfDir(init.toString)
+    val e = intercept[IllegalStateException] {
+      LexicalIndex.bm25TopKIndexed(spark, dir, queriesOf(1L),
+        "query_id", "qterms", k = 3).collect()
+    }
+    e.getMessage should include("rebuild with LexicalIndex.write")
+  }
+
   test("indexed phrase retrieval exactly equals the one-shot scorer " +
       "(appends included)") {
     import spark.implicits._
@@ -461,6 +582,22 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       LexicalIndex.phraseTopKIndexed(spark, dir, q, "query_id", "phrase",
         k = 2)
     }
+  }
+
+  test("ZERO queries degrade to zero rows on both phrase paths (not an " +
+      "empty-reduce crash)") {
+    import spark.implicits._
+    val docs = corpus(10)
+    val q = Seq.empty[(Long, String)].toDF("query_id", "phrase")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs, "doc_id", "text", dir, nBuckets = 4,
+      positional = true)
+    val oneShot = TextAnalysis.phraseTopK(docs, "doc_id", "text", q,
+      "query_id", "phrase", k = 2)
+    oneShot.columns.toSeq shouldBe Seq("query_id", "rank", "doc_id", "n_hits")
+    oneShot.count() shouldBe 0L
+    LexicalIndex.phraseTopKIndexed(spark, dir, q, "query_id", "phrase",
+      k = 2).count() shouldBe 0L
   }
 
   test("querying or appending a non-index path fails loud") {

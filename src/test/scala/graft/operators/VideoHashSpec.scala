@@ -106,6 +106,27 @@ class VideoHashSpec extends AnyFunSuite with Matchers with SparkSpec {
     expected.count { case (a, b, _) => b == a + 1 && a % 2 == 0 } should be > 10
   }
 
+  test("the matched-frame gate caps at the pair's own slot count: " +
+      "byte-identical unknown formats and 1-frame AVIs still pair") {
+    import spark.implicits._
+    val junk = "definitely not a video".getBytes
+    val oneFrame = Multimodal.syntheticAviKeyed(5L, 8, 4, 1, perturb = false)
+    val twoFrame = Multimodal.syntheticAviKeyed(9L, 8, 4, 2, perturb = false)
+    val media = Seq(
+      MediaRecord(1L, "video", junk),          // fallback: one xxhash64 row
+      MediaRecord(2L, "video", junk.clone()),  // byte-identical twin
+      MediaRecord(3L, "video", oneFrame),      // real AVI, single frame
+      MediaRecord(4L, "video", oneFrame.clone()),
+      MediaRecord(5L, "video", twoFrame),      // multi-frame: gate stays 2
+      MediaRecord(6L, "video", "other bytes entirely".getBytes)).toDS()
+    val pairs = Multimodal.videoHashPairs(media, minMatchedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the default gate of 2 can never be met by 1-slot payloads — the
+    // cap admits exactly the identical ones and nothing else; the
+    // 2-frame clip has no twin so it pairs with nobody
+    pairs shouldBe Set((1L, 2L, 1L), (3L, 4L, 1L))
+  }
+
   test("pipeline is partitioning-invariant") {
     import spark.implicits._
     val ids = (0L until 60L).toDF("doc_id")

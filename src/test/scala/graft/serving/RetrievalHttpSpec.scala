@@ -99,6 +99,32 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally api.stop()
   }
 
+  test("a non-integral ANN id column answers 400 with the column name, " +
+      "not an unhandled 500") {
+    import spark.implicits._
+    val dir = graft.io.Spill.tempDir("graft-http-idx-")
+    LexicalIndex.write(
+      Seq(1L -> "alpha beta").toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/lex", nBuckets = 4, positional = true)
+    // string ids (numeric content, so the scan and ranking survive —
+    // the failure must land exactly on the route's id read)
+    Similarity.writeIvfIndex(
+      Seq("1" -> Array(1.0, 0.0), "2" -> Array(0.0, 1.0))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/ann", nList = 2)
+    val api = new HttpApi(new Serving)
+      .retrieval(HttpApi.Retrieval(spark,
+        lexicalIndexPath = Some(s"$dir/lex"),
+        annIndexPath = Some(s"$dir/ann")))
+      .start()
+    try {
+      val (code, body) = get(api.address, "/search/hybrid/alpha?vec=1.0,0.0")
+      code shouldBe 400
+      body should include("vec_id")
+      body should include("integral")
+    } finally api.stop()
+  }
+
   test("search routes answer 404 until retrieval is configured, and 400 " +
       "when the route's index is absent") {
     val api = new HttpApi(new Serving).start()
