@@ -589,4 +589,60 @@ object LexicalIndex {
       .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt"))
     bm25TopKIndexed(spark, path, expanded, "query_id", "__qt", k)
   }
+
+  /** [[TextAnalysis.facetCounts]] served FROM the index — the
+    * search-facet panel without a corpus tokenize pass: the match set
+    * (docs containing ANY query term) comes from the bucket-pruned
+    * posting scan, the facet attribute joins on from `docFacets` (a
+    * (doc id, facet) frame — e.g. the corpus table's id and language
+    * columns, column-pruned at its own scan; facets are per-DOC
+    * attributes, so they live beside the corpus, not inside the
+    * term-keyed posting layout), and the counting is the single-homed
+    * [[TextAnalysis.facetAggTail]] — indexed ≡ one-shot exactly
+    * (spec-pinned). The facet join is a plain equi-join on doc id:
+    * both sides carry (id, facet/query) integers-and-attribute rows
+    * only, never text.
+    */
+  def facetCountsIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      docFacets: DataFrame, docIdCol: String, facetCol: String)
+      : DataFrame = {
+    val nBuckets = readNBuckets(spark, path)
+    val qterms = TextAnalysis.proximityQueryTerms(queries, queryIdCol,
+        termsCol)
+      .select(col("query_id"), col("term"))
+    // bounded driver action: |distinct buckets| <= min(|terms|, nBuckets)
+    val buckets = qterms
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val matched = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .select(col("doc_id"), col("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+    TextAnalysis.facetAggTail(matched.join(
+      docFacets.select(col(docIdCol).cast("long").as("doc_id"),
+        col(facetCol).as("facet")),
+      Seq("doc_id")))
+  }
+
+  /** [[TextAnalysis.passageSnippets]] with the RANKING served from the
+    * positional index: [[passageTopKIndexed]] picks the winning
+    * windows from the bucket-pruned posting scan, then the shared
+    * [[TextAnalysis.snippetTail]] slices the text — the corpus frame
+    * is touched exactly once, by the final broadcast join (the ranked
+    * frame is queries x k rows), with its scan pruned to (id, text).
+    * The corpus still must be supplied: an inverted index cannot
+    * reconstruct a document's word window without scanning every
+    * term bucket, which is the full-table read the index exists to
+    * avoid — the id-keyed corpus parquet slices it with one pushed
+    * `doc_id IN (k ids)` filter instead.
+    */
+  def passageSnippetsIndexed(spark: SparkSession, path: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      window: Int, k: Int): DataFrame =
+    TextAnalysis.snippetTail(docs, idCol, textCol,
+      passageTopKIndexed(spark, path, queries, queryIdCol, termsCol,
+        window, k), window)
 }

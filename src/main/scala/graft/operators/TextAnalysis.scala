@@ -587,15 +587,26 @@ object TextAnalysis {
       facetCol: String): DataFrame = {
     val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
       .select(col("query_id"), col("term"))
-    docs
+    facetAggTail(docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(facetCol).as("facet"),
         explode(array_distinct(words(col(textCol)))).as("term"))
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qterms), Seq("term")))
+  }
+
+  /** Aggregation tail shared by [[facetCounts]] and
+    * [[LexicalIndex.facetCountsIndexed]] — single-homed like
+    * [[bm25RankTail]] so indexed ≡ one-shot exactly: one distinct over
+    * (query, doc, facet) — a doc counts once per query no matter how
+    * many terms it matched or how often a messy facet table repeats it
+    * — then one count aggregate. Input rows need (query_id, doc_id,
+    * facet).
+    */
+  private[operators] def facetAggTail(matched: DataFrame): DataFrame =
+    matched
       .select(col("query_id"), col("doc_id"), col("facet")).distinct()
       .groupBy(col("query_id"), col("facet"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** [[passageTopK]] with the winning passage's TEXT attached: the
     * ranked (query, doc, n_hits, start) rows join back to the corpus
@@ -607,9 +618,21 @@ object TextAnalysis {
     */
   def passageSnippets(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termsCol: String,
-      window: Int, k: Int): DataFrame = {
-    val ranked = passageTopK(docs, idCol, textCol, queries, queryIdCol,
-      termsCol, window, k)
+      window: Int, k: Int): DataFrame =
+    snippetTail(docs, idCol, textCol,
+      passageTopK(docs, idCol, textCol, queries, queryIdCol, termsCol,
+        window, k), window)
+
+  /** The slice-the-winning-window join shared by [[passageSnippets]]
+    * and [[LexicalIndex.passageSnippetsIndexed]]: `ranked` is a
+    * queries x k (query_id, rank, doc_id, n_hits, start) frame, so it
+    * BROADCASTS onto the corpus tokenize scan — snippet extraction is
+    * one map-only pass, never a corpus shuffle. The slice clamps at the
+    * document tail (fewer than `window` words when the winning start
+    * overruns it).
+    */
+  private[operators] def snippetTail(docs: DataFrame, idCol: String,
+      textCol: String, ranked: DataFrame, window: Int): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         words(col(textCol)).as("__w"))
@@ -618,7 +641,6 @@ object TextAnalysis {
         col("n_hits"), col("start"),
         concat_ws(" ", slice(col("__w"),
           (col("start") + 1).cast("int"), lit(window))).as("snippet"))
-  }
 
   /** The (query_id, term) frame of a batched lexical search: ids cast to
     * long, terms de-duplicated per query (no k3 query-tf saturation).

@@ -323,7 +323,11 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     * from a POSITIONAL lexical index — docs ranked by their
     * query-term-densest `window`-word span (default 8), winning start
     * returned, `[{"rank":1,"doc_id":4,"n_hits":3,"start":12},...]`;
-    * 400 on a non-positional index or malformed window.
+    * with a configured corpus (`docsPath`) each row also carries the
+    * sliced passage TEXT (`"snippet":"..."` — the retrieve-then-quote
+    * payload), served by [[graft.operators.LexicalIndex
+    * .passageSnippetsIndexed]] with the corpus scan bounded to the k
+    * winning ids. 400 on a non-positional index or malformed window.
     */
   server.createContext("/search/passage/", { ex =>
     searchRoute(ex) { conf =>
@@ -335,13 +339,91 @@ final class HttpApi(serving: Serving, port: Int = 0) {
       val q = oneQuery(conf,
         "query_id" -> org.apache.spark.sql.functions.lit(0L),
         "qterms" -> org.apache.spark.sql.functions.lit(terms))
+      val k = kOf(ex, conf)
+      conf.docsPath match {
+        case Some(docs) =>
+          graft.operators.LexicalIndex
+            .passageSnippetsIndexed(conf.spark, path,
+              conf.spark.read.parquet(docs), conf.docIdCol,
+              conf.docTextCol, q, "query_id", "qterms", window, k)
+            .orderBy("rank").collect()
+            .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+              r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")
+              },"start":${r.getAs[Long]("start")},"snippet":${
+              jsonStr(r.getAs[String]("snippet"))}}""")
+            .mkString("[", ",", "]")
+        case None =>
+          graft.operators.LexicalIndex
+            .passageTopKIndexed(conf.spark, path, q, "query_id", "qterms",
+              window, k)
+            .orderBy("rank").collect()
+            .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+              r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")
+              },"start":${r.getAs[Long]("start")}}""")
+            .mkString("[", ",", "]")
+      }
+    }
+  })
+
+  /** `/search/fuzzy/{terms}?dist=N`: typo-tolerant BM25 from the
+    * lexical index — each term expands to the vocabulary terms within
+    * Levenshtein `dist` (default 1) via the SymSpell deletion-variant
+    * join, then ranks through the one BM25 path.
+    * `[{"rank":1,"doc_id":42},...]`; a query whose terms expand to
+    * nothing answers `[]`.
+    */
+  server.createContext("/search/fuzzy/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.{lit, typedlit}
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val terms = pathKey(ex, "/search/fuzzy/")
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException("no query terms"))
+      val dist = queryParam(ex, "dist").map(_.toInt).getOrElse(1)
+      val q = oneQuery(conf, "query_id" -> lit(0L),
+        "qterms" -> typedlit(terms))
       graft.operators.LexicalIndex
-        .passageTopKIndexed(conf.spark, path, q, "query_id", "qterms",
-          window, kOf(ex, conf))
+        .bm25TopKFuzzyIndexed(conf.spark, path, q, "query_id", "qterms",
+          kOf(ex, conf), maxDist = dist)
         .orderBy("rank").collect()
         .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
-          r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")
-          },"start":${r.getAs[Long]("start")}}""")
+          r.getAs[Long]("doc_id")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
+  /** `/search/facets/{terms}`: the search-facet panel — how the docs
+    * matching ANY query term distribute over the corpus's configured
+    * facet column (`Retrieval.facetCol`), biggest slice first (facet
+    * string as tiebreak). Match set from the maintained index, facet
+    * attribute from the corpus table (`docsPath` — 400 when absent).
+    * `[{"facet":"en","n_docs":3},...]`; an unlabeled (null-facet)
+    * slice renders `"facet":null`.
+    */
+  server.createContext("/search/facets/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.lit
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val docs = conf.docsPath.getOrElse(
+        throw new IllegalStateException(
+          "no corpus table configured (Retrieval.docsPath) - facets " +
+            "join per-doc attributes from the corpus"))
+      val terms = pathKey(ex, "/search/facets/").getOrElse(
+        throw new IllegalArgumentException("no query terms"))
+      val q = oneQuery(conf, "query_id" -> lit(0L),
+        "qterms" -> lit(terms))
+      graft.operators.LexicalIndex
+        .facetCountsIndexed(conf.spark, path, q, "query_id", "qterms",
+          conf.spark.read.parquet(docs), conf.docIdCol, conf.facetCol)
+        .orderBy(org.apache.spark.sql.functions.col("n_docs").desc,
+          org.apache.spark.sql.functions.col("facet"))
+        .collect()
+        .map(r => s"""{"facet":${Option(r.getAs[Any]("facet"))
+          .map(f => jsonStr(f.toString)).getOrElse("null")},"n_docs":${
+          r.getAs[Long]("n_docs")}}""")
         .mkString("[", ",", "]")
     }
   })
@@ -415,13 +497,24 @@ object HttpApi {
     * embedding column names. `k` is the default result count
     * (`?k=` overrides per request).
     */
+  /** `docsPath` points the serving edge at the corpus parquet (id +
+    * text + facet columns): `/search/passage` then attaches snippet
+    * TEXT (the retrieve-then-quote payload a RAG caller wants) and
+    * `/search/facets` serves the panel — both slice the corpus with a
+    * k-bounded or column-pruned scan, never a full read. Routes that
+    * need it answer 400 when it is absent.
+    */
   final case class Retrieval(
       spark: org.apache.spark.sql.SparkSession,
       lexicalIndexPath: Option[String] = None,
       annIndexPath: Option[String] = None,
       annIdCol: String = "vec_id",
       annEmbCol: String = "embedding",
-      k: Int = 5)
+      k: Int = 5,
+      docsPath: Option[String] = None,
+      docIdCol: String = "doc_id",
+      docTextCol: String = "text",
+      facetCol: String = "lang")
 
   /** Percent-encode one path segment (URLEncoder is form-encoding; its '+'
     * for space is wrong in a path).

@@ -584,6 +584,77 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("indexed facet counts exactly equal the one-shot operator " +
+      "(appends and null facets included), and the scan prunes") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i,
+        s"term${i % 7} term${i % 5} shared pad$i",
+        if (i % 11 == 0) null else s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val q = Seq(1L -> "term1 shared", 2L -> "term2", 3L -> "zebra")
+      .toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 20),
+      "doc_id", "text", dir, nBuckets = 16)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 20),
+      "doc_id", "text")
+    def collectFacets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    val indexed = LexicalIndex.facetCountsIndexed(spark, dir, q,
+      "query_id", "qterms", docs, "doc_id", "lang")
+    collectFacets(indexed) shouldBe collectFacets(
+      TextAnalysis.facetCounts(docs, "doc_id", "text", q, "query_id",
+        "qterms", "lang"))
+    collectFacets(indexed) should not be empty
+    // the posting scan touches only the query terms' buckets — the
+    // facet join must not force a full index read
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val oneTerm = Seq(1L -> "shared").toDF("query_id", "qterms")
+    val pruned = LexicalIndex.facetCountsIndexed(spark, dir, oneTerm,
+      "query_id", "qterms", docs, "doc_id", "lang")
+    // the facet projection prunes doc_len/tf away, so identify the
+    // posting scan by its tb partition column instead
+    val postingScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("tb"))
+    postingScans should not be empty
+    // one query term -> one bucket per generation (write + one append
+    // = 2 leaf partitions; an unpruned scan would touch ~16 buckets)
+    postingScans.map(_.selectedPartitions.partitionCount).max should be <= 2
+  }
+
+  test("indexed passage snippets exactly equal the one-shot operator " +
+      "(the ranking comes from the index, the text from the corpus)") {
+    import spark.implicits._
+    val docs = corpus(30)
+    val q = Seq(2L -> "term2 shared", 5L -> "term5 filler")
+      .toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 15),
+      "doc_id", "text", dir, nBuckets = 8, positional = true)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 15),
+      "doc_id", "text")
+    def collectSnips(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val indexed = collectSnips(LexicalIndex.passageSnippetsIndexed(
+      spark, dir, docs, "doc_id", "text", q, "query_id", "qterms",
+      window = 4, k = 5))
+    indexed shouldBe collectSnips(TextAnalysis.passageSnippets(
+      docs, "doc_id", "text", q, "query_id", "qterms", window = 4, k = 5))
+    indexed should not be empty
+    indexed.foreach { case (_, _, _, _, _, snippet) =>
+      snippet.split(" ").length should be <= 4
+    }
+  }
+
   test("ZERO queries degrade to zero rows on both phrase paths (not an " +
       "empty-reduce crash)") {
     import spark.implicits._

@@ -57,9 +57,18 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
         .toDF("vec_id", "embedding"),
       "vec_id", "embedding", annDir, nList = 2)
 
+    // the corpus parquet beside the indexes: passage snippets slice
+    // text from it, facets join the lang attribute from it
+    val docsDir = s"$dir/docs"
+    Seq((1L, "alpha beta alpha", "en"), (2L, "alpha gamma", "en"),
+        (3L, "beta beta beta", "fr"), (4L, "delta epsilon", null))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(docsDir)
+
     val api = new HttpApi(new Serving)
       .retrieval(HttpApi.Retrieval(spark,
-        lexicalIndexPath = Some(lexDir), annIndexPath = Some(annDir)))
+        lexicalIndexPath = Some(lexDir), annIndexPath = Some(annDir),
+        docsPath = Some(docsDir)))
       .start()
     try {
       // lexical: tf 2 in the shorter-normalized doc wins; the streamed
@@ -85,12 +94,27 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
       get(api.address, "/search/near/alpha%20beta?slop=wide")._1 shouldBe 400
       // passage: doc 1 "alpha beta alpha" packs 3 hits from start 0;
       // doc 2 has one alpha, doc 3's beta run scores 3 as well but
-      // ranks after doc 1 on the ascending-doc tiebreak
+      // ranks after doc 1 on the ascending-doc tiebreak. With the
+      // corpus configured each row quotes its winning window (doc 2's
+      // snippet clamps at its 2-word tail)
       get(api.address, "/search/passage/alpha%20beta?window=3") shouldBe
-        (200, """[{"rank":1,"doc_id":1,"n_hits":3,"start":0},""" +
-          """{"rank":2,"doc_id":3,"n_hits":3,"start":0},""" +
-          """{"rank":3,"doc_id":2,"n_hits":1,"start":0}]""")
+        (200, """[{"rank":1,"doc_id":1,"n_hits":3,"start":0,"snippet":"alpha beta alpha"},""" +
+          """{"rank":2,"doc_id":3,"n_hits":3,"start":0,"snippet":"beta beta beta"},""" +
+          """{"rank":3,"doc_id":2,"n_hits":1,"start":0,"snippet":"alpha gamma"}]""")
       get(api.address, "/search/passage/alpha?window=bad")._1 shouldBe 400
+      // fuzzy: "alhpa" (transposition = dist 2? no — one substitution
+      // pair at dist 2; use "alpa", one delete from alpha) expands to
+      // the vocabulary term and ranks like the exact query
+      get(api.address, "/search/fuzzy/alpa") shouldBe
+        (200, """[{"rank":1,"doc_id":1},{"rank":2,"doc_id":2}]""")
+      // a term expanding to nothing contributes nothing
+      get(api.address, "/search/fuzzy/zzzzzz") shouldBe (200, "[]")
+      // facets: alpha|beta matches docs 1,2 (en) and 3 (fr) — biggest
+      // slice first; delta matches only the unlabeled doc 4
+      get(api.address, "/search/facets/alpha%20beta") shouldBe
+        (200, """[{"facet":"en","n_docs":2},{"facet":"fr","n_docs":1}]""")
+      get(api.address, "/search/facets/delta") shouldBe
+        (200, """[{"facet":null,"n_docs":1}]""")
       // caller errors answer 400 with the library's message, not a 500
       val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
       badVec shouldBe 400
@@ -138,6 +162,24 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
       code shouldBe 400
       body should include("no lexical index")
       get(api2.address, "/search/hybrid/alpha?vec=1.0,0.0")._1 shouldBe 400
+      get(api2.address, "/search/fuzzy/alpha")._1 shouldBe 400
+      get(api2.address, "/search/facets/alpha")._1 shouldBe 400
     } finally api2.stop()
+    // a lexical index WITHOUT a corpus table: passage keeps the
+    // id-only shape (no snippet field), facets names the missing knob
+    import spark.implicits._
+    val lexDir = graft.io.Spill.tempDir("graft-http-idx-") + "/lex"
+    LexicalIndex.write(Seq(1L -> "alpha beta").toDF("doc_id", "text"),
+      "doc_id", "text", lexDir, nBuckets = 4, positional = true)
+    val api3 = new HttpApi(new Serving)
+      .retrieval(HttpApi.Retrieval(spark,
+        lexicalIndexPath = Some(lexDir))).start()
+    try {
+      get(api3.address, "/search/passage/alpha?window=2") shouldBe
+        (200, """[{"rank":1,"doc_id":1,"n_hits":1,"start":0}]""")
+      val (fCode, fBody) = get(api3.address, "/search/facets/alpha")
+      fCode shouldBe 400
+      fBody should include("docsPath")
+    } finally api3.stop()
   }
 }
