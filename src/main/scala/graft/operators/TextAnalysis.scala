@@ -538,26 +538,45 @@ object TextAnalysis {
   }
 
   /** Expand (query_id, term) rows to every `vocab` term within
-    * Levenshtein distance `maxDist` — the SymSpell candidate scheme:
-    * every dist<=1 pair (equal / one delete / one insert / one
-    * substitute) shares at least one single-deletion variant (the term
-    * itself counts as a variant), so candidates come from one equi-join
-    * of the exploded variant sets — the tiny query side broadcasts, the
-    * vocabulary side stays map-only, and the exact `levenshtein` filter
-    * drops the shared-variant false positives (e.g. "ab"/"ba"). At 100
-    * TB the vocabulary frame is the bounded side artifact every fuzzy
-    * engine maintains; nothing here touches corpus rows.
+    * Levenshtein distance `maxDist` (0, 1 or 2) — the SymSpell
+    * candidate scheme: every dist<=d pair shares at least one variant
+    * reachable by <= d character deletes from each side (the term
+    * itself counts as a variant), so candidates come from one
+    * equi-join of the exploded variant sets — the tiny query side
+    * broadcasts, the vocabulary side stays map-only, and the exact
+    * `levenshtein` filter drops the shared-variant false positives
+    * (e.g. "ab"/"ba"). At 100 TB the vocabulary frame is the bounded
+    * side artifact every fuzzy engine maintains; nothing here touches
+    * corpus rows.
     */
   private[operators] def fuzzyExpandTerms(vocab: DataFrame,
       qterms: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist == 0 || maxDist == 1,
-      "single-deletion variants cover Levenshtein distance <= 1 only")
+    require(maxDist >= 0 && maxDist <= 2,
+      "deletion-variant expansion covers Levenshtein distance <= 2 " +
+        "(depth-3 variant sets explode cubically for marginal recall)")
     if (maxDist == 0)
       return qterms.join(vocab, Seq("term")).select("query_id", "term")
-    def variants(t: Column): Column = array_union(array(t),
-      transform(sequence(lit(1), length(t)),
-        i => concat(t.substr(lit(1), i - 1),
-          t.substr(i + 1, length(t) - i))))
+    // all single-character deletes of every string in `ts` (flattened);
+    // zero-length sources contribute nothing (sequence(1, 0) is
+    // invalid, and deleting from "" has no result)
+    def dels(ts: Column): Column =
+      flatten(transform(filter(ts, t => length(t) >= 1), t =>
+        transform(sequence(lit(1), length(t)),
+          i => concat(t.substr(lit(1), i - 1),
+            t.substr(i + 1, length(t) - i)))))
+    // the SymSpell completeness argument, depth d: two strings within
+    // Levenshtein d always share a variant reachable by <= d deletes
+    // from each side, so equal-variant candidacy + the exact verify
+    // below is lossless. Depth 1: L+1 variants per term; depth 2:
+    // O(L^2/2) — the standard index-size/recall trade, paid only when
+    // the caller asks for dist 2.
+    def variants(t: Column): Column = {
+      val d1 = dels(array(t))
+      val all = if (maxDist >= 2)
+        concat(array(t), d1, dels(array_distinct(d1)))
+      else concat(array(t), d1)
+      array_distinct(all)
+    }
     val qv = qterms
       .select(col("query_id"), col("term").as("__qterm"),
         explode(variants(col("term"))).as("__v"))

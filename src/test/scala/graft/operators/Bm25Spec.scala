@@ -198,17 +198,27 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val expected = (for {
-      (q, i) <- qterms.zipWithIndex; v <- vocab if lev(q, v) <= 1
-    } yield (i.toLong, v)).toSet
-    val got = TextAnalysis.fuzzyExpandTerms(
-        vocab.toDF("term"),
-        qterms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-          .toDF("query_id", "term"),
-        maxDist = 1)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    got shouldBe expected
-    expected should not be empty
+    // the property must hold at every supported depth: dist 1 and the
+    // depth-2 deletion variants (including length-1/-2 terms whose
+    // variant sets bottom out at the empty string)
+    for (d <- 1 to 2) {
+      val expected = (for {
+        (q, i) <- qterms.zipWithIndex; v <- vocab if lev(q, v) <= d
+      } yield (i.toLong, v)).toSet
+      val got = TextAnalysis.fuzzyExpandTerms(
+          vocab.toDF("term"),
+          qterms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("query_id", "term"),
+          maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      withClue(s"maxDist=$d: ") { got shouldBe expected }
+      expected should not be empty
+    }
+    // depth 3 is out of contract and must refuse, not silently under-recall
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fuzzyExpandTerms(vocab.toDF("term"),
+        Seq((0L, "abc")).toDF("query_id", "term"), maxDist = 3)
+    }
   }
 
   test("bm25TopKFuzzy: a typo'd term scores exactly like the corrected " +
@@ -232,5 +242,26 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     fuzzy.filter(_._1 == 1L) shouldBe exact
     fuzzy.count(_._1 == 2L) shouldBe 0
+  }
+
+  test("bm25TopKFuzzy at dist 2: a two-edit typo reaches the corrected " +
+      "query that dist 1 cannot") {
+    val d = docs(
+      1L -> "table table chair",
+      2L -> "table lamp desk",
+      3L -> "sofa lamp rug")
+    import spark.implicits._
+    // "tbl" is two deletes from "table": invisible at dist 1, exact at 2
+    val q = Seq(1L -> Seq("tbl")).toDF("query_id", "qterms")
+    TextAnalysis.bm25TopKFuzzy(d, "doc_id", "text", q,
+      "query_id", "qterms", k = 3, maxDist = 1).count() shouldBe 0
+    val fuzzy2 = TextAnalysis.bm25TopKFuzzy(d, "doc_id", "text", q,
+        "query_id", "qterms", k = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = TextAnalysis.bm25TopK(d, "doc_id", "text",
+        Seq(1L -> Seq("table")).toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    fuzzy2 shouldBe exact
   }
 }
