@@ -41,6 +41,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q14JoinMultiway(spark, "/root/testdata/sf0.001")
 
+  /** The q153/q154 judgment frame: distinct-term-overlap grades between
+    * each probe query's term set and every document sharing at least
+    * one term (grade = |shared distinct terms|, 1..8) — a
+    * deterministic, oracle-replayable stand-in for human relevance
+    * labels with a realistic graded distribution.
+    */
+  private def overlapJudgments(docs: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(col("qterms"))).as("term"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.words(col("text")))).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("grade"))
+  }
+
   private def q14JoinMultiway(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer")
     val orders = t(s, dir, "orders")
@@ -1502,6 +1521,44 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // graded ranking quality: the q134 BM25 ranking at k=10 judged
+    // against distinct-term-overlap grades (share n query terms ->
+    // grade n), per-query nDCG through the integer-micros DCG/IDCG
+    // sums — the "is the ranker actually good" metric beside q138's
+    // set recall; judgments are an eval artifact (queries x judged
+    // pool), never corpus-scale
+    "q153_ndcg" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
+            .as("qterms"))
+      val ranked = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qterms", k = 10)
+      graft.operators.RankFusion
+        .ndcgAtK(ranked, overlapJudgments(docs, queries), "doc_id", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // navigational ranking quality: reciprocal rank of the FIRST
+    // strongly-relevant document (overlap grade >= 3) in the same q134
+    // ranking — 1/1 when the ranker leads with it, 0 when none of a
+    // query's strong matches surface in the top 10
+    "q154_mrr" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
+            .as("qterms"))
+      val ranked = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qterms", k = 10)
+      graft.operators.RankFusion
+        .mrrAtK(ranked,
+          overlapJudgments(docs, queries).where(col("grade") >= 3),
+          "doc_id", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // typo-tolerant BM25 (one-shot): each query term expands to every
     // vocabulary term within Levenshtein 1 via the SymSpell
     // deletion-variant equi-join (verified by the exact distance), then
@@ -2619,6 +2676,73 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The q153/q154 judgment CTEs over the q134 scorer's own `toks`/`q`:
+    * distinct-term-overlap grades (share n of the query's distinct
+    * terms -> grade n), composable after [[bm25RankedCtes]].
+    */
+  private def overlapJudgmentCtes: String =
+    """topk AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+       dterms AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM toks),
+       qd AS (SELECT DISTINCT query_id, term FROM q),
+       j AS (
+         SELECT qd.query_id, dterms.doc_id,
+           CAST(count(*) AS BIGINT) AS grade
+         FROM dterms JOIN qd USING (term)
+         GROUP BY 1, 2)"""
+
+  /** nDCG@10 replay: the per-position micros contribution
+    * round(round((2^grade - 1) / (ln(rank+1)/ln 2), 6) * 1e6) summed
+    * into exact-integer DCG/IDCG (IDCG over the ideal grade-desc,
+    * doc-asc ordering), one rounded division at the end — byte-for-byte
+    * the [[graft.operators.RankFusion.ndcgAtK]] math.
+    */
+  private def ndcgOracle: String =
+    s"""WITH $bm25RankedCtes,
+       $overlapJudgmentCtes,
+       dcg AS (
+         SELECT t.query_id,
+           sum(CAST(round(round((pow(2, j.grade) - 1)
+             / (ln(t.rank + 1) / ln(2)), 6) * 1000000) AS BIGINT)) AS dcg
+         FROM topk t JOIN j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+         GROUP BY 1),
+       ideal AS (
+         SELECT query_id, grade,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY grade DESC, doc_id) AS ir
+         FROM j),
+       idcg AS (
+         SELECT query_id,
+           sum(CAST(round(round((pow(2, grade) - 1)
+             / (ln(ir + 1) / ln(2)), 6) * 1000000) AS BIGINT)) AS idcg
+         FROM ideal WHERE ir <= 10 GROUP BY 1)
+       SELECT i.query_id,
+         CASE WHEN i.idcg = 0 THEN 0.0
+           ELSE round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / i.idcg, 6)
+         END AS ndcg
+       FROM idcg i LEFT JOIN dcg d USING (query_id)
+       ORDER BY i.query_id"""
+
+  /** MRR@10 replay: reciprocal first-relevant rank with relevance =
+    * overlap grade >= 3, misses scoring (0, 0.0) — the
+    * [[graft.operators.RankFusion.mrrAtK]] math.
+    */
+  private def mrrOracle: String =
+    s"""WITH $bm25RankedCtes,
+       $overlapJudgmentCtes,
+       rel AS (SELECT query_id, doc_id FROM j WHERE grade >= 3),
+       fr AS (
+         SELECT t.query_id, min(t.rank) AS fr
+         FROM topk t JOIN rel r
+           ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+         GROUP BY 1)
+       SELECT b.query_id,
+         CAST(coalesce(f.fr, 0) AS BIGINT) AS first_rank,
+         CASE WHEN f.fr IS NULL THEN 0.0
+           ELSE round(1.0 / f.fr, 6) END AS rr
+       FROM (SELECT DISTINCT query_id FROM rel) b
+       LEFT JOIN fr f USING (query_id)
+       ORDER BY b.query_id"""
+
   /** The q134 scorer as composable CTEs ending in
     * `ranked(query_id, doc_id, rank)` — shared with the q137 hybrid
     * fusion oracle.
@@ -3443,6 +3567,10 @@ object SparkEntry {
     "q150_fuzzy_indexed" -> bm25FuzzyOracle,
     "q151_facet_counts" -> facetCountsOracle,
     "q152_passage_snippets" -> passageSnippetsOracle,
+    // replay the DCG/IDCG micro sums over the q134 ranking and the
+    // overlap-graded judgment frame
+    "q153_ndcg" -> ndcgOracle,
+    "q154_mrr" -> mrrOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

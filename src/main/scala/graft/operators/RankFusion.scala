@@ -63,6 +63,87 @@ object RankFusion {
     * rounds to 6 decimals (an exact small-integer ratio; rounding only
     * pins the cross-engine repr).
     */
+  /** Graded ranking quality: per-query nDCG@k of a retrieved list
+    * against judged (query_id, id, grade) relevance — THE ranking
+    * metric when relevance is graded (recall sees only set membership;
+    * nDCG rewards putting the best-judged documents first).
+    * `ranked` is the standard (query_id, rank, id) retrieval shape;
+    * `judgments` holds non-negative integer grades. Output one
+    * (query_id, ndcg) row per JUDGED query — a judged query the
+    * retriever missed entirely scores 0, a retrieved-but-unjudged
+    * query is unmeasurable and absent (the standard eval posture).
+    *
+    * Determinism is the integer-micros discipline: each position's
+    * contribution is round(round((2^grade - 1) / (ln(rank+1)/ln 2),
+    * 6) * 1e6) — an exact long — summed order-invariantly into
+    * DCG/IDCG before the one final rounded division, so the DuckDB
+    * oracle replays the sums exactly. IDCG ranks the query's own
+    * judgments ideally (grade desc, id asc — tied grades contribute
+    * identically, so the tiebreak cannot move the sum); an
+    * all-grades-zero query defines ndcg = 0 rather than 0/0.
+    *
+    * Scale: `ranked` is queries x k rows; `judgments` is a human/LLM
+    * eval artifact (queries x judged-pool, thousands not billions) —
+    * the window rank over it is per-query bounded, and nothing here
+    * touches corpus rows.
+    */
+  def ndcgAtK(ranked: DataFrame, judgments: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val j = judgments
+      .select(col("query_id"), col(idCol),
+        col("grade").cast("long").as("grade"))
+      .distinct()
+    def contrib(rankCol: org.apache.spark.sql.Column) =
+      round(round((pow(lit(2.0), col("grade")) - 1) /
+        (log(rankCol.cast("double") + 1) / log(lit(2.0))), 6) * 1e6)
+        .cast("long")
+    val dcg = ranked.where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"))
+      .join(j, Seq("query_id", idCol))
+      .select(col("query_id"), contrib(col("rank")).as("__c"))
+      .groupBy(col("query_id")).agg(sum(col("__c")).as("__dcg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col(idCol))
+    val idcg = j.withColumn("__ir", row_number().over(w))
+      .where(col("__ir") <= k)
+      .select(col("query_id"), contrib(col("__ir")).as("__c"))
+      .groupBy(col("query_id")).agg(sum(col("__c")).as("__idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("__idcg") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("__dcg"), lit(0L)).cast("double")
+            / col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
+  /** Per-query reciprocal rank at k: 1/rank of the FIRST relevant
+    * (grade > 0) document in the top-k, the navigational-quality twin
+    * of [[ndcgAtK]] (one row per query; average the `rr` column for
+    * the scalar MRR). Output (query_id, first_rank, rr) for every
+    * query holding at least one relevant judgment; a query whose
+    * relevant documents never surface in the top-k scores
+    * (first_rank 0, rr 0.0). rr rounds to 6 decimals so the DuckDB
+    * oracle replays it exactly.
+    */
+  def mrrAtK(ranked: DataFrame, judgments: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = judgments.where(col("grade") > 0)
+      .select(col("query_id"), col(idCol)).distinct()
+    val first = ranked.where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"))
+      .join(rel, Seq("query_id", idCol))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("__fr"))
+    rel.select(col("query_id")).distinct()
+      .join(first, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__fr"), lit(0L)).cast("long").as("first_rank"),
+        when(col("__fr").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__fr").cast("double"), 6))
+          .as("rr"))
+  }
+
   def rankingRecall(candidate: DataFrame, reference: DataFrame,
       idCol: String): DataFrame = {
     // BOTH sides dedup defensively: a raw multi-table match list passed

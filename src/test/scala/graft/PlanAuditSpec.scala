@@ -55,7 +55,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q141_tfidf_indexed",
     // q149/q150: q134/q135's one-row (N, avgdl) stats broadcast under
     // the fuzzy-expanded query set
-    "q149_fuzzy_bm25", "q150_fuzzy_indexed")
+    "q149_fuzzy_bm25", "q150_fuzzy_indexed",
+    // q153/q154: q134's one-row (N, avgdl) stats broadcast under the
+    // judged ranking
+    "q153_ndcg", "q154_mrr")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -279,7 +282,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // ranked frame BROADCAST back onto the corpus tokenize scan (a
     // fifth exchange here means the snippet join stopped broadcasting
     // and reshuffled the corpus), final sort
-    "q152_passage_snippets" -> 4)
+    "q152_passage_snippets" -> 4,
+    // ranking-quality metrics: the full q134 scorer (its spill discipline
+    // keeps the tf subtree re-planned under both the df rollup and the
+    // scoring join), the overlap-judgment subtree (tokenize explode +
+    // broadcast query-terms join + the (query, doc) grade agg), then
+    // DCG agg + the per-query IDCG window agg + the final metric join
+    // and sort — every exchange carries (query, doc, grade/rank)
+    // integers, judgments are eval-pool-sized, never corpus rows
+    "q153_ndcg" -> 21,
+    "q154_mrr" -> 21)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -22,6 +22,76 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
       .orderBy(col("query_id"), col("rank"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
+  private def judged(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "doc_id", "grade")
+  }
+
+  test("ndcgAtK matches a hand computation through the micros discipline") {
+    // ranking: 5 (grade 3), 6 (unjudged), 7 (grade 1); judged-but-
+    // missed: 8 (grade 2)
+    val ranked = ranking((1L, 1L, 5L), (1L, 2L, 6L), (1L, 3L, 7L))
+    val j = judged((1L, 5L, 3L), (1L, 7L, 1L), (1L, 8L, 2L))
+    def c(grade: Long, rank: Long): Long =
+      Math.round(BigDecimal((math.pow(2, grade) - 1) /
+          (math.log(rank + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val dcg = c(3, 1) + c(1, 3)          // positions of docs 5 and 7
+    val idcg = c(3, 1) + c(2, 2) + c(1, 3) // ideal: grades 3, 2, 1
+    val want = BigDecimal(dcg.toDouble / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = RankFusion.ndcgAtK(ranked, j, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out shouldBe Array((1L, want))
+  }
+
+  test("ndcgAtK boundaries: perfect order scores 1, all-tied grades " +
+      "score 1 in any order, all-zero grades and judged-but-unretrieved " +
+      "queries score 0, empty judgments yield no rows") {
+    val ranked = ranking((1L, 1L, 5L), (1L, 2L, 6L),
+      (2L, 1L, 5L), (2L, 2L, 6L), (3L, 1L, 9L))
+    val j = judged(
+      (1L, 5L, 2L), (1L, 6L, 1L),  // retrieved in ideal order
+      (2L, 5L, 1L), (2L, 6L, 1L),  // tied grades: any order is ideal
+      (3L, 5L, 0L),                // only zero grades -> 0, not 0/0
+      (4L, 5L, 3L))                // judged, never retrieved
+    val out = RankFusion.ndcgAtK(ranked, j, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    out shouldBe Array((1L, 1.0), (2L, 1.0), (3L, 0.0), (4L, 0.0))
+    RankFusion.ndcgAtK(ranked, judged(), "doc_id", k = 5)
+      .count() shouldBe 0L
+  }
+
+  test("ndcgAtK respects k: a relevant doc below the cutoff neither " +
+      "gains nor is demanded") {
+    // at k=1 only position 1 counts on both sides: doc 5 (grade 1)
+    // retrieved first vs ideal grade 2 -> (2^1-1)/(2^2-1)
+    val ranked = ranking((1L, 1L, 5L), (1L, 2L, 8L))
+    val j = judged((1L, 5L, 1L), (1L, 8L, 2L))
+    val out = RankFusion.ndcgAtK(ranked, j, "doc_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out shouldBe Array((1L, BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("mrrAtK: first relevant rank reciprocates; misses score 0; " +
+      "zero-grade judgments are not relevant") {
+    val ranked = ranking(
+      (1L, 1L, 9L), (1L, 2L, 9L), (1L, 3L, 5L), // first relevant at 3
+      (2L, 1L, 6L),                             // relevant missed
+      (3L, 1L, 7L))                             // only zero-grade judged
+    val j = judged((1L, 5L, 1L), (2L, 5L, 2L), (3L, 7L, 0L))
+    val out = RankFusion.mrrAtK(ranked, j, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // query 3 has no POSITIVE judgment -> excluded from the eval set
+    out shouldBe Array((1L, 3L, 0.333333), (2L, 0L, 0.0))
+    // k truncation: the rank-3 hit vanishes at k=2
+    RankFusion.mrrAtK(ranked, j, "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1) shouldBe Array((1L, 0L, 0.0), (2L, 0L, 0.0))
+  }
+
   test("a doc ranked 2nd by both lists beats a doc ranked 1st by one") {
     val a = ranking((1L, 1L, 100L), (1L, 2L, 200L))
     val b = ranking((1L, 1L, 300L), (1L, 2L, 200L))
