@@ -41,6 +41,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q14JoinMultiway(spark, "/root/testdata/sf0.001")
 
+  /** The q155/q156 boolean query batch (shared so the one-shot and
+    * indexed rows rank the identical queries).
+    */
+  private def boolQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, Seq("table"), Seq("fast", "value"), Seq.empty[String]),
+      (2L, Seq("table", "value"), Seq.empty[String], Seq.empty[String]),
+      (3L, Seq.empty[String], Seq("fast", "part"), Seq("table")),
+      (4L, Seq("zebra"), Seq("crossing"), Seq.empty[String]),
+      (5L, Seq.empty[String], Seq("key", "agg", "row"), Seq.empty[String]))
+      .toDF("query_id", "must", "should", "mustNot")
+  }
+
   /** The q153/q154 judgment frame: distinct-term-overlap grades between
     * each probe query's term set and every document sharing at least
     * one term (grade = |shared distinct terms|, 1..8) — a
@@ -1559,6 +1573,35 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // boolean-filtered BM25: +must/-mustNot gates folded onto the one
+    // scorer — q1 requires table, q2 is purely conjunctive, q3
+    // excludes table-bearing docs from a should ranking, q4's must
+    // term matches nothing (empty result), q5 is the plain-BM25 twin
+    "q155_bool_bm25" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bm25TopKBool(t(s, d, "documents").repartition(32),
+          "doc_id", "text", boolQueries(s), "query_id", "must", "should",
+          "mustNot", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the same boolean queries served from the persisted index (seed
+    // even docs, append odd — the q135 build pattern); the scan covers
+    // ALL role terms' buckets (mustNot matches disqualify), the tail
+    // is single-homed with q155's so the oracle is shared
+    "q156_bool_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.operators.LexicalIndex.bm25TopKBoolIndexed(s, dir,
+          boolQueries(s), "query_id", "must", "should", "mustNot", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // typo-tolerant BM25 (one-shot): each query term expands to every
     // vocabulary term within Levenshtein 1 via the SymSpell
     // deletion-variant equi-join (verified by the exact distance), then
@@ -2676,6 +2719,76 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Boolean-BM25 replay (q155 one-shot ≡ q156 indexed, single-homed
+    * tail): the q134 scoring CTEs with tf restricted to ALL role terms
+    * (a term's df is its own doc count, unaffected by which other
+    * terms the filter admits), the per-(query, doc) micro sum carrying
+    * a matched-must counter, the must-count gate, the mustNot
+    * NOT-EXISTS, then the exact-integer rank.
+    */
+  private def boolBm25Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           avg(CAST(len(w) AS DOUBLE)) AS avgdl
+         FROM toks),
+       roles(query_id, term, role) AS (VALUES
+         (CAST(1 AS BIGINT), 'table', 'must'), (1, 'fast', 'should'),
+         (1, 'value', 'should'),
+         (2, 'table', 'must'), (2, 'value', 'must'),
+         (3, 'fast', 'should'), (3, 'part', 'should'), (3, 'table', 'not'),
+         (4, 'zebra', 'must'), (4, 'crossing', 'should'),
+         (5, 'key', 'should'), (5, 'agg', 'should'), (5, 'row', 'should')),
+       corpus AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS doc_len, unnest(w) AS term
+         FROM toks),
+       tf AS (
+         SELECT doc_id, doc_len, term, count(*) AS tf
+         FROM corpus
+         WHERE term IN (SELECT DISTINCT term FROM roles)
+         GROUP BY doc_id, doc_len, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       sm AS (
+         SELECT tf.term, tf.doc_id,
+           CAST(round(round(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / stats.avgdl)),
+             6) * 1000000) AS BIGINT) AS sm
+         FROM tf JOIN df USING (term) CROSS JOIN stats),
+       sroles AS (
+         SELECT query_id, term,
+           max(CASE WHEN role = 'must' THEN 1 ELSE 0 END) AS is_must
+         FROM roles WHERE role <> 'not' GROUP BY 1, 2),
+       nmust AS (
+         SELECT query_id, count(*) AS n_must
+         FROM sroles WHERE is_must = 1 GROUP BY 1),
+       pairs AS (
+         SELECT s.query_id, sm.doc_id, sum(sm.sm) AS m,
+           sum(s.is_must) AS must_hit
+         FROM sm JOIN sroles s USING (term)
+         GROUP BY 1, 2),
+       gated AS (
+         SELECT p.query_id, p.doc_id, p.m
+         FROM pairs p LEFT JOIN nmust n USING (query_id)
+         WHERE p.must_hit = coalesce(n.n_must, 0)),
+       keep AS (
+         SELECT g.query_id, g.doc_id, g.m FROM gated g
+         WHERE NOT EXISTS (
+           SELECT 1 FROM tf JOIN roles r
+             ON r.term = tf.term AND r.role = 'not'
+           WHERE r.query_id = g.query_id AND tf.doc_id = g.doc_id)),
+       ranked AS (
+         SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY m DESC, doc_id) AS rank
+         FROM keep)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** The q153/q154 judgment CTEs over the q134 scorer's own `toks`/`q`:
     * distinct-term-overlap grades (share n of the query's distinct
     * terms -> grade n), composable after [[bm25RankedCtes]].
@@ -3571,6 +3684,10 @@ object SparkEntry {
     // overlap-graded judgment frame
     "q153_ndcg" -> ndcgOracle,
     "q154_mrr" -> mrrOracle,
+    // q156 serves IDENTICAL results from the persisted index
+    // (single-homed bool tail, indexed ≡ one-shot spec-pinned)
+    "q155_bool_bm25" -> boolBm25Oracle,
+    "q156_bool_indexed" -> boolBm25Oracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

@@ -590,6 +590,38 @@ object LexicalIndex {
     bm25TopKIndexed(spark, path, expanded, "query_id", "__qt", k)
   }
 
+  /** [[TextAnalysis.bm25TopKBool]] served FROM the index — the
+    * +must/-mustNot boolean query surface over the bucket-pruned
+    * posting scan (the scan covers ALL role terms' buckets: mustNot
+    * matches are needed to disqualify candidates). Shares
+    * [[TextAnalysis.bm25BoolRankTail]], so indexed ≡ one-shot exactly
+    * (spec-pinned).
+    */
+  def bm25TopKBoolIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, mustCol: String,
+      shouldCol: String, mustNotCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nBuckets = readNBuckets(spark, path)
+    val roles = TextAnalysis.boolQueryRoles(queries, queryIdCol, mustCol,
+      shouldCol, mustNotCol)
+    // bounded driver action: |distinct buckets| <= min(|role terms|, nBuckets)
+    val buckets = roles
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val tf = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .join(broadcast(roles.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+      .select(col("doc_id"), col("doc_len"), col("term"), col("tf"))
+    val stats = readStats(spark, path)
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+        (sum(col("total_len")).cast("double")
+          / sum(coalesce(col("n_len"), col("n_docs"))).cast("double"))
+          .as("avgdl"))
+    TextAnalysis.bm25BoolRankTail(tf, stats, roles, k, k1, b)
+  }
+
   /** [[TextAnalysis.facetCounts]] served FROM the index — the
     * search-facet panel without a corpus tokenize pass: the match set
     * (docs containing ANY query term) comes from the bucket-pruned

@@ -256,6 +256,116 @@ object TextAnalysis {
       "doc_id", k)
   }
 
+  /** Boolean-filtered batched BM25: every query carries three term
+    * arrays — `must` (every one required in a candidate), `should`
+    * (score-only), `mustNot` (any one disqualifies) — the +term/-term
+    * query surface of a real search engine, folded onto the one BM25
+    * scorer: candidates satisfying the gates rank by the standard
+    * saturation score over their matched must∪should terms. A query
+    * whose scoring set (must∪should) is empty fails loud (nothing
+    * ranks an all-negative query); a term listed both must and
+    * mustNot yields the empty set (logically consistent, not an
+    * error).
+    *
+    * Plan: the corpus tf spill restricts to ALL role terms once, the
+    * must gate is a counter inside the existing per-(query, doc)
+    * score aggregate (matched-must count == the query's must count —
+    * no extra corpus pass), and the mustNot gate is one anti-join of
+    * (query, doc) id pairs. Everything after the spill handles
+    * integer (query, doc, micros, counts) rows only.
+    * [[LexicalIndex.bm25TopKBoolIndexed]] serves IDENTICAL results
+    * from the index (shared [[bm25BoolRankTail]], spec-pinned).
+    */
+  def bm25TopKBool(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, mustCol: String,
+      shouldCol: String, mustNotCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val roles = boolQueryRoles(queries, queryIdCol, mustCol, shouldCol,
+      mustNotCol)
+    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+    val stats = toks
+      .select(sizeOrNull(col("__w")).cast("double").as("l"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
+    val tf = graft.io.Spill(
+      tfProjection(docs, idCol, textCol)
+        .join(broadcast(roles.select(col("term")).distinct()), Seq("term"),
+          "left_semi"), "graft-bm25tf-")
+    bm25BoolRankTail(tf, stats, roles, k, k1, b)
+  }
+
+  /** The (query_id, term, role) frame of a boolean query batch
+    * (role ∈ must/should/not, deduped per (query, term, role)),
+    * validated: a query with an empty must∪should scoring set fails
+    * loud (the [[proximityQueryTerms]] posture).
+    */
+  private[operators] def boolQueryRoles(queries: DataFrame,
+      queryIdCol: String, mustCol: String, shouldCol: String,
+      mustNotCol: String): DataFrame = {
+    def role(c: String, r: String) = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(col(c))).as("term"))
+      .withColumn("role", lit(r))
+    val roles = role(mustCol, "must")
+      .unionByName(role(shouldCol, "should"))
+      .unionByName(role(mustNotCol, "not"))
+    val unscored = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        (size(array_distinct(col(mustCol)))
+          + size(array_distinct(col(shouldCol)))).as("__n"))
+      .where(col("__n") < 1).select(col("query_id")).limit(1).collect()
+    require(unscored.isEmpty,
+      s"query ${unscored.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "has no must or should terms - an all-negative query ranks nothing")
+    roles
+  }
+
+  /** Scoring + ranking tail shared by [[bm25TopKBool]] (spilled tf)
+    * and [[LexicalIndex.bm25TopKBoolIndexed]] (pruned posting scan) —
+    * single-homed like [[bm25RankTail]] so the paths cannot drift:
+    * the standard per-term micro scores, one per-(query, doc)
+    * aggregate summing micros AND counting matched must terms, the
+    * must-count gate against the query's broadcast must total, the
+    * mustNot anti-join of id pairs, the bounded top-k.
+    */
+  private[operators] def bm25BoolRankTail(tf: DataFrame, stats: DataFrame,
+      roles: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        round(round(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1)
+              * (lit(1 - b) + lit(b) * col("doc_len") / col("avgdl"))),
+          6) * 1e6).cast("long").as("__sm"))
+    // scoring terms with their must flag (a term listed must AND
+    // should counts once, as must)
+    val sroles = roles.where(col("role") =!= "not")
+      .groupBy(col("query_id"), col("term"))
+      .agg(max(when(col("role") === "must", 1L).otherwise(0L))
+        .as("__is_must"))
+    val nMust = sroles.where(col("__is_must") === 1)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n_must"))
+    val pairs = scored.join(broadcast(sroles), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__sm")).as("__m"),
+        sum(col("__is_must")).as("__must_hit"))
+      .join(broadcast(nMust), Seq("query_id"), "left")
+      .where(col("__must_hit") === coalesce(col("__n_must"), lit(0L)))
+    val excluded = tf.select(col("doc_id"), col("term"))
+      .join(broadcast(roles.where(col("role") === "not")
+        .select(col("query_id"), col("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    Similarity.rankTopKPerQuery(
+      pairs.join(excluded, Seq("query_id", "doc_id"), "left_anti")
+        .select(col("query_id"), col("doc_id"),
+          col("__m").cast("double").as("sim")),
+      "doc_id", k)
+  }
+
   /** Batched quoted-phrase top-k retrieval: for every query (an id
     * column + a STRING phrase column), the k corpus documents with the
     * most exact word-sequence occurrences of that phrase — the

@@ -100,10 +100,16 @@ final class HttpApi(serving: Serving, port: Int = 0) {
   /** Path parameter after `prefix`, percent-decoded (the reference's
     * Javalin layer decodes path params the same way).
     */
+  /** One percent-decode with PATH semantics: work from the RAW path
+    * (`getPath` already percent-decodes, so decoding it again would
+    * double-decode "%252B"-style inputs) and shield literal `+` from
+    * URLDecoder's form-encoding space rule — in a path, `+` means
+    * plus (the `/search/bool/+term` must-operator relies on it).
+    */
   private def pathKey(ex: HttpExchange, prefix: String): Option[String] = {
-    val p = ex.getRequestURI.getPath.stripPrefix(prefix)
+    val p = ex.getRequestURI.getRawPath.stripPrefix(prefix)
     if (p.isEmpty || p.contains("/")) None
-    else Some(java.net.URLDecoder.decode(p, UTF_8))
+    else Some(java.net.URLDecoder.decode(p.replace("+", "%2B"), UTF_8))
   }
 
   // ---- routes ----
@@ -362,6 +368,41 @@ final class HttpApi(serving: Serving, port: Int = 0) {
               },"start":${r.getAs[Long]("start")}}""")
             .mkString("[", ",", "]")
       }
+    }
+  })
+
+  /** `/search/bool/{expr}`: boolean-filtered BM25 — `+term` is
+    * required in every hit, `-term` disqualifies, bare terms score
+    * (`fast +table -zebra`). Candidates satisfying the gates rank by
+    * the standard BM25 score over their matched scoring terms.
+    * `[{"rank":1,"doc_id":42},...]`; an all-negative expression
+    * answers 400 (nothing to rank).
+    */
+  server.createContext("/search/bool/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.{lit, typedlit}
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val raw = pathKey(ex, "/search/bool/")
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException("no query terms"))
+      val must = raw.filter(_.startsWith("+")).map(_.drop(1))
+        .filter(_.nonEmpty)
+      val mustNot = raw.filter(_.startsWith("-")).map(_.drop(1))
+        .filter(_.nonEmpty)
+      val should = raw.filterNot(t =>
+        t.startsWith("+") || t.startsWith("-"))
+      val q = oneQuery(conf, "query_id" -> lit(0L),
+        "must" -> typedlit(must), "should" -> typedlit(should),
+        "mustNot" -> typedlit(mustNot))
+      graft.operators.LexicalIndex
+        .bm25TopKBoolIndexed(conf.spark, path, q, "query_id", "must",
+          "should", "mustNot", kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")}}""")
+        .mkString("[", ",", "]")
     }
   })
 

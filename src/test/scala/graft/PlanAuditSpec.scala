@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q149_fuzzy_bm25", "q150_fuzzy_indexed",
     // q153/q154: q134's one-row (N, avgdl) stats broadcast under the
     // judged ranking
-    "q153_ndcg", "q154_mrr")
+    "q153_ndcg", "q154_mrr",
+    // q155/q156: the same one-row stats broadcast under the boolean
+    // gates
+    "q155_bool_bm25", "q156_bool_indexed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -291,7 +294,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and sort — every exchange carries (query, doc, grade/rank)
     // integers, judgments are eval-pool-sized, never corpus rows
     "q153_ndcg" -> 21,
-    "q154_mrr" -> 21)
+    "q154_mrr" -> 21,
+    // boolean BM25: the q134 scoring shape (spilled tf under the df
+    // rollup + score projection, one-row stats broadcast) plus the
+    // role/must-count broadcasts and the mustNot anti-join of id
+    // pairs; the indexed twin adds the build/append writes' exchanges
+    // (the q135 pattern — build rows, not query rows)
+    "q155_bool_bm25" -> 16,
+    "q156_bool_indexed" -> 21)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

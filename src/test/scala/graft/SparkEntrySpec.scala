@@ -51,7 +51,10 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // (real lines keep ms while their digit mix fits)
     val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.488)
     val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
-    rLine should include(":0.49") // at worst centisecond resolution
+    // sub-second resolution must survive: centisecond while the line
+    // fits, decisecond once the battery outgrows the 2-decimal tier
+    // (156+ uniform-digit queries), never whole-second
+    rLine should (include(":0.49") or include(":0.5"))
     rLine.length should be <= 1840
     // the shortened keys stay unique and keep their ordinal
     val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))

@@ -244,6 +244,72 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     fuzzy.count(_._1 == 2L) shouldBe 0
   }
 
+  private def boolQ(rows: (Long, Seq[String], Seq[String], Seq[String])*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "must", "should", "mustNot")
+  }
+
+  private def boolRanks(d: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.bm25TopKBool(d, "doc_id", "text", q, "query_id",
+        "must", "should", "mustNot", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("bm25TopKBool: the must gate drops a higher-scoring doc missing " +
+      "the required term; must terms still contribute to the score") {
+    val d = docs(
+      1L -> "rare rare rare rare common",  // score leader on 'rare'
+      2L -> "rare common x",               // has both
+      3L -> "common y z")
+    val out = boolRanks(d,
+      boolQ((1L, Seq("common"), Seq("rare"), Seq.empty)))
+    // all three contain 'common'... doc1 leads on rare; doc3 has no rare
+    out.map(_._3) shouldBe Seq(1L, 2L, 3L)
+    // tightening must to 'rare' drops doc 3 entirely
+    boolRanks(d, boolQ((1L, Seq("rare"), Seq("common"), Seq.empty)))
+      .map(_._3) shouldBe Seq(1L, 2L)
+  }
+
+  test("bm25TopKBool: mustNot disqualifies regardless of score; " +
+      "should-only queries equal plain bm25TopK") {
+    val d = docs(
+      1L -> "table table chair",
+      2L -> "table lamp desk",
+      3L -> "sofa lamp rug")
+    import spark.implicits._
+    boolRanks(d, boolQ((1L, Seq.empty, Seq("table", "lamp"), Seq("desk"))))
+      .map(_._3) shouldBe Seq(1L, 3L) // doc 2 banned despite both terms
+    val plain = TextAnalysis.bm25TopK(d, "doc_id", "text",
+        Seq(1L -> Seq("table", "lamp")).toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    boolRanks(d, boolQ((1L, Seq.empty, Seq("table", "lamp"),
+      Seq.empty))) shouldBe plain
+  }
+
+  test("bm25TopKBool: conjunctive must, an unmatched must term, and a " +
+      "term both must and mustNot all yield the right candidate sets") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha delta",
+      3L -> "beta epsilon")
+    boolRanks(d, boolQ((1L, Seq("alpha", "beta"), Seq.empty, Seq.empty)))
+      .map(_._3) shouldBe Seq(1L)
+    boolRanks(d, boolQ((2L, Seq("zzz"), Seq("alpha"), Seq.empty))) shouldBe empty
+    boolRanks(d, boolQ((3L, Seq("alpha"), Seq.empty, Seq("alpha")))) shouldBe empty
+  }
+
+  test("bm25TopKBool: an all-negative query fails loud") {
+    val d = docs(1L -> "alpha beta")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBool(d, "doc_id", "text",
+        boolQ((1L, Seq.empty, Seq.empty, Seq("alpha"))),
+        "query_id", "must", "should", "mustNot", k = 3)
+    }
+  }
+
   test("bm25TopKFuzzy at dist 2: a two-edit typo reaches the corrected " +
       "query that dist 1 cannot") {
     val d = docs(

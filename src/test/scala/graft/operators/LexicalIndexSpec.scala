@@ -584,6 +584,30 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("indexed boolean BM25 exactly equals the one-shot operator " +
+      "(appends included), and unsatisfiable queries yield no rows") {
+    import spark.implicits._
+    val docs = corpus(40)
+    val q = Seq(
+      (1L, Seq("term1"), Seq("shared"), Seq.empty[String]),
+      (2L, Seq.empty[String], Seq("term2", "shared"), Seq("term3")),
+      (3L, Seq("term1", "term2"), Seq.empty[String], Seq.empty[String]),
+      (4L, Seq("nosuchterm"), Seq("shared"), Seq.empty[String]))
+      .toDF("query_id", "must", "should", "mustNot")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 20),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 20),
+      "doc_id", "text")
+    val indexed = collectRanks(LexicalIndex.bm25TopKBoolIndexed(
+      spark, dir, q, "query_id", "must", "should", "mustNot", k = 5))
+    indexed shouldBe collectRanks(TextAnalysis.bm25TopKBool(
+      docs, "doc_id", "text", q, "query_id", "must", "should",
+      "mustNot", k = 5))
+    indexed should not be empty
+    indexed.map(_._1).distinct should not contain 4L // unmatched must
+  }
+
   test("indexed facet counts exactly equal the one-shot operator " +
       "(appends and null facets included), and the scan prunes") {
     import spark.implicits._

@@ -115,6 +115,15 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
         (200, """[{"facet":"en","n_docs":2},{"facet":"fr","n_docs":1}]""")
       get(api.address, "/search/facets/delta") shouldBe
         (200, """[{"facet":null,"n_docs":1}]""")
+      // boolean: requiring alpha keeps the alpha-bearing docs 1 and 2
+      // (the streamed doc 3's betas never rank), banning alpha flips
+      // to doc 3 ("%2B" is "+")
+      get(api.address, "/search/bool/beta%20%2Balpha") shouldBe
+        (200, """[{"rank":1,"doc_id":1},{"rank":2,"doc_id":2}]""")
+      get(api.address, "/search/bool/beta%20-alpha") shouldBe
+        (200, """[{"rank":1,"doc_id":3}]""")
+      // an all-negative expression has nothing to rank
+      get(api.address, "/search/bool/-alpha")._1 shouldBe 400
       // caller errors answer 400 with the library's message, not a 500
       val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
       badVec shouldBe 400
