@@ -1573,6 +1573,33 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // more-like-this: every 50th doc as a SEED, its top-3 corpus-idf
+    // tf-idf terms as the query, BM25 over the one spilled tf bag,
+    // the seed excluded with later ranks closed up — query-by-example
+    // retrieval with no embedding model
+    "q157_more_like_this" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      TextAnalysis.moreLikeThis(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 50 === 0).select(col("doc_id")),
+          "doc_id", mTerms = 3, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // histogram facet: q151's facet machinery over a DERIVED bucket
+    // column (n_chars floored to 100s) — the numeric-range panel
+    // beside the term facets; zebra pins the empty match set
+    "q158_facet_histogram" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "zebra crossing")
+        .toDF("query_id", "qterms")
+      TextAnalysis.facetCounts(
+          t(s, d, "documents").withColumn("len_bucket",
+            (floor(col("n_chars") / 100) * 100).cast("long")),
+          "doc_id", "text", q, "query_id", "qterms", "len_bucket")
+        .orderBy(col("query_id"), col("facet"))
+    }),
+
     // boolean-filtered BM25: +must/-mustNot gates folded onto the one
     // scorer — q1 requires table, q2 is purely conjunctive, q3
     // excludes table-bearing docs from a should ranking, q4's must
@@ -2946,6 +2973,98 @@ object SparkEntry {
        FROM m JOIN documents d USING (doc_id)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q158: the q151 facet replay over a DERIVED numeric bucket
+    * (n_chars floored to 100s) instead of the lang attribute.
+    */
+  private def facetHistogramOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       qt(query_id, term) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast'), (1, 'table'),
+         (2, 'value'), (2, 'part'),
+         (3, 'zebra'), (3, 'crossing')),
+       m AS (
+         SELECT DISTINCT q.query_id, t.doc_id
+         FROM qt q
+         JOIN (SELECT doc_id, unnest(list_distinct(w)) AS term
+               FROM toks) t ON t.term = q.term)
+       SELECT m.query_id,
+         CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS facet,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM m JOIN documents d USING (doc_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q157 more-like-this replay: the q139 tf-idf CTEs pick each seed's
+    * top-3 terms (corpus-wide df), the q134 scoring CTEs rank BM25
+    * over those term sets at k+1, then the seed row drops with later
+    * ranks closed up — byte-for-byte the
+    * [[graft.operators.TextAnalysis.moreLikeThis]] math.
+    */
+  private def moreLikeThisOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           avg(CAST(len(w) AS DOUBLE)) AS avgdl
+         FROM toks),
+       corpus AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS doc_len, unnest(w) AS term
+         FROM toks),
+       tf AS (
+         SELECT doc_id, doc_len, term, count(*) AS tf
+         FROM corpus GROUP BY doc_id, doc_len, term),
+       kdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       ksm AS (
+         SELECT tf.doc_id, tf.term,
+           CAST(round(round(ln(n.n / kdf.df), 6) * tf.tf * 1000000)
+             AS BIGINT) AS sm
+         FROM tf JOIN kdf USING (term) CROSS JOIN n
+         WHERE tf.doc_id % 50 = 0),
+       kw AS (
+         SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY sm DESC, term) AS krank
+         FROM ksm),
+       q AS (SELECT doc_id AS query_id, term FROM kw WHERE krank <= 3),
+       btf AS (
+         SELECT * FROM tf
+         WHERE term IN (SELECT DISTINCT term FROM q)),
+       bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+       bsm AS (
+         SELECT btf.term, btf.doc_id,
+           CAST(round(round(
+             ln((stats.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+               * (btf.tf * 2.2)
+               / (btf.tf + 1.2 * (0.25 + 0.75 * btf.doc_len / stats.avgdl)),
+             6) * 1000000) AS BIGINT) AS sm
+         FROM btf JOIN bdf USING (term) CROSS JOIN stats),
+       pairs AS (
+         SELECT q.query_id, bsm.doc_id, sum(bsm.sm) AS m
+         FROM bsm JOIN q USING (term)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY m DESC, doc_id) AS rank
+         FROM pairs),
+       topk AS (SELECT * FROM ranked WHERE rank <= 6),
+       selfr AS (
+         SELECT query_id, rank AS sr FROM topk WHERE query_id = doc_id)
+       SELECT t.query_id,
+         CAST(CASE WHEN s.sr IS NOT NULL AND t.rank > s.sr
+           THEN t.rank - 1 ELSE t.rank END AS BIGINT) AS rank,
+         t.doc_id
+       FROM topk t LEFT JOIN selfr s USING (query_id)
+       WHERE t.query_id <> t.doc_id
+         AND (CASE WHEN s.sr IS NOT NULL AND t.rank > s.sr
+           THEN t.rank - 1 ELSE t.rank END) <= 5
+       ORDER BY query_id, rank"""
+
   /** Shared replay of the typo-tolerant BM25 searcher (q149 one-shot,
     * q150 indexed — identical expansion and scoring by construction):
     * the fixed typo'd term set expands against the corpus vocabulary by
@@ -3688,6 +3807,8 @@ object SparkEntry {
     // (single-homed bool tail, indexed ≡ one-shot spec-pinned)
     "q155_bool_bm25" -> boolBm25Oracle,
     "q156_bool_indexed" -> boolBm25Oracle,
+    "q157_more_like_this" -> moreLikeThisOracle,
+    "q158_facet_histogram" -> facetHistogramOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

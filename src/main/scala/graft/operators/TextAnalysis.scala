@@ -256,6 +256,65 @@ object TextAnalysis {
       "doc_id", k)
   }
 
+  /** "More like this": for every SEED document, the k corpus documents
+    * ranked by BM25 over the seed's own top-`mTerms` tf-idf
+    * characteristic terms — query-by-example retrieval, the
+    * find-similar-docs tool of corpus curation (grow a mixture from
+    * exemplars, find near-topic docs for an eval holdout) that needs
+    * no embedding model. The seed itself is excluded from its results
+    * (it would trivially rank first) with the later ranks shifted up,
+    * so callers still see a dense 1..k.
+    *
+    * Plan: ONE spilled corpus tf bag (a single tokenize pass) feeds
+    * the corpus-wide df rollup (idf must see every document), the
+    * SEED-restricted keyword fold (seeds are a broadcast id list, so
+    * the fold is seed-sized, not corpus-sized), and the
+    * [[bm25RankTail]] scorer over the derived (seed, term) query
+    * frame; self-exclusion is a broadcast join against the
+    * queries x 1 self-rank frame. Everything between the tokenize
+    * scan and the final rank handles integer rows only.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      seeds: DataFrame, seedIdCol: String, mTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(mTerms > 0, "mTerms must be positive")
+    require(k > 0, "k must be positive")
+    val tf = graft.io.Spill(tfProjection(docs, idCol, textCol),
+      "graft-mlt-")
+    val seedIds = seeds.select(col(seedIdCol).cast("long").as("doc_id"))
+    // the keyword frame (seeds x m rows) and the ranked frame
+    // (seeds x k+1 rows) each feed MULTIPLE broadcast consumers — left
+    // in-plan, every consumer would re-plan the whole fold/scoring
+    // subtree (measured 74 exchanges); spilled eagerly (the *_incr
+    // discipline — tiny integer frames), the audited tail is scans +
+    // one broadcast join
+    val keywords = graft.io.Spill(tfidfRankTailWithDf(
+      tf.join(broadcast(seedIds), Seq("doc_id"), "left_semi"),
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).cast("double").as("n")), mTerms),
+      "graft-mlt-kw-")
+    val qterms = keywords.select(col("doc_id").as("query_id"), col("term"))
+    val stats = docs
+      .select(graft.functions.TextFunctions
+        .sizeOrNull(words(col(textCol))).cast("double").as("l"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
+    val res = graft.io.Spill(bm25RankTail(
+      tf.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi"),
+      stats, qterms, k + 1, k1, b), "graft-mlt-res-")
+    // the seed (containing all its own keywords) typically occupies a
+    // top rank; drop it and close the gap so ranks stay dense
+    val selfRank = res.where(col("query_id") === col("doc_id"))
+      .select(col("query_id"), col("rank").as("__sr"))
+    res.where(col("query_id") =!= col("doc_id"))
+      .join(broadcast(selfRank), Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("__sr").isNotNull && col("rank") > col("__sr"),
+          col("rank") - 1).otherwise(col("rank")).as("rank"),
+        col("doc_id"))
+      .where(col("rank") <= k)
+  }
+
   /** Boolean-filtered batched BM25: every query carries three term
     * arrays — `must` (every one required in a candidate), `should`
     * (score-only), `mustNot` (any one disqualifies) — the +term/-term
@@ -817,8 +876,17 @@ object TextAnalysis {
     * vocabulary); `stats` one (n) row.
     */
   private[operators] def tfidfRankTail(tf: DataFrame, stats: DataFrame,
-      k: Int): DataFrame = {
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      k: Int): DataFrame =
+    tfidfRankTailWithDf(tf,
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")), stats, k)
+
+  /** [[tfidfRankTail]] with the df rollup supplied by the caller —
+    * [[moreLikeThis]] folds top terms for the SEED docs only while idf
+    * must stay corpus-wide, so its scored frame and its df frame come
+    * from different restrictions of the same tf bag.
+    */
+  private[operators] def tfidfRankTailWithDf(tf: DataFrame,
+      df: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     tf.join(df, Seq("term"))
       .join(broadcast(stats))
       .select(col("doc_id"), col("term"),

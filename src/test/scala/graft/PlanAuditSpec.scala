@@ -301,7 +301,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // pairs; the indexed twin adds the build/append writes' exchanges
     // (the q135 pattern — build rows, not query rows)
     "q155_bool_bm25" -> 16,
-    "q156_bool_indexed" -> 21)
+    "q156_bool_indexed" -> 21,
+    // more-like-this: the keyword fold and the seeds x k+1 ranking
+    // spill eagerly (their multi-consumer subtrees would otherwise
+    // re-plan per broadcast — measured 74 exchanges pre-spill), so the
+    // audited tail is the two spill scans, the broadcast self-rank
+    // join, the final sort
+    "q157_more_like_this" -> 2,
+    // histogram facet: q151's shape over the derived n_chars bucket
+    "q158_facet_histogram" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -301,6 +301,40 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     boolRanks(d, boolQ((3L, Seq("alpha"), Seq.empty, Seq("alpha")))) shouldBe empty
   }
 
+  test("moreLikeThis: the seed's nearest doc by its own keywords ranks " +
+      "first; the seed is excluded and later ranks close up") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "quantum flux capacitor quantum", // seed: top terms all 3
+      2L -> "quantum flux device",            // shares 2 keywords
+      3L -> "flux only here",                 // shares 1
+      4L -> "totally unrelated words")
+    val out = TextAnalysis.moreLikeThis(d, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), "doc_id", mTerms = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    out.map(_._1).distinct shouldBe Array(1L)
+    out.map(_._3) should not contain 1L // the seed would rank itself 1st
+    out.map(_._2) shouldBe Array(1L, 2L) // dense after the exclusion
+    out.map(_._3) shouldBe Array(2L, 3L) // 2 shared keywords beat 1
+  }
+
+  test("moreLikeThis: mTerms caps the query (a rare term outside the " +
+      "top-m cannot pull in its documents)") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "alpha alpha alpha beta beta unique",
+      2L -> "unique things here",  // reachable only via 'unique'
+      3L -> "alpha beta mix")
+    // top-2 keywords of doc 1: idf(unique)=ln(3/2) tf1, idf(alpha)=
+    // ln(3/2)... alpha df2, beta df2, unique df2 -> idf equal; tf
+    // decides: alpha(3) > beta(2) > unique(1) -> m=2 keeps alpha, beta
+    val out = TextAnalysis.moreLikeThis(d, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), "doc_id", mTerms = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out.map(_._2) shouldBe Array(3L) // doc 2 unreachable without 'unique'
+  }
+
   test("bm25TopKBool: an all-negative query fails loud") {
     val d = docs(1L -> "alpha beta")
     intercept[IllegalArgumentException] {
