@@ -1585,6 +1585,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // more-like-this served from the persisted index (q135 build
+    // pattern): seed text from the corpus scan, keyword idf from the
+    // pruned posting scan, ranking through the indexed BM25 — the
+    // oracle is q157's (single-homed fold/tail, indexed ≡ one-shot
+    // spec-pinned)
+    "q159_mlt_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.operators.LexicalIndex.moreLikeThisIndexed(s, dir, docs,
+          "doc_id", "text",
+          docs.where(col("doc_id") % 50 === 0).select(col("doc_id")),
+          "doc_id", mTerms = 3, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -3808,6 +3828,9 @@ object SparkEntry {
     "q155_bool_bm25" -> boolBm25Oracle,
     "q156_bool_indexed" -> boolBm25Oracle,
     "q157_more_like_this" -> moreLikeThisOracle,
+    // q159 serves IDENTICAL results from the persisted index
+    // (single-homed keyword fold + exclusion tail, spec-pinned)
+    "q159_mlt_indexed" -> moreLikeThisOracle,
     "q158_facet_histogram" -> facetHistogramOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,

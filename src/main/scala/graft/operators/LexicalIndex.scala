@@ -622,6 +622,53 @@ object LexicalIndex {
     TextAnalysis.bm25BoolRankTail(tf, stats, roles, k, k1, b)
   }
 
+  /** [[TextAnalysis.moreLikeThis]] served FROM the index — find-similar
+    * for a handful of seed ids without a corpus tokenize pass: the
+    * SEEDS' text comes from the id-keyed corpus frame (a pushed-down
+    * `id IN (seeds)` scan — the posting layout is term-bucketed, so
+    * reading one document's terms from it would be the full-index scan
+    * the index exists to avoid), their term df comes from the
+    * bucket-pruned posting scan, corpus N from the stats fold, and the
+    * ranking runs through [[bm25TopKIndexed]]'s pruned scan. The
+    * keyword fold, ranked frame and self-exclusion are single-homed
+    * with the one-shot path (indexed ≡ one-shot spec-pinned). Every
+    * intermediate frame is seed-sized and spilled once.
+    */
+  def moreLikeThisIndexed(spark: SparkSession, path: String,
+      docs: DataFrame, idCol: String, textCol: String, seeds: DataFrame,
+      seedIdCol: String, mTerms: Int, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(mTerms > 0, "mTerms must be positive")
+    require(k > 0, "k must be positive")
+    val nBuckets = readNBuckets(spark, path)
+    val seedIds = seeds.select(col(seedIdCol).cast("long").as("doc_id"))
+    val seedDocs = docs.join(broadcast(seedIds),
+      docs(idCol).cast("long") === seedIds("doc_id"), "left_semi")
+    val seedTf = graft.io.Spill(
+      TextAnalysis.tfProjection(seedDocs, idCol, textCol), "graft-mlti-")
+    // bounded driver action: |buckets| <= min(|seed vocabulary|, nBuckets)
+    val buckets = seedTf
+      .select(termBucket(col("term"), nBuckets).as("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val df = readPostings(spark, path)
+      .where(col("tb").isin(buckets: _*))
+      .join(broadcast(seedTf.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = readStats(spark, path)
+      .agg(sum(col("n_docs")).cast("double").as("n"))
+    val keywords = graft.io.Spill(
+      TextAnalysis.tfidfRankTailWithDf(seedTf, df, n, mTerms),
+      "graft-mlti-kw-")
+    val queries = keywords.groupBy(col("doc_id"))
+      .agg(collect_list(col("term")).as("__qt"))
+      .select(col("doc_id").as("query_id"), col("__qt"))
+    val res = graft.io.Spill(
+      bm25TopKIndexed(spark, path, queries, "query_id", "__qt", k + 1,
+        k1, b), "graft-mlti-res-")
+    TextAnalysis.mltExcludeSeed(res, k)
+  }
+
   /** [[TextAnalysis.facetCounts]] served FROM the index — the
     * search-facet panel without a corpus tokenize pass: the match set
     * (docs containing ANY query term) comes from the bucket-pruned

@@ -302,8 +302,17 @@ object TextAnalysis {
       tf.join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi"),
       stats, qterms, k + 1, k1, b), "graft-mlt-res-")
-    // the seed (containing all its own keywords) typically occupies a
-    // top rank; drop it and close the gap so ranks stay dense
+    mltExcludeSeed(res, k)
+  }
+
+  /** Self-exclusion tail shared by [[moreLikeThis]] and
+    * [[LexicalIndex.moreLikeThisIndexed]] — single-homed so the paths
+    * cannot drift: `res` is the seeds x (k+1) ranking with
+    * query_id = seed id; the seed (containing all its own keywords)
+    * typically occupies a top rank — drop it and close the gap so the
+    * returned ranks stay dense 1..k.
+    */
+  private[operators] def mltExcludeSeed(res: DataFrame, k: Int): DataFrame = {
     val selfRank = res.where(col("query_id") === col("doc_id"))
       .select(col("query_id"), col("rank").as("__sr"))
     res.where(col("query_id") =!= col("doc_id"))

@@ -435,6 +435,38 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  /** `/search/mlt/{docId}?m=N`: more-like-this — the k docs most
+    * similar to the given corpus document, ranked by BM25 over its own
+    * top-`m` (default 3) tf-idf terms; the seed itself is excluded.
+    * Seed text comes from the corpus table (`docsPath` — 400 when
+    * absent), keyword idf and the ranking from the maintained index.
+    * `[{"rank":1,"doc_id":42},...]`; an unknown docId answers `[]`.
+    */
+  server.createContext("/search/mlt/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.lit
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val docs = conf.docsPath.getOrElse(
+        throw new IllegalStateException(
+          "no corpus table configured (Retrieval.docsPath) - " +
+            "more-like-this reads the seed's text from the corpus"))
+      val seedId = pathKey(ex, "/search/mlt/")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          "more-like-this needs a numeric doc id"))
+      val m = queryParam(ex, "m").map(_.toInt).getOrElse(3)
+      graft.operators.LexicalIndex.moreLikeThisIndexed(conf.spark, path,
+          conf.spark.read.parquet(docs), conf.docIdCol, conf.docTextCol,
+          oneQuery(conf, "doc_id" -> lit(seedId)), "doc_id",
+          mTerms = m, k = kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
+          r.getAs[Long]("doc_id")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
   /** `/search/facets/{terms}`: the search-facet panel — how the docs
     * matching ANY query term distribute over the corpus's configured
     * facet column (`Retrieval.facetCol`), biggest slice first (facet

@@ -308,6 +308,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // audited tail is the two spill scans, the broadcast self-rank
     // join, the final sort
     "q157_more_like_this" -> 2,
+    // indexed twin: build/append write exchanges + the same spilled
+    // tail (the q135 build-row pattern)
+    "q159_mlt_indexed" -> 2,
     // histogram facet: q151's shape over the derived n_chars bucket
     "q158_facet_histogram" -> 4)
 

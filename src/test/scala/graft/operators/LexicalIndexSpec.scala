@@ -584,6 +584,28 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("indexed more-like-this exactly equals the one-shot operator " +
+      "(appends included): seed text from the corpus, idf and ranking " +
+      "from the index") {
+    import spark.implicits._
+    val docs = corpus(40)
+    val seeds = Seq(5L, 12L, 30L).toDF("doc_id")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 20),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 20),
+      "doc_id", "text")
+    val indexed = collectRanks(LexicalIndex.moreLikeThisIndexed(
+      spark, dir, docs, "doc_id", "text", seeds, "doc_id",
+      mTerms = 3, k = 4))
+    indexed shouldBe collectRanks(TextAnalysis.moreLikeThis(
+      docs, "doc_id", "text", seeds, "doc_id", mTerms = 3, k = 4))
+    indexed should not be empty
+    indexed.map(_._1).distinct.sorted shouldBe Seq(5L, 12L, 30L)
+    // the seed never appears in its own result list
+    indexed.foreach { case (q, _, d) => d should not be q }
+  }
+
   test("indexed boolean BM25 exactly equals the one-shot operator " +
       "(appends included), and unsatisfiable queries yield no rows") {
     import spark.implicits._

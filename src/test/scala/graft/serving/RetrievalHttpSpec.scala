@@ -124,6 +124,13 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
         (200, """[{"rank":1,"doc_id":3}]""")
       // an all-negative expression has nothing to rank
       get(api.address, "/search/bool/-alpha")._1 shouldBe 400
+      // more-like-this: doc 2 "alpha gamma" — its keywords reach the
+      // alpha-bearing doc 1 (doc 2 itself excluded); unknown ids and
+      // non-numeric ids degrade cleanly
+      get(api.address, "/search/mlt/2?m=2&k=2") shouldBe
+        (200, """[{"rank":1,"doc_id":1}]""")
+      get(api.address, "/search/mlt/999") shouldBe (200, "[]")
+      get(api.address, "/search/mlt/notanid")._1 shouldBe 400
       // caller errors answer 400 with the library's message, not a 500
       val (badVec, badBody) = get(api.address, "/search/hybrid/alpha")
       badVec shouldBe 400
