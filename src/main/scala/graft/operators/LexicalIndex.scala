@@ -622,6 +622,39 @@ object LexicalIndex {
     TextAnalysis.bm25BoolRankTail(tf, stats, roles, k, k1, b)
   }
 
+  /** Operational snapshot of a persisted index — the introspection a
+    * maintainer reads before deciding to [[compact]] or rebuild.
+    */
+  final case class IndexInfo(
+      nBuckets: Int, positional: Boolean,
+      postingGenerations: Seq[String], statsGenerations: Seq[String],
+      foldedBatches: Int, nDocs: Long, totalLen: Long, parquetFiles: Int)
+
+  /** Describe the index at `path`: layout knobs from meta, generation
+    * ids from one directory listing per table, folded-manifest size,
+    * corpus totals from the stats fold, and the parquet file count
+    * (the compaction-pressure signal — appends accrue files, compact
+    * folds them). Everything here is driver-side metadata plus the
+    * few-row stats read; the posting data itself is never scanned.
+    */
+  def describe(spark: SparkSession, path: String): IndexInfo = {
+    val (nBuckets, positional) = readMeta(spark, path)
+    val totals = readStats(spark, path)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"),
+        coalesce(sum(col("total_len")), lit(0L)).as("t")).head()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val it = fs.listFiles(root, true)
+    var files = 0
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+    IndexInfo(nBuckets, positional,
+      generationIds(spark, path, "postings").sorted,
+      generationIds(spark, path, "stats").sorted,
+      foldedIds(spark, path).size,
+      totals.getLong(0), totals.getLong(1), files)
+  }
+
   /** [[TextAnalysis.moreLikeThis]] served FROM the index — find-similar
     * for a handful of seed ids without a corpus tokenize pass: the
     * SEEDS' text comes from the id-keyed corpus frame (a pushed-down

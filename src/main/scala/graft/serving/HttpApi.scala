@@ -371,6 +371,27 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  /** `/search/index`: operational snapshot of the configured lexical
+    * index ([[graft.operators.LexicalIndex.describe]]) — layout knobs,
+    * generation ids, folded-batch count, corpus totals and the parquet
+    * file count (the compaction-pressure signal). The retrieval
+    * family's analog of `/metadata`.
+    */
+  server.createContext("/search/index", { ex =>
+    searchRoute(ex) { conf =>
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val i = graft.operators.LexicalIndex.describe(conf.spark, path)
+      s"""{"n_buckets":${i.nBuckets},"positional":${i.positional},""" +
+        s""""posting_generations":${i.postingGenerations
+          .map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""stats_generations":${i.statsGenerations
+          .map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""folded_batches":${i.foldedBatches},"n_docs":${i.nDocs},""" +
+        s""""total_len":${i.totalLen},"parquet_files":${i.parquetFiles}}"""
+    }
+  })
+
   /** `/search/bool/{expr}`: boolean-filtered BM25 — `+term` is
     * required in every hit, `-term` disqualifies, bare terms score
     * (`fast +table -zebra`). Candidates satisfying the gates rank by

@@ -584,6 +584,34 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("describe reports layout, generations, folded batches and " +
+      "corpus totals across build/append/compact") {
+    val docs = corpus(20)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8, positional = true)
+    val d0 = LexicalIndex.describe(spark, dir)
+    d0.nBuckets shouldBe 8
+    d0.positional shouldBe true
+    d0.postingGenerations shouldBe Seq("init")
+    d0.foldedBatches shouldBe 0
+    d0.nDocs shouldBe 10L
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 10),
+      "doc_id", "text", batchId = "epoch-d-1")
+    val d1 = LexicalIndex.describe(spark, dir)
+    d1.postingGenerations shouldBe Seq("epoch-d-1", "init")
+    d1.nDocs shouldBe 20L
+    d1.parquetFiles should be > d0.parquetFiles
+    LexicalIndex.compact(spark, dir)
+    val d2 = LexicalIndex.describe(spark, dir)
+    d2.postingGenerations shouldBe Seq("compacted")
+    d2.statsGenerations shouldBe Seq("compacted")
+    d2.foldedBatches shouldBe 2 // init + the epoch, both manifested
+    d2.nDocs shouldBe 20L
+    d2.totalLen shouldBe d1.totalLen // the fold moves bytes, not stats
+    d2.parquetFiles should be < d1.parquetFiles
+  }
+
   test("indexed more-like-this exactly equals the one-shot operator " +
       "(appends included): seed text from the corpus, idf and ranking " +
       "from the index") {

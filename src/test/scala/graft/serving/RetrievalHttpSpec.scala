@@ -193,6 +193,15 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
     try {
       get(api3.address, "/search/passage/alpha?window=2") shouldBe
         (200, """[{"rank":1,"doc_id":1,"n_hits":1,"start":0}]""")
+      // the index introspection route mirrors /metadata for retrieval
+      val (iCode, iBody) = get(api3.address, "/search/index")
+      iCode shouldBe 200
+      iBody should include(""""n_buckets":4""")
+      iBody should include(""""positional":true""")
+      iBody should include(""""posting_generations":["init"]""")
+      iBody should include(""""folded_batches":0""")
+      iBody should include(""""n_docs":1""")
+      iBody should include(""""total_len":2""")
       val (fCode, fBody) = get(api3.address, "/search/facets/alpha")
       fCode shouldBe 400
       fBody should include("docsPath")
