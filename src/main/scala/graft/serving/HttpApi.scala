@@ -333,7 +333,10 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     * sliced passage TEXT (`"snippet":"..."` — the retrieve-then-quote
     * payload), served by [[graft.operators.LexicalIndex
     * .passageSnippetsIndexed]] with the corpus scan bounded to the k
-    * winning ids. 400 on a non-positional index or malformed window.
+    * winning ids; `?highlight=1` wraps matched terms in `[...]` —
+    * pure presentation on the k collected rows, so it runs
+    * driver-side, not in the plan. 400 on a non-positional index or
+    * malformed window.
     */
   server.createContext("/search/passage/", { ex =>
     searchRoute(ex) { conf =>
@@ -346,6 +349,15 @@ final class HttpApi(serving: Serving, port: Int = 0) {
         "query_id" -> org.apache.spark.sql.functions.lit(0L),
         "qterms" -> org.apache.spark.sql.functions.lit(terms))
       val k = kOf(ex, conf)
+      val highlight = queryParam(ex, "highlight").exists(v =>
+        v == "1" || v == "true")
+      // snippets hold NORMALIZED tokens, so matching is exact
+      // whole-token equality against the normalized query terms
+      val qset = terms.toLowerCase.split("\\W+").filter(_.nonEmpty).toSet
+      def mark(s: String): String =
+        if (!highlight) s
+        else s.split(" ").map(w =>
+          if (qset.contains(w)) s"[$w]" else w).mkString(" ")
       conf.docsPath match {
         case Some(docs) =>
           graft.operators.LexicalIndex
@@ -356,7 +368,7 @@ final class HttpApi(serving: Serving, port: Int = 0) {
             .map(r => s"""{"rank":${r.getAs[Long]("rank")},"doc_id":${
               r.getAs[Long]("doc_id")},"n_hits":${r.getAs[Long]("n_hits")
               },"start":${r.getAs[Long]("start")},"snippet":${
-              jsonStr(r.getAs[String]("snippet"))}}""")
+              jsonStr(mark(r.getAs[String]("snippet")))}}""")
             .mkString("[", ",", "]")
         case None =>
           graft.operators.LexicalIndex

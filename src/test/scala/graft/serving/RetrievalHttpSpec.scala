@@ -102,6 +102,12 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
           """{"rank":2,"doc_id":3,"n_hits":3,"start":0,"snippet":"beta beta beta"},""" +
           """{"rank":3,"doc_id":2,"n_hits":1,"start":0,"snippet":"alpha gamma"}]""")
       get(api.address, "/search/passage/alpha?window=bad")._1 shouldBe 400
+      // highlighting wraps matched terms only (presentation on the k
+      // collected rows, never in the plan)
+      get(api.address,
+        "/search/passage/alpha%20beta?window=3&highlight=1&k=1") shouldBe
+        (200, """[{"rank":1,"doc_id":1,"n_hits":3,"start":0,""" +
+          """"snippet":"[alpha] [beta] [alpha]"}]""")
       // fuzzy: "alhpa" (transposition = dist 2? no — one substitution
       // pair at dist 2; use "alpa", one delete from alpha) expands to
       // the vocabulary term and ranks like the exact query
