@@ -1585,6 +1585,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // significant terms: each query's match set mined for its
+    // over-represented vocabulary (log df-lift vs the corpus, exact
+    // micros, own terms excluded) — "what characterizes these docs";
+    // zebra matches nothing and yields no rows
+    "q160_significant_terms" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "zebra crossing", 4L -> "table table")
+        .toDF("query_id", "qterms")
+      TextAnalysis.significantTerms(t(s, d, "documents"), "doc_id",
+          "text", q, "query_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the same mining served from the persisted index (q135 build
+    // pattern): the posting table IS the distinct (doc, term)
+    // projection — no tokenize pass; shared tail, shared oracle
+    "q161_sig_indexed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").repartition(32)
+      val q = Seq(1L -> "fast table", 2L -> "value part",
+          3L -> "zebra crossing", 4L -> "table table")
+        .toDF("query_id", "qterms")
+      val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+      graft.operators.LexicalIndex.write(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", dir,
+        nBuckets = 16)
+      graft.operators.LexicalIndex.append(s, dir,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.operators.LexicalIndex.significantTermsIndexed(s, dir, q,
+          "query_id", "qterms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // more-like-this served from the persisted index (q135 build
     // pattern): seed text from the corpus scan, keyword idf from the
     // pruned posting scan, ranking through the indexed BM25 — the
@@ -2766,6 +2800,53 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Significant-terms replay (q160 one-shot ≡ q161 indexed,
+    * single-homed tail): distinct (doc, term) pairs, the match set,
+    * per-query totals, foreground vs background doc counts, the
+    * 6-decimal log-lift micros with own-term exclusion, the exact
+    * integer rank.
+    */
+  private def significantTermsOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       qt(query_id, term) AS (VALUES
+         (CAST(1 AS BIGINT), 'fast'), (1, 'table'),
+         (2, 'value'), (2, 'part'),
+         (3, 'zebra'), (3, 'crossing'),
+         (4, 'table')),
+       dterms AS (
+         SELECT doc_id, unnest(list_distinct(w)) AS term FROM toks),
+       m AS (
+         SELECT DISTINCT q.query_id, t.doc_id
+         FROM qt q JOIN dterms t ON t.term = q.term),
+       nm AS (SELECT query_id, count(*) AS nm FROM m GROUP BY 1),
+       df AS (SELECT term, count(*) AS df FROM dterms GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       fg AS (
+         SELECT m.query_id, d.term, count(*) AS fg
+         FROM m JOIN dterms d USING (doc_id)
+         GROUP BY 1, 2),
+       sm AS (
+         SELECT fg.query_id, fg.term,
+           CAST(round(round(ln((fg.fg * n.n) / (nm.nm * df.df)), 6)
+             * 1000000) AS BIGINT) AS sm
+         FROM fg JOIN nm USING (query_id) JOIN df USING (term)
+           CROSS JOIN n
+         WHERE NOT EXISTS (
+           SELECT 1 FROM qt
+           WHERE qt.query_id = fg.query_id AND qt.term = fg.term)),
+       ranked AS (
+         SELECT query_id, term, sm,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sm DESC, term) AS rank
+         FROM sm)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
+         CAST(sm AS DOUBLE) / 1e6 AS score
+       FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   /** Boolean-BM25 replay (q155 one-shot ≡ q156 indexed, single-homed
     * tail): the q134 scoring CTEs with tf restricted to ALL role terms
     * (a term's df is its own doc count, unaffected by which other
@@ -3832,6 +3913,10 @@ object SparkEntry {
     // (single-homed keyword fold + exclusion tail, spec-pinned)
     "q159_mlt_indexed" -> moreLikeThisOracle,
     "q158_facet_histogram" -> facetHistogramOracle,
+    // q161 serves IDENTICAL results from the persisted index
+    // (single-homed tail, spec-pinned)
+    "q160_significant_terms" -> significantTermsOracle,
+    "q161_sig_indexed" -> significantTermsOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

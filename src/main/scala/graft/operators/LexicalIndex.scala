@@ -622,6 +622,31 @@ object LexicalIndex {
     TextAnalysis.bm25BoolRankTail(tf, stats, roles, k, k1, b)
   }
 
+  /** [[TextAnalysis.significantTerms]] served FROM the index — the
+    * match set's over-represented vocabulary without a corpus tokenize
+    * pass: the posting table IS the distinct (doc, term) projection
+    * (one row per pair by construction). Like
+    * [[tfidfKeywordsIndexed]], the foreground needs every matched
+    * doc's full term list, so the scan reads all buckets — no pruning
+    * to claim, but no tokenize pass either; the shared
+    * [[TextAnalysis.significantTermsTail]] keeps indexed ≡ one-shot
+    * exact (spec-pinned).
+    */
+  def significantTermsIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    readNBuckets(spark, path) // fail loud on a non-index path
+    val qterms = TextAnalysis.proximityQueryTerms(queries, queryIdCol,
+        termsCol)
+      .select(col("query_id"), col("term"))
+    val dterms = readPostings(spark, path)
+      .select(col("doc_id"), col("term"))
+    TextAnalysis.significantTermsTail(dterms, qterms,
+      readStats(spark, path)
+        .agg(sum(col("n_docs")).cast("double").as("__n")), k)
+  }
+
   /** Operational snapshot of a persisted index — the introspection a
     * maintainer reads before deciding to [[compact]] or rebuild.
     */

@@ -791,6 +791,73 @@ object TextAnalysis {
       .join(broadcast(qterms), Seq("term")))
   }
 
+  /** Significant terms of each query's match set: the terms
+    * OVER-REPRESENTED among the documents matching ANY query term,
+    * relative to the whole corpus — "what characterizes these docs",
+    * the corpus-slicing view beside [[facetCounts]] (a facet panel
+    * needs a facet column; this mines one from the text). Score is
+    * the log document-frequency lift ln((fg/nMatched)/(df/N)) in
+    * exact integer micros (6-decimal rounded, term-ascending
+    * tiebreak); the query's OWN terms are excluded — they are
+    * definitionally significant, and dropping them surfaces the
+    * co-occurring vocabulary a mixture designer actually wants.
+    * Queries matching nothing yield no rows.
+    *
+    * Plan: the distinct (doc, term) projection spills once (it feeds
+    * the match set, the foreground count and the background df), the
+    * foreground join keys on doc id (integer rows), per-query totals
+    * and the one-row corpus N broadcast, and the per-query top-k is
+    * the bounded [[tfidfRankTail]] sort fold. Output
+    * (query_id, rank, term, score).
+    */
+  def significantTerms(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
+      .select(col("query_id"), col("term"))
+    val dterms = graft.io.Spill(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(words(col(textCol)))).as("term")),
+      "graft-sig-")
+    significantTermsTail(dterms, qterms,
+      docs.agg(count(lit(1)).cast("double").as("__n")), k)
+  }
+
+  /** Scoring + ranking tail shared by [[significantTerms]] (spilled
+    * tokenize projection) and
+    * [[LexicalIndex.significantTermsIndexed]] (posting scan) —
+    * single-homed so the paths cannot drift. `dterms` is distinct
+    * (doc_id, term) rows; `nDocs` one (__n) row.
+    */
+  private[operators] def significantTermsTail(dterms: DataFrame,
+      qterms: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+    val matched = dterms.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val nm = matched.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nm"))
+    val df = dterms.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val fg = matched.join(dterms, Seq("doc_id"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("__fg"))
+    val scored = fg
+      .join(broadcast(qterms), Seq("query_id", "term"), "left_anti")
+      .join(broadcast(nm), Seq("query_id"))
+      .join(df, Seq("term"))
+      .join(broadcast(nDocs))
+      .select(col("query_id"), col("term"),
+        round(round(log((col("__fg").cast("double") * col("__n"))
+          / (col("__nm").cast("double") * col("__df").cast("double"))),
+          6) * 1e6).cast("long").as("__sm"))
+    scored.groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("__sm")).as("m"), col("term")))), 1, k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("query_id"), (col("__r") + 1).cast("long").as("rank"),
+        col("__t.term").as("term"),
+        ((-col("__t.m")).cast("double") / lit(1e6)).as("score"))
+  }
+
   /** Aggregation tail shared by [[facetCounts]] and
     * [[LexicalIndex.facetCountsIndexed]] — single-homed like
     * [[bm25RankTail]] so indexed ≡ one-shot exactly: one distinct over

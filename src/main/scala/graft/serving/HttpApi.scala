@@ -500,6 +500,32 @@ final class HttpApi(serving: Serving, port: Int = 0) {
     }
   })
 
+  /** `/search/significant/{terms}`: the match set's over-represented
+    * vocabulary ([[graft.operators.LexicalIndex
+    * .significantTermsIndexed]] — log df-lift vs the corpus, the
+    * query's own terms excluded), the mined facet panel beside
+    * `/search/facets`. `[{"rank":1,"term":"...","score":1.234567},...]`.
+    */
+  server.createContext("/search/significant/", { ex =>
+    searchRoute(ex) { conf =>
+      import org.apache.spark.sql.functions.lit
+      val path = conf.lexicalIndexPath.getOrElse(
+        throw new IllegalStateException("no lexical index configured"))
+      val terms = pathKey(ex, "/search/significant/").getOrElse(
+        throw new IllegalArgumentException("no query terms"))
+      val q = oneQuery(conf, "query_id" -> lit(0L),
+        "qterms" -> lit(terms))
+      graft.operators.LexicalIndex
+        .significantTermsIndexed(conf.spark, path, q, "query_id",
+          "qterms", kOf(ex, conf))
+        .orderBy("rank").collect()
+        .map(r => s"""{"rank":${r.getAs[Long]("rank")},"term":${
+          jsonStr(r.getAs[String]("term"))},"score":${
+          r.getAs[Double]("score")}}""")
+        .mkString("[", ",", "]")
+    }
+  })
+
   /** `/search/facets/{terms}`: the search-facet panel — how the docs
     * matching ANY query term distribute over the corpus's configured
     * facet column (`Retrieval.facetCol`), biggest slice first (facet

@@ -61,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q153_ndcg", "q154_mrr",
     // q155/q156: the same one-row stats broadcast under the boolean
     // gates
-    "q155_bool_bm25", "q156_bool_indexed")
+    "q155_bool_bm25", "q156_bool_indexed",
+    // q160/q161: the one-row corpus-N broadcast under the lift scoring
+    "q160_significant_terms", "q161_sig_indexed")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -312,7 +314,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // tail (the q135 build-row pattern)
     "q159_mlt_indexed" -> 2,
     // histogram facet: q151's shape over the derived n_chars bucket
-    "q158_facet_histogram" -> 4)
+    "q158_facet_histogram" -> 4,
+    // significant terms: the spilled distinct (doc, term) projection
+    // (posting scan for the indexed twin) re-plans under its three
+    // consumers (match set, foreground, background df), the fg doc-id
+    // equi-join, per-query totals + one-row N broadcasts, the bounded
+    // top-k fold, final sort — every exchange carries (ids, term,
+    // count) rows only
+    "q160_significant_terms" -> 15,
+    "q161_sig_indexed" -> 15)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

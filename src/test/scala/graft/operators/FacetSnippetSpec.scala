@@ -63,6 +63,41 @@ class FacetSnippetSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Array((1L, "en", 1L))
   }
 
+  test("significantTerms: a term concentrated in the match set " +
+      "outranks a corpus-wide one; the query's own terms are excluded") {
+    val d = docs(
+      (1L, "fast rocket engine", "en"),
+      (2L, "fast rocket fuel", "en"),
+      (3L, "slow common words", "en"),
+      (4L, "common words again", "en"))
+    // match set of "fast" = docs 1,2; "rocket" is in 2/2 matched vs
+    // 2/4 corpus (lift 2); "engine"/"fuel" 1/2 vs 1/4 (lift 2);
+    // "common" never co-occurs; "fast" itself is excluded
+    val out = TextAnalysis.significantTerms(d, "doc_id", "text",
+        { import spark.implicits._; Seq(1L -> "fast").toDF("query_id", "qterms") },
+        "query_id", "qterms", k = 10)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    out.map(_._2) should not contain "fast"
+    out.map(_._2) should not contain "common"
+    // ln(2) lift, ties on term ascending: engine, fuel, rocket
+    out.map(_._2) shouldBe Array("engine", "fuel", "rocket")
+    all(out.map(_._3)) shouldBe BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("significantTerms: zero-match queries yield no rows; repeated " +
+      "query terms add nothing") {
+    val d = docs((1L, "fast table", "en"), (2L, "slow chair", "en"))
+    import spark.implicits._
+    val out = TextAnalysis.significantTerms(d, "doc_id", "text",
+        Seq(1L -> "zebra", 2L -> "fast fast").toDF("query_id", "qterms"),
+        "query_id", "qterms", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    out.map(_._1).distinct shouldBe Array(2L)
+    out.map(_._2) shouldBe Array("table") // ln((1/1)/(1/2)) = ln 2 > 0
+  }
+
   test("passageSnippets: the snippet is exactly `window` normalized " +
     "words from the winning start") {
     val d = docs(

@@ -584,6 +584,26 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("indexed significant terms exactly equal the one-shot operator " +
+      "(appends included)") {
+    import spark.implicits._
+    val docs = corpus(40)
+    val q = Seq(1L -> "term1 shared", 2L -> "term3").toDF("query_id", "qterms")
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 20),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 20),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val indexed = rows(LexicalIndex.significantTermsIndexed(spark, dir,
+      q, "query_id", "qterms", k = 4))
+    indexed shouldBe rows(TextAnalysis.significantTerms(docs, "doc_id",
+      "text", q, "query_id", "qterms", k = 4))
+    indexed should not be empty
+  }
+
   test("describe reports layout, generations, folded batches and " +
       "corpus totals across build/append/compact") {
     val docs = corpus(20)

@@ -130,6 +130,14 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
         (200, """[{"rank":1,"doc_id":3}]""")
       // an all-negative expression has nothing to rank
       get(api.address, "/search/bool/-alpha")._1 shouldBe 400
+      // significant terms: the corpus is tiny so just pin the shape —
+      // alpha's match set (docs 1,2) over-represents gamma (1/2
+      // matched vs 1/4 corpus) and beta is diluted by the streamed
+      // doc 3; own terms excluded
+      val (sCode, sBody) = get(api.address, "/search/significant/alpha")
+      sCode shouldBe 200
+      sBody should include(""""term":"gamma"""")
+      sBody should not include (""""term":"alpha"""")
       // more-like-this: doc 2 "alpha gamma" — its keywords reach the
       // alpha-bearing doc 1 (doc 2 itself excluded); unknown ids and
       // non-numeric ids degrade cleanly
