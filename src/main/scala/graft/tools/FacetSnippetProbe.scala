@@ -68,10 +68,18 @@ object FacetSnippetProbe {
       val nNdcg = RankFusion.ndcgAtK(ranked, judgments, "doc_id", k = 10)
         .count()
       val ndcgSecs = (System.nanoTime() - tm0) / 1e9
+      // significant terms: the fg join is the one corpus-scale doc-id
+      // equi-join of the round-14 family — its growth must track the
+      // matched set linearly, never super-linearly
+      val tg0 = System.nanoTime()
+      val nSig = LexicalIndex.significantTermsIndexed(spark, dir, queries,
+        "query_id", "qterms", k = 10).count()
+      val sigSecs = (System.nanoTime() - tg0) / 1e9
       println(f"m=$m%d rows=${m * baseRows}%d " +
         f"facets=$facetSecs%.2f (matched=$nMatched%d) " +
         f"snippets=$snipSecs%.2f (rows=$nSnip%d) " +
-        f"ndcg=$ndcgSecs%.2f (queries=$nNdcg%d)")
+        f"ndcg=$ndcgSecs%.2f (queries=$nNdcg%d) " +
+        f"sig=$sigSecs%.2f (rows=$nSig%d)")
     }
     spark.stop()
   }
