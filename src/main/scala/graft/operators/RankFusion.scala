@@ -90,10 +90,15 @@ object RankFusion {
   def ndcgAtK(ranked: DataFrame, judgments: DataFrame, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // defensively collapse duplicate judgments to their MAX grade: a
+    // messy eval frame carrying the same (query, doc) twice with
+    // conflicting grades must not double-count its DCG contribution
+    // (a bare distinct would keep both rows)
     val j = judgments
       .select(col("query_id"), col(idCol),
         col("grade").cast("long").as("grade"))
-      .distinct()
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("grade")).as("grade"))
     def contrib(rankCol: org.apache.spark.sql.Column) =
       round(round((pow(lit(2.0), col("grade")) - 1) /
         (log(rankCol.cast("double") + 1) / log(lit(2.0))), 6) * 1e6)

@@ -62,6 +62,16 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("ndcgAtK: conflicting duplicate judgments collapse to the max " +
+      "grade instead of double-counting") {
+    val ranked = ranking((1L, 1L, 5L))
+    val messy = judged((1L, 5L, 1L), (1L, 5L, 3L)) // same pair, two grades
+    RankFusion.ndcgAtK(ranked, messy, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      RankFusion.ndcgAtK(ranked, judged((1L, 5L, 3L)), "doc_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
   test("ndcgAtK respects k: a relevant doc below the cutoff neither " +
       "gains nor is demanded") {
     // at k=1 only position 1 counts on both sides: doc 5 (grade 1)
