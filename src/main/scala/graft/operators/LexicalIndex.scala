@@ -279,6 +279,15 @@ object LexicalIndex {
     graft.io.Maintenance.withLease(spark, path, "lexical-append") {
       val bid = Option(batchId).getOrElse(
         "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+      // the reserved generation ids are not appendable: they are not in
+      // the folded manifest, so without this guard the mode-overwrite
+      // write below would silently REPLACE batch=compacted (the entire
+      // previously-folded corpus) or batch=init with the new batch —
+      // fail loud instead, matching the posture everywhere else
+      require(bid != "compacted" && bid != "init",
+        s"batchId '$bid' is a reserved generation id (init = the " +
+          "initial write, compacted = the folded corpus) - appending " +
+          "under it would overwrite that generation; pick another id")
       // a replay of a batch compaction already absorbed: no-op
       if (!foldedIds(spark, path).contains(bid)) {
         // the index's OWN meta decides the projection: appending
@@ -390,6 +399,23 @@ object LexicalIndex {
             sum(col("total_len")).as("total_len"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$tmp/batch=compacted")
+      }
+      // fold the MANIFEST too: every compact wrote one immutable file,
+      // and append() line-reads ALL of them driver-side, so a
+      // long-lived streaming index would pay an O(total-epochs)
+      // listing+read on every micro-batch append. While still holding
+      // the lease, write ONE file holding the full id union, then drop
+      // the superseded files — a crash between the two leaves duplicate
+      // id lines, which the set-union reader absorbs harmlessly; the
+      // union file lands complete before any delete, so the manifest
+      // never transiently under-claims.
+      val mdir = new org.apache.hadoop.fs.Path(s"$path/folded")
+      if (fs.exists(mdir)) {
+        val old = fs.listStatus(mdir).filter(_.isFile).map(_.getPath)
+        if (old.length > 1) {
+          recordFolded(spark, path, foldedIds(spark, path).toSeq.sorted)
+          old.foreach(p => fs.delete(p, false))
+        }
       }
       val it = fs.listFiles(root, true)
       var n = 0

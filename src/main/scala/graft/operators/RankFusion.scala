@@ -103,8 +103,14 @@ object RankFusion {
       round(round((pow(lit(2.0), col("grade")) - 1) /
         (log(rankCol.cast("double") + 1) / log(lit(2.0))), 6) * 1e6)
         .cast("long")
+    // ...and dedup the ranked side to its MIN rank per (query, doc)
+    // symmetrically: a messy candidate frame repeating a doc at two
+    // ranks must not double-count its DCG contribution either (the
+    // rankingRecall both-sides-defensive posture)
     val dcg = ranked.where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("rank"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(min(col("rank")).as("rank"))
       .join(j, Seq("query_id", idCol))
       .select(col("query_id"), contrib(col("rank")).as("__c"))
       .groupBy(col("query_id")).agg(sum(col("__c")).as("__dcg"))

@@ -377,10 +377,14 @@ object TextAnalysis {
     val roles = role(mustCol, "must")
       .unionByName(role(shouldCol, "should"))
       .unionByName(role(mustNotCol, "not"))
+    // coalesce each size: size(NULL) is NULL, and NULL + n < 1 is
+    // NULL, so a query with null must AND should arrays would bypass
+    // the fail-loud check below and silently rank nothing
     val unscored = queries
       .select(col(queryIdCol).cast("long").as("query_id"),
-        (size(array_distinct(col(mustCol)))
-          + size(array_distinct(col(shouldCol)))).as("__n"))
+        (coalesce(size(array_distinct(col(mustCol))), lit(0))
+          + coalesce(size(array_distinct(col(shouldCol))), lit(0)))
+          .as("__n"))
       .where(col("__n") < 1).select(col("query_id")).limit(1).collect()
     require(unscored.isEmpty,
       s"query ${unscored.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
@@ -807,7 +811,9 @@ object TextAnalysis {
     * the match set, the foreground count and the background df), the
     * foreground join keys on doc id (integer rows), per-query totals
     * and the one-row corpus N broadcast, and the per-query top-k is
-    * the bounded [[tfidfRankTail]] sort fold. Output
+    * the bounded [[graft.functions.TopKTermsAggregator]] — the
+    * candidate set is the match set's co-occurring VOCABULARY, so the
+    * fold must stay O(k) per buffer, never O(distinct terms). Output
     * (query_id, rank, term, score).
     */
   def significantTerms(docs: DataFrame, idCol: String, textCol: String,
@@ -848,14 +854,20 @@ object TextAnalysis {
         round(round(log((col("__fg").cast("double") * col("__n"))
           / (col("__nm").cast("double") * col("__df").cast("double"))),
           6) * 1e6).cast("long").as("__sm"))
+    // bounded per-query top-k: the candidate set here is every distinct
+    // term co-occurring in the query's match set — for a broad query
+    // over a web-scale corpus that is the corpus VOCABULARY, so a
+    // collect_list fold would materialize it all in one reducer row.
+    // TopKTermsAggregator keeps every buffer at k (micros, term) pairs
+    // and combines map-side, identical order (micros DESC, term ASC).
+    val topk = udaf(new graft.functions.TopKTermsAggregator(k))
     scored.groupBy(col("query_id"))
-      .agg(slice(sort_array(collect_list(
-        struct((-col("__sm")).as("m"), col("term")))), 1, k).as("__top"))
+      .agg(topk(col("__sm"), col("term")).as("__top"))
       .select(col("query_id"),
         posexplode(col("__top")).as(Seq("__r", "__t")))
       .select(col("query_id"), (col("__r") + 1).cast("long").as("rank"),
-        col("__t.term").as("term"),
-        ((-col("__t.m")).cast("double") / lit(1e6)).as("score"))
+        col("__t._2").as("term"),
+        (col("__t._1").cast("double") / lit(1e6)).as("score"))
   }
 
   /** Aggregation tail shared by [[facetCounts]] and

@@ -333,6 +333,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     over shouldBe empty
   }
 
+  test("significant terms rank through the BOUNDED top-k aggregator, " +
+      "not a vocabulary-sized collect_list fold") {
+    // the per-query candidate set is the match set's co-occurring
+    // vocabulary — at corpus scale a collect_list fold materializes it
+    // all in ONE reducer row. The plan must show the O(k)-buffer
+    // aggregator and no unbounded collect on the ranking tail.
+    Seq("q160_significant_terms", "q161_sig_indexed").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      plan.toLowerCase should include("topktermsaggregator")
+      (plan should not).include("collect_list")
+    }
+  }
+
   test("decontamination broadcasts the probe side (corpus scan stays map-only)") {
     val plan = planOf(SparkEntry.queries("q83_decontaminate")(spark, sfDir))
     plan should include("BroadcastHashJoin")

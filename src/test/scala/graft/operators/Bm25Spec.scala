@@ -344,6 +344,22 @@ class Bm25Spec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("bm25TopKBool: NULL must and should arrays fail loud too " +
+      "(size(NULL) must not slip past the all-negative check)") {
+    val d = docs(1L -> "alpha beta")
+    import spark.implicits._
+    // build the query with genuinely-null array columns, the shape a
+    // JSON source produces for absent fields
+    val q = Seq(1L).toDF("query_id")
+      .withColumn("must", lit(null).cast("array<string>"))
+      .withColumn("should", lit(null).cast("array<string>"))
+      .withColumn("mustNot", typedLit(Seq("alpha")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKBool(d, "doc_id", "text", q,
+        "query_id", "must", "should", "mustNot", k = 3)
+    }
+  }
+
   test("bm25TopKFuzzy at dist 2: a two-edit typo reaches the corrected " +
       "query that dist 1 cannot") {
     val d = docs(

@@ -266,6 +266,62 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       .exists() shouldBe false
   }
 
+  test("appending under a reserved generation id fails loud and leaves " +
+      "the index untouched (a 'compacted' batchId would otherwise " +
+      "silently REPLACE the folded corpus)") {
+    val docs = corpus(20)
+    val q = queriesOf(2L, 4L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 10),
+      "doc_id", "text", batchId = "epoch-rsv-0")
+    LexicalIndex.compact(spark, dir)
+    val before = collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5))
+    Seq("compacted", "init").foreach { reserved =>
+      intercept[IllegalArgumentException] {
+        LexicalIndex.append(spark, dir, docs.limit(3), "doc_id", "text",
+          batchId = reserved)
+      }
+    }
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe before
+  }
+
+  test("compact folds the manifest to ONE file so appends stay O(1) " +
+      "driver-side, without forgetting any folded epoch") {
+    val docs = corpus(40)
+    val q = queriesOf(1L, 2L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8)
+    // skip the local-FS .crc sidecars Hadoop's own listStatus hides
+    def manifestFiles =
+      new java.io.File(s"$dir/folded").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(_.getName).toSeq
+    // three compact cycles, each folding one fresh epoch: without the
+    // manifest fold the folded/ dir would hold one file per compact
+    for (epoch <- 1 to 3) {
+      LexicalIndex.append(spark, dir,
+        docs.where(col("doc_id") > epoch * 10 && col("doc_id") <= (epoch + 1) * 10),
+        "doc_id", "text", batchId = s"epoch-mf-$epoch")
+      LexicalIndex.compact(spark, dir)
+    }
+    manifestFiles should have size 1
+    // the single file still claims every epoch: each replay is a no-op
+    for (epoch <- 1 to 3)
+      LexicalIndex.append(spark, dir,
+        docs.where(col("doc_id") > epoch * 10 && col("doc_id") <= (epoch + 1) * 10),
+        "doc_id", "text", batchId = s"epoch-mf-$epoch")
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+  }
+
   test("compact drops a stats-less crash orphan instead of folding it; " +
       "the orphan's replay then appends for real") {
     val docs = corpus(24)

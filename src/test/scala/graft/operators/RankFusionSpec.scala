@@ -72,6 +72,17 @@ class RankFusionSpec extends AnyFunSuite with Matchers with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
   }
 
+  test("ndcgAtK: a doc repeated at two ranks in a messy candidate " +
+      "frame counts once, at its best rank") {
+    val clean = ranking((1L, 1L, 5L), (1L, 3L, 7L))
+    val messy = ranking((1L, 1L, 5L), (1L, 3L, 7L), (1L, 4L, 5L))
+    val j = judged((1L, 5L, 3L), (1L, 7L, 1L))
+    RankFusion.ndcgAtK(messy, j, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      RankFusion.ndcgAtK(clean, j, "doc_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
   test("ndcgAtK respects k: a relevant doc below the cutoff neither " +
       "gains nor is demanded") {
     // at k=1 only position 1 counts on both sides: doc 5 (grade 1)
