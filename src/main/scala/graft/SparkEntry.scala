@@ -1639,6 +1639,51 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ranker-evaluation leaderboard: SIX retrieval strategies — plain
+    // lexical BM25, typo-tolerant fuzzy, boolean (first word required),
+    // query-by-example MLT, dense cosine, and hybrid RRF — graded side
+    // by side with mean nDCG@10 under the shared overlap judgments.
+    // The fixture's embeddings are independent of its text, so dense
+    // (and therefore hybrid) honestly score BELOW lexical here; the
+    // fusion-wins property is pinned by RankerEvalSpec on ranked lists
+    // whose dense slice is informative. Each ranked list spills
+    // (queries x k integer rows) so the metric tail reads six tiny
+    // scans instead of re-planning six scorer subtrees per consumer
+    "q162_ranker_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").repartition(32)
+      val embs = t(s, d, "embeddings")
+      val w = graft.functions.TextFunctions.words(col("text"))
+      val probeDocs = docs.where(col("doc_id") % 50 === 0)
+      val queries = probeDocs
+        .select(col("doc_id").as("query_id"), slice(w, 1, 8).as("qterms"))
+      val boolQ = probeDocs
+        .select(col("doc_id").as("query_id"),
+          slice(w, 1, 1).as("must"),
+          array_except(slice(w, 2, 7), slice(w, 1, 1)).as("should"),
+          array().cast("array<string>").as("mustNot"))
+      def sp(df: DataFrame) = graft.io.Spill(df, "graft-rankeval-")
+      val lex = sp(TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qterms", k = 10))
+      val fuzzy = sp(TextAnalysis.bm25TopKFuzzy(docs, "doc_id", "text",
+        queries, "query_id", "qterms", k = 10, maxDist = 1))
+      val bool = sp(TextAnalysis.bm25TopKBool(docs, "doc_id", "text",
+        boolQ, "query_id", "must", "should", "mustNot", k = 10))
+      val mlt = sp(TextAnalysis.moreLikeThis(docs, "doc_id", "text",
+        probeDocs.select(col("doc_id")), "doc_id", mTerms = 3, k = 10))
+      val dense = sp(graft.operators.Similarity.batchExactTopK(
+        embs.select(col("vec_id").as("doc_id"), col("embedding")),
+        embs.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id", "embedding", k = 10))
+      val hybrid = graft.operators.RankFusion.rrf(
+        Seq(lex, dense), "doc_id", k = 10)
+      graft.operators.RankFusion.ndcgLeaderboard(
+          Seq("boolean" -> bool, "dense" -> dense, "fuzzy" -> fuzzy,
+            "hybrid" -> hybrid, "lexical" -> lex, "mlt" -> mlt),
+          overlapJudgments(docs, queries), "doc_id", k = 10)
+        .orderBy(col("ranker"))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -3175,6 +3220,165 @@ object SparkEntry {
     * levenshtein), then the q134 scoring CTEs run byte-identical over
     * the expanded (query_id, term) set.
     */
+  /** q162 replay: all six retrieval strategies re-derived in SQL over
+    * one shared scoring scaffold — lexical/fuzzy/boolean/MLT reuse the
+    * same per-(term, doc) BM25 micros (df is the corpus df regardless
+    * of which query set selects the term), dense is the q137 cosine
+    * ranking, hybrid is its RRF fusion with lexical — then the q153
+    * nDCG math per (ranker, query) and the integer-micros mean.
+    */
+  private def rankerEvalOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+         FROM documents),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           avg(CAST(len(w) AS DOUBLE)) AS avgdl
+         FROM toks),
+       corpus AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS doc_len, unnest(w) AS term
+         FROM toks),
+       tf AS (
+         SELECT doc_id, doc_len, term, count(*) AS tf
+         FROM corpus GROUP BY doc_id, doc_len, term),
+       kdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       q_lex AS (
+         SELECT doc_id AS query_id, unnest(list_distinct(w[1:8])) AS term
+         FROM toks WHERE doc_id % 50 = 0),
+       q_fuz AS (
+         SELECT DISTINCT q.query_id, v.term
+         FROM q_lex q JOIN kdf v ON levenshtein(q.term, v.term) <= 1),
+       q_bool AS (
+         SELECT doc_id AS query_id, w[1] AS term, 'must' AS role
+         FROM toks WHERE doc_id % 50 = 0
+         UNION ALL
+         SELECT doc_id AS query_id,
+           unnest(list_distinct(list_filter(w[2:8], x -> x <> w[1]))) AS term,
+           'should' AS role
+         FROM toks WHERE doc_id % 50 = 0),
+       ksm AS (
+         SELECT tf.doc_id, tf.term,
+           CAST(round(round(ln(n.n / kdf.df), 6) * tf.tf * 1000000)
+             AS BIGINT) AS sm
+         FROM tf JOIN kdf USING (term) CROSS JOIN n
+         WHERE tf.doc_id % 50 = 0),
+       kw AS (
+         SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY sm DESC, term) AS krank
+         FROM ksm),
+       roles AS (
+         SELECT 'lexical' AS ranker, query_id, term, 'should' AS role FROM q_lex
+         UNION ALL
+         SELECT 'fuzzy', query_id, term, 'should' FROM q_fuz
+         UNION ALL
+         SELECT 'boolean', query_id, term, role FROM q_bool
+         UNION ALL
+         SELECT 'mlt', doc_id, term, 'should' FROM kw WHERE krank <= 3),
+       sm AS (
+         SELECT tf.term, tf.doc_id,
+           CAST(round(round(
+             ln((stats.n - kdf.df + 0.5) / (kdf.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / stats.avgdl)),
+             6) * 1000000) AS BIGINT) AS sm
+         FROM tf JOIN kdf USING (term) CROSS JOIN stats
+         WHERE tf.term IN (SELECT DISTINCT term FROM roles)),
+       pairs AS (
+         SELECT r.ranker, r.query_id, s.doc_id, sum(s.sm) AS m,
+           count(DISTINCT CASE WHEN r.role = 'must' THEN r.term END) AS nm
+         FROM sm s JOIN roles r USING (term)
+         GROUP BY 1, 2, 3),
+       mustn AS (
+         SELECT ranker, query_id, count(*) AS n_must
+         FROM roles WHERE role = 'must' GROUP BY 1, 2),
+       gated AS (
+         SELECT p.ranker, p.query_id, p.doc_id, p.m
+         FROM pairs p LEFT JOIN mustn mn USING (ranker, query_id)
+         WHERE coalesce(mn.n_must, 0) = p.nm
+           AND NOT (p.ranker = 'mlt' AND p.doc_id = p.query_id)),
+       rcut AS (
+         SELECT * FROM (
+           SELECT ranker, query_id, doc_id,
+             row_number() OVER (PARTITION BY ranker, query_id
+               ORDER BY m DESC, doc_id) AS rank
+           FROM gated)
+         WHERE rank <= 10),
+       dpairs AS (
+         SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+           round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             CAST(p.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings c JOIN embeddings p
+           ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+       dcut AS (
+         SELECT 'dense' AS ranker, query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, doc_id) AS rank
+           FROM dpairs)
+         WHERE rank <= 10),
+       contrib AS (
+         SELECT query_id, doc_id,
+           CAST(round(1e9 / (60 + rank)) AS BIGINT) AS s
+         FROM rcut WHERE ranker = 'lexical'
+         UNION ALL
+         SELECT query_id, doc_id,
+           CAST(round(1e9 / (60 + rank)) AS BIGINT) AS s FROM dcut),
+       hcut AS (
+         SELECT 'hybrid' AS ranker, query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY m DESC, doc_id) AS rank
+           FROM (SELECT query_id, doc_id, sum(s) AS m FROM contrib
+                 GROUP BY 1, 2))
+         WHERE rank <= 10),
+       all_ranked AS (
+         SELECT * FROM rcut
+         UNION ALL SELECT * FROM dcut
+         UNION ALL SELECT * FROM hcut),
+       dterms AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM toks),
+       qd AS (SELECT DISTINCT query_id, term FROM q_lex),
+       j AS (
+         SELECT qd.query_id, dterms.doc_id,
+           CAST(count(*) AS BIGINT) AS grade
+         FROM dterms JOIN qd USING (term)
+         GROUP BY 1, 2),
+       dcg AS (
+         SELECT a.ranker, a.query_id,
+           sum(CAST(round(round((pow(2, j.grade) - 1)
+             / (ln(a.rank + 1) / ln(2)), 6) * 1000000) AS BIGINT)) AS dcg
+         FROM all_ranked a
+         JOIN j ON j.query_id = a.query_id AND j.doc_id = a.doc_id
+         GROUP BY 1, 2),
+       ideal AS (
+         SELECT query_id, grade,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY grade DESC, doc_id) AS ir
+         FROM j),
+       idcg AS (
+         SELECT query_id,
+           sum(CAST(round(round((pow(2, grade) - 1)
+             / (ln(ir + 1) / ln(2)), 6) * 1000000) AS BIGINT)) AS idcg
+         FROM ideal WHERE ir <= 10 GROUP BY 1),
+       rankers(ranker) AS (VALUES ('boolean'), ('dense'), ('fuzzy'),
+         ('hybrid'), ('lexical'), ('mlt')),
+       perq AS (
+         SELECT g.ranker, g.query_id,
+           CASE WHEN g.idcg = 0 THEN 0.0
+             ELSE round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / g.idcg, 6)
+           END AS ndcg
+         FROM (SELECT r.ranker, i.query_id, i.idcg
+               FROM rankers r CROSS JOIN idcg i) g
+         LEFT JOIN dcg d
+           ON d.ranker = g.ranker AND d.query_id = g.query_id)
+       SELECT ranker,
+         round(CAST(sum(CAST(round(ndcg * 1000000) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e6), 6) AS mean_ndcg,
+         CAST(count(*) AS BIGINT) AS n_queries
+       FROM perq GROUP BY 1 ORDER BY 1"""
+
   private def bm25FuzzyOracle: String =
     s"""WITH ${bm25RankedCtesWith(
       """SELECT DISTINCT q0.query_id, v.term
@@ -3917,6 +4121,7 @@ object SparkEntry {
     // (single-homed tail, spec-pinned)
     "q160_significant_terms" -> significantTermsOracle,
     "q161_sig_indexed" -> significantTermsOracle,
+    "q162_ranker_eval" -> rankerEvalOracle,
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

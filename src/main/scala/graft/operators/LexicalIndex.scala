@@ -314,19 +314,41 @@ object LexicalIndex {
     * with a digest of the checkpoint path: epoch numbering restarts at 0
     * per checkpoint, so a SECOND stream (new checkpoint) maintaining the
     * same index must not overwrite the first stream's epoch directories.
+    *
+    * AUTO-COMPACTION (the [[graft.serving.ServingTable]] LSM discipline):
+    * a long-lived stream accrues one `batch=epoch-*` generation per
+    * micro-batch, and every query reads all of them — unbounded read
+    * amplification. With `compactAfterGenerations > 1`, each epoch whose
+    * append leaves the index at/over that many generations triggers one
+    * [[compact]] inside the same foreachBatch, folding them back to the
+    * single `batch=compacted` generation. Safe under replay: the folded
+    * manifest makes a replayed epoch a no-op even though compaction
+    * consumed its directory, and the no-op replay cannot re-trigger a
+    * fold (the generation count is already back at 1). 0 (the default)
+    * keeps compaction caller-driven.
     */
   def maintain(spark: SparkSession, path: String, streamingDocs: DataFrame,
-      idCol: String, textCol: String, checkpoint: String)
+      idCol: String, textCol: String, checkpoint: String,
+      compactAfterGenerations: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactAfterGenerations == 0 || compactAfterGenerations > 1,
+      "compactAfterGenerations must be 0 (never) or > 1")
     val stream = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     streamingDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, bid: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         append(spark, path, batch, idCol, textCol,
-          batchId = s"epoch-$stream-$bid"))
+          batchId = s"epoch-$stream-$bid")
+        if (compactAfterGenerations > 1 &&
+            generationIds(spark, path, "postings").size
+              >= compactAfterGenerations) {
+          compact(spark, path)
+          ()
+        }
+      }
       .start()
   }
 

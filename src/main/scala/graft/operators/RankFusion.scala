@@ -90,42 +90,125 @@ object RankFusion {
   def ndcgAtK(ranked: DataFrame, judgments: DataFrame, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    // defensively collapse duplicate judgments to their MAX grade: a
-    // messy eval frame carrying the same (query, doc) twice with
-    // conflicting grades must not double-count its DCG contribution
-    // (a bare distinct would keep both rows)
-    val j = judgments
+    val j = dedupJudgments(judgments, idCol)
+    // dedup the ranked side to its MIN rank per (query, doc)
+    // symmetrically: a messy candidate frame repeating a doc at two
+    // ranks must not double-count its DCG contribution either (the
+    // rankingRecall both-sides-defensive posture)
+    val dcg = dedupRanked(ranked, idCol, k)
+      .join(j, Seq("query_id", idCol))
+      .select(col("query_id"), dcgContrib(col("rank")).as("__c"))
+      .groupBy(col("query_id")).agg(sum(col("__c")).as("__dcg"))
+    idcgOf(j, idCol, k).join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), ndcgRatio)
+  }
+
+  /** Defensively collapse duplicate judgments to their MAX grade: a
+    * messy eval frame carrying the same (query, doc) twice with
+    * conflicting grades must not double-count its DCG contribution
+    * (a bare distinct would keep both rows).
+    */
+  private def dedupJudgments(judgments: DataFrame,
+      idCol: String): DataFrame =
+    judgments
       .select(col("query_id"), col(idCol),
         col("grade").cast("long").as("grade"))
       .groupBy(col("query_id"), col(idCol))
       .agg(max(col("grade")).as("grade"))
-    def contrib(rankCol: org.apache.spark.sql.Column) =
-      round(round((pow(lit(2.0), col("grade")) - 1) /
-        (log(rankCol.cast("double") + 1) / log(lit(2.0))), 6) * 1e6)
-        .cast("long")
-    // ...and dedup the ranked side to its MIN rank per (query, doc)
-    // symmetrically: a messy candidate frame repeating a doc at two
-    // ranks must not double-count its DCG contribution either (the
-    // rankingRecall both-sides-defensive posture)
-    val dcg = ranked.where(col("rank") <= k)
+
+  private def dedupRanked(ranked: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    ranked.where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("rank"))
       .groupBy(col("query_id"), col(idCol))
       .agg(min(col("rank")).as("rank"))
-      .join(j, Seq("query_id", idCol))
-      .select(col("query_id"), contrib(col("rank")).as("__c"))
-      .groupBy(col("query_id")).agg(sum(col("__c")).as("__dcg"))
+
+  /** One position's integer-micro DCG contribution: reads `grade` from
+    * scope, takes the 1-based rank column.
+    */
+  private def dcgContrib(rankCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    round(round((pow(lit(2.0), col("grade")) - 1) /
+      (log(rankCol.cast("double") + 1) / log(lit(2.0))), 6) * 1e6)
+      .cast("long")
+
+  /** Per-query IDCG micros over deduped judgments (ideal order: grade
+    * desc, id asc — tied grades contribute identically, so the
+    * tiebreak cannot move the sum).
+    */
+  private def idcgOf(j: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("grade").desc, col(idCol))
-    val idcg = j.withColumn("__ir", row_number().over(w))
+    j.withColumn("__ir", row_number().over(w))
       .where(col("__ir") <= k)
-      .select(col("query_id"), contrib(col("__ir")).as("__c"))
+      .select(col("query_id"), dcgContrib(col("__ir")).as("__c"))
       .groupBy(col("query_id")).agg(sum(col("__c")).as("__idcg"))
-    idcg.join(dcg, Seq("query_id"), "left")
-      .select(col("query_id"),
-        when(col("__idcg") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("__dcg"), lit(0L)).cast("double")
-            / col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
+  /** The final `__dcg`/`__idcg` → `ndcg` projection (0 when IDCG is 0
+    * rather than 0/0; a query the run missed contributes NULL dcg → 0).
+    */
+  private def ndcgRatio: org.apache.spark.sql.Column =
+    when(col("__idcg") === 0, lit(0.0))
+      .otherwise(round(coalesce(col("__dcg"), lit(0L)).cast("double")
+        / col("__idcg").cast("double"), 6)).as("ndcg")
+
+  /** Side-by-side ranking-quality leaderboard: mean nDCG@k of several
+    * NAMED retrieval runs against one shared judgment frame — "which
+    * ranker should serve this corpus", the eval artifact that turns
+    * the retrieval layer's many strategies (lexical, fuzzy, boolean,
+    * query-by-example, dense, fused) into one comparable table.
+    * Output one (ranker, mean_ndcg, n_queries) row per run;
+    * `n_queries` is identical across runs by construction (every
+    * judged query scores in every run — a missed query scores 0, the
+    * [[ndcgAtK]] posture), so the means compare apples to apples.
+    *
+    * Determinism: per-query ndcg values are 6-decimal-rounded doubles
+    * (exact by [[ndcgAtK]]'s integer-micros discipline); the mean
+    * re-enters integer space — round(ndcg * 1e6) summed as longs,
+    * ONE rounded division at the end — so the aggregate is
+    * order-invariant and the DuckDB oracle replays it exactly.
+    *
+    * Scale: every input is a queries x k list and the judgments are
+    * an eval artifact (thousands of rows) — nothing corpus-sized.
+    * Unlike R independent [[ndcgAtK]] calls (which would re-derive the
+    * ranker-independent IDCG R times and re-plan the judgment subtree
+    * 2R times), the runs union into ONE labeled DCG aggregate sharing
+    * one spilled judgment scan and one IDCG window; the per-query math
+    * is the same [[dcgContrib]]/[[idcgOf]]/[[ndcgRatio]] components
+    * ndcgAtK itself runs (mean-equivalence spec-pinned).
+    */
+  def ndcgLeaderboard(rankings: Seq[(String, DataFrame)],
+      judgments: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranker names must be unique")
+    val j = graft.io.Spill(dedupJudgments(judgments, idCol),
+      "graft-rankeval-j-")
+    val labeled = rankings
+      .map { case (name, ranked) =>
+        dedupRanked(ranked, idCol, k)
+          .select(lit(name).as("ranker"), col("query_id"), col(idCol),
+            col("rank")) }
+      .reduce(_ unionByName _)
+    val dcg = labeled.join(j, Seq("query_id", idCol))
+      .select(col("ranker"), col("query_id"),
+        dcgContrib(col("rank")).as("__c"))
+      .groupBy(col("ranker"), col("query_id"))
+      .agg(sum(col("__c")).as("__dcg"))
+    // every judged query scores in every run (a missed query scores 0
+    // through the left join), so n_queries is comparable across rows
+    idcgOf(j, idCol, k)
+      .select(col("query_id"), col("__idcg"),
+        explode(typedLit(rankings.map(_._1))).as("ranker"))
+      .join(dcg, Seq("ranker", "query_id"), "left")
+      .select(col("ranker"), ndcgRatio)
+      .groupBy(col("ranker"))
+      .agg(
+        round(sum(round(col("ndcg") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_ndcg"),
+        count(lit(1)).as("n_queries"))
   }
 
   /** Per-query reciprocal rank at k: 1/rank of the FIRST relevant

@@ -322,7 +322,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // top-k fold, final sort — every exchange carries (ids, term,
     // count) rows only
     "q160_significant_terms" -> 15,
-    "q161_sig_indexed" -> 15)
+    "q161_sig_indexed" -> 15,
+    // ranker-eval leaderboard: the six ranked lists and the judgments
+    // spill eagerly (each is queries x k integer rows), so the audited
+    // tail is per-list dedup aggs over the spill scans, ONE labeled
+    // union into the DCG aggregate, ONE shared IDCG window, the grid
+    // explode + mean agg, final sort — the rankers' own scorer plans
+    // are audited by their q134/q137/q149/q155/q157 rows
+    "q162_ranker_eval" -> 26)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

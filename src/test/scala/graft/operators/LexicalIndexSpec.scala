@@ -830,6 +830,56 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
     e.getMessage should include("not a lexical index")
   }
 
+  test("maintain auto-compacts when generations hit the threshold — " +
+      "exactly once at the crossing, and a replayed epoch the fold " +
+      "absorbed still no-ops") {
+    import spark.implicits._
+    val docs = corpus(40)
+    val q = queriesOf(1L, 2L)
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 10),
+      "doc_id", "text", dir, nBuckets = 8)
+    val rows = docs.where(col("doc_id") > 10)
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = LexicalIndex.maintain(spark, dir,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", checkpoint(),
+      compactAfterGenerations = 3)
+    def gens = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    // epoch 0: init + epoch-0 = 2 generations, below the threshold
+    input.addData(rows.take(10).toIndexedSeq)
+    query.processAllAvailable()
+    gens should have size 2
+    // epoch 1 crosses the threshold (3 generations) -> ONE fold back
+    // to batch=compacted
+    input.addData(rows.slice(10, 20).toIndexedSeq)
+    query.processAllAvailable()
+    gens shouldBe Seq("batch=compacted")
+    // epoch 2 lands at 2 generations: no re-trigger below the threshold
+    input.addData(rows.drop(20).toIndexedSeq)
+    query.processAllAvailable()
+    query.stop()
+    val epochGens = gens.filter(_.startsWith("batch=epoch-"))
+    epochGens should have size 1
+    val expected = collectRanks(
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 5))
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe expected
+    // a restart replaying epoch 1 — whose directory the auto-compact
+    // consumed — must no-op via the folded manifest, not double-count
+    val replayed = epochGens.head.stripPrefix("batch=")
+      .replaceAll("-2$", "-1")
+    LexicalIndex.append(spark, dir,
+      rows.slice(10, 20).toIndexedSeq.toDF("doc_id", "text"),
+      "doc_id", "text", batchId = replayed)
+    collectRanks(
+      LexicalIndex.bm25TopKIndexed(spark, dir, q, "query_id", "qterms", k = 5)
+    ) shouldBe expected
+  }
+
   test("streaming maintenance converges to the batch-built index") {
     import spark.implicits._
     val docs = corpus(30)
