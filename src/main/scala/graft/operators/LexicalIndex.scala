@@ -631,10 +631,15 @@ object LexicalIndex {
       queries: DataFrame, queryIdCol: String, queryTermsCol: String,
       k: Int, maxDist: Int = 1): DataFrame = {
     val vocab = readPostings(spark, path).select(col("term")).distinct()
-    val expanded = TextAnalysis.fuzzyExpandTerms(vocab,
+    // spilled eagerly: bm25TopKIndexed consumes the query frame twice
+    // (the bounded bucket-list collect AND the scoring join) — left
+    // in-plan each consumer would re-run the whole vocabulary
+    // expansion (the one-shot twin's measured depth-2 dominant cost)
+    val expanded = graft.io.Spill(TextAnalysis.fuzzyExpandTerms(vocab,
         TextAnalysis.bm25QueryTerms(queries, queryIdCol, queryTermsCol),
         maxDist)
-      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt"))
+      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt")),
+      "graft-fuzzy-exp-")
     bm25TopKIndexed(spark, path, expanded, "query_id", "__qt", k)
   }
 

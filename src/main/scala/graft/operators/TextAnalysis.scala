@@ -713,9 +713,16 @@ object TextAnalysis {
       b: Double = 0.75): DataFrame = {
     val vocab = docs
       .select(explode(words(col(textCol))).as("term")).distinct()
-    val expanded = fuzzyExpandTerms(vocab,
+    // the expanded query frame feeds MULTIPLE bm25TopK subtrees (the
+    // tf semi-join's broadcast and the scoring join) — left in-plan,
+    // each consumer re-runs the whole vocabulary expansion (at depth 2
+    // that is the dominant cost, measured 5x the expansion itself);
+    // spilled eagerly, it is queries x expanded-terms tiny rows (the
+    // q159 multi-consumer discipline)
+    val expanded = graft.io.Spill(fuzzyExpandTerms(vocab,
         bm25QueryTerms(queries, queryIdCol, queryTermsCol), maxDist)
-      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt"))
+      .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt")),
+      "graft-fuzzy-exp-")
     bm25TopK(docs, idCol, textCol, expanded, "query_id", "__qt", k, k1, b)
   }
 
@@ -752,18 +759,26 @@ object TextAnalysis {
     // below is lossless. Depth 1: L+1 variants per term; depth 2:
     // O(L^2/2) — the standard index-size/recall trade, paid only when
     // the caller asks for dist 2.
-    def variants(t: Column): Column = {
+    // `dedup` guards the final O(|variants|^2) array_distinct: worth it
+    // on the tiny broadcast side (smaller hash relation), a measured
+    // 5x slowdown on the V-sized vocabulary side (15G string compares
+    // at |V|=1e6, depth 2 — the VocabGrowthProbe finding), where
+    // duplicate variants merely add a few extra equi-join probes that
+    // the post-join distinct absorbs. d1 stays deduped before the
+    // second delete round in both cases — that distinct is 11x11 and
+    // BOUNDS the depth-2 set.
+    def variants(t: Column, dedup: Boolean): Column = {
       val d1 = dels(array(t))
       val all = if (maxDist >= 2)
         concat(array(t), d1, dels(array_distinct(d1)))
       else concat(array(t), d1)
-      array_distinct(all)
+      if (dedup) array_distinct(all) else all
     }
     val qv = qterms
       .select(col("query_id"), col("term").as("__qterm"),
-        explode(variants(col("term"))).as("__v"))
+        explode(variants(col("term"), dedup = true)).as("__v"))
     val vv = vocab.select(col("term"),
-      explode(variants(col("term"))).as("__v"))
+      explode(variants(col("term"), dedup = false)).as("__v"))
     vv.join(broadcast(qv), Seq("__v"))
       .select(col("query_id"), col("__qterm"), col("term")).distinct()
       .where(levenshtein(col("__qterm"), col("term")) <= maxDist)
