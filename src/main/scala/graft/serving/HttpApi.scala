@@ -236,13 +236,25 @@ final class HttpApi(serving: Serving, port: Int = 0) {
       case None => respond(ex, 404,
         """{"error":"retrieval not configured"}""")
       case Some(conf) =>
+        // per-request scheduler pool (thread-scoped, so each concurrent
+        // handler gets its own): with `spark.scheduler.mode=FAIR` on
+        // the serving context, two concurrent heavy searches SHARE
+        // executor slots fairly instead of the second's stages queueing
+        // behind every stage of the first (FIFO gives the head job all
+        // the slots it asks for). Under the default FIFO mode the
+        // property is inert — correctness never depends on it. The
+        // cached-pool dispatch above prevents the deadlock half;
+        // this is the throughput half.
+        val sc = conf.spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool",
+          "graft-search-" + Thread.currentThread().getId)
         try respond(ex, 200, body(conf))
         catch {
           case e @ (_: IllegalArgumentException | _: IllegalStateException |
               _: NumberFormatException) =>
             respond(ex, 400, "{\"error\":" + jsonStr(
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) + "}")
-        }
+        } finally sc.setLocalProperty("spark.scheduler.pool", null)
     }
 
   /** The one-row (query_id = 0) query frame of a single HTTP search. */

@@ -53,6 +53,28 @@ class FacetSnippetSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Set((1L, Some("en"), 1L), (1L, None, 1L))
   }
 
+  test("histogram facet: signed metrics bucket DOWNWARD (floor, not " +
+    "truncate-toward-zero) and a null metric stays a visible group — " +
+    "the q158 derived-bucket pattern beyond the fixture's positives") {
+    import spark.implicits._
+    // sentiment-delta-style metric: -50 must land in the -100 bucket
+    // (floor(-0.5) = -1); int-division truncation would fold it into
+    // bucket 0 and silently merge it with small positives
+    val d = Seq((1L, "fast", Some(-50L)), (2L, "fast", Some(149L)),
+        (3L, "fast", Some(-100L)), (4L, "fast", Option.empty[Long]),
+        (5L, "slow", Some(-999L))) // unmatched: must not surface
+      .toDF("doc_id", "text", "delta")
+      .withColumn("bucket",
+        (floor(col("delta") / 100) * 100).cast("long"))
+    val out = TextAnalysis.facetCounts(d, "doc_id", "text",
+        queries(1L -> "fast"), "query_id", "qterms", "bucket")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2))).toSet
+    out shouldBe Set((1L, Some(-100L), 2L), (1L, Some(100L), 1L),
+      (1L, None, 1L))
+  }
+
   test("facetCounts: repeated query terms add nothing, and a query " +
     "matching no docs yields no rows (not zero-count rows)") {
     val d = docs((1L, "fast table", "en"), (2L, "slow chair", "fr"))

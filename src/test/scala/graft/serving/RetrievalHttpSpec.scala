@@ -4,8 +4,10 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.concurrent.Eventually
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
+import org.scalatest.time.{Seconds, Span}
 
 import graft.SparkSpec
 import graft.operators.{LexicalIndex, Similarity}
@@ -18,7 +20,8 @@ import graft.operators.{LexicalIndex, Similarity}
   * the `/search` endpoints and assert exact JSON bodies (the
   * `HttpApiSpec` discipline).
   */
-class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
+class RetrievalHttpSpec extends AnyFunSuite with Matchers with Eventually
+    with SparkSpec {
 
   private val client = HttpClient.newHttpClient()
 
@@ -220,5 +223,56 @@ class RetrievalHttpSpec extends AnyFunSuite with Matchers with SparkSpec {
       fCode shouldBe 400
       fBody should include("docsPath")
     } finally api3.stop()
+  }
+
+  test("concurrent searches run in per-request scheduler pools and all " +
+      "return the correct body (the FAIR-sharing hook; dispatch never " +
+      "serializes or cross-talks)") {
+    import spark.implicits._
+    val lexDir = graft.io.Spill.tempDir("graft-http-idx-") + "/lex"
+    LexicalIndex.write(
+      (1L to 40L).map(i => i -> s"alpha term${i % 7} term${i % 5}")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", lexDir, nBuckets = 8)
+    val api = new HttpApi(new Serving)
+      .retrieval(HttpApi.Retrieval(spark, lexicalIndexPath = Some(lexDir)))
+      .start()
+    // capture each search job's scheduler pool: searchRoute pins a
+    // thread-scoped "graft-search-<tid>" pool, so concurrent handlers
+    // submit under DISTINCT pools (under spark.scheduler.mode=FAIR on
+    // a serving deployment that is fair slot sharing; under this test
+    // session's FIFO mode the property is inert but observable)
+    val pools = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = j.properties.getProperty("spark.scheduler.pool")
+        if (p != null && p.startsWith("graft-search-")) pools.add(p)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val expected = get(api.address, "/search/bm25/alpha?k=3")
+      expected._1 shouldBe 200
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val results = (1 to 4).map { _ =>
+        val f = new java.util.concurrent.FutureTask(() => {
+          latch.await()
+          get(api.address, "/search/bm25/alpha?k=3")
+        })
+        new Thread(f).start(); f
+      }
+      latch.countDown()
+      results.foreach(_.get() shouldBe expected)
+      // at least two handler threads served concurrently, each under
+      // its own pool (exact count depends on the server's thread
+      // reuse); listener events are delivered asynchronously
+      eventually(timeout(Span(20, Seconds))) {
+        pools.size should be >= 2
+      }
+    } finally {
+      api.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

@@ -65,6 +65,65 @@ class AuditObserveSpec extends AnyFunSuite with Matchers with Eventually with Sp
     }
   }
 
+  test("restart replays the last COMMITTED offsets into the audit " +
+      "trail before any new batch's rows (FailProofInterceptor's " +
+      "configure-time audit re-read)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ckpt = checkpoint()
+    def run(input: MemoryStream[String]) =
+      Topologies.wordCount(input.toDF()).writeStream
+        .outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    // first incarnation: two committed batches, then a stop
+    val in1 = MemoryStream[String]
+    val q1 = run(in1)
+    try {
+      in1.addData("alpha beta"); q1.processAllAvailable()
+      in1.addData("gamma"); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: the replay seeds the trail BEFORE the new query runs
+    val audit = new AuditListener("graft-replay-app")
+    val replayed = audit.replayCommitted(spark, ckpt)
+    replayed should not be empty
+    all(replayed.map(_.source)) should startWith("checkpoint-replay:")
+    all(replayed.map(_.endOffset)) should not be empty
+    val lastCommitted = replayed.map(_.batchId).max
+
+    audit.attach(spark)
+    // restart on the SAME MemoryStream: its offsets index the stream's
+    // in-memory buffer, so only the original instance can resume the
+    // checkpoint (a file/Kafka source restarts from any incarnation)
+    val q2 = run(in1)
+    try {
+      in1.addData("delta epsilon"); q2.processAllAvailable()
+      val drained = eventually(timeout(Span(20, Seconds))) {
+        val d = audit.drain()
+        d.exists(_.source.contains("MemoryStream")) shouldBe true
+        d
+      }
+      // replayed rows precede the restarted query's progress rows, and
+      // the new batch continues numbering past the committed one
+      val ours = drained.filter(r =>
+        r.source.startsWith("checkpoint-replay:") ||
+          r.source.contains("MemoryStream"))
+      ours.takeWhile(_.source.startsWith("checkpoint-replay:")) shouldBe replayed
+      val newBatches = ours.filter(_.source.contains("MemoryStream"))
+        .map(_.batchId)
+      all(newBatches) should be > lastCommitted
+    } finally {
+      q2.stop()
+      spark.streams.removeListener(audit)
+    }
+
+    // a fresh checkpoint has nothing committed, nothing to replay
+    new AuditListener("x").replayCommitted(spark, checkpoint()) shouldBe empty
+  }
+
   test("peek/observe counts records in-flight without changing results (batch)") {
     import spark.implicits._
     val obs = Observation("peek")
