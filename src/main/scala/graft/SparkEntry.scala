@@ -1662,19 +1662,32 @@ object SparkEntry {
           array_except(slice(w, 2, 7), slice(w, 1, 1)).as("should"),
           array().cast("array<string>").as("mustNot"))
       def sp(df: DataFrame) = graft.io.Spill(df, "graft-rankeval-")
-      val lex = sp(TextAnalysis.bm25TopK(docs, "doc_id", "text",
-        queries, "query_id", "qterms", k = 10))
-      val fuzzy = sp(TextAnalysis.bm25TopKFuzzy(docs, "doc_id", "text",
-        queries, "query_id", "qterms", k = 10, maxDist = 1))
-      val bool = sp(TextAnalysis.bm25TopKBool(docs, "doc_id", "text",
-        boolQ, "query_id", "must", "should", "mustNot", k = 10))
-      val mlt = sp(TextAnalysis.moreLikeThis(docs, "doc_id", "text",
-        probeDocs.select(col("doc_id")), "doc_id", mTerms = 3, k = 10))
-      val dense = sp(graft.operators.Similarity.batchExactTopK(
-        embs.select(col("vec_id").as("doc_id"), col("embedding")),
-        embs.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("doc_id"), col("embedding")),
-        "doc_id", "embedding", k = 10))
+      // the five base rankers are independent full pipelines; their
+      // eager spills run as CONCURRENT Spark jobs (standard
+      // multi-threaded scheduling — each stage of one ranker leaves
+      // most slots idle at any moment, so overlapping them converts
+      // idle slots into wall-clock; Spill registers child-thread
+      // directories in its global exit registry by contract)
+      import scala.concurrent.{Await, Future}
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val Seq(lex, fuzzy, bool, mlt, dense) = Await.result(
+        Future.sequence(Seq(
+          Future(sp(TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            queries, "query_id", "qterms", k = 10))),
+          Future(sp(TextAnalysis.bm25TopKFuzzy(docs, "doc_id", "text",
+            queries, "query_id", "qterms", k = 10, maxDist = 1))),
+          Future(sp(TextAnalysis.bm25TopKBool(docs, "doc_id", "text",
+            boolQ, "query_id", "must", "should", "mustNot", k = 10))),
+          Future(sp(TextAnalysis.moreLikeThis(docs, "doc_id", "text",
+            probeDocs.select(col("doc_id")), "doc_id", mTerms = 3,
+            k = 10))),
+          Future(sp(graft.operators.Similarity.batchExactTopK(
+            embs.select(col("vec_id").as("doc_id"), col("embedding")),
+            embs.where(col("vec_id") % 50 === 0)
+              .select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id", "embedding", k = 10))))),
+        scala.concurrent.duration.Duration.Inf): @unchecked
       val hybrid = graft.operators.RankFusion.rrf(
         Seq(lex, dense), "doc_id", k = 10)
       graft.operators.RankFusion.ndcgLeaderboard(

@@ -687,7 +687,7 @@ object LexicalIndex {
     */
   def significantTermsIndexed(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termsCol: String,
-      k: Int): DataFrame = {
+      k: Int, minFgCount: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
     readNBuckets(spark, path) // fail loud on a non-index path
     val qterms = TextAnalysis.proximityQueryTerms(queries, queryIdCol,
@@ -697,7 +697,7 @@ object LexicalIndex {
       .select(col("doc_id"), col("term"))
     TextAnalysis.significantTermsTail(dterms, qterms,
       readStats(spark, path)
-        .agg(sum(col("n_docs")).cast("double").as("__n")), k)
+        .agg(sum(col("n_docs")).cast("double").as("__n")), k, minFgCount)
   }
 
   /** Operational snapshot of a persisted index — the introspection a

@@ -833,7 +833,7 @@ object TextAnalysis {
     */
   def significantTerms(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termsCol: String,
-      k: Int): DataFrame = {
+      k: Int, minFgCount: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
     val qterms = proximityQueryTerms(queries, queryIdCol, termsCol)
       .select(col("query_id"), col("term"))
@@ -842,17 +842,25 @@ object TextAnalysis {
         explode(array_distinct(words(col(textCol)))).as("term")),
       "graft-sig-")
     significantTermsTail(dterms, qterms,
-      docs.agg(count(lit(1)).cast("double").as("__n")), k)
+      docs.agg(count(lit(1)).cast("double").as("__n")), k, minFgCount)
   }
 
   /** Scoring + ranking tail shared by [[significantTerms]] (spilled
     * tokenize projection) and
     * [[LexicalIndex.significantTermsIndexed]] (posting scan) —
     * single-homed so the paths cannot drift. `dterms` is distinct
-    * (doc_id, term) rows; `nDocs` one (__n) row.
+    * (doc_id, term) rows; `nDocs` one (__n) row. `minFgCount` is the
+    * ES-style minimum foreground document count: at corpus scale the
+    * candidate vocabulary is dominated by hapax/typo terms whose
+    * single-doc lift can still be large — the cutoff drops them BEFORE
+    * the df join and the scoring, shrinking the fold input from "every
+    * co-occurring term" to "terms with real foreground support" (1 =
+    * keep everything, the default).
     */
   private[operators] def significantTermsTail(dterms: DataFrame,
-      qterms: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+      qterms: DataFrame, nDocs: DataFrame, k: Int,
+      minFgCount: Int = 1): DataFrame = {
+    require(minFgCount >= 1, "minFgCount must be >= 1")
     val matched = dterms.join(broadcast(qterms), Seq("term"))
       .select(col("query_id"), col("doc_id")).distinct()
     val nm = matched.groupBy(col("query_id"))
@@ -860,6 +868,7 @@ object TextAnalysis {
     val df = dterms.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val fg = matched.join(dterms, Seq("doc_id"))
       .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("__fg"))
+      .where(col("__fg") >= minFgCount)
     val scored = fg
       .join(broadcast(qterms), Seq("query_id", "term"), "left_anti")
       .join(broadcast(nm), Seq("query_id"))

@@ -108,6 +108,25 @@ class FacetSnippetSpec extends AnyFunSuite with Matchers with SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("significantTerms: minFgCount drops hapax co-occurrences before " +
+      "scoring (the web-scale typo-noise cutoff); 1 keeps everything; " +
+      "0 fails loud") {
+    val d = docs(
+      (1L, "fast rocket engine", "en"),
+      (2L, "fast rocket fuel", "en"),
+      (3L, "slow common words", "en"),
+      (4L, "common words again", "en"))
+    import spark.implicits._
+    val q = Seq(1L -> "fast").toDF("query_id", "qterms")
+    def terms(minFg: Int) = TextAnalysis.significantTerms(d, "doc_id",
+        "text", q, "query_id", "qterms", k = 10, minFgCount = minFg)
+      .collect().map(_.getString(2)).sorted
+    // engine/fuel each co-occur in ONE matched doc; rocket in both
+    terms(1) shouldBe Array("engine", "fuel", "rocket")
+    terms(2) shouldBe Array("rocket")
+    intercept[IllegalArgumentException](terms(0))
+  }
+
   test("significantTerms: zero-match queries yield no rows; repeated " +
       "query terms add nothing") {
     val d = docs((1L, "fast table", "en"), (2L, "slow chair", "en"))
