@@ -484,6 +484,12 @@ object Similarity {
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosine_sim(col(embCol), typedlit(qv.toSeq)), 4).as("sim"))
+      // defensive id dedup (the lshTopKIndexed posture): a duplicated
+      // posting row — a retried batch append replaying into the
+      // mode-append layout, or overlapping caller batches — must not
+      // emit its id twice in the top-k and displace a real candidate;
+      // the agg runs on the cell-pruned candidate set only
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -600,6 +606,8 @@ object Similarity {
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosine_int8(col("qb"), lit(qb)), 4).as("sim"))
+      // the ivfRank duplicated-posting defense
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -679,6 +687,8 @@ object Similarity {
       }
       .reduce(_ unionByName _)
       .where(col(idCol) =!= queryId)
+      // the ivfRank duplicated-posting defense (distances: keep the min)
+      .groupBy(col(idCol)).agg(min(col("dist")).as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
@@ -717,6 +727,13 @@ object Similarity {
     * new rows land in the same partition layout queries already prune on.
     * (The coarse quantizer drifts as the corpus grows — rebuild with
     * [[writeIvfIndex]] on a rebalance cadence, appends between rebuilds.)
+    *
+    * Replay exposure: the mode-append write is NOT batch-keyed (unlike
+    * [[graft.operators.LexicalIndex.append]]), so a retried append lands
+    * its rows twice. The query tails dedup ids defensively (see
+    * [[ivfRank]]) so RESULTS stay correct, and the next drift refit
+    * folds the exact-duplicate rows away; streaming maintenance through
+    * the file sink is exactly-once via the sink's own commit log.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       embs: DataFrame, idCol: String, embCol: String): Unit =
@@ -843,7 +860,12 @@ object Similarity {
         val union = graft.io.Spill(
           readPostings(spark, s"$indexPath/postings", "cell=*")
             .select(col(idCol), col(embCol))
-            .unionByName(batch),
+            .unionByName(batch)
+            // exact duplicate rows (a retried append replayed into the
+            // mode-append layout) fold away at the refit instead of
+            // being carried into the fresh layout forever; distinct on
+            // the full row is deterministic (replays are byte-identical)
+            .distinct(),
           "graft-ivfref-")
         writeIvfIndex(union, idCol, embCol, indexPath, nList, seed)
         true

@@ -131,6 +131,32 @@ class IndexMaintenanceSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("a REPLAYED append (duplicated posting rows) cannot emit an id " +
+      "twice in any IVF top-k, and the next refit folds the duplicates " +
+      "away") {
+    val base = df(0 until 200, baseVec)
+    val batch = df(2000 until 2060, baseVec)
+    val path = graft.io.Spill.tempDir("graft-ivfmnt-") + "/idx"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", path, nList = 4)
+    Similarity.appendIvfIndex(spark, path, batch, "vec_id", "embedding")
+    val once = topIds(Similarity.ivfTopKIndexed(spark, path,
+      "vec_id", "embedding", qv, queryId = 999999L, k = 10, nProbe = 4))
+    // a crashed-and-retried maintain replays the SAME batch: the
+    // mode-append layout now holds its rows twice
+    Similarity.appendIvfIndex(spark, path, batch, "vec_id", "embedding")
+    spark.read.parquet(s"$path/postings").count() shouldBe 320L
+    val replayed = topIds(Similarity.ivfTopKIndexed(spark, path,
+      "vec_id", "embedding", qv, queryId = 999999L, k = 10, nProbe = 4))
+    replayed.distinct should have size 10 // no id surfaces twice
+    replayed shouldBe once // and the ranking is byte-identical
+    // a drifted batch forces the refit, which folds the exact-duplicate
+    // rows instead of carrying them into the fresh layout
+    val drifted = df(1000 until 1100, driftVec)
+    Similarity.maintainIvfIndex(spark, path, drifted,
+      "vec_id", "embedding", minCentroidCos = 0.95, nList = 4) shouldBe true
+    spark.read.parquet(s"$path/postings").count() shouldBe 360L
+  }
+
   test("an index without a fit-time anchor fails loud on drift checks") {
     val base = df(0 until 40, baseVec)
     val path = graft.io.Spill.tempDir("graft-ivfmnt-") + "/idx"
