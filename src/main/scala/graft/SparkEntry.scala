@@ -1697,6 +1697,22 @@ object SparkEntry {
         .orderBy(col("ranker"))
     }),
 
+    // margin-based bitext mining (CCMatrix ratio criterion): even
+    // embeddings as language A, odd as language B; each source's best
+    // target by cos normalized with both vectors' top-4 neighborhood
+    // means — hub vectors demoted, pairs below margin 1.0 dropped.
+    // The source side broadcasts over a map-only target scan (the
+    // batchExactTopK posture), neighborhoods through the bounded
+    // scored top-k aggregate
+    "q163_bitext_margin" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      graft.operators.Similarity.marginMinePairs(
+          embs.where(col("vec_id") % 2 === 0),
+          embs.where(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy(col("src_id"))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -4135,6 +4151,50 @@ object SparkEntry {
     "q160_significant_terms" -> significantTermsOracle,
     "q161_sig_indexed" -> significantTermsOracle,
     "q162_ranker_eval" -> rankerEvalOracle,
+    // replays the margin miner: exact 1e4-scaled cosines, window top-4
+    // neighborhoods both directions, the one double-division margin
+    // chain, forward-best per src above the threshold
+    "q163_bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS src_id, embedding
+           FROM embeddings WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, embedding
+           FROM embeddings WHERE vec_id % 2 <> 0),
+         c AS (
+           SELECT s.src_id, t.tgt_id,
+             CAST(round(round(list_cosine_similarity(
+               CAST(t.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])),
+               4) * 10000) AS BIGINT) AS c
+           FROM s CROSS JOIN t),
+         fwd AS (
+           SELECT src_id, tgt_id, c,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY c DESC, tgt_id) AS r
+           FROM c),
+         fnn AS (SELECT src_id, sum(c) AS sx, count(*) AS nx
+           FROM fwd WHERE r <= 4 GROUP BY 1),
+         bwd AS (
+           SELECT tgt_id, c,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY c DESC, src_id) AS r
+           FROM c),
+         bnn AS (SELECT tgt_id, sum(c) AS sy, count(*) AS ny
+           FROM bwd WHERE r <= 4 GROUP BY 1),
+         cand AS (
+           SELECT f.src_id, f.tgt_id,
+             CAST(fn.sx AS DOUBLE) / fn.nx
+               + CAST(bn.sy AS DOUBLE) / bn.ny AS denom,
+             round(CAST(f.c AS DOUBLE) * 2
+               / (CAST(fn.sx AS DOUBLE) / fn.nx
+                  + CAST(bn.sy AS DOUBLE) / bn.ny), 6) AS margin
+           FROM fwd f JOIN fnn fn USING (src_id) JOIN bnn bn USING (tgt_id)
+           WHERE f.r <= 4),
+         best AS (
+           SELECT src_id, tgt_id, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS r
+           FROM cand WHERE denom > 0 AND margin >= 1.0)
+         SELECT src_id, tgt_id, margin FROM best WHERE r = 1
+         ORDER BY src_id""",
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

@@ -86,6 +86,74 @@ object Similarity {
       idCol, k)
   }
 
+  /** Margin-based bitext mining (the CCMatrix criterion; Artetxe &
+    * Schwenk, ACL 2019 "Margin-based Parallel Corpus Mining"): for every
+    * `src` vector, its best `tgt` candidate scored by the RATIO margin —
+    * cos(x, y) normalized by the mean of both vectors' average top-k
+    * neighborhood sims — which demotes "hub" vectors that are close to
+    * everything (raw nearest-cosine mining pairs hubs with dozens of
+    * sources; the margin criterion is why CCMatrix works). The standard
+    * multilingual-training-data miner: src = embeddings of language A,
+    * tgt = language B, pairs above `minMargin` become candidate bitext.
+    * Output (src_id, tgt_id, margin), the forward-best pair per src
+    * (ties to the ascending tgt id), margin >= `minMargin` (pairs whose
+    * combined neighborhood sim is non-positive are dropped — the ratio
+    * is undefined there).
+    *
+    * Plan: the src side broadcasts over a map-only tgt scan (mine in
+    * probe-batches, the [[batchExactTopK]] contract; at web scale feed
+    * LSH/IVF-bucketed candidates instead of the exact sweep) — that
+    * pairs projection runs twice, once under each neighborhood grouping
+    * (recomputing a map-only broadcast join is cheaper than spilling the
+    * |src| x |tgt| pair frame), each through the bounded
+    * [[graft.functions.TopKScoredAggregator]] (the margin needs the
+    * top-k SIMS, not just ids), then one |src|*k x |tgt| equi-join and a
+    * bounded best-per-src aggregate. Determinism: cosines take the q95
+    * 4-decimal contract as exact 1e4-scaled longs, neighborhood sums are
+    * integer, and the margin is one fixed double-division sequence
+    * rounded to 6 — the DuckDB oracle replays it bit-for-bit.
+    */
+  def marginMinePairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      embCol: String, k: Int, minMargin: Double = 0.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val s = src.select(col(idCol).cast("long").as("src_id"),
+      col(embCol).as("__sv"))
+    val t = tgt.select(col(idCol).cast("long").as("tgt_id"),
+      col(embCol).as("__tv"))
+    def sims = t.join(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        round(round(cosine_sim(col("__tv"), col("__sv")), 4) * 1e4)
+          .cast("long").as("__c"))
+    val topk = udaf(new graft.functions.TopKScoredAggregator(k))
+    def nnSum(nn: Column) =
+      aggregate(nn, lit(0L), (acc, p) => acc + p.getField("_1"))
+    val fwd = sims.groupBy(col("src_id"))
+      .agg(topk(col("__c"), col("tgt_id")).as("__nn"))
+    val sy = sims.groupBy(col("tgt_id"))
+      .agg(topk(col("__c"), col("src_id")).as("__nn"))
+      .select(col("tgt_id"), nnSum(col("__nn")).as("__sy"),
+        size(col("__nn")).as("__ny"))
+    val best = udaf(new graft.functions.TopKScoredAggregator(1))
+    fwd
+      .select(col("src_id"), nnSum(col("__nn")).as("__sx"),
+        size(col("__nn")).as("__nx"), explode(col("__nn")).as("__p"))
+      .select(col("src_id"), col("__p._2").as("tgt_id"),
+        col("__p._1").as("__c"), col("__sx"), col("__nx"))
+      .join(sy, Seq("tgt_id"))
+      .withColumn("__denom",
+        col("__sx").cast("double") / col("__nx")
+          + col("__sy").cast("double") / col("__ny"))
+      .where(col("__denom") > 0)
+      .withColumn("margin",
+        round(col("__c").cast("double") * 2 / col("__denom"), 6))
+      .where(col("margin") >= minMargin)
+      .groupBy(col("src_id"))
+      .agg(best(round(col("margin") * 1e6).cast("long"),
+        col("tgt_id")).as("__b"))
+      .select(col("src_id"), col("__b")(0)("_2").as("tgt_id"),
+        (col("__b")(0)("_1").cast("double") / 1e6).as("margin"))
+  }
+
   /** MMR-diversified top-k: re-rank each query's scored candidates by
     * Maximal Marginal Relevance — greedy lam*rel - (1-lam)*maxSimToSelected
     * — so near-duplicate results are traded for diverse ones (diverse

@@ -63,7 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // gates
     "q155_bool_bm25", "q156_bool_indexed",
     // q160/q161: the one-row corpus-N broadcast under the lift scoring
-    "q160_significant_terms", "q161_sig_indexed")
+    "q160_significant_terms", "q161_sig_indexed",
+    // q163: the src-probe broadcast sweep of the margin miner (the
+    // q133/q137 dense posture — probe-batch-sized by contract)
+    "q163_bitext_margin")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -329,7 +332,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // union into the DCG aggregate, ONE shared IDCG window, the grid
     // explode + mean agg, final sort — the rankers' own scorer plans
     // are audited by their q134/q137/q149/q155/q157 rows
-    "q162_ranker_eval" -> 26)
+    "q162_ranker_eval" -> 26,
+    // bitext margin mining: the src-side BroadcastExchange under each
+    // neighborhood pass (the map-only pair projection runs once per
+    // grouping — recomputing it is cheaper than spilling |src| x |tgt|
+    // pairs), two bounded scored-top-k aggregate pairs, the
+    // candidates x backward-neighborhood equi-join, the bounded
+    // best-per-src aggregate pair, final sort — every exchange carries
+    // (ids, micros) rows, never embeddings
+    "q163_bitext_margin" -> 14)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Margin-based bitext mining ([[Similarity.marginMinePairs]], the
+  * CCMatrix ratio criterion): the margin must demote hub vectors that
+  * raw nearest-cosine mining would pair with everything, the scores
+  * must match a from-the-definition replication through the exact
+  * 4-decimal/micros discipline, and the forward-best/threshold
+  * semantics must hold.
+  */
+class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def frame(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** From-the-definition margin replication with the operator's exact
+    * rounding sequence (cos→4dp→1e4 longs; integer sums; one double
+    * division chain; 6dp round).
+    */
+  private def replicate(src: Map[Long, Seq[Double]],
+      tgt: Map[Long, Seq[Double]], k: Int,
+      minMargin: Double): Map[Long, (Long, Double)] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      Math.round(BigDecimal(d / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e4)
+    }
+    def topk(sims: Seq[(Long, Long)]): Seq[(Long, Long)] = // (id, c) -> (c, id)
+      sims.map(_.swap).sortBy(p => (-p._1, p._2)).take(k)
+    val fwd = src.map { case (x, xv) =>
+      x -> topk(tgt.toSeq.map { case (y, yv) => (y, cos(xv, yv)) }) }
+    val bwd = tgt.map { case (y, yv) =>
+      y -> topk(src.toSeq.map { case (x, xv) => (x, cos(yv, xv)) }) }
+    src.flatMap { case (x, _) =>
+      val nn = fwd(x)
+      val sx = nn.map(_._1).sum
+      val cands = nn.flatMap { case (c, y) =>
+        val sy = bwd(y).map(_._1).sum
+        val denom = sx.toDouble / nn.size + sy.toDouble / bwd(y).size
+        if (denom <= 0) None
+        else {
+          val m = BigDecimal(c.toDouble * 2 / denom)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (m >= minMargin) Some((y, m)) else None
+        }
+      }
+      if (cands.isEmpty) None
+      else Some(x -> cands.maxBy(p => (p._2, -p._1)))
+    }
+  }
+
+  test("a hub target close to every source loses to the mutual pair " +
+      "even though raw cosine ranks the hub first") {
+    // x1's raw nearest is the hub (0.7171 > 0.7) but the hub's high
+    // backward neighborhood demotes it; y1's anti-correlation with x2
+    // collapses its neighborhood average and boosts the true pair
+    val src = frame(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val tgt = frame(
+      10L -> Seq(0.7171, 0.6970), // hub: close to BOTH sources
+      11L -> Seq(0.7, -0.7141))   // mutual partner of x1 only
+    val out = Similarity.marginMinePairs(src, tgt, "vec_id", "embedding",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    out(1L)._1 shouldBe 11L // margin flips the raw-cosine choice
+    out(1L)._2 should be > 1.5
+    out(2L)._1 shouldBe 10L // x2's only positive-margin candidate
+    val want = replicate(
+      Map(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0)),
+      Map(10L -> Seq(0.7171, 0.6970), 11L -> Seq(0.7, -0.7141)),
+      k = 2, minMargin = 0.0)
+    out shouldBe want
+  }
+
+  test("scores match a from-the-definition replication on a larger " +
+      "deterministic fixture, one forward-best pair per src") {
+    val srcRows = (0L until 8L).map(i =>
+      i -> Seq(math.cos(i * 0.7), math.sin(i * 0.7)))
+    val tgtRows = (100L until 110L).map(j =>
+      j -> Seq(math.cos(j * 0.37 + 0.1), math.sin(j * 0.37 + 0.1)))
+    val out = Similarity.marginMinePairs(frame(srcRows: _*),
+        frame(tgtRows: _*), "vec_id", "embedding", k = 3,
+        minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    out.map(_._1).distinct.length shouldBe out.length // one pair per src
+    out.toMap shouldBe replicate(srcRows.toMap, tgtRows.toMap,
+      k = 3, minMargin = 1.0)
+    // the threshold actually gates: a high bar empties the result
+    Similarity.marginMinePairs(frame(srcRows: _*), frame(tgtRows: _*),
+      "vec_id", "embedding", k = 3, minMargin = 99.0).count() shouldBe 0L
+  }
+}
