@@ -1713,6 +1713,22 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // the same mining over LSH-bucketed candidates (q32's hyperplane
+    // family): pairs are scored only where they share a sign bucket in
+    // ANY table — the collision-bounded 100 TB path; neighborhoods are
+    // candidate-restricted, so margins drift only where candidates
+    // were lost (shared tail, exact-equality-under-full-recall
+    // spec-pinned)
+    "q164_bitext_lsh" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      graft.operators.Similarity.marginMinePairsLsh(
+          embs.where(col("vec_id") % 2 === 0),
+          embs.where(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMargin = 1.0,
+          nPlanes = 4, nTables = 12, dim = 64, seed = 11L)
+        .orderBy(col("src_id"))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -3249,6 +3265,47 @@ object SparkEntry {
     * levenshtein), then the q134 scoring CTEs run byte-identical over
     * the expanded (query_id, term) set.
     */
+  /** Shared margin-mining tail (q163 exact sweep, q164 LSH candidates):
+    * the caller supplies the candidate CTE chain ending in
+    * `c(src_id, tgt_id, c)` with exact 1e4-scaled cosine longs; the
+    * tail replays [[graft.operators.Similarity.marginTail]] — window
+    * top-4 neighborhoods both directions over the candidates, the one
+    * double-division margin chain rounded to 6, forward-best per src
+    * at margin >= 1.0.
+    */
+  private def bitextMarginOracle(candCtes: String): String =
+    s"""WITH $candCtes,
+       fwd AS (
+         SELECT src_id, tgt_id, c,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY c DESC, tgt_id) AS r
+         FROM c),
+       fnn AS (SELECT src_id, sum(c) AS sx, count(*) AS nx
+         FROM fwd WHERE r <= 4 GROUP BY 1),
+       bwd AS (
+         SELECT tgt_id, c,
+           row_number() OVER (PARTITION BY tgt_id
+             ORDER BY c DESC, src_id) AS r
+         FROM c),
+       bnn AS (SELECT tgt_id, sum(c) AS sy, count(*) AS ny
+         FROM bwd WHERE r <= 4 GROUP BY 1),
+       cand AS (
+         SELECT f.src_id, f.tgt_id,
+           CAST(fn.sx AS DOUBLE) / fn.nx
+             + CAST(bn.sy AS DOUBLE) / bn.ny AS denom,
+           round(CAST(f.c AS DOUBLE) * 2
+             / (CAST(fn.sx AS DOUBLE) / fn.nx
+                + CAST(bn.sy AS DOUBLE) / bn.ny), 6) AS margin
+         FROM fwd f JOIN fnn fn USING (src_id) JOIN bnn bn USING (tgt_id)
+         WHERE f.r <= 4),
+       best AS (
+         SELECT src_id, tgt_id, margin,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY margin DESC, tgt_id) AS r
+         FROM cand WHERE denom > 0 AND margin >= 1.0)
+       SELECT src_id, tgt_id, margin FROM best WHERE r = 1
+       ORDER BY src_id"""
+
   /** q162 replay: all six retrieval strategies re-derived in SQL over
     * one shared scoring scaffold — lexical/fuzzy/boolean/MLT reuse the
     * same per-(term, doc) BM25 micros (df is the corpus df regardless
@@ -4154,8 +4211,8 @@ object SparkEntry {
     // replays the margin miner: exact 1e4-scaled cosines, window top-4
     // neighborhoods both directions, the one double-division margin
     // chain, forward-best per src above the threshold
-    "q163_bitext_margin" ->
-      """WITH s AS (SELECT vec_id AS src_id, embedding
+    "q163_bitext_margin" -> bitextMarginOracle(
+      """s AS (SELECT vec_id AS src_id, embedding
            FROM embeddings WHERE vec_id % 2 = 0),
          t AS (SELECT vec_id AS tgt_id, embedding
            FROM embeddings WHERE vec_id % 2 <> 0),
@@ -4164,37 +4221,20 @@ object SparkEntry {
              CAST(round(round(list_cosine_similarity(
                CAST(t.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])),
                4) * 10000) AS BIGINT) AS c
-           FROM s CROSS JOIN t),
-         fwd AS (
-           SELECT src_id, tgt_id, c,
-             row_number() OVER (PARTITION BY src_id
-               ORDER BY c DESC, tgt_id) AS r
-           FROM c),
-         fnn AS (SELECT src_id, sum(c) AS sx, count(*) AS nx
-           FROM fwd WHERE r <= 4 GROUP BY 1),
-         bwd AS (
-           SELECT tgt_id, c,
-             row_number() OVER (PARTITION BY tgt_id
-               ORDER BY c DESC, src_id) AS r
-           FROM c),
-         bnn AS (SELECT tgt_id, sum(c) AS sy, count(*) AS ny
-           FROM bwd WHERE r <= 4 GROUP BY 1),
-         cand AS (
-           SELECT f.src_id, f.tgt_id,
-             CAST(fn.sx AS DOUBLE) / fn.nx
-               + CAST(bn.sy AS DOUBLE) / bn.ny AS denom,
-             round(CAST(f.c AS DOUBLE) * 2
-               / (CAST(fn.sx AS DOUBLE) / fn.nx
-                  + CAST(bn.sy AS DOUBLE) / bn.ny), 6) AS margin
-           FROM fwd f JOIN fnn fn USING (src_id) JOIN bnn bn USING (tgt_id)
-           WHERE f.r <= 4),
-         best AS (
-           SELECT src_id, tgt_id, margin,
-             row_number() OVER (PARTITION BY src_id
-               ORDER BY margin DESC, tgt_id) AS r
-           FROM cand WHERE denom > 0 AND margin >= 1.0)
-         SELECT src_id, tgt_id, margin FROM best WHERE r = 1
-         ORDER BY src_id""",
+           FROM s CROSS JOIN t)"""),
+    // the LSH twin: the q32 hyperplane-bucket CTE generates the
+    // candidate pairs (max over colliding tables of the identical
+    // cosine — the engine's dedup idiom), then the SAME margin tail
+    "q164_bitext_lsh" -> bitextMarginOracle(
+      s"""$lshPostedCte,
+         c AS (
+           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             max(CAST(round(round(list_cosine_similarity(t.v, s.v), 4)
+               * 10000) AS BIGINT)) AS c
+           FROM posted s JOIN posted t
+             ON s.tbl = t.tbl AND s.bucket = t.bucket
+           WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0
+           GROUP BY 1, 2)"""),
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

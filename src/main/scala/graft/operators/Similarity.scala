@@ -120,10 +120,63 @@ object Similarity {
       col(embCol).as("__sv"))
     val t = tgt.select(col(idCol).cast("long").as("tgt_id"),
       col(embCol).as("__tv"))
-    def sims = t.join(broadcast(s))
+    val sims = t.join(broadcast(s))
       .select(col("src_id"), col("tgt_id"),
         round(round(cosine_sim(col("__tv"), col("__sv")), 4) * 1e4)
           .cast("long").as("__c"))
+    marginTail(sims, k, minMargin)
+  }
+
+  /** [[marginMinePairs]] over LSH-bucketed candidates — the 100 TB
+    * path: instead of the exact |src| x |tgt| sweep, candidate pairs
+    * come from the [[batchLshTopK]] OR-amplified bucket join (a pair
+    * is scored only when it shares a sign-LSH bucket in ANY of the
+    * `nTables` tables), so the pair frame is collision-bounded and the
+    * neighborhood averages are computed over the candidates — the
+    * standard approximate-neighborhood trade every production margin
+    * miner (FAISS-backed CCMatrix) makes. When the bucketing recalls
+    * every cross pair (tightly clustered data, or generous
+    * tables-x-planes), the output is IDENTICAL to the exact variant
+    * (shared [[marginTail]], spec-pinned); under partial recall the
+    * neighborhood sums shrink toward the true top-k sums from below —
+    * margins drift only where candidates were lost.
+    *
+    * The candidate sims spill eagerly: the tail consumes them under
+    * two groupings, and re-planning would re-run the bucket SHUFFLE
+    * join (the exact variant's map-only broadcast sweep is cheaper to
+    * re-plan than to spill — opposite trade here).
+    */
+  def marginMinePairsLsh(src: DataFrame, tgt: DataFrame, idCol: String,
+      embCol: String, k: Int, minMargin: Double = 0.0, nPlanes: Int = 4,
+      nTables: Int = 12, dim: Int = -1, seed: Long = 11L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = if (dim > 0) dim else inferDim(src, embCol)
+    val sp = lshPostings(src.select(col(idCol).cast("long").as("src_id"),
+        col(embCol)), "src_id", embCol, nPlanes, nTables, d, seed)
+      .select(col("src_id"), col(embCol).as("__sv"), col("table"),
+        col("bucket"))
+    val tp = lshPostings(tgt.select(col(idCol).cast("long").as("tgt_id"),
+        col(embCol)), "tgt_id", embCol, nPlanes, nTables, d, seed)
+    val sims = graft.io.Spill(
+      tp.join(sp, Seq("table", "bucket"))
+        .select(col("src_id"), col("tgt_id"),
+          round(round(cosine_sim(col(embCol), col("__sv")), 4) * 1e4)
+            .cast("long").as("__c"))
+        // a pair may collide in several tables; its cosine is identical
+        // in each (the batchLshTopK dedup idiom)
+        .groupBy(col("src_id"), col("tgt_id"))
+        .agg(max(col("__c")).as("__c")),
+      "graft-bitext-lsh-")
+    marginTail(sims, k, minMargin)
+  }
+
+  /** Margin scoring + forward-best tail shared by [[marginMinePairs]]
+    * (exact sweep) and [[marginMinePairsLsh]] (bucketed candidates) —
+    * single-homed so the paths cannot drift. `sims` is one
+    * (src_id, tgt_id, __c 1e4-micros) row per candidate pair.
+    */
+  private def marginTail(sims: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
     val topk = udaf(new graft.functions.TopKScoredAggregator(k))
     def nnSum(nn: Column) =
       aggregate(nn, lit(0L), (acc, p) => acc + p.getField("_1"))

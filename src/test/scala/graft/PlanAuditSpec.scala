@@ -340,7 +340,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // candidates x backward-neighborhood equi-join, the bounded
     // best-per-src aggregate pair, final sort — every exchange carries
     // (ids, micros) rows, never embeddings
-    "q163_bitext_margin" -> 14)
+    "q163_bitext_margin" -> 14,
+    // the LSH twin: the candidate sims SPILL (their bucket shuffle
+    // join would re-run under the tail's two groupings), so the
+    // audited tail is two bounded top-k aggregate pairs over the spill
+    // scan, the candidates x backward join, best-per-src, final sort
+    "q164_bitext_lsh" -> 8)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -96,4 +96,35 @@ class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
     Similarity.marginMinePairs(frame(srcRows: _*), frame(tgtRows: _*),
       "vec_id", "embedding", k = 3, minMargin = 99.0).count() shouldBe 0L
   }
+
+  test("the LSH-bucketed miner equals the exact sweep when the " +
+      "bucketing recalls every cross pair (shared margin tail), and " +
+      "stays one-pair-per-src under partial recall") {
+    // tight cluster: every vector points near e1 with small noise, so
+    // all vectors share each table's sign pattern and every cross pair
+    // collides — candidates == full sweep, outputs must be IDENTICAL
+    def tight(i: Long): Seq[Double] =
+      Seq(1.0) ++ (1 until 8).map(j => ((i * 7 + j * 13) % 11 - 5) / 100.0)
+    val src = frame((0L until 10L).map(i => i -> tight(i)): _*)
+    val tgt = frame((100L until 112L).map(i => i -> tight(i)): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    rows(Similarity.marginMinePairsLsh(src, tgt, "vec_id", "embedding",
+      k = 3, nPlanes = 4, nTables = 12)) shouldBe
+      rows(Similarity.marginMinePairs(src, tgt, "vec_id", "embedding",
+        k = 3))
+    // spread fixture at ONE stingy table: collisions are partial, the
+    // miner still returns at most one forward-best pair per src and
+    // only pairs that actually collided (a subset of the exact sweep's
+    // candidate universe)
+    val spreadS = frame((0L until 12L).map(i =>
+      i -> (0 until 8).map(j => math.cos(i * 0.9 + j * 0.61))): _*)
+    val spreadT = frame((100L until 116L).map(i =>
+      i -> (0 until 8).map(j => math.sin(i * 0.53 + j * 0.37))): _*)
+    val lsh = rows(Similarity.marginMinePairsLsh(spreadS, spreadT,
+      "vec_id", "embedding", k = 3, nPlanes = 4, nTables = 1))
+    lsh.map(_._1).distinct.length shouldBe lsh.length
+    lsh.length should be < 12 // the single stingy table lost candidates
+  }
 }
