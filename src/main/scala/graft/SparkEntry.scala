@@ -1738,6 +1738,23 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // the same mining against the PERSISTED target index (q135's
+    // build-row pattern: the row pins the write + pruned-read
+    // machinery; the oracle is q164's — identical candidates and tail
+    // by construction, indexed ≡ one-shot spec-pinned)
+    "q165_bitext_indexed" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val dir = graft.io.Spill.tempDir("graft-bitext-") + "/lsh"
+      graft.operators.Similarity.writeLshIndex(
+        embs.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        dir, nPlanes = 4, nTables = 12, dim = 64, seed = 11L)
+      graft.operators.Similarity.marginMinePairsIndexed(s, dir,
+          embs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          k = 4, minMargin = 1.0, nPlanes = 4, nTables = 12, dim = 64,
+          seed = 11L)
+        .orderBy(col("src_id"))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -4235,6 +4252,18 @@ object SparkEntry {
     // candidate pairs (max over colliding tables of the identical
     // cosine — the engine's dedup idiom), then the SAME margin tail
     "q164_bitext_lsh" -> bitextMarginOracle(
+      s"""$lshPostedCte,
+         c AS (
+           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             max(CAST(round(round(list_cosine_similarity(t.v, s.v), 4)
+               * 10000) AS BIGINT)) AS c
+           FROM posted s JOIN posted t
+             ON s.tbl = t.tbl AND s.bucket = t.bucket
+           WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0
+           GROUP BY 1, 2)"""),
+    // q165 serves IDENTICAL pairs from the persisted index (same plane
+    // family, candidates and tail by construction) — q164's oracle
+    "q165_bitext_indexed" -> bitextMarginOracle(
       s"""$lshPostedCte,
          c AS (
            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,

@@ -170,9 +170,48 @@ object Similarity {
     marginTail(sims, k, minMargin)
   }
 
+  /** [[marginMinePairsLsh]] against a PERSISTED [[writeLshIndex]] —
+    * the incremental mining shape: a batch of NEW source documents
+    * (fresh crawl of language A) mines against the already-bucketed
+    * target index without re-bucketing or re-scanning raw target
+    * embeddings; a streaming maintainer appending target postings via
+    * the file sink keeps the index current between batches. The src
+    * batch's postings BROADCAST over the map-only index scan (probe
+    * batches are small by contract), then the shared [[marginTail]].
+    * Identical to the one-shot LSH variant when the batch is the full
+    * source corpus (spec-pinned); for a partial batch the backward
+    * neighborhoods are batch-local by construction — the margin
+    * normalizes against the candidates THIS batch competes with,
+    * which is the standard incremental-mining posture.
+    */
+  def marginMinePairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, src: DataFrame, idCol: String, embCol: String,
+      k: Int, minMargin: Double = 0.0, nPlanes: Int = 4,
+      nTables: Int = 12, dim: Int = -1, seed: Long = 11L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = if (dim > 0) dim else inferDim(src, embCol)
+    val sp = lshPostings(src.select(col(idCol).cast("long").as("src_id"),
+        col(embCol)), "src_id", embCol, nPlanes, nTables, d, seed)
+      .select(col("src_id"), col(embCol).as("__sv"), col("table"),
+        col("bucket"))
+    val sims = graft.io.Spill(
+      readPostings(spark, indexPath, "table=*")
+        .select(col(idCol).cast("long").as("tgt_id"),
+          col(embCol).as("__tv"), col("table"), col("bucket"))
+        .join(broadcast(sp), Seq("table", "bucket"))
+        .select(col("src_id"), col("tgt_id"),
+          round(round(cosine_sim(col("__tv"), col("__sv")), 4) * 1e4)
+            .cast("long").as("__c"))
+        .groupBy(col("src_id"), col("tgt_id"))
+        .agg(max(col("__c")).as("__c")),
+      "graft-bitext-idx-")
+    marginTail(sims, k, minMargin)
+  }
+
   /** Margin scoring + forward-best tail shared by [[marginMinePairs]]
-    * (exact sweep) and [[marginMinePairsLsh]] (bucketed candidates) —
-    * single-homed so the paths cannot drift. `sims` is one
+    * (exact sweep), [[marginMinePairsLsh]] (bucketed candidates) and
+    * [[marginMinePairsIndexed]] (persisted postings) — single-homed so
+    * the paths cannot drift. `sims` is one
     * (src_id, tgt_id, __c 1e4-micros) row per candidate pair.
     */
   private def marginTail(sims: DataFrame, k: Int,

@@ -345,7 +345,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // join would re-run under the tail's two groupings), so the
     // audited tail is two bounded top-k aggregate pairs over the spill
     // scan, the candidates x backward join, best-per-src, final sort
-    "q164_bitext_lsh" -> 8)
+    "q164_bitext_lsh" -> 8,
+    // the indexed twin: same spilled-candidate tail; the build write's
+    // exchanges run eagerly in the row (the q135 build-row pattern)
+    "q165_bitext_indexed" -> 8)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

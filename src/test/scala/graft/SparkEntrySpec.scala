@@ -66,19 +66,23 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     val aLine = Bench.jsonLine(worst, "/root/testdata/sf0.1", adjudicated = adj)
     aLine.length should be <= 1840
     aLine should include("\"adjudicated\":{")
-    // GROWTH headroom: the degradation tiers must keep a 165-query
+    // GROWTH headroom: the degradation tiers must keep a 180-query
     // battery inside the driver's ~1850-byte capture (r13 shipped 1834
     // bytes at 152 queries — 16 bytes of margin; this pins the next
-    // tier before a new query can truncate the line, the r3 failure
+    // tiers before a new query can truncate the line, the r3 failure
     // mode). At 165 uniform-0.488 queries the 1-decimal tier renders
-    // 1796 bytes (BENCH_ANCHORS.txt header records the simulation).
-    val grown = (1 to 165).map(i => f"q$i%02d_synthetic" -> 0.488)
-    val gLine = Bench.jsonLine(grown, "/root/testdata/sf0.1")
-    gLine.length should be <= 1840
-    gLine should include(":0.5") // still sub-second at 165 queries
-    val gAdj = grown.take(5).map { case (n, _) => n -> 88.888 }
-    Bench.jsonLine(grown, "/root/testdata/sf0.1", adjudicated = gAdj)
-      .length should be <= 1840
+    // 1796 bytes; at 180 the whole-second tier carries the line
+    // (BENCH_ANCHORS.txt header records the simulation).
+    Seq(165, 180).foreach { n =>
+      val grown = (1 to n).map(i => f"q$i%02d_synthetic" -> 0.488)
+      val gLine = Bench.jsonLine(grown, "/root/testdata/sf0.1")
+      withClue(s"$n queries: ") { gLine.length should be <= 1840 }
+      val gAdj = grown.take(5).map { case (name, _) => name -> 88.888 }
+      Bench.jsonLine(grown, "/root/testdata/sf0.1", adjudicated = gAdj)
+        .length should be <= 1840
+    }
+    Bench.jsonLine((1 to 165).map(i => f"q$i%02d_synthetic" -> 0.488),
+      "/root/testdata/sf0.1") should include(":0.5") // sub-second at 165
   }
 
   test("checked-in anchors parse and cover the battery at both SFs") {

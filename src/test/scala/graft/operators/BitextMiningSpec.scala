@@ -127,4 +127,27 @@ class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
     lsh.map(_._1).distinct.length shouldBe lsh.length
     lsh.length should be < 12 // the single stingy table lost candidates
   }
+
+  test("mining against the persisted LSH index equals the one-shot " +
+      "bucketed miner, appended target batches included") {
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(j => math.cos(i * 0.83 + j * 0.47))
+    val src = frame((0L until 10L).map(i => i -> vec(i)): _*)
+    val tgtAll = (100L until 120L).map(i => i -> vec(i))
+    val dir = graft.io.Spill.tempDir("graft-bitext-idx-") + "/lsh"
+    // seed the index with half the target corpus, append the rest the
+    // way the streaming maintainer lands postings (same projection)
+    Similarity.writeLshIndex(frame(tgtAll.take(10): _*), "vec_id",
+      "embedding", dir, nPlanes = 2, nTables = 6, dim = 8)
+    Similarity.lshPostings(frame(tgtAll.drop(10): _*), "vec_id",
+        "embedding", nPlanes = 2, nTables = 6, dim = 8)
+      .write.mode("append").partitionBy("table", "bucket").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    rows(Similarity.marginMinePairsIndexed(spark, dir, src, "vec_id",
+      "embedding", k = 3, nPlanes = 2, nTables = 6)) shouldBe
+      rows(Similarity.marginMinePairsLsh(src, frame(tgtAll: _*),
+        "vec_id", "embedding", k = 3, nPlanes = 2, nTables = 6))
+  }
 }
