@@ -1755,6 +1755,22 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // the mining-quality audit (q138's recall-audit posture applied to
+    // bitext): the exact sweep's pairs as gold, the LSH miner's as the
+    // candidate, scored by the xSIM-style corpus error rate — the
+    // measured answer to "what did the bucketing cost me"
+    "q166_bitext_audit" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val src = embs.where(col("vec_id") % 2 === 0)
+      val tgt = embs.where(col("vec_id") % 2 =!= 0)
+      graft.operators.Similarity.miningErrorRate(
+        graft.operators.Similarity.marginMinePairsLsh(src, tgt,
+          "vec_id", "embedding", k = 4, minMargin = 1.0,
+          nPlanes = 4, nTables = 12, dim = 64, seed = 11L),
+        graft.operators.Similarity.marginMinePairs(src, tgt,
+          "vec_id", "embedding", k = 4, minMargin = 1.0))
+    }),
+
     // histogram facet: q151's facet machinery over a DERIVED bucket
     // column (n_chars floored to 100s) — the numeric-range panel
     // beside the term facets; zebra pins the empty match set
@@ -3300,37 +3316,73 @@ object SparkEntry {
     * at margin >= 1.0.
     */
   private def bitextMarginOracle(candCtes: String): String =
-    s"""WITH $candCtes,
-       fwd AS (
+    s"""WITH ${bitextMarginCtes("", candCtes)}
+       SELECT src_id, tgt_id, margin FROM best WHERE r = 1
+       ORDER BY src_id"""
+
+  /** The margin tail CTE chain with a NAME PREFIX, so q166 can host
+    * the exact and the LSH chains side by side in one statement; ends
+    * in `${p}best(src_id, tgt_id, margin, r)`.
+    */
+  private def bitextMarginCtes(p: String, candCtes: String): String =
+    s"""$candCtes,
+       ${p}fwd AS (
          SELECT src_id, tgt_id, c,
            row_number() OVER (PARTITION BY src_id
              ORDER BY c DESC, tgt_id) AS r
-         FROM c),
-       fnn AS (SELECT src_id, sum(c) AS sx, count(*) AS nx
-         FROM fwd WHERE r <= 4 GROUP BY 1),
-       bwd AS (
+         FROM ${p}c),
+       ${p}fnn AS (SELECT src_id, sum(c) AS sx, count(*) AS nx
+         FROM ${p}fwd WHERE r <= 4 GROUP BY 1),
+       ${p}bwd AS (
          SELECT tgt_id, c,
            row_number() OVER (PARTITION BY tgt_id
              ORDER BY c DESC, src_id) AS r
-         FROM c),
-       bnn AS (SELECT tgt_id, sum(c) AS sy, count(*) AS ny
-         FROM bwd WHERE r <= 4 GROUP BY 1),
-       cand AS (
+         FROM ${p}c),
+       ${p}bnn AS (SELECT tgt_id, sum(c) AS sy, count(*) AS ny
+         FROM ${p}bwd WHERE r <= 4 GROUP BY 1),
+       ${p}cand AS (
          SELECT f.src_id, f.tgt_id,
            CAST(fn.sx AS DOUBLE) / fn.nx
              + CAST(bn.sy AS DOUBLE) / bn.ny AS denom,
            round(CAST(f.c AS DOUBLE) * 2
              / (CAST(fn.sx AS DOUBLE) / fn.nx
                 + CAST(bn.sy AS DOUBLE) / bn.ny), 6) AS margin
-         FROM fwd f JOIN fnn fn USING (src_id) JOIN bnn bn USING (tgt_id)
+         FROM ${p}fwd f JOIN ${p}fnn fn USING (src_id)
+           JOIN ${p}bnn bn USING (tgt_id)
          WHERE f.r <= 4),
-       best AS (
+       ${p}best AS (
          SELECT src_id, tgt_id, margin,
            row_number() OVER (PARTITION BY src_id
              ORDER BY margin DESC, tgt_id) AS r
-         FROM cand WHERE denom > 0 AND margin >= 1.0)
-       SELECT src_id, tgt_id, margin FROM best WHERE r = 1
-       ORDER BY src_id"""
+         FROM ${p}cand WHERE denom > 0 AND margin >= 1.0)"""
+
+  /** The exact-sweep candidate chain ending in `${p}c`. */
+  private def bitextExactCand(p: String): String =
+    s"""${p}s AS (SELECT vec_id AS src_id, embedding
+         FROM embeddings WHERE vec_id % 2 = 0),
+       ${p}t AS (SELECT vec_id AS tgt_id, embedding
+         FROM embeddings WHERE vec_id % 2 <> 0),
+       ${p}c AS (
+         SELECT s.src_id, t.tgt_id,
+           CAST(round(round(list_cosine_similarity(
+             CAST(t.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])),
+             4) * 10000) AS BIGINT) AS c
+         FROM ${p}s s CROSS JOIN ${p}t t)"""
+
+  /** The LSH-collision candidate chain (q32's hyperplane buckets)
+    * ending in `${p}c`; embeds `posted`, so use at most once per
+    * statement.
+    */
+  private def bitextLshCand(p: String): String =
+    s"""$lshPostedCte,
+       ${p}c AS (
+         SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+           max(CAST(round(round(list_cosine_similarity(t.v, s.v), 4)
+             * 10000) AS BIGINT)) AS c
+         FROM posted s JOIN posted t
+           ON s.tbl = t.tbl AND s.bucket = t.bucket
+         WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0
+         GROUP BY 1, 2)"""
 
   /** q162 replay: all six retrieval strategies re-derived in SQL over
     * one shared scoring scaffold — lexical/fuzzy/boolean/MLT reuse the
@@ -4237,42 +4289,30 @@ object SparkEntry {
     // replays the margin miner: exact 1e4-scaled cosines, window top-4
     // neighborhoods both directions, the one double-division margin
     // chain, forward-best per src above the threshold
-    "q163_bitext_margin" -> bitextMarginOracle(
-      """s AS (SELECT vec_id AS src_id, embedding
-           FROM embeddings WHERE vec_id % 2 = 0),
-         t AS (SELECT vec_id AS tgt_id, embedding
-           FROM embeddings WHERE vec_id % 2 <> 0),
-         c AS (
-           SELECT s.src_id, t.tgt_id,
-             CAST(round(round(list_cosine_similarity(
-               CAST(t.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])),
-               4) * 10000) AS BIGINT) AS c
-           FROM s CROSS JOIN t)"""),
+    "q163_bitext_margin" -> bitextMarginOracle(bitextExactCand("")),
     // the LSH twin: the q32 hyperplane-bucket CTE generates the
     // candidate pairs (max over colliding tables of the identical
     // cosine — the engine's dedup idiom), then the SAME margin tail
-    "q164_bitext_lsh" -> bitextMarginOracle(
-      s"""$lshPostedCte,
-         c AS (
-           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-             max(CAST(round(round(list_cosine_similarity(t.v, s.v), 4)
-               * 10000) AS BIGINT)) AS c
-           FROM posted s JOIN posted t
-             ON s.tbl = t.tbl AND s.bucket = t.bucket
-           WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0
-           GROUP BY 1, 2)"""),
+    "q164_bitext_lsh" -> bitextMarginOracle(bitextLshCand("")),
     // q165 serves IDENTICAL pairs from the persisted index (same plane
     // family, candidates and tail by construction) — q164's oracle
-    "q165_bitext_indexed" -> bitextMarginOracle(
-      s"""$lshPostedCte,
-         c AS (
-           SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-             max(CAST(round(round(list_cosine_similarity(t.v, s.v), 4)
-               * 10000) AS BIGINT)) AS c
-           FROM posted s JOIN posted t
-             ON s.tbl = t.tbl AND s.bucket = t.bucket
-           WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0
-           GROUP BY 1, 2)"""),
+    "q165_bitext_indexed" -> bitextMarginOracle(bitextLshCand("")),
+    // q166: both chains side by side — the exact sweep's pairs are the
+    // gold, the LSH miner's are the candidate, scored by the xSIM-style
+    // error rate (missing = error, unjudged ignored)
+    "q166_bitext_audit" ->
+      s"""WITH ${bitextMarginCtes("e", bitextExactCand("e"))},
+         ${bitextMarginCtes("l", bitextLshCand("l"))},
+         em AS (SELECT src_id, tgt_id FROM ebest WHERE r = 1),
+         lm AS (SELECT src_id, tgt_id FROM lbest WHERE r = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_gold,
+           CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN lm.tgt_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missing,
+           round(1.0 - CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id
+             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
+         FROM em LEFT JOIN lm USING (src_id)""",
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

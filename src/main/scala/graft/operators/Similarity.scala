@@ -208,6 +208,39 @@ object Similarity {
     marginTail(sims, k, minMargin)
   }
 
+  /** Corpus-level mining quality against a gold alignment (the xSIM
+    * posture of the LASER/CCMatrix eval stack, and the bitext twin of
+    * [[RankFusion.rankingRecall]]'s ANN audit): one row —
+    * (n_gold, n_correct, n_missing, error_rate) — where a gold source
+    * counts correct when the miner's pair hits ANY of its gold
+    * targets, missing when the miner returned no pair for it, and the
+    * error rate is 1 - correct/n_gold rounded to 6 (missing counts as
+    * error; sources the miner paired but nobody judged are ignored,
+    * the [[RankFusion.ndcgAtK]] unjudged posture). "Measure, don't
+    * guess": run the approximate miner ([[marginMinePairsLsh]] /
+    * [[marginMinePairsIndexed]]) against the exact sweep's pairs — or
+    * human-aligned gold — on a probe slice at the same cadence as the
+    * ANN recall audit. Defensive dedup both sides: a duplicated mined
+    * row collapses to its min target, duplicated gold rows to the
+    * distinct target set.
+    */
+  def miningErrorRate(mined: DataFrame, gold: DataFrame): DataFrame = {
+    val m = mined.select(col("src_id"), col("tgt_id"))
+      .groupBy(col("src_id")).agg(min(col("tgt_id")).as("__mt"))
+    gold.select(col("src_id"), col("tgt_id").as("__gt")).distinct()
+      .join(m, Seq("src_id"), "left")
+      .groupBy(col("src_id"))
+      .agg(max(when(col("__mt") === col("__gt"), 1L).otherwise(0L))
+          .as("__ok"),
+        max(when(col("__mt").isNull, 1L).otherwise(0L)).as("__miss"))
+      .agg(count(lit(1)).as("n_gold"),
+        sum(col("__ok")).as("n_correct"),
+        sum(col("__miss")).as("n_missing"))
+      .select(col("n_gold"), col("n_correct"), col("n_missing"),
+        round(lit(1.0) - col("n_correct").cast("double")
+          / col("n_gold").cast("double"), 6).as("error_rate"))
+  }
+
   /** Margin scoring + forward-best tail shared by [[marginMinePairs]]
     * (exact sweep), [[marginMinePairsLsh]] (bucketed candidates) and
     * [[marginMinePairsIndexed]] (persisted postings) — single-homed so

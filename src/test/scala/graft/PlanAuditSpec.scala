@@ -65,8 +65,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q160/q161: the one-row corpus-N broadcast under the lift scoring
     "q160_significant_terms", "q161_sig_indexed",
     // q163: the src-probe broadcast sweep of the margin miner (the
-    // q133/q137 dense posture — probe-batch-sized by contract)
-    "q163_bitext_margin")
+    // q133/q137 dense posture — probe-batch-sized by contract);
+    // q166 embeds the same exact-sweep subtree as its gold side
+    "q163_bitext_margin", "q166_bitext_audit")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -348,7 +349,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q164_bitext_lsh" -> 8,
     // the indexed twin: same spilled-candidate tail; the build write's
     // exchanges run eagerly in the row (the q135 build-row pattern)
-    "q165_bitext_indexed" -> 8)
+    "q165_bitext_indexed" -> 8,
+    // the mining audit: BOTH miners run inside the row (the exact tail
+    // re-plans its map-only sweep per grouping, the LSH tail reads its
+    // spill) + the gold-vs-mined join and two metric aggregates — every
+    // exchange carries (ids, micros) rows
+    "q166_bitext_audit" -> 22)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -128,6 +128,21 @@ class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
     lsh.length should be < 12 // the single stingy table lost candidates
   }
 
+  test("miningErrorRate: correct on any gold target, missing counts " +
+      "as error, unjudged mined pairs ignored, duplicates collapse") {
+    import spark.implicits._
+    val gold = Seq((1L, 11L), (2L, 10L), (3L, 99L), (4L, 40L), (4L, 41L))
+      .toDF("src_id", "tgt_id") // src 4 has TWO acceptable targets
+    val mined = Seq((1L, 11L), (2L, 12L), (4L, 41L), (5L, 77L),
+        (1L, 11L)) // duplicate mined row; src 5 unjudged; src 3 missing
+      .toDF("src_id", "tgt_id")
+    val out = Similarity.miningErrorRate(mined, gold).head()
+    out.getLong(0) shouldBe 4L // gold sources
+    out.getLong(1) shouldBe 2L // 1 and 4 correct (4 via its 2nd gold)
+    out.getLong(2) shouldBe 1L // 3 missing
+    out.getDouble(3) shouldBe 0.5 // 1 - 2/4
+  }
+
   test("mining against the persisted LSH index equals the one-shot " +
       "bucketed miner, appended target batches included") {
     def vec(i: Long): Seq[Double] =
