@@ -239,6 +239,9 @@ object Similarity {
       .select(col("n_gold"), col("n_correct"), col("n_missing"),
         round(lit(1.0) - col("n_correct").cast("double")
           / col("n_gold").cast("double"), 6).as("error_rate"))
+      // an EMPTY gold frame has no error rate to report: zero rows,
+      // not one null-filled row (the global agg always emits a row)
+      .where(col("n_gold") > 0)
   }
 
   /** Margin scoring + forward-best tail shared by [[marginMinePairs]]

@@ -141,6 +141,10 @@ class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.getLong(1) shouldBe 2L // 1 and 4 correct (4 via its 2nd gold)
     out.getLong(2) shouldBe 1L // 3 missing
     out.getDouble(3) shouldBe 0.5 // 1 - 2/4
+    // an empty gold frame yields no rows, not one null-filled row
+    import spark.implicits._
+    Similarity.miningErrorRate(mined,
+      Seq.empty[(Long, Long)].toDF("src_id", "tgt_id")).count() shouldBe 0L
   }
 
   test("mining against the persisted LSH index equals the one-shot " +
