@@ -27,11 +27,25 @@ class TopKTermsAggregator(k: Int)
   require(k > 0, "k must be positive")
 
   // (micros, term) ranks before (micros', term') when micros >
-  // micros', or they tie and term < term' lexicographically (the
-  // UTF8-ordinal order both Spark's sort and the oracle's ORDER BY
-  // produce for ASCII term text).
+  // micros', or they tie and term sorts first in UTF-8 byte order.
+  // Code-point comparison == UTF-8 byte order; JVM String.compareTo
+  // is UTF-16 code-unit order, which diverges above the BMP (e.g.
+  // U+10000 vs U+FFFF), and the DuckDB oracle sorts UTF-8 bytes.
+  private def utf8Less(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length // strict prefix sorts first
+  }
+
   private def beats(a: (Long, String), b: (Long, String)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    a._1 > b._1 || (a._1 == b._1 && utf8Less(a._2, b._2))
 
   override def zero: Seq[(Long, String)] = Vector.empty
 

@@ -245,9 +245,13 @@ final class HttpApi(serving: Serving, port: Int = 0) {
         // property is inert — correctness never depends on it. The
         // cached-pool dispatch above prevents the deadlock half;
         // this is the throughput half.
+        // Pool names are bounded (mod 32): Spark's root pool retains
+        // every pool name it has ever seen, and a long-lived server
+        // with a cached thread pool mints unbounded thread ids — a
+        // fixed 32-name space keeps fairness without that slow leak.
         val sc = conf.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool",
-          "graft-search-" + Thread.currentThread().getId)
+          "graft-search-" + (Thread.currentThread().getId % 32))
         try respond(ex, 200, body(conf))
         catch {
           case e @ (_: IllegalArgumentException | _: IllegalStateException |

@@ -68,10 +68,14 @@ final class AuditListener(appId: String) extends StreamingQueryListener {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     // line 1: "v1"; line 2: batch metadata JSON; lines 3+: one
-    // serialized end offset per source, in source declaration order
-    val rows = lines.drop(2).zipWithIndex.map { case (off, i) =>
-      AuditOffset(appId, s"checkpoint-replay:source-$i", last, off)
-    }
+    // serialized end offset per source, in source declaration order.
+    // Spark serializes a source with NO committed offset as a literal
+    // "-" line — drop those rather than report "-" as an endOffset.
+    val rows = lines.drop(2).zipWithIndex
+      .filter { case (off, _) => off.trim != "-" }
+      .map { case (off, i) =>
+        AuditOffset(appId, s"checkpoint-replay:source-$i", last, off)
+      }
     rows.foreach(buffer.add)
     rows
   }

@@ -45,7 +45,12 @@ object VocabGrowthProbe {
           (0 until 20).map(j =>
             format_string("tk%09d", col("id") * 20 + lit(j))) :+
           when(col("id") % 10 === 0,
-            format_string("needle%d", col("id") % 7))
+            // id is a multiple of 10 here, so cycle the needle index
+            // off id/10 — (id % 7) would only ever yield needle0..6
+            // and the fuzzy probe's needle7..9 queries would never
+            // match the corpus
+            format_string("needle%d",
+              (col("id") / 10).cast("long") % 10))
             .otherwise(lit("")): _*).as("text"))
     }
 

@@ -66,6 +66,21 @@ class TopKTermsAggregatorSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("tiebreak is UTF-8 byte order above the BMP, not UTF-16 code units") {
+    // U+FFFD (3 UTF-8 bytes, BMP) vs U+10000 (4 bytes, supplementary,
+    // a surrogate pair in UTF-16): JVM compareTo puts the surrogate
+    // (0xD800) BEFORE 0xFFFD, but UTF-8 bytes / code points order
+    // U+FFFD first — the order DuckDB's ORDER BY produces.
+    val bmp = "�"
+    val astral = new String(Character.toChars(0x10000))
+    val agg = new TopKTermsAggregator(1)
+    // sanity: the JVM order really does invert here
+    assert(astral.compareTo(bmp) < 0)
+    val out = agg.finish(agg.reduce(agg.reduce(agg.zero, (5L, astral)),
+      (5L, bmp)))
+    out shouldBe Seq((5L, bmp))
+  }
+
   test("the buffer never exceeds k entries while reducing a large stream") {
     // direct Aggregator-API exercise: feed 10k rows through one buffer
     // and assert the invariant the OOM-safety claim rests on
