@@ -1755,6 +1755,40 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // HTML → main-text extraction (the FIRST stage of a crawl
+    // pipeline): HTML synthesized deterministically per doc (title +
+    // style + script + nav + h1 + article <p> + a link-farm <div> +
+    // second <p> with entities + comment + footer) so the oracle
+    // recomputes the exact extraction — q86's synthesize-to-spec
+    // discipline. Map-only: block split, per-block density stats,
+    // filter and ordered re-join all happen INSIDE one row via
+    // higher-order functions; zero exchanges before the final sort.
+    "q167_html_extract" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>p{color:#000}</style><script>var id="), id,
+        lit(";</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/d/"), id,
+        lit("\">Self</a></nav>"),
+        lit("<h1>Doc "), id, lit("</h1>"),
+        lit("<p>"), substring(col("text"), 1, 80),
+        lit(" &amp; tail &lt;b&gt;&nbsp;end</p>"),
+        lit("<div><a href=\"/x\">"), substring(col("text"), 1, 30),
+        lit(" promo</a> <a href=\"/y\">"), substring(col("text"), 1, 30),
+        lit(" promo</a></div>"),
+        lit("<p>"), substring(col("text"), 81, 80), lit("</p>"),
+        lit("<!-- hidden "), id,
+        lit(" --><footer>(c) corp</footer></body></html>"))
+      graft.operators.Html.extract(
+          t(s, d, "documents").select(col("doc_id"), html.as("html")),
+          "html", minTextChars = 20, maxLinkDensity = 0.5)
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("html_text")).cast("long").as("text_chars"),
+          md5(col("html_text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the mining-quality audit (q138's recall-audit posture applied to
     // bitext): the exact sweep's pairs as gold, the LSH miner's as the
     // candidate, scored by the xSIM-style corpus error rate — the
@@ -4313,6 +4347,62 @@ object SparkEntry {
            round(1.0 - CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id
              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
          FROM em LEFT JOIN lm USING (src_id)""",
+    // q167: the same synthesized page, re-extracted in DuckDB — the
+    // non-content strip, block split, per-block density stats, filter
+    // and ordered join mirror Html.extract step for step (RE2/Java
+    // common regex subset; list lambdas mirror the Spark HOFs)
+    "q167_html_extract" ->
+      """WITH base AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+             '<style>p{color:#000}</style><script>var id=' || CAST(doc_id AS VARCHAR) || ';</script></head><body>' ||
+             '<nav><a href="/">Home</a> <a href="/d/' || CAST(doc_id AS VARCHAR) || '">Self</a></nav>' ||
+             '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+             '<p>' || substr(text, 1, 80) || ' &amp; tail &lt;b&gt;&nbsp;end</p>' ||
+             '<div><a href="/x">' || substr(text, 1, 30) || ' promo</a> <a href="/y">' || substr(text, 1, 30) || ' promo</a></div>' ||
+             '<p>' || substr(text, 81, 80) || '</p>' ||
+             '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' --><footer>(c) corp</footer></body></html>' AS html
+           FROM documents),
+         cln AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+               '(?is)<header\b[^>]*>.*?</header>', ' ', 'g'),
+               '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+               '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g') AS c
+           FROM base),
+         bl AS (
+           SELECT doc_id, regexp_split_to_array(c,
+             '(?i)</?(?:html|head|body|title|p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|main|blockquote|pre|br|hr|form|fieldset)\b[^>]*>') AS bs
+           FROM cln),
+         cand AS (
+           SELECT doc_id, list_transform(bs, b -> struct_pack(
+             btxt := trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(b, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+                 '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')),
+             ll := coalesce(list_sum(list_transform(
+               regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+               y -> len(y))), 0))) AS cs
+           FROM bl),
+         keep AS (
+           SELECT doc_id,
+             list_filter(cs, x -> len(x.btxt) >= 20
+               AND CAST(x.ll AS DOUBLE) <= len(x.btxt) * 0.5) AS ks,
+             len(list_filter(cs, x -> len(x.btxt) > 0)) AS nb
+           FROM cand)
+         SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           CAST(len(array_to_string(list_transform(ks, x -> x.btxt), chr(10))) AS BIGINT) AS text_chars,
+           md5(array_to_string(list_transform(ks, x -> x.btxt), chr(10))) AS text_md5
+         FROM keep ORDER BY doc_id""",
+
     "q143_phrase_indexed" -> phraseTopKOracle,
     "q96_encode_ids" -> q96Oracle,
     "q97_pack_ids" -> q97Oracle,

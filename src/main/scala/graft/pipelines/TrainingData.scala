@@ -25,7 +25,10 @@ import graft.operators.Dedup
   *   5. per-doc token accounting for the surviving corpus.
   *
   * Optional gates (off by default, so the q45 oracle semantics are the
-  * five stages above): `blocklistPhrases` drops docs whose literal-phrase
+  * five stages above): `htmlCol` runs [[graft.operators.Html.extract]]
+  * BEFORE everything (0-pre — map-only, the crawled-corpus entry point:
+  * chrome/script removal + text-density block filter, extracted main
+  * text becomes `textCol` for every later stage), `blocklistPhrases` drops docs whose literal-phrase
   * occurrence total exceeds `blocklistMaxHits` BEFORE every other stage
   * (0a — [[graft.operators.TextAnalysis.blocklistGate]], map-only, so
   * blocked docs consume no domain-cap budget and never pay dedup),
@@ -81,7 +84,7 @@ object TrainingData {
     * strictly-stricter survivors at the cost of the iterative label
     * propagation.
     */
-  def clean(docs: DataFrame, idCol: String, textCol: String,
+  def clean(docsIn: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQuality: Double = 0.26,
       nearDupThreshold: Double = 0.5, maxDf: Int = 100,
       cacheIntermediate: Boolean = true,
@@ -106,9 +109,25 @@ object TrainingData {
       dsirBuckets: Int = 1024,
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
-      blocklistMaxHits: Long = 0): DataFrame = {
+      blocklistMaxHits: Long = 0,
+      htmlCol: Option[String] = None,
+      htmlMinTextChars: Int = 20,
+      htmlMaxLinkDensity: Double = 0.5): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
+    // 0-pre. optional HTML extraction — the true FIRST stage when the
+    // corpus arrives as crawled HTML: [[graft.operators.Html.extract]]
+    // strips chrome/scripts and keeps text-dense blocks (map-only, no
+    // shuffle), and the extracted main text BECOMES textCol for every
+    // gate below — so boilerplate never reaches dedup, scoring, or the
+    // near-dup index. Docs extracting to empty text fall out at the
+    // stage-2 size(w) > 0 gate like span-stripped ones do.
+    val docs = htmlCol.fold(docsIn) { h =>
+      graft.operators.Html.extract(docsIn, h,
+          htmlMinTextChars, htmlMaxLinkDensity)
+        .withColumn(textCol, col(s"${h}_text"))
+        .drop(s"${h}_text", "n_blocks", "n_kept", h)
+    }
     // 0a. optional literal-phrase blocklist (the LDNOOBW gate) — map-only
     // ([[graft.operators.TextAnalysis.blocklistGate]]), so it runs before
     // EVERYTHING: a blocked doc consumes no domain-cap budget and never

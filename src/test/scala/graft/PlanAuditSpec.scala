@@ -354,7 +354,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // re-plans its map-only sweep per grouping, the LSH tail reads its
     // spill) + the gold-vs-mined join and two metric aggregates — every
     // exchange carries (ids, micros) rows
-    "q166_bitext_audit" -> 22)
+    "q166_bitext_audit" -> 22,
+    // round-16: HTML extraction is a pure projection (block split,
+    // density stats, filter, ordered re-join all via HOFs inside one
+    // row) — ONLY the final sort may shuffle; any exchange before it
+    // means the per-doc locality was broken
+    "q167_html_extract" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

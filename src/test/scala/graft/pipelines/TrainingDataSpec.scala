@@ -67,6 +67,36 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set(1L, 3L)
   }
 
+  test("html extraction (stage 0-pre) feeds gates the main text only: " +
+      "boilerplate never reaches survivors, chrome-only pages drop") {
+    import spark.implicits._
+    def page(body: String) =
+      "<html><head><script>var BAD_JS=1;</script></head><body>" +
+        "<nav><a href='/'>NAVCHROME</a></nav>" +
+        s"<p>$body</p>" +
+        "<footer>FOOTERCHROME</footer></body></html>"
+    val docs = Seq(
+      (1L, page(goodDoc("with joins and windows over rows and groups here"))),
+      (2L, page(goodDoc("plus aggregates and buckets and ranges in the plan"))),
+      // chrome-only page: no article block survives extraction
+      (3L, "<html><body><nav><a href='/'>NAVCHROME</a></nav>" +
+        "<footer>FOOTERCHROME</footer></body></html>")
+    ).toDF("doc_id", "html")
+    val cleaned = TrainingData.clean(docs, "doc_id", "text",
+      cacheIntermediate = false, htmlCol = Some("html"))
+    cleaned.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
+    // survivors' token accounting reflects the EXTRACTED text, and the
+    // survivors match cleaning the pre-extracted bodies directly
+    val direct = TrainingData.clean(
+        Seq((1L, goodDoc("with joins and windows over rows and groups here")),
+          (2L, goodDoc("plus aggregates and buckets and ranges in the plan")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", cacheIntermediate = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    cleaned.orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe direct
+  }
+
   test("domain gate (stage 0) drops blocked and over-cap domains before dedup") {
     import spark.implicits._
     val docs = Seq(
