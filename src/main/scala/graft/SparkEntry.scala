@@ -1789,6 +1789,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // drop-reason lineage for the default cleaning pipeline: every
+    // gate of q45's clean() records (doc_id, stage, reason) for the
+    // docs it drops — recorded from the SAME frames the pipeline gates
+    // on (one definition), predicate gates as negated filters
+    // (map-only), join gates as anti-joins. Survivors ∪ lineage
+    // partitions the input exactly once (spec-pinned); the oracle
+    // recomputes every stage's drop set + first-fail attribution
+    "q168_drop_lineage" -> ((s, d) => {
+      val rec = graft.pipelines.TrainingData.lineageRecorder("doc_id")
+      graft.pipelines.TrainingData.clean(t(s, d, "documents"),
+        "doc_id", "text", lineage = Some(rec))
+      rec.frame(s).orderBy(col("doc_id"))
+    }),
+
     // the mining-quality audit (q138's recall-audit posture applied to
     // bitext): the exact sweep's pairs as gold, the LSH miner's as the
     // candidate, scored by the xSIM-style corpus error rate — the
@@ -4347,6 +4361,76 @@ object SparkEntry {
            round(1.0 - CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id
              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
          FROM em LEFT JOIN lm USING (src_id)""",
+    // q168: q45's stage CTEs, re-pointed at the DROPPED side of each
+    // gate — exact-dup complement, empty-token docs, lang/quality
+    // first-fail split, and the greedy near-dup drops with their
+    // min-partner keeper in the reason
+    "q168_drop_lineage" ->
+      """WITH uniq AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IN (
+             SELECT min(doc_id) FROM documents
+             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
+         feat AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM uniq),
+         scored AS (
+           SELECT doc_id, text, w,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred,
+             round(0.5 * (len(list_distinct(w)) / len(w))
+                 + 0.3 * (s_en / len(w))
+                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           FROM feat WHERE len(w) > 0),
+         gated AS (
+           SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
+         dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM gated WHERE len(w) >= 3),
+         posting AS (SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         nd AS (
+           SELECT id_b AS doc_id, min(id_a) AS of_id FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5
+           GROUP BY id_b)
+         SELECT doc_id, stage, reason FROM (
+           SELECT d.doc_id, 'exact_dedup' AS stage, 'duplicate_text' AS reason
+             FROM documents d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM uniq)
+           UNION ALL
+           SELECT doc_id, 'tokenize', 'no_tokens' FROM feat WHERE len(w) = 0
+           UNION ALL
+           SELECT doc_id, 'language', 'lang=' || lang_pred
+             FROM scored WHERE lang_pred <> 'en'
+           UNION ALL
+           SELECT doc_id, 'quality', 'quality<0.26'
+             FROM scored WHERE lang_pred = 'en' AND quality < 0.26
+           UNION ALL
+           SELECT doc_id, 'near_dup', 'near_dup_of=' || CAST(of_id AS VARCHAR)
+             FROM nd)
+         ORDER BY doc_id""",
+
     // q167: the same synthesized page, re-extracted in DuckDB — the
     // non-content strip, block split, per-block density stats, filter
     // and ordered join mirror Html.extract step for step (RE2/Java

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -76,6 +76,63 @@ object TrainingData {
 
   private def spill(df: DataFrame): DataFrame = graft.io.Spill(df, "graft-gated-")
 
+  /** Drop-reason lineage: pass one of these to [[clean]] and every gate
+    * records `(doc_id, stage, reason)` for the docs it drops — "why did
+    * doc X drop, at which stage" WITHOUT re-running the pipeline. The
+    * drops are recorded from the SAME DataFrames the pipeline gates on
+    * (one definition — the audit cannot silently diverge from the
+    * pipeline), as lazy plans: predicate gates record the NEGATED
+    * filter over their input frame (map-only, rides the same scan);
+    * join-based gates (dedup, decontamination, ...) record a
+    * before-minus-after id anti-join. [[frame]] unions them.
+    *
+    * Every doc of the input lands in exactly one place: the survivor
+    * output or ONE lineage row (first-failing gate wins — pinned by
+    * `TrainingDataSpec`'s partition property). Cost: evaluating the
+    * lineage frame re-runs gate predicates over stage inputs; under
+    * `cacheIntermediate` the expensive prefixes are the same spilled
+    * parquet the pipeline itself scans, so the audit adds map-side
+    * filter passes plus the anti-joins — turn it on for audit runs,
+    * not permanently on the hot path (it's opt-in for that reason).
+    */
+  final class LineageRecorder private[pipelines] (val idCol: String) {
+    private val drops = scala.collection.mutable.Buffer.empty[DataFrame]
+
+    /** Predicate gate: docs of `frame` failing `keep` dropped here. */
+    private[pipelines] def where(stage: String, frame: DataFrame,
+        keep: Column, reason: Column): Unit =
+      drops += frame.where(!keep)
+        .select(col(idCol), lit(stage).as("stage"), reason.as("reason"))
+
+    /** Join gate: ids in `before` missing from `after` dropped here. */
+    private[pipelines] def diff(stage: String, reason: String,
+        before: DataFrame, after: DataFrame): Unit =
+      drops += before.select(col(idCol))
+        .join(after.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit(stage).as("stage"), lit(reason).as("reason"))
+
+    /** Pre-built (id, stage, reason) rows from a gate that knows more
+      * (e.g. near-dup keeper ids).
+      */
+    private[pipelines] def rows(df: DataFrame): Unit = drops += df
+
+    /** The audit frame: one `(idCol, stage, reason)` row per dropped
+      * doc, every stage recorded so far. Call after [[clean]] returns.
+      */
+    def frame(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      if (drops.isEmpty) {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(idCol, LongType),
+            StructField("stage", StringType),
+            StructField("reason", StringType))))
+      } else drops.reduce(_ unionByName _)
+  }
+
+  def lineageRecorder(idCol: String): LineageRecorder =
+    new LineageRecorder(idCol)
+
   /** `componentDedup = false` (default): greedy keep-smallest — drop the
     * larger id of each >= threshold pair (cheap, one anti-join; keeps a doc
     * whose only partners are larger ids even when transitively connected to
@@ -112,7 +169,8 @@ object TrainingData {
       blocklistMaxHits: Long = 0,
       htmlCol: Option[String] = None,
       htmlMinTextChars: Int = 20,
-      htmlMaxLinkDensity: Double = 0.5): DataFrame = {
+      htmlMaxLinkDensity: Double = 0.5,
+      lineage: Option[LineageRecorder] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
     // 0-pre. optional HTML extraction — the true FIRST stage when the
@@ -138,6 +196,8 @@ object TrainingData {
     val docs0 = if (blocklistPhrases.isEmpty) docs
       else graft.operators.TextAnalysis.blocklistGate(
         docs, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+    if (blocklistPhrases.nonEmpty) lineage.foreach(
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", docs, docs0))
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
     // per-domain cap) — runs before dedup and scoring (only the 0a
     // phrase blocklist precedes it, so blocked docs don't consume
@@ -147,6 +207,8 @@ object TrainingData {
     val sourced = urlCol.fold(docs0)(u =>
       graft.operators.Urls.domainGate(docs0, u, idCol,
         domainBlocklist, maxPerDomain))
+    if (urlCol.isDefined) lineage.foreach(
+      _.diff("domain", "domain_blocked_or_over_cap", docs0, sourced))
     // 0b. optional URL-keyed dedup: refetches of the SAME page under
     // crawl-noise URL variants (fragments, utm_* params, case, default
     // ports) collapse onto one doc — min id per canonical URL
@@ -165,8 +227,11 @@ object TrainingData {
           col(idCol).cast("long") === col("__keep"), "left_semi"))
         .drop("__cu")
     }
+    if (dedupByUrl) lineage.foreach(
+      _.diff("url_dedup", "duplicate_canonical_url", sourced, urlDeduped))
     // 1. exact dedup
     val unique = Dedup.exactDedup(urlDeduped.select(col(idCol), col(textCol)), idCol, textCol)
+    lineage.foreach(_.diff("exact_dedup", "duplicate_text", urlDeduped, unique))
 
     // 1b. optional duplicate-SPAN strip (the RefinedWeb exact-substring
     // pass): corpus-duplicated k-token windows are removed from each
@@ -183,7 +248,7 @@ object TrainingData {
     // diverge when a gate predicate changes
     val gatedPlan = langQualityGate(spanStripped, idCol, textCol, lang,
       minQuality, maxDupGramFrac, langModel, langModelCharGrams,
-      df => if (cacheIntermediate) spill(df) else df)
+      df => if (cacheIntermediate) spill(df) else df, lineage)
     // 3b. optional adaptive floor on top of the fixed one — applied AFTER
     // the spill so floorBy's threshold aggregate and join-back both scan
     // the materialized parquet instead of re-running dedup + scoring
@@ -196,6 +261,10 @@ object TrainingData {
     val gated = minQualityQuantile.fold(fixedGated)(q =>
       graft.operators.Profile.groupQuantileFloor(
         fixedGated, "lang_pred", "quality", q))
+    if (minQualityQuantile.isDefined) lineage.foreach(
+      _.diff("quality_quantile",
+        s"quality_below_${minQualityQuantile.get}_quantile",
+        fixedGated, gated))
 
     // 4. near-dup removal among survivors
     val pairs = Dedup.ngramJaccardPairs(
@@ -205,6 +274,13 @@ object TrainingData {
       if (componentDedup) Dedup.componentDropIds(pairs).select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
     val deduped = gated.join(dupIds, Seq(idCol), "left_anti")
+    lineage.foreach { rec =>
+      if (componentDedup) rec.diff("near_dup", "near_duplicate", gated, deduped)
+      else rec.rows(pairs.groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("__of"))
+        .select(col("id_b").as(idCol), lit("near_dup").as("stage"),
+          concat(lit("near_dup_of="), col("__of")).as("reason")))
+    }
 
     // 4b. optional benchmark decontamination: drop survivors containing a
     // probe doc (probe postings broadcast — see TextAnalysis scaladoc)
@@ -212,6 +288,8 @@ object TrainingData {
       graft.operators.TextAnalysis.decontaminate(
         deduped, probes, idCol, textCol, n = 3,
         threshold = contaminationThreshold))
+    if (decontaminateProbes.isDefined) lineage.foreach(
+      _.diff("decontaminate", "contains_benchmark_probe", deduped, survivors))
 
     // 4c. optional perplexity gate (the CCNet pattern): drop survivors
     // whose mean bits-per-bigram under a bigram LM exceeds maxLmBits.
@@ -238,7 +316,9 @@ object TrainingData {
       val tooSurprising = scored
         .where(col("bits") > bits)
         .select(col("doc_id").as(idCol))
-      survivors.join(tooSurprising, Seq(idCol), "left_anti")
+      val out = survivors.join(tooSurprising, Seq(idCol), "left_anti")
+      lineage.foreach(_.diff("perplexity", s"bits>$bits", survivors, out))
+      out
     }
 
     // 4d. optional DSIR target-likeness gate ([[graft.operators.Dsir]],
@@ -261,7 +341,9 @@ object TrainingData {
           idCol, textCol, dsirBuckets, dsirSalt)
         .where(col("logw") >= minDsirLogw)
         .select(col("doc_id").as(idCol))
-      gateIn.join(keep, Seq(idCol), "left_semi")
+      val out = gateIn.join(keep, Seq(idCol), "left_semi")
+      lineage.foreach(_.diff("dsir", s"logw<$minDsirLogw", gateIn, out))
+      out
     }
 
     // 5. token accounting
@@ -298,7 +380,8 @@ object TrainingData {
       textCol: String, lang: String, minQuality: Double,
       maxDupGramFrac: Double, langModel: Option[DataFrame],
       langModelCharGrams: Option[(Int, Int)],
-      spillFn: DataFrame => DataFrame): DataFrame = {
+      spillFn: DataFrame => DataFrame,
+      lineage: Option[LineageRecorder] = None): DataFrame = {
     // the repetition gate's per-row bigram hashmap only runs when the
     // gate can actually drop something: at the disabled default (1.0)
     // the predicate is a tautology (1 - distinct/n <= 1 always), but
@@ -309,24 +392,39 @@ object TrainingData {
       if (repEnabled)
         Seq(graft.functions.GraftFunctions.repetition_stats(col("w"), 2).as("__r"))
       else Nil
-    val scored = docs
+    // filters apply in SEQUENCE (Catalyst's CombineFilters fuses them
+    // back into one predicate, so the physical plan is the conjunction
+    // it always was) — sequencing gives the lineage recorder a frame
+    // per gate, so "first failing gate" is well-defined
+    val feat = docs
       .select(col(idCol), col(textCol),
         TextFunctions.langId(col(textCol)).as("lang_pred"),
         TextFunctions.words(col(textCol)).as("w"))
+    lineage.foreach(_.where("tokenize", feat,
+      size(col("w")) > 0, lit("no_tokens")))
+    val nonEmpty = feat
       .where(size(col("w")) > 0)
       .select(Seq(col(idCol), col(textCol), col("lang_pred"), col("w"),
         size(col("w")).cast("long").as("n_words"),
         TextFunctions.qualityScore(col("w"), col(textCol)).as("quality"))
         ++ repCol: _*)
-      .where((if (langModel.isDefined) lit(true)
-        else col("lang_pred") === lang) && col("quality") >= minQuality)
+    val afterLang = if (langModel.isDefined) nonEmpty else {
+      lineage.foreach(_.where("language", nonEmpty,
+        col("lang_pred") === lang, concat(lit("lang="), col("lang_pred"))))
+      nonEmpty.where(col("lang_pred") === lang)
+    }
+    lineage.foreach(_.where("quality", afterLang,
+      col("quality") >= minQuality, lit(s"quality<$minQuality")))
+    val afterQuality = afterLang.where(col("quality") >= minQuality)
     val gatedPlan0 =
-      if (repEnabled) scored
-        .where(col("__r.n_grams") === 0 ||
-          (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"))
-            <= maxDupGramFrac)
-        .drop("__r")
-      else scored
+      if (repEnabled) {
+        val keepRep = col("__r.n_grams") === 0 ||
+          (lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams")) <=
+            maxDupGramFrac
+        lineage.foreach(_.where("repetition", afterQuality, keepRep,
+          lit(s"dup_bigram_frac>$maxDupGramFrac")))
+        afterQuality.where(keepRep).drop("__r")
+      } else afterQuality
     langModel.fold(gatedPlan0.drop("w")) { m =>
       val gateIn = spillFn(gatedPlan0)
       val nbToks = langModelCharGrams.fold(col("w")) { case (minN, maxN) =>
@@ -334,7 +432,10 @@ object TrainingData {
       val keep = graft.operators.NaiveBayes.classify(
           gateIn.select(col(idCol), nbToks.as("__nbw")), idCol, "__nbw", m)
         .where(col("label") === lang).select(col(idCol))
-      gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
+      val out = gateIn.join(keep, Seq(idCol), "left_semi").drop("w")
+      lineage.foreach(_.diff("model_language", s"model_lang!=$lang",
+        gateIn, out))
+      out
     }
   }
 }

@@ -359,7 +359,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // density stats, filter, ordered re-join all via HOFs inside one
     // row) — ONLY the final sort may shuffle; any exchange before it
     // means the per-doc locality was broken
-    "q167_html_extract" -> 1)
+    "q167_html_extract" -> 1,
+    // the lineage audit union: per-gate negated filters re-run the
+    // dedup prefix and the anti-join/near-dup branches add their own
+    // (34 at introduction; audit-run artifact, documented in PLANS.md)
+    "q168_drop_lineage" -> 36)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

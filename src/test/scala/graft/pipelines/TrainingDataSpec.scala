@@ -97,6 +97,65 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     cleaned.orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe direct
   }
 
+  test("drop-reason lineage partitions the input exactly once across " +
+      "gate combinations, with first-fail stage attribution") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodDoc("with joins and windows over rows and groups here")),
+      (2L, goodDoc("with joins and windows over rows and groups here")), // exact dup of 1
+      (3L, ""), // no tokens
+      (4L, "der hund und die katze und der vogel und das haus und der baum ist nicht da"), // german
+      (5L, goodDoc("x") + " zz qq " * 1), // short → low quality? may pass; harmless either way
+      (6L, goodDoc("plus aggregates and buckets and ranges in the plan")),
+      (7L, goodDoc("plus aggregates and buckets and ranges in the plan extra")), // near dup of 6
+      (8L, goodDoc("spam ham spam ham spam ham spam ham spam ham spam ham spam ham spam ham")), // repetitive
+      (9L, goodDoc("where the bad phrase filters and sorts shape the result"))
+    ).toDF("doc_id", "text")
+    val probes = Seq((900L, "aggregates and buckets and ranges"))
+      .toDF("doc_id", "text")
+
+    def check(gates: (String, Option[TrainingData.LineageRecorder] =>
+        org.apache.spark.sql.DataFrame)*): Unit = gates.foreach {
+      case (label, run) =>
+        val rec = TrainingData.lineageRecorder("doc_id")
+        val survivors = run(Some(rec))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val lineage = rec.frame(spark).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+        val droppedIds = lineage.map(_._1)
+        withClue(s"$label: ") {
+          droppedIds.distinct.length shouldBe droppedIds.length // once each
+          (survivors ++ droppedIds) shouldBe (1L to 9L).toSet // partition
+          survivors.intersect(droppedIds.toSet) shouldBe empty
+        }
+    }
+
+    check(
+      "defaults" -> (rec => TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, lineage = rec)),
+      "blocklist+repetition+decontaminate" -> (rec =>
+        TrainingData.clean(docs, "doc_id", "text",
+          cacheIntermediate = false, maxDupGramFrac = 0.2,
+          blocklistPhrases = Seq("bad phrase"),
+          decontaminateProbes = Some(probes), lineage = rec)))
+
+    // stage attribution on the default run: first-failing gate wins
+    val rec = TrainingData.lineageRecorder("doc_id")
+    TrainingData.clean(docs, "doc_id", "text",
+      cacheIntermediate = false, lineage = Some(rec))
+    val byId = rec.frame(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    byId(2L) shouldBe ("exact_dedup", "duplicate_text")
+    byId(3L) shouldBe ("tokenize", "no_tokens")
+    byId(4L) shouldBe ("language", "lang=de")
+    byId(7L) shouldBe ("near_dup", "near_dup_of=6")
+    // lineage off: clean() returns the identical survivor frame
+    val plain = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    plain shouldBe ((1L to 9L).toSet -- byId.keySet)
+  }
+
   test("domain gate (stage 0) drops blocked and over-cap domains before dedup") {
     import spark.implicits._
     val docs = Seq(
