@@ -167,8 +167,15 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val sf = Paths.get(sfDir).getFileName.toString
     def shortKey(k: String) = k.takeWhile(_ != '_')
+    // one step shorter still: the bare ordinal ("q167" -> "167") — the
+    // round-16 battery (170 queries) overflowed the 1-decimal tier by
+    // ~13 bytes with full qNN keys; dropping the constant 'q' reclaims
+    // one byte per query (~170), which holds decisecond values to ~185
+    // queries before the whole-second floor. Map back by prefixing 'q'
+    // (documented in BASELINE.md beside the qNN shortening).
+    def ordKey(k: String) = shortKey(k).stripPrefix("q")
     val shortOk = results.map(r => shortKey(r._1)).distinct.size == results.size
-    def render(decimals: Int, shorten: Boolean): String = {
+    def render(decimals: Int, keyFn: String => String): String = {
       val fmt = s"%.${decimals}f"
       def num(v: Double) = {
         val s = fmt.formatLocal(java.util.Locale.ROOT, v)
@@ -176,25 +183,30 @@ object Bench {
         else s
       }
       val qs = results.map { case (k, v) =>
-        "\"" + (if (shorten) shortKey(k) else k) + "\":" + num(v)
+        "\"" + keyFn(k) + "\":" + num(v)
       }.mkString("{", ",", "}")
       val flakyField = if (flaky > 0) s""","flaky":$flaky""" else ""
       // emitted only when an outlier was re-run — the common all-green
       // line pays zero bytes for the facility
       val adjField = if (adjudicated.isEmpty) "" else
         adjudicated.map { case (k, v) =>
-          "\"" + (if (shorten) shortKey(k) else k) + "\":" + num(v)
+          "\"" + keyFn(k) + "\":" + num(v)
         }.mkString(""","adjudicated":{""", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed$flakyField$adjField,"queries":$qs,"sf":"$sf"}"""
     }
+    val full: String => String = identity
     // keys degrade BEFORE values: full names at full precision first,
-    // then unique-prefix keys at full precision down through coarser
-    // ones; coarser full-name renders only when shortening is unavailable
-    val attempts = Seq(3 -> false) ++
-      (if (shortOk) Seq(3 -> true, 2 -> true, 1 -> true, 0 -> true)
-       else Seq(2 -> false, 1 -> false)) :+
-      (0 -> false)
-    attempts.iterator.map { case (d, s) => render(d, s) }
-      .find(_.length <= maxLen).getOrElse(render(0, shortOk))
+    // then unique-prefix keys, then bare ordinals, down through coarser
+    // values; coarser full-name renders only when shortening is
+    // unavailable
+    val attempts: Seq[(Int, String => String)] = Seq(3 -> full) ++
+      (if (shortOk) Seq[(Int, String => String)](
+        3 -> shortKey _, 2 -> shortKey _, 1 -> shortKey _,
+        1 -> ordKey _, 0 -> ordKey _)
+       else Seq[(Int, String => String)](2 -> full, 1 -> full)) :+
+      (0 -> full)
+    attempts.iterator.map { case (d, f) => render(d, f) }
+      .find(_.length <= maxLen)
+      .getOrElse(render(0, if (shortOk) ordKey else full))
   }
 }

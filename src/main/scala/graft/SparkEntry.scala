@@ -1789,6 +1789,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM (SentencePiece-posture) Viterbi segmentation under the
+    // embedded DefaultVocab: per-doc word/piece counts, the exact
+    // integer-micro Viterbi score, and an md5 of the segmentation
+    // itself (catches any argmax/tie divergence). Map-only — one
+    // expression eval per document; the oracle replays the DP cell for
+    // cell as a recursive CTE over DISTINCT words
+    "q169_unigram_segment" -> ((s, d) =>
+      graft.operators.UnigramLm.segment(
+          t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("score_micros"), md5(col("segmentation")).as("seg_md5"))
+        .orderBy(col("doc_id"))),
+
+    // the two tokenizer FAMILIES side by side (q111's comparison frame
+    // + the unigram column): pieces per whitespace token for BPE and
+    // unigram under one aggregate, per language
+    "q170_unigram_fertility" -> ((s, d) =>
+      graft.operators.UnigramLm.fertilityVsBpe(
+          t(s, d, "documents"), "lang", "text")
+        .orderBy(col("lang"))),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -2247,6 +2268,88 @@ object SparkEntry {
     * `__bpe_doc_counts(doc_id, bpe_tokens)`. Callers prepend
     * `WITH RECURSIVE`.
     */
+  /** DuckDB replay of [[graft.functions.UnigramSegment]]'s Viterbi DP
+    * (q169/q170): the vocabulary VALUES are GENERATED from
+    * [[graft.operators.UnigramLm.DefaultVocab]] so the two engines
+    * cannot drift; the DP runs per DISTINCT word as a recursive CTE
+    * carrying the best/back arrays one position per step (the q85
+    * packing-walk discipline), candidates argmax'd with the identical
+    * (score desc, start asc) tie rule via list_max + list_min, then a
+    * second recursive walk backtraces the pieces and a join fans the
+    * distinct-word segmentations back out to document occurrences.
+    *
+    * Yields `__udoc(doc_id, n_words, n_pieces, score_micros, segline)`.
+    * Callers prepend `WITH RECURSIVE`.
+    */
+  private def unigramOracleCtes: String = {
+    val vocabValues = graft.operators.UnigramLm.DefaultVocab
+      .map { case (p, lp) => s"('$p', CAST($lp AS BIGINT))" }
+      .mkString(", ")
+    val unk = graft.operators.UnigramLm.DefaultUnkMicros
+    val maxL = graft.operators.UnigramLm.DefaultMaxPieceLen
+    s"""__uv(piece, lp) AS (VALUES $vocabValues),
+         __uvm AS (SELECT map(list(piece), list(lp)) AS m FROM __uv),
+         __udw AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           FROM documents),
+         __uwords AS (SELECT DISTINCT unnest(w) AS word FROM __udw),
+         __ustep(word, pos, best, back) AS (
+           SELECT word, 0, [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)] FROM __uwords
+           UNION ALL
+           SELECT word, pos + 1, best || [bs],
+             back || [CASE WHEN cn = 0 THEN CAST(pos + 1 AS BIGINT)
+               ELSE list_min(list_transform(list_filter(cand, x -> x.s2 = bs),
+                 x -> x.jj)) END]
+           FROM (
+             SELECT word, pos, best, back, cand, len(cand) AS cn,
+               CASE WHEN len(cand) = 0 THEN best[pos + 1] + CAST($unk AS BIGINT)
+                    ELSE list_max(list_transform(cand, x -> x.s2)) END AS bs
+             FROM (
+               SELECT s.word, s.pos, s.best, s.back,
+                 list_filter(list_transform(range(greatest(1, s.pos + 2 - $maxL), s.pos + 2),
+                   j -> struct_pack(
+                     s2 := CASE WHEN len(map_extract(v.m,
+                         substr(s.word, CAST(j AS INT), CAST(s.pos + 2 - j AS INT)))) > 0
+                       THEN s.best[CAST(j AS INT)] + map_extract(v.m,
+                         substr(s.word, CAST(j AS INT), CAST(s.pos + 2 - j AS INT)))[1]
+                       ELSE NULL END,
+                     jj := j)),
+                   x -> x.s2 IS NOT NULL) AS cand
+               FROM __ustep s, __uvm v
+               WHERE s.pos < len(s.word)))),
+         __ufinal AS (
+           SELECT word, best[len(word) + 1] AS score, back
+           FROM __ustep WHERE pos = len(word)),
+         __utrace(word, back, l, np, seg) AS (
+           SELECT word, back, len(word), CAST(0 AS BIGINT), CAST('' AS VARCHAR)
+           FROM __ufinal
+           UNION ALL
+           SELECT word, back, back[CAST(l + 1 AS INT)] - 1, np + 1,
+             CASE WHEN seg = '' THEN substr(word, CAST(back[CAST(l + 1 AS INT)] AS INT),
+                 CAST(l - back[CAST(l + 1 AS INT)] + 1 AS INT))
+               ELSE substr(word, CAST(back[CAST(l + 1 AS INT)] AS INT),
+                 CAST(l - back[CAST(l + 1 AS INT)] + 1 AS INT)) || ' ' || seg END
+           FROM __utrace WHERE l > 0),
+         __uwordseg AS (
+           SELECT t.word, t.np AS n_pieces, t.seg, f.score
+           FROM __utrace t JOIN __ufinal f USING (word) WHERE t.l = 0),
+         __uocc AS (
+           SELECT doc_id, CAST(p AS INT) AS p, w[CAST(p AS INT)] AS word
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM __udw)),
+         __udoc AS (
+           SELECT d.doc_id,
+             CAST(len(d.w) AS BIGINT) AS n_words,
+             CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+             CAST(coalesce(a.score, 0) AS BIGINT) AS score_micros,
+             coalesce(a.segline, '') AS segline
+           FROM __udw d LEFT JOIN (
+             SELECT o.doc_id, sum(ws.n_pieces) AS n_pieces, sum(ws.score) AS score,
+               string_agg(ws.seg, ' ' ORDER BY o.p) AS segline
+             FROM __uocc o JOIN __uwordseg ws USING (word)
+             GROUP BY o.doc_id) a ON d.doc_id = a.doc_id)"""
+  }
+
   private def bpeOracleCtes: String = {
     val mergeValues = graft.functions.Bpe.Merges.zipWithIndex
       .map { case ((l, r), i) => s"(${i + 1}, ' $l $r ', ' $l$r ')" }
@@ -4361,6 +4464,37 @@ object SparkEntry {
            round(1.0 - CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id
              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
          FROM em LEFT JOIN lm USING (src_id)""",
+    // q169: the Viterbi DP replayed as a recursive CTE (vocabulary
+    // VALUES generated from DefaultVocab — see unigramOracleCtes)
+    "q169_unigram_segment" ->
+      s"""WITH RECURSIVE $unigramOracleCtes
+         SELECT doc_id, n_words, n_pieces, score_micros,
+           md5(segline) AS seg_md5
+         FROM __udoc ORDER BY doc_id""",
+
+    // q170: both tokenizer replays (BPE state machine + unigram DP)
+    // under one WITH RECURSIVE, folded per language
+    "q170_unigram_fertility" ->
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         $unigramOracleCtes,
+         __uf AS (
+           SELECT d.lang,
+             len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS ws,
+             coalesce(c.bpe_tokens, 0) AS bpe,
+             u.n_pieces AS uni
+           FROM documents d
+           LEFT JOIN __bpe_doc_counts c ON d.doc_id = c.doc_id
+           JOIN __udoc u ON d.doc_id = u.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(uni) AS BIGINT) AS unigram_pieces,
+           round(CASE WHEN sum(ws) > 0 THEN
+             CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS bpe_fertility,
+           round(CASE WHEN sum(ws) > 0 THEN
+             CAST(sum(uni) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS unigram_fertility
+         FROM __uf GROUP BY lang ORDER BY lang""",
+
     // q168: q45's stage CTEs, re-pointed at the DROPPED side of each
     // gate — exact-dup complement, empty-token docs, lang/quality
     // first-fail split, and the greedy near-dup drops with their

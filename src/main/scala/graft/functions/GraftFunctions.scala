@@ -71,6 +71,30 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"bpe_encode_ids(text, maxLen literal); got ${other.size} args")
     },
+    // unigram-LM Viterbi segmentation: vocabulary as two parallel
+    // foldable arrays (pieces, micro-log-probs) — plan constants like
+    // phrase_hits' list; evaluated once at build, embedded in the
+    // expression
+    "unigram_segment" -> {
+      case Seq(child, ps, lps, Literal(unk: Long, _), Literal(maxLen: Int, _))
+          if ps.foldable && lps.foldable =>
+        val pa = ps.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val la = lps.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(pa != null && la != null &&
+          pa.numElements() == la.numElements(),
+          "unigram_segment: pieces and logps must be equal-length arrays")
+        UnigramSegment(child,
+          (0 until pa.numElements()).map(i =>
+            pa.getUTF8String(i).toString -> la.getLong(i)),
+          unk, maxLen)
+      case other =>
+        throw new IllegalArgumentException(
+          "unigram_segment(words, pieces array<string> constant, " +
+            "logp_micros array<long> constant, unk long literal, " +
+            s"maxPieceLen int literal); got ${other.size} args")
+    },
     "word_shingles" -> {
       case Seq(child, Literal(n: Int, _)) => WordShingles(child, n)
       case Seq(child) => WordShingles(child, 3)

@@ -363,7 +363,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the lineage audit union: per-gate negated filters re-run the
     // dedup prefix and the anti-join/near-dup branches add their own
     // (34 at introduction; audit-run artifact, documented in PLANS.md)
-    "q168_drop_lineage" -> 36)
+    "q168_drop_lineage" -> 36,
+    // unigram Viterbi is one expression eval per doc — map-only + the
+    // battery ORDER BY (the q167 posture)
+    "q169_unigram_segment" -> 1,
+    // map-only token counting + ONE partial/final hash agg + final sort
+    "q170_unigram_fertility" -> 2)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
