@@ -169,4 +169,47 @@ class BitextMiningSpec extends AnyFunSuite with Matchers with SparkSpec {
       rows(Similarity.marginMinePairsLsh(src, frame(tgtAll: _*),
         "vec_id", "embedding", k = 3, nPlanes = 2, nTables = 6))
   }
+
+  test("the persisted-index miner is gated under miningErrorRate like " +
+      "the one-shot variant: zero error at full recall, and identical " +
+      "error to one-shot LSH under partial recall") {
+    def gate(mined: org.apache.spark.sql.DataFrame,
+        gold: org.apache.spark.sql.DataFrame): Double =
+      Similarity.miningErrorRate(mined.select("src_id", "tgt_id"),
+        gold.select("src_id", "tgt_id")).head().getDouble(3)
+    // tight cluster (every cross pair collides): the indexed miner's
+    // pairs equal the exact sweep's, so its audited error rate is 0
+    def tight(i: Long): Seq[Double] =
+      Seq(1.0) ++ (1 until 8).map(j => ((i * 7 + j * 13) % 11 - 5) / 100.0)
+    val src = frame((0L until 10L).map(i => i -> tight(i)): _*)
+    val tgt = frame((100L until 112L).map(i => i -> tight(i)): _*)
+    val gold = Similarity.marginMinePairs(src, tgt, "vec_id",
+      "embedding", k = 3)
+    val dir = graft.io.Spill.tempDir("graft-bitext-gate-") + "/lsh"
+    Similarity.writeLshIndex(tgt, "vec_id", "embedding", dir,
+      nPlanes = 4, nTables = 12, dim = 8)
+    gate(Similarity.marginMinePairsIndexed(spark, dir, src, "vec_id",
+      "embedding", k = 3, nPlanes = 4, nTables = 12), gold) shouldBe 0.0
+    // spread fixture at ONE stingy table: recall is partial, so the
+    // audit reads a REAL error — and the indexed path's audited rate
+    // must equal the one-shot LSH path's (same candidates by
+    // construction, so a divergence means the index dropped postings)
+    val spreadS = frame((0L until 12L).map(i =>
+      i -> (0 until 8).map(j => math.cos(i * 0.9 + j * 0.61))): _*)
+    val spreadT = frame((100L until 116L).map(i =>
+      i -> (0 until 8).map(j => math.sin(i * 0.53 + j * 0.37))): _*)
+    val spreadGold = Similarity.marginMinePairs(spreadS, spreadT,
+      "vec_id", "embedding", k = 3)
+    val dir2 = graft.io.Spill.tempDir("graft-bitext-gate2-") + "/lsh"
+    Similarity.writeLshIndex(spreadT, "vec_id", "embedding", dir2,
+      nPlanes = 4, nTables = 1, dim = 8)
+    val idxErr = gate(Similarity.marginMinePairsIndexed(spark, dir2,
+      spreadS, "vec_id", "embedding", k = 3, nPlanes = 4, nTables = 1),
+      spreadGold)
+    val lshErr = gate(Similarity.marginMinePairsLsh(spreadS, spreadT,
+      "vec_id", "embedding", k = 3, nPlanes = 4, nTables = 1),
+      spreadGold)
+    idxErr shouldBe lshErr
+    idxErr should be > 0.0 // the stingy table really lost pairs
+  }
 }
