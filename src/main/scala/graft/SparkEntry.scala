@@ -1810,6 +1810,31 @@ object SparkEntry {
           t(s, d, "documents"), "lang", "text")
         .orderBy(col("lang"))),
 
+    // sentence segmentation over a synthesized PUNCTUATED corpus (the
+    // raw fixture is punctuation-free word soup, so the decoration —
+    // deterministic per (doc_id, word position): terminator runs,
+    // ellipses, and abbreviation traps — is generated identically on
+    // both engines, the q167 synthesized-fixture discipline); the
+    // splitter itself is one map-only protect/mark/split projection
+    "q171_sentences" -> ((s, d) => {
+      val decorated = array_join(
+        transform(split(col("text"), " "), (w, i) => {
+          val wa = when((col("doc_id") + i) % 11 === 3,
+            concat(lit("Dr. "), w)).otherwise(w)
+          val m = (col("doc_id") * 7 + i * 5) % 23
+          when(m === 0, concat(wa, lit(".")))
+            .when(m === 1, concat(wa, lit("!")))
+            .when(m === 2, concat(wa, lit("?")))
+            .when(m === 3, concat(wa, lit("...")))
+            .otherwise(wa)
+        }), " ")
+      graft.operators.Sentences.split(
+          t(s, d, "documents").select(col("doc_id"),
+            decorated.as("ptext")),
+          "doc_id", "ptext")
+        .orderBy(col("doc_id"), col("sent_id"))
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4494,6 +4519,41 @@ object SparkEntry {
            round(CASE WHEN sum(ws) > 0 THEN
              CAST(sum(uni) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS unigram_fertility
          FROM __uf GROUP BY lang ORDER BY lang""",
+
+    // q171: the same decoration (two composed index lambdas), then the
+    // protect/mark/split cascade replayed with the identical regexes
+    // (RE2/Java common subset; group refs \1 here, $1 in Spark — same
+    // semantics, different engine syntax)
+    "q171_sentences" ->
+      """WITH dec AS (
+           SELECT doc_id, array_to_string(list_transform(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN (doc_id + i - 1) % 11 = 3
+                 THEN 'Dr. ' || x ELSE x END),
+             (x, i) -> x || CASE ((doc_id * 7 + (i - 1) * 5) % 23)
+               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+               WHEN 3 THEN '...' ELSE '' END), ' ') AS ptext
+           FROM documents),
+         mk AS (
+           SELECT doc_id, string_split(
+             regexp_replace(
+               regexp_replace(ptext,
+                 '\b(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc)\.', '\1<<A>>', 'g'),
+               '([.!?]+)\s+', '\1<<S>>', 'g'),
+             '<<S>>') AS parts
+           FROM dec),
+         sl AS (
+           SELECT doc_id, p,
+             trim(replace(parts[CAST(p AS INT)], '<<A>>', '.')) AS sentence
+           FROM (SELECT doc_id, parts,
+                   unnest(range(1, len(parts) + 1)) AS p FROM mk)),
+         fs AS (
+           SELECT doc_id, sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sent_id
+           FROM sl WHERE sentence <> '')
+         SELECT doc_id, sent_id, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+         FROM fs ORDER BY doc_id, sent_id""",
 
     // q168: q45's stage CTEs, re-pointed at the DROPPED side of each
     // gate — exact-dup complement, empty-token docs, lang/quality

@@ -368,7 +368,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // battery ORDER BY (the q167 posture)
     "q169_unigram_segment" -> 1,
     // map-only token counting + ONE partial/final hash agg + final sort
-    "q170_unigram_fertility" -> 2)
+    "q170_unigram_fertility" -> 2,
+    // sentence split is one protect/mark/split generate projection —
+    // map-only + the battery ORDER BY (the q167 posture)
+    "q171_sentences" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

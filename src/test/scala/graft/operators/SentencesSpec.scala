@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Sentence segmentation: boundary runs, abbreviation protection,
+  * terminator retention, id numbering, and degenerate inputs.
+  */
+class SentencesSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+  }
+
+  private def sents(text: String): Seq[String] =
+    Sentences.split(docs(text), "id", "txt")
+      .orderBy(col("sent_id")).collect().map(_.getString(2)).toSeq
+
+  test("splits at terminators and keeps the terminator with its " +
+      "sentence") {
+    sents("One two. Three four! Five six?") shouldBe
+      Seq("One two.", "Three four!", "Five six?")
+  }
+
+  test("known abbreviations do not end a sentence") {
+    sents("Dr. Smith met Mr. Jones. They left. See Fig. 3 now!") shouldBe
+      Seq("Dr. Smith met Mr. Jones.", "They left.", "See Fig. 3 now!")
+  }
+
+  test("a terminator RUN (ellipsis, ?!) is one boundary") {
+    sents("Wait... what?! Fine.") shouldBe
+      Seq("Wait...", "what?!", "Fine.")
+  }
+
+  test("no terminator = one sentence; a trailing terminator does not " +
+      "create an empty one; blank input yields zero rows") {
+    sents("no punctuation at all") shouldBe Seq("no punctuation at all")
+    sents("Only one here.") shouldBe Seq("Only one here.")
+    Sentences.split(docs(""), "id", "txt").count() shouldBe 0L
+  }
+
+  test("exploded rows: 1-based sequential sent_id per document, " +
+      "n_chars, and per-doc independence") {
+    val out = Sentences.split(docs("A b. C d!", "E f? G."), "id", "txt")
+      .orderBy(col("id"), col("sent_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(
+      (0L, 1L, "A b.", 4L), (0L, 2L, "C d!", 4L),
+      (1L, 1L, "E f?", 4L), (1L, 2L, "G.", 2L))
+  }
+}
