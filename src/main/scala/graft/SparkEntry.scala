@@ -1835,6 +1835,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("sent_id"))
     }),
 
+    // classifier evaluation over the q123 NB language model: the
+    // per-label classification report (precision/recall/F1 from one
+    // label-bounded pair aggregate) — the audit a model gate must pass
+    // before it may drop terabytes
+    "q172_nb_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nbe-")
+      val pred = graft.operators.NaiveBayes.classify(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+      graft.operators.Eval.classificationReport(
+        pred.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "label")
+    }),
+
+    // exact tie-corrected AUC of the en-vs-rest NB margin (labelScores
+    // exposes the full per-label frame; margin = score_en - best other)
+    // — the threshold-free discrimination audit beside q172's report
+    "q173_en_margin_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nba-")
+      val margin = graft.operators.NaiveBayes.labelScores(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+        .groupBy(col("doc_id"))
+        .agg((max(when(col("label") === "en", col("score"))) -
+          max(when(col("label") =!= "en", col("score")))).as("m"))
+      graft.operators.Eval.rocAuc(
+        margin.join(t(s, d, "documents")
+          .select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id"),
+        "y", "m")
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -3789,10 +3824,13 @@ object SparkEntry {
     * even-doc training half) and `te(doc_id, w)` (the odd scoring half)
     * with `w` the token LIST; the rest — priors, Laplace conds, default
     * mass, score sum, lexicographic-tie argmax — is tokenizer-independent
-    * and replays `NaiveBayes.train`/`classify` exactly.
+    * and replays `NaiveBayes.train`/`classify` exactly. The chain ends
+    * in `scall(doc_id, label, score)` (the full `labelScores` frame)
+    * and `pred(doc_id, label, score)` (the argmax) so evaluation
+    * oracles (q172/q173) compose on top.
     */
-  private def nbClassifyOracle(tokCtes: String): String =
-    s"""WITH $tokCtes,
+  private def nbPredCtes(tokCtes: String): String =
+    s"""$tokCtes,
          n AS (SELECT count(*) AS n FROM tr),
          pri AS (
            SELECT lang AS label, round(ln(count(*) / (SELECT n FROM n)), 6)
@@ -3841,9 +3879,28 @@ object SparkEntry {
            SELECT doc_id, label, score,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY score DESC, label) AS rn
-           FROM scall)
-         SELECT doc_id, label, score FROM best WHERE rn = 1
-         ORDER BY doc_id"""
+           FROM scall),
+         pred AS (SELECT doc_id, label, score FROM best WHERE rn = 1)"""
+
+  private def nbClassifyOracle(tokCtes: String): String =
+    s"""WITH ${nbPredCtes(tokCtes)}
+         SELECT doc_id, label, score FROM pred ORDER BY doc_id"""
+
+  /** The q123 word-unigram tokenizer CTEs (even half trains, odd half
+    * scores) — shared by the classify oracle and the q172/q173
+    * evaluation oracles.
+    */
+  private val nbWordTokCtes: String =
+    """tr AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\W+'),
+               w -> w <> '') AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         te AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'),
+               w -> w <> '') AS w
+           FROM documents WHERE doc_id % 2 = 1)"""
 
   /** DuckDB twin for each oracle-able query (column names + ordering match
     * the Spark side exactly; see determinism rules in the class doc).
@@ -3881,17 +3938,70 @@ object SparkEntry {
     // at classify (the cross-engine ln pin); unseen test tokens take the
     // per-label default mass; argmax = highest rounded score, ties to
     // the smallest label
-    "q123_nb_classify" -> nbClassifyOracle(
-      """tr AS (
-           SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '\W+'),
-               w -> w <> '') AS w
-           FROM documents WHERE doc_id % 2 = 0),
-         te AS (
+    "q123_nb_classify" -> nbClassifyOracle(nbWordTokCtes),
+
+    // q172: the per-label classification report over q123's
+    // predictions vs the true labels — counts from one (truth, pred)
+    // GROUP BY, every ratio ONE integer->double division (F1 via its
+    // count identity 2tp/(2tp+fp+fn), never the p/r composition)
+    "q172_nb_report" ->
+      s"""WITH ${nbPredCtes(nbWordTokCtes)},
+         truth AS (
+           SELECT d.lang AS t, p.label AS pr
+           FROM pred p JOIN documents d USING (doc_id)),
+         pairs AS (SELECT t, pr, count(*) AS n FROM truth GROUP BY t, pr),
+         byt AS (
+           SELECT t AS label, sum(n) AS support,
+             sum(CASE WHEN pr = t THEN n ELSE 0 END) AS tp
+           FROM pairs GROUP BY t),
+         byp AS (
+           SELECT pr AS label, sum(n) AS fp
+           FROM pairs WHERE pr <> t GROUP BY pr),
+         rep AS (
+           SELECT coalesce(byt.label, byp.label) AS label,
+             coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+             coalesce(fp, 0) AS fp,
+             coalesce(support, 0) - coalesce(tp, 0) AS fn
+           FROM byt FULL JOIN byp ON byt.label = byp.label)
+         SELECT label, support, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE 0.0
+             END AS precision,
+           CASE WHEN support > 0
+             THEN round(CAST(tp AS DOUBLE) / support, 6) ELSE 0.0
+             END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+             THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+             ELSE 0.0 END AS f1
+         FROM rep ORDER BY label""",
+
+    // q173: exact tie-corrected Mann-Whitney AUC of the en-vs-rest NB
+    // margin (score_en - best other score; both 4-decimal doubles from
+    // identical integer micros, so the margins — and therefore the
+    // ranks — are bit-identical across engines)
+    "q173_en_margin_auc" ->
+      s"""WITH ${nbPredCtes(nbWordTokCtes)},
+         mg AS (
            SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'),
-               w -> w <> '') AS w
-           FROM documents WHERE doc_id % 2 = 1)"""),
+             max(CASE WHEN label = 'en' THEN score END) -
+             max(CASE WHEN label <> 'en' THEN score END) AS m
+           FROM scall GROUP BY doc_id),
+         lab AS (
+           SELECT m.m, (d.lang = 'en') AS y
+           FROM mg m JOIN documents d USING (doc_id)),
+         rk AS (
+           SELECT y,
+             2 * rank() OVER (ORDER BY m) +
+               count(*) OVER (PARTITION BY m) - 1 AS r2
+           FROM lab)
+         SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg,
+           round(CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) -
+               sum(CASE WHEN y THEN 1 ELSE 0 END) *
+               (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) AS DOUBLE) /
+             (2 * sum(CASE WHEN y THEN 1 ELSE 0 END) *
+               sum(CASE WHEN y THEN 0 ELSE 1 END)), 6) AS auc
+         FROM rk""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

@@ -195,14 +195,14 @@ object NaiveBayes {
     graft.io.BatchTable.compactSumFold(spark, countsTablePath,
       Seq("kind", "label", "token"), "c", excludeBatch, targetFileBytes)
 
-  /** Score every doc against every label and keep the argmax:
-    * `score(label) = prior + Σ_token cond(label, token | default)`,
-    * rounded to 4 decimals; ties break to the lexicographically smallest
-    * label (deterministic, oracle-replayable). Docs with an empty or
-    * NULL token array score on priors alone. Returns
-    * (idCol, label, score).
+  /** The full per-(doc, label) score frame `score(label) = prior +
+    * Σ_token cond(label, token | default)`, rounded to 4 decimals —
+    * one row per doc per model label. [[classify]] is this plus the
+    * argmax; evaluation ([[Eval]]) consumes it directly (AUC and
+    * calibration need the positive class's SCORE, not the argmax).
+    * Docs with an empty or NULL token array score on priors alone.
     */
-  def classify(docs: DataFrame, idCol: String, tokensCol: String,
+  def labelScores(docs: DataFrame, idCol: String, tokensCol: String,
       model: DataFrame, broadcastModel: Boolean = true): DataFrame = {
     // the model's logps are exact 6-decimal values (rounded at train
     // time), so the model-read projection scales them ONCE to integer
@@ -262,10 +262,19 @@ object NaiveBayes {
       .select(col(idCol)).crossJoin(labels)
       .select(col(idCol), col("label"), score(col("__prior")))
     scored.unionByName(empties)
+  }
+
+  /** Score every doc against every label and keep the argmax (see
+    * [[labelScores]]); ties break to the lexicographically smallest
+    * label (deterministic, oracle-replayable). Returns
+    * (idCol, label, score).
+    */
+  def classify(docs: DataFrame, idCol: String, tokensCol: String,
+      model: DataFrame, broadcastModel: Boolean = true): DataFrame =
+    labelScores(docs, idCol, tokensCol, model, broadcastModel)
       .groupBy(col(idCol))
       .agg(min_by(struct(col("label"), col("score")),
         struct(-col("score"), col("label"))).as("__b"))
       .select(col(idCol), col("__b.label").as("label"),
         col("__b.score").as("score"))
-  }
 }

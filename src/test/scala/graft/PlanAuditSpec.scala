@@ -67,7 +67,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q163: the src-probe broadcast sweep of the margin miner (the
     // q133/q137 dense posture — probe-batch-sized by contract);
     // q166 embeds the same exact-sweep subtree as its gold side
-    "q163_bitext_margin", "q166_bitext_audit")
+    "q163_bitext_margin", "q166_bitext_audit",
+    // q172/q173: q123's L-row label broadcast inside the evaluated
+    // classifier (labelScores keeps the classify scoring shape)
+    "q172_nb_report", "q173_en_margin_auc")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -371,7 +374,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q170_unigram_fertility" -> 2,
     // sentence split is one protect/mark/split generate projection —
     // map-only + the battery ORDER BY (the q167 posture)
-    "q171_sentences" -> 1)
+    "q171_sentences" -> 1,
+    // q123's classify + ONE spilled pair aggregate; the report tail
+    // (per-truth/per-pred rollups + their full join + sort) runs over
+    // the label-bounded spilled scan
+    "q172_nb_report" -> 6,
+    // labelScores' classify shape (scored + prior-only union) + the
+    // margin aggregate + the truth join + ONE shared single-partition
+    // sort feeding both rank windows (exact AUC is a holdout-sized
+    // total sort by definition; rocAucBinned is the corpus path)
+    "q173_en_margin_auc" -> 18)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

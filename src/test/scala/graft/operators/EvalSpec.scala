@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Classifier evaluation: hand-computed report counts and ratios,
+  * tie-corrected exact AUC, binned-AUC equivalence and tolerance, and
+  * calibration bins.
+  */
+class EvalSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def scored(rows: (Boolean, Double)*) = {
+    import spark.implicits._
+    rows.toDF("y", "s")
+  }
+
+  private def auc(rows: (Boolean, Double)*): Double =
+    Eval.rocAuc(scored(rows: _*), "y", "s").head().getDouble(2)
+
+  test("classification report: hand-computed counts, a label seen " +
+      "only in predictions, and zero-division posture") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),   // en: tp=2 fn=1
+      ("de", "de"), ("de", "xx"),                 // de: tp=1 fn=1, fp=1(en->de)
+      ("fr", "en"))                               // fr: tp=0; en fp=1; xx fp=1
+      .toDF("truth", "pred")
+    val out = Eval.classificationReport(df, "truth", "pred").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    out shouldBe Array(
+      ("de", 2L, 1L, 1L, 1L, 0.5, 0.5, 0.5),
+      ("en", 3L, 2L, 1L, 1L, 0.666667, 0.666667, 0.666667),
+      ("fr", 1L, 0L, 0L, 1L, 0.0, 0.0, 0.0),   // nothing predicted fr
+      ("xx", 0L, 0L, 1L, 0L, 0.0, 0.0, 0.0))   // prediction-only label
+    // overall accuracy is derivable: sum(tp) / sum(support)
+    out.map(_._3).sum.toDouble / out.map(_._2).sum shouldBe 0.5
+  }
+
+  test("exact AUC: perfect = 1, reversed = 0, constant scores = 0.5, " +
+      "ties take the corrected value") {
+    auc((true, 0.9), (true, 0.8), (false, 0.2), (false, 0.1)) shouldBe 1.0
+    auc((false, 0.9), (false, 0.8), (true, 0.2), (true, 0.1)) shouldBe 0.0
+    auc((true, 0.5), (false, 0.5), (true, 0.5), (false, 0.5)) shouldBe 0.5
+    // hand: U = (0.2 beats 0.1) + (0.2 ties 0.2)/2 + (0.3 beats both)
+    //         = 1.5 + 2 = 3.5; AUC = 3.5 / (2*2)
+    auc((false, 0.1), (true, 0.2), (false, 0.2), (true, 0.3)) shouldBe 0.875
+    // degenerate: one class only -> NULL, not a fabricated number
+    Eval.rocAuc(scored((true, 0.5), (true, 0.7)), "y", "s")
+      .head().isNullAt(2) shouldBe true
+  }
+
+  test("binned AUC equals exact when each distinct score owns a bin, " +
+      "stays within 1/nBins otherwise, and clamps out-of-range scores") {
+    val rows = Seq((false, 0.125), (true, 0.375), (false, 0.375),
+      (true, 0.625), (false, 0.625), (true, 0.875))
+    val exact = auc(rows: _*)
+    Eval.rocAucBinned(scored(rows: _*), "y", "s", 0.0, 1.0, 4)
+      .head().getDouble(2) shouldBe exact
+    // a spread fixture: 64 bins must land within 1/64 of exact
+    val spread = (1 to 200).map { i =>
+      val s = (i * 37 % 101) / 101.0
+      (s + (i % 7) / 40.0 > 0.7, s)
+    }
+    val e2 = auc(spread: _*)
+    val b2 = Eval.rocAucBinned(scored(spread: _*), "y", "s", 0.0, 1.0, 64)
+      .head().getDouble(2)
+    math.abs(b2 - e2) should be <= (1.0 / 64)
+    // out-of-range scores clamp to the edge bins instead of vanishing
+    val cl = Eval.rocAucBinned(scored((true, 1.9), (false, -0.5)),
+      "y", "s", 0.0, 1.0, 10).head()
+    cl.getLong(0) shouldBe 1L
+    cl.getLong(1) shouldBe 1L
+    cl.getDouble(2) shouldBe 1.0
+  }
+
+  test("calibration bins: counts, mean score, and positive rate per bin") {
+    val out = Eval.calibrationBins(scored(
+        (false, 0.1), (false, 0.15), (true, 0.2),   // bin 0: 1/3 pos
+        (true, 0.8), (true, 0.9), (false, 0.85),    // bin 1: 2/3 pos
+        (true, 1.5)),                               // clamps into bin 1
+      "y", "s", 0.0, 1.0, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out shouldBe Array(
+      (0L, 3L, 0.15, 0.333333),
+      (1L, 4L, 1.0125, 0.75))
+  }
+}
