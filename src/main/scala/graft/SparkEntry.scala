@@ -1870,6 +1870,43 @@ object SparkEntry {
         "y", "m")
     }),
 
+    // WARC ingestion: documents synthesize length-framed WARC records
+    // (headers + HTTP response + separator), concatenated into per-
+    // file_id "files" — the real crawl layout where the FILE is the
+    // parallel unit — then Warc.responses frames records back out by
+    // Content-Length and parses URI/date/status/mime/body. The oracle
+    // re-frames by record split (equivalent on this fixture whose
+    // payloads never quote the version line; the delimiter-quoting
+    // case where ONLY length framing is right is spec-pinned)
+    "q174_warc_parse" -> ((s, d) => {
+      val crlf = "\r\n"
+      val id = col("doc_id").cast("string")
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf + "<html><body><h1>Doc "), id, lit("</h1><p>"),
+        substring(col("text"), 1, 120), lit("</p></body></html>"))
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://example.org/doc/"), id,
+        lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Length: "),
+        length(http).cast("string"), lit(crlf + crlf), http,
+        lit(crlf + crlf))
+      val files = t(s, d, "documents")
+        .select((col("doc_id") % 32).as("file_id"), col("doc_id"),
+          rec.as("rec"))
+        .groupBy(col("file_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "").as("content"))
+      graft.operators.Warc.responses(files, "file_id", "content")
+        .select(col("file_id"), col("rec_no"), col("url"),
+          col("warc_date"), col("status"), col("mime"),
+          length(col("body")).cast("long").as("body_chars"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("file_id"), col("rec_no"))
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4002,6 +4039,61 @@ object SparkEntry {
              (2 * sum(CASE WHEN y THEN 1 ELSE 0 END) *
                sum(CASE WHEN y THEN 0 ELSE 1 END)), 6) AS auc
          FROM rk""",
+
+    // q174: the same synthesized files, re-framed by RECORD SPLIT on
+    // the version line (equivalent to the engine's Content-Length walk
+    // on this fixture by construction) and re-parsed with the same
+    // anchored header regexes
+    "q174_warc_parse" ->
+      """WITH rec AS (
+           SELECT doc_id % 32 AS file_id, doc_id,
+             'HTTP/1.1 200 OK' || E'\r\n' || 'Content-Type: text/html'
+               || E'\r\n\r\n' || '<html><body><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>'
+               || substr(text, 1, 120) || '</p></body></html>' AS http
+           FROM documents),
+         wrec AS (
+           SELECT file_id, doc_id,
+             'WARC/1.0' || E'\r\n' || 'WARC-Type: response' || E'\r\n'
+               || 'WARC-Target-URI: http://example.org/doc/'
+               || CAST(doc_id AS VARCHAR) || E'\r\n'
+               || 'WARC-Date: 2024-01-01T00:00:00Z' || E'\r\n'
+               || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+               || E'\r\n\r\n' || http || E'\r\n\r\n' AS rec
+           FROM rec),
+         files AS (
+           SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS content
+           FROM wrec GROUP BY file_id),
+         sp AS (
+           SELECT file_id,
+             string_split(content, 'WARC/1.0' || E'\r\n') AS parts
+           FROM files),
+         rr AS (
+           SELECT file_id, p, parts[CAST(p AS INT)] AS r
+           FROM (SELECT file_id, parts,
+                   unnest(range(1, len(parts) + 1)) AS p FROM sp)
+           WHERE parts[CAST(p AS INT)] <> ''),
+         parsed AS (
+           SELECT file_id,
+             row_number() OVER (PARTITION BY file_id ORDER BY p) AS rec_no,
+             split_part(r, E'\r\n\r\n', 1) AS h,
+             regexp_extract(r, '(?s)^.*?\r\n\r\n(.*)\r\n\r\n$', 1) AS payload
+           FROM rr),
+         resp AS (
+           SELECT file_id, rec_no,
+             regexp_extract(h, '(?m)^WARC-Target-URI: (\S+)', 1) AS url,
+             regexp_extract(h, '(?m)^WARC-Date: (\S+)', 1) AS warc_date,
+             CAST(regexp_extract(payload, '^HTTP/1\.1 (\d+)', 1)
+               AS BIGINT) AS status,
+             regexp_extract(split_part(payload, E'\r\n\r\n', 1),
+               '(?m)^Content-Type: ([^\r\n]+)', 1) AS mime,
+             regexp_extract(payload, '(?s)^.*?\r\n\r\n(.*)$', 1) AS body
+           FROM parsed
+           WHERE regexp_extract(h, '(?m)^WARC-Type: (\S+)', 1) = 'response')
+         SELECT file_id, rec_no, url, warc_date, status, mime,
+           CAST(length(body) AS BIGINT) AS body_chars,
+           md5(body) AS body_md5
+         FROM resp ORDER BY file_id, rec_no""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

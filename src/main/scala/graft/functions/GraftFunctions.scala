@@ -184,6 +184,12 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"repetition_stats(words, n literal); got ${other.size} args")
     },
+    "warc_records" -> {
+      case Seq(child) => WarcRecords(child)
+      case other =>
+        throw new IllegalArgumentException(
+          s"warc_records(fileText); got ${other.size} args")
+    },
     "winnow_fingerprints" -> {
       case Seq(child, Literal(k: Int, _), Literal(win: Int, _)) =>
         WinnowFingerprints(child, k, win)
@@ -266,6 +272,12 @@ object GraftFunctions {
   /** Winnowing (MOSS) fingerprints of an array<string> token column. */
   def winnow_fingerprints(tokens: Column, k: Int, win: Int): Column =
     call_function("winnow_fingerprints", tokens, lit(k), lit(win))
+
+  /** Content-Length-framed WARC records of a file-content column:
+    * array<struct<headers, payload>> (see [[WarcRecords]]).
+    */
+  def warc_records(fileText: Column): Column =
+    call_function("warc_records", fileText)
 
   /** Positional n-gram repetition stats of an array<string> word column:
     * struct<n_grams, distinct_grams, top_count>.

@@ -383,7 +383,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // margin aggregate + the truth join + ONE shared single-partition
     // sort feeding both rank windows (exact AUC is a holdout-sized
     // total sort by definition; rocAucBinned is the corpus path)
-    "q173_en_margin_auc" -> 18)
+    "q173_en_margin_auc" -> 18,
+    // ONE file-assembly aggregate (the synth side; real WARC arrives
+    // as files) — the framing/parse itself is a map-only generate —
+    // + the battery sort
+    "q174_warc_parse" -> 4)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
