@@ -1,5 +1,6 @@
 package graft.pipelines
 
+import org.apache.spark.sql.functions.{col, regexp_extract}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -95,6 +96,43 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
         "doc_id", "text", cacheIntermediate = false)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     cleaned.orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe direct
+  }
+
+  test("crawl end-to-end: WARC files -> responses -> clean(htmlCol) " +
+      "equals cleaning the same pages directly") {
+    import spark.implicits._
+    def page(body: String) =
+      "<html><head><script>var BAD_JS=1;</script></head><body>" +
+        "<nav><a href='/'>NAVCHROME</a></nav>" +
+        s"<p>$body</p>" +
+        "<footer>FOOTERCHROME</footer></body></html>"
+    val pages = Seq(
+      1L -> page(goodDoc("with joins and windows over rows and groups here")),
+      2L -> page(goodDoc("plus aggregates and buckets and ranges in the plan")),
+      3L -> "<html><body><nav><a href='/'>NAVCHROME</a></nav></body></html>")
+    val crlf = "\r\n"
+    def rec(id: Long, html: String): String = {
+      val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$html"
+      s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: http://ex.org/doc/$id$crlf" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}$crlf$crlf" +
+        http + crlf + crlf
+    }
+    val files = Seq((0L, pages.map((rec _).tupled).mkString))
+      .toDF("file_id", "content")
+    val bodies = graft.operators.Warc
+      .responses(files, "file_id", "content")
+      .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("body"))
+    val viaCrawl = TrainingData.clean(bodies, "doc_id", "text",
+        cacheIntermediate = false, htmlCol = Some("body"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = TrainingData.clean(pages.toDF("doc_id", "html"),
+        "doc_id", "text", cacheIntermediate = false,
+        htmlCol = Some("html"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    viaCrawl shouldBe direct
+    viaCrawl.map(_.head) shouldBe Seq(1L, 2L) // the chrome-only page fell
   }
 
   test("drop-reason lineage partitions the input exactly once across " +
