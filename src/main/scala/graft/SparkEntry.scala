@@ -1907,6 +1907,24 @@ object SparkEntry {
         .orderBy(col("file_id"), col("rec_no"))
     }),
 
+    // SFT conversation assembly: event rows -> one transcript row per
+    // user, most-recent turns kept under a 120-token budget (content
+    // synthesized from event fields with integer-only value rendering
+    // so both engines produce identical strings). ONE exchange: the
+    // suffix-sum window and the per-key fold share the partitioning
+    "q175_sft_assemble" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        concat(col("event_type"), lit(" v"),
+          round(col("value") * 100).cast("long").cast("string"),
+          lit(" "), col("props")).as("content"))
+      graft.operators.Conversations.assemble(ev, "user_id", "ts",
+          "event_id", "event_type", "content", 120L)
+        .select(col("user_id"), col("n_turns"), col("n_kept"),
+          col("tokens_kept"), md5(col("transcript")).as("transcript_md5"))
+        .orderBy(col("user_id"))
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4094,6 +4112,36 @@ object SparkEntry {
            CAST(length(body) AS BIGINT) AS body_chars,
            md5(body) AS body_md5
          FROM resp ORDER BY file_id, rec_no""",
+
+    // q175: the suffix-sum truncation replayed as the same descending
+    // running window (monotone suffix sums make the keep set the
+    // maximal recent suffix), transcript re-rendered oldest-first
+    "q175_sft_assemble" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type,
+             event_type || ' v' ||
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
+               ' ' || props AS content
+           FROM events),
+         tk AS (
+           SELECT *, CAST(len(list_filter(
+             string_split_regex(content, '\s+'), x -> x <> ''))
+             AS BIGINT) AS tok
+           FROM ev),
+         mk AS (
+           SELECT *, sum(tok) OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 120
+             AS keep
+           FROM tk)
+         SELECT user_id, count(*) AS n_turns,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           md5(coalesce(string_agg(event_type || ': ' || content,
+             chr(10) ORDER BY ts, event_id) FILTER (WHERE keep), ''))
+             AS transcript_md5
+         FROM mk GROUP BY user_id ORDER BY user_id""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

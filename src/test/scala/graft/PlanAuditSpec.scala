@@ -378,16 +378,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q123's classify + ONE spilled pair aggregate; the report tail
     // (per-truth/per-pred rollups + their full join + sort) runs over
     // the label-bounded spilled scan
-    "q172_nb_report" -> 6,
+    "q172_nb_report" -> 3,
     // labelScores' classify shape (scored + prior-only union) + the
     // margin aggregate + the truth join + ONE shared single-partition
     // sort feeding both rank windows (exact AUC is a holdout-sized
     // total sort by definition; rocAucBinned is the corpus path)
-    "q173_en_margin_auc" -> 18,
+    "q173_en_margin_auc" -> 9,
     // ONE file-assembly aggregate (the synth side; real WARC arrives
     // as files) — the framing/parse itself is a map-only generate —
     // + the battery sort
-    "q174_warc_parse" -> 4)
+    "q174_warc_parse" -> 2,
+    // ONE hash exchange shared by the suffix-sum window and the
+    // per-key fold (same partitioning) + the battery sort
+    "q175_sft_assemble" -> 2)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
