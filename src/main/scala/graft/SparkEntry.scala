@@ -1925,6 +1925,49 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // corpus snapshot diff: documents vs a deterministically perturbed
+    // "next release" (drops, edits, additions) — per-doc
+    // added/removed/changed/unchanged status; the join exchanges
+    // (id, md5) rows, never text
+    "q176_corpus_diff" -> ((s, d) => {
+      val old = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val neu = old.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.where(col("doc_id") % 19 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.CorpusDiff.diff(old, neu, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // RLHF/DPO preference pairs from a reward-scored candidate frame:
+    // exact-cosine top-8 per probe (1e4-scaled integer scores), pairs
+    // gated at gap >= 500 (0.05 cosine), capped at 3 per prompt by
+    // largest gap — the margin filter + per-prompt cap of real
+    // preference-data builders
+    "q177_preference_pairs" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val probes = embs.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val topk = udaf(new graft.functions.TopKScoredAggregator(8))
+      val scored = embs.join(broadcast(probes),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(round(graft.functions.GraftFunctions.cosine_sim(
+            col("embedding"), col("__qv")), 4) * 1e4)
+            .cast("long").as("__sm"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("__sm"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t._2").as("cand_id"),
+          col("t._1").as("score"))
+      graft.operators.Preferences.preferencePairs(scored, "query_id",
+          "cand_id", "score", minGap = 500L, maxPairs = 3)
+        .orderBy(col("query_id"), col("pair_no"))
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4142,6 +4185,58 @@ object SparkEntry {
              chr(10) ORDER BY ts, event_id) FILTER (WHERE keep), ''))
              AS transcript_md5
          FROM mk GROUP BY user_id ORDER BY user_id""",
+
+    // q176: the same perturbation, statuses from one full join of
+    // (id, md5) sides
+    "q176_corpus_diff" ->
+      """WITH neu AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 5 THEN ' v2' ELSE '' END
+               AS text
+           FROM documents WHERE doc_id % 17 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 19 = 2),
+         o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         n AS (SELECT doc_id, md5(text) AS nh FROM neu),
+         j AS (SELECT doc_id, oh, nh FROM o FULL JOIN n USING (doc_id))
+         SELECT doc_id,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM j ORDER BY doc_id""",
+
+    // q177: exact-cosine candidate ranking (the q95 4-decimal
+    // contract), the same gap gate, per-prompt cap, and tiebreaks
+    "q177_preference_pairs" ->
+      """WITH p AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         sc AS (
+           SELECT p.query_id, c.vec_id AS cand_id,
+             CAST(round(round(list_cosine_similarity(c.embedding, p.qv), 4)
+               * 10000) AS BIGINT) AS sm
+           FROM embeddings c JOIN p ON c.vec_id <> p.query_id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sm DESC, cand_id) AS r
+           FROM sc),
+         top AS (SELECT query_id, cand_id, sm FROM rk WHERE r <= 8),
+         pp AS (
+           SELECT a.query_id, a.cand_id AS chosen_id,
+             b.cand_id AS rejected_id, a.sm - b.sm AS gap
+           FROM top a JOIN top b ON a.query_id = b.query_id
+             AND a.cand_id <> b.cand_id
+           WHERE a.sm - b.sm >= 500),
+         sel AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY gap DESC, chosen_id, rejected_id) AS pair_no
+           FROM pp)
+         SELECT query_id, CAST(pair_no AS BIGINT) AS pair_no, chosen_id,
+           rejected_id, gap
+         FROM sel WHERE pair_no <= 3
+         ORDER BY query_id, pair_no""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-pair construction — the RLHF/DPO side of training-data
+  * prep: reward-scored candidate responses per prompt become
+  * (chosen, rejected) training pairs. A pair qualifies when the score
+  * gap clears `minGap`, in the score's own integer scale (near-ties
+  * teach nothing and amplify reward noise — the standard margin
+  * filter), and each prompt
+  * contributes at most `maxPairs` pairs, largest gaps first
+  * (deterministic tiebreak: gap DESC, chosen ASC, rejected ASC), so
+  * no prompt dominates the pair distribution.
+  *
+  * Scores are INTEGER-scaled (the engine-wide exact-scoring contract:
+  * 1e4-scaled cosines, 1e6-scaled BM25/log scores) — every gap is
+  * exact long arithmetic and the oracle replays the selection bit for
+  * bit.
+  *
+  * Scale shape: the input is a per-prompt CANDIDATE frame — a top-k
+  * output, prompts x k rows, never the corpus — so the within-prompt
+  * self-join is k² per prompt and bounded; the frame spills once for
+  * its two join sides (the q159 multi-consumer discipline) and the
+  * per-prompt cap window partitions on the prompt key.
+  */
+object Preferences {
+
+  /** Build pairs from `scored` (queryCol, candCol, scoreCol-micros):
+    * (query_id, pair_no, chosen_id, rejected_id, gap),
+    * pair_no 1-based per query in selection order.
+    */
+  def preferencePairs(scored: DataFrame, queryCol: String,
+      candCol: String, scoreCol: String, minGap: Long,
+      maxPairs: Int): DataFrame = {
+    require(maxPairs > 0, "maxPairs must be positive")
+    require(minGap > 0, "minGap must be positive — a zero " +
+      "gap would pair ties in both directions")
+    val base = graft.io.Spill(
+      scored.select(col(queryCol).cast("long").as("query_id"),
+        col(candCol).cast("long").as("__c"),
+        col(scoreCol).cast("long").as("__s")), "graft-pref-")
+    val pairs = base
+      .join(base.select(col("query_id"), col("__c").as("__r"),
+        col("__s").as("__rs")), Seq("query_id"))
+      .where(col("__c") =!= col("__r") &&
+        col("__s") - col("__rs") >= minGap)
+      .select(col("query_id"), col("__c").as("chosen_id"),
+        col("__r").as("rejected_id"),
+        (col("__s") - col("__rs")).as("gap"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("gap").desc, col("chosen_id"),
+        col("rejected_id"))
+    pairs.withColumn("pair_no", row_number().over(w).cast("long"))
+      .where(col("pair_no") <= maxPairs)
+      .select(col("query_id"), col("pair_no"), col("chosen_id"),
+        col("rejected_id"), col("gap"))
+  }
+}

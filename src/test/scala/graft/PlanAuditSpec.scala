@@ -70,7 +70,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q163_bitext_margin", "q166_bitext_audit",
     // q172/q173: q123's L-row label broadcast inside the evaluated
     // classifier (labelScores keeps the classify scoring shape)
-    "q172_nb_report", "q173_en_margin_auc")
+    "q172_nb_report", "q173_en_margin_auc",
+    // q177: the probe sweep broadcast against the corpus scan (the
+    // q95/q133 dense posture)
+    "q177_preference_pairs")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -390,7 +393,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q174_warc_parse" -> 2,
     // ONE hash exchange shared by the suffix-sum window and the
     // per-key fold (same partitioning) + the battery sort
-    "q175_sft_assemble" -> 2)
+    "q175_sft_assemble" -> 2,
+    // hash-sides full join on id + battery sort (hash rows, never text)
+    "q176_corpus_diff" -> 3,
+    // probe broadcast + bounded top-k agg exchange + the cap window /
+    // battery sort sharing the query partitioning
+    "q177_preference_pairs" -> 3)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
