@@ -1968,6 +1968,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("pair_no"))
     }),
 
+    // the Gopher rule battery: the NAMED per-doc quality gates (word
+    // bounds, mean word length, symbol/bullet/ellipsis ratios, alpha
+    // words, stopword floor) beside q34's composite score — one
+    // map-only projection, every ratio a single rounded division
+    "q178_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // judge agreement: Cohen's kappa between the q33 heuristic lang-id
+    // and the q123 NB model on the held-out half — the measured answer
+    // to "can the cheap gate substitute for the learned one"
+    "q179_lang_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nbk-")
+      val pred = graft.operators.NaiveBayes.classify(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+        .select(col("doc_id"), col("label"))
+      val heur = TextAnalysis.languageId(
+        t(s, d, "documents").where(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      graft.operators.Eval.cohenKappa(heur.join(pred, "doc_id"),
+        "lang_pred", "label")
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4237,6 +4263,103 @@ object SparkEntry {
            rejected_id, gap
          FROM sel WHERE pair_no <= 3
          ORDER BY query_id, pair_no""",
+
+    // q178: every Gopher metric recomputed with list lambdas, the
+    // bounds applied to the SAME rounded ratios as the engine
+    "q178_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\W+'),
+               x -> x <> '') AS w,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+               AS BIGINT) AS wchars,
+             CAST(len(regexp_extract_all(text, '#')) +
+               len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+               AS symbols,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+               AS bullets,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS BIGINT)
+               AS ellip,
+             CAST(len(lines) AS BIGINT) AS nlines,
+             CAST(len(list_filter(w,
+               x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(list_distinct(w),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stopwords
+           FROM w)
+         SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+             THEN round(CAST(wchars AS DOUBLE) / n_words, 6) END
+             AS mean_word_len,
+           CASE WHEN n_words > 0
+             THEN round(CAST(symbols AS DOUBLE) / n_words, 6) END
+             AS symbol_ratio,
+           round(CAST(bullets AS DOUBLE) / nlines, 6) AS bullet_ratio,
+           round(CAST(ellip AS DOUBLE) / nlines, 6) AS ellipsis_ratio,
+           CASE WHEN n_words > 0
+             THEN round(CAST(alpha AS DOUBLE) / n_words, 6) END
+             AS alpha_ratio,
+           n_stopwords,
+           (CASE WHEN n_words = 0 THEN false ELSE
+             n_words BETWEEN 50 AND 100000
+             AND round(CAST(wchars AS DOUBLE) / n_words, 6)
+               BETWEEN 3.0 AND 10.0
+             AND round(CAST(symbols AS DOUBLE) / n_words, 6) <= 0.1
+             AND round(CAST(bullets AS DOUBLE) / nlines, 6) <= 0.9
+             AND round(CAST(ellip AS DOUBLE) / nlines, 6) <= 0.3
+             AND round(CAST(alpha AS DOUBLE) / n_words, 6) >= 0.8
+             AND n_stopwords >= 2 END) AS pass
+         FROM m ORDER BY doc_id""",
+
+    // q179: both raters replayed (the q33 heuristic rule + the q123 NB
+    // chain), kappa from the label-bounded pair table with the same
+    // three correctly-rounded divisions
+    "q179_lang_kappa" ->
+      s"""WITH ${nbPredCtes(nbWordTokCtes)},
+         heur AS (
+           SELECT doc_id,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred
+           FROM (
+             SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(le|les|et|est|que|une)\\b')) AS s_fr,
+               len(regexp_extract_all(lower(text), '\\b(el|los|y|es|por|una)\\b')) AS s_es
+             FROM documents WHERE doc_id % 2 = 1)),
+         pk AS (
+           SELECT h.lang_pred AS a, p.label AS b, count(*) AS n
+           FROM heur h JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         tk AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+               AS d
+           FROM pk),
+         rka AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM pk GROUP BY a),
+         rkb AS (SELECT b, CAST(sum(n) AS BIGINT) AS rb FROM pk GROUP BY b),
+         pek AS (
+           SELECT CAST(coalesce(sum(ra * rb), 0) AS BIGINT) AS pn
+           FROM rka JOIN rkb ON rka.a = rkb.b)
+         SELECT tk.n AS n,
+           round(CAST(tk.d AS DOUBLE) / tk.n, 6) AS po,
+           round(CAST(pek.pn AS DOUBLE) / (tk.n * tk.n), 6) AS pe,
+           CASE WHEN CAST(pek.pn AS DOUBLE) / (tk.n * tk.n) < 1.0 THEN
+             round((CAST(tk.d AS DOUBLE) / tk.n
+                 - CAST(pek.pn AS DOUBLE) / (tk.n * tk.n))
+               / (1.0 - CAST(pek.pn AS DOUBLE) / (tk.n * tk.n)), 6)
+             END AS kappa
+         FROM tk, pek""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

@@ -130,6 +130,43 @@ object Eval {
           .as("auc"))
   }
 
+  /** Cohen's kappa between two raters' labels — chance-corrected
+    * agreement, the audit for "does the cheap heuristic agree with the
+    * learned model" (gate substitution) and for LLM-judge/annotator
+    * consistency before judged data trains anything. One row:
+    * (n, po, pe, kappa) with `po` observed agreement, `pe` the chance
+    * agreement from the margin products, `kappa = (po-pe)/(1-pe)`;
+    * integer counts, three correctly-rounded divisions, rounding only
+    * at the output — bit-replayable. Degenerate total agreement with
+    * pe = 1 (both raters constant) yields NULL kappa.
+    *
+    * Scale: the pair table is label-bounded (L² rows from one hash
+    * aggregate, spilled once for its consumers); the margin-product
+    * numerator is long arithmetic — judged-holdout-sized inputs by
+    * contract (n² must fit a long).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = graft.io.Spill(
+      df.select(col(aCol).cast("string").as("__a"),
+          col(bCol).cast("string").as("__b"))
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n")),
+      "graft-kappa-")
+    val tot = pairs.agg(sum(col("__n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("__d"))
+    val ra = pairs.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val rb = pairs.groupBy(col("__b")).agg(sum(col("__n")).as("__rb"))
+    val pe = ra.join(rb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("__pn"))
+    val po = col("__d").cast("double") / col("n").cast("double")
+    val peV = col("__pn").cast("double") /
+      (col("n") * col("n")).cast("double")
+    tot.crossJoin(pe) // two one-row frames
+      .select(col("n"), round(po, 6).as("po"), round(peV, 6).as("pe"),
+        when(peV < 1.0, round((po - peV) / (lit(1.0) - peV), 6))
+          .as("kappa"))
+  }
+
   /** Reliability diagram data: per score-bin (bin, n, mean_score,
     * pos_rate) — is "0.9 confident" right 90% of the time? One
     * nBins-bounded hash aggregate; mean_score stays exact via a

@@ -43,6 +43,61 @@ object TextAnalysis {
       wsTokenCount(col(textCol)).as("ws_tokens"),
       bpeTokenCount(col(textCol)).as("bpe_tokens"))
 
+  /** The Gopher rule battery (Rae et al. 2021, Table A1 — the named
+    * per-document quality gates production pipelines actually run,
+    * beside the composite [[quality]] score): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (`#`/ellipsis), bullet-
+    * and ellipsis-line ratios, alphabetic-word ratio, and the
+    * ≥2-stopwords requirement. One map-only projection — every metric
+    * is HOF arithmetic inside the row, each ratio ONE correctly-rounded
+    * integer division (rounded to 6), `pass` the conjunction of the
+    * published bounds. Documents with zero words fail with NULL
+    * metrics rather than a divide error.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = col("__w"); val lines = col("__lines")
+    def ratio(num: Column, den: Column) =
+      round(num.cast("double") / den.cast("double"), 6)
+    docs
+      .select(col(idCol), col(textCol).as("__t"),
+        words(col(textCol)).as("__w"),
+        split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("__wchars"),
+        (regexp_count(col("__t"), lit("#")) +
+          regexp_count(col("__t"), lit("\\.\\.\\."))).cast("long")
+          .as("__symbols"),
+        size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+          .cast("long").as("__bullets"),
+        size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+          .cast("long").as("__ellip"),
+        size(lines).cast("long").as("__nlines"),
+        size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("__alpha"),
+        size(array_intersect(array_distinct(w),
+          lit(stops.toArray))).cast("long").as("n_stopwords"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0, ratio(col("__wchars"), col("n_words")))
+          .as("mean_word_len"),
+        when(col("n_words") > 0, ratio(col("__symbols"), col("n_words")))
+          .as("symbol_ratio"),
+        ratio(col("__bullets"), col("__nlines")).as("bullet_ratio"),
+        ratio(col("__ellip"), col("__nlines")).as("ellipsis_ratio"),
+        when(col("n_words") > 0, ratio(col("__alpha"), col("n_words")))
+          .as("alpha_ratio"),
+        col("n_stopwords"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          when(col("n_words") > 0,
+            ratio(col("__wchars"), col("n_words")).between(3.0, 10.0))
+            .otherwise(false) &&
+          ratio(col("__symbols"), col("n_words")) <= 0.1 &&
+          ratio(col("__bullets"), col("__nlines")) <= 0.9 &&
+          ratio(col("__ellip"), col("__nlines")) <= 0.3 &&
+          ratio(col("__alpha"), col("n_words")) >= 0.8 &&
+          col("n_stopwords") >= 2).as("pass"))
+  }
+
   /** Per-group tokenizer health: fertility (BPE tokens per whitespace
     * word) and compression (chars per BPE token), the standard check that
     * a tokenizer serves every language/source in a multilingual corpus

@@ -73,7 +73,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q172_nb_report", "q173_en_margin_auc",
     // q177: the probe sweep broadcast against the corpus scan (the
     // q95/q133 dense posture)
-    "q177_preference_pairs")
+    "q177_preference_pairs",
+    // q179: q123's L-row label broadcast inside the NB rater
+    "q179_lang_kappa")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -398,7 +400,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q176_corpus_diff" -> 3,
     // probe broadcast + bounded top-k agg exchange + the cap window /
     // battery sort sharing the query partitioning
-    "q177_preference_pairs" -> 3)
+    "q177_preference_pairs" -> 3,
+    // every Gopher metric is HOF arithmetic inside the row — map-only
+    // + the battery sort (the q167 posture)
+    "q178_gopher_rules" -> 1,
+    // the NB rater's classify shape + the heuristic join + the
+    // label-bounded spilled pair table's kappa folds
+    "q179_lang_kappa" -> 6)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

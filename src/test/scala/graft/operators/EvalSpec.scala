@@ -77,6 +77,27 @@ class EvalSpec extends AnyFunSuite with Matchers with SparkSpec {
     cl.getDouble(2) shouldBe 1.0
   }
 
+  test("Cohen's kappa: hand-computed chance correction, perfect and " +
+      "degenerate agreement") {
+    import spark.implicits._
+    // classic 2x2: a=(y,y,y,n,n,n,y,n,y,y), b agrees on 7 of 10
+    val df = Seq(("y", "y"), ("y", "y"), ("y", "n"), ("n", "n"),
+      ("n", "n"), ("n", "y"), ("y", "y"), ("n", "n"), ("y", "y"),
+      ("y", "n")).toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").head()
+    r.getAs[Long]("n") shouldBe 10L
+    r.getAs[Double]("po") shouldBe 0.7
+    // margins: a(y)=6, a(n)=4; b(y)=5, b(n)=5 -> pe = (30+20)/100
+    r.getAs[Double]("pe") shouldBe 0.5
+    r.getAs[Double]("kappa") shouldBe 0.4 +- 1e-9
+    // perfect agreement with label variety -> kappa 1
+    Eval.cohenKappa(Seq(("x", "x"), ("y", "y")).toDF("a", "b"),
+      "a", "b").head().getAs[Double]("kappa") shouldBe 1.0
+    // both raters constant: pe = 1, kappa undefined -> NULL
+    Eval.cohenKappa(Seq(("x", "x"), ("x", "x")).toDF("a", "b"),
+      "a", "b").head().isNullAt(3) shouldBe true
+  }
+
   test("calibration bins: counts, mean score, and positive rate per bin") {
     val out = Eval.calibrationBins(scored(
         (false, 0.1), (false, 0.15), (true, 0.2),   // bin 0: 1/3 pos
