@@ -35,6 +35,24 @@ object SparkEntry {
     Tables.load(s, dir, name)
   }
 
+  /** Deterministically PUNCTUATED `text` for the sentence rows
+    * (q171/q180): the raw fixture is punctuation-free word soup, so
+    * terminator runs, ellipses, and abbreviation traps are synthesized
+    * per (doc_id, word position) — identically in the DuckDB oracle's
+    * composed index lambdas (the q167 fixture discipline).
+    */
+  private def punctuatedText: Column = array_join(
+    transform(split(col("text"), " "), (w, i) => {
+      val wa = when((col("doc_id") + i) % 11 === 3,
+        concat(lit("Dr. "), w)).otherwise(w)
+      val m = (col("doc_id") * 7 + i * 5) % 23
+      when(m === 0, concat(wa, lit(".")))
+        .when(m === 1, concat(wa, lit("!")))
+        .when(m === 2, concat(wa, lit("?")))
+        .when(m === 3, concat(wa, lit("...")))
+        .otherwise(wa)
+    }), " ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join (SURVEY §2.6 joins).
     */
@@ -1816,23 +1834,30 @@ object SparkEntry {
     // ellipses, and abbreviation traps — is generated identically on
     // both engines, the q167 synthesized-fixture discipline); the
     // splitter itself is one map-only protect/mark/split projection
-    "q171_sentences" -> ((s, d) => {
-      val decorated = array_join(
-        transform(split(col("text"), " "), (w, i) => {
-          val wa = when((col("doc_id") + i) % 11 === 3,
-            concat(lit("Dr. "), w)).otherwise(w)
-          val m = (col("doc_id") * 7 + i * 5) % 23
-          when(m === 0, concat(wa, lit(".")))
-            .when(m === 1, concat(wa, lit("!")))
-            .when(m === 2, concat(wa, lit("?")))
-            .when(m === 3, concat(wa, lit("...")))
-            .otherwise(wa)
-        }), " ")
+    "q171_sentences" -> ((s, d) =>
       graft.operators.Sentences.split(
           t(s, d, "documents").select(col("doc_id"),
-            decorated.as("ptext")),
+            punctuatedText.as("ptext")),
           "doc_id", "ptext")
-        .orderBy(col("doc_id"), col("sent_id"))
+        .orderBy(col("doc_id"), col("sent_id"))),
+
+    // repeated-sentence (boilerplate) stripping, the CCNet
+    // paragraph-dedup stage at sentence granularity: the decorated
+    // corpus gains planted boilerplate tails (all docs + even docs),
+    // sentences in >= 10 distinct docs strip from every document;
+    // exchanges carry (doc_id, md5) rows, never sentence text
+    "q180_sentence_dedup" -> ((s, d) => {
+      val withBp = concat(punctuatedText,
+        lit(" Subscribe to our newsletter today. Unsubscribe here."),
+        when(col("doc_id") % 2 === 0,
+          lit(" Follow us on social media.")).otherwise(lit("")))
+      graft.operators.Sentences.stripRepeated(
+          t(s, d, "documents").select(col("doc_id"),
+            withBp.as("ptext")),
+          "doc_id", "ptext", minDf = 10)
+        .select(col("doc_id"), col("n_sents"), col("n_kept"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // classifier evaluation over the q123 NB language model: the
@@ -2452,6 +2477,45 @@ object SparkEntry {
     * `__bpe_doc_counts(doc_id, bpe_tokens)`. Callers prepend
     * `WITH RECURSIVE`.
     */
+  /** The q171/q180 sentence CTE chain: the decorated corpus (two
+    * composed index lambdas mirroring [[punctuatedText]]; `bp` appends
+    * the planted boilerplate tails), the protect/mark/split cascade,
+    * and `fs(doc_id, sent_id, sentence)`.
+    */
+  private def sentenceCtes(bp: Boolean): String = {
+    val tail = if (bp)
+      """ || ' Subscribe to our newsletter today. Unsubscribe here.' ||
+         CASE WHEN doc_id % 2 = 0
+           THEN ' Follow us on social media.' ELSE '' END"""
+    else ""
+    s"""dec AS (
+           SELECT doc_id, array_to_string(list_transform(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN (doc_id + i - 1) % 11 = 3
+                 THEN 'Dr. ' || x ELSE x END),
+             (x, i) -> x || CASE ((doc_id * 7 + (i - 1) * 5) % 23)
+               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+               WHEN 3 THEN '...' ELSE '' END), ' ')$tail AS ptext
+           FROM documents),
+         mk AS (
+           SELECT doc_id, string_split(
+             regexp_replace(
+               regexp_replace(ptext,
+                 '\\b(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc)\\.', '\\1<<A>>', 'g'),
+               '([.!?]+)\\s+', '\\1<<S>>', 'g'),
+             '<<S>>') AS parts
+           FROM dec),
+         sl AS (
+           SELECT doc_id, p,
+             trim(replace(parts[CAST(p AS INT)], '<<A>>', '.')) AS sentence
+           FROM (SELECT doc_id, parts,
+                   unnest(range(1, len(parts) + 1)) AS p FROM mk)),
+         fs AS (
+           SELECT doc_id, sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sent_id
+           FROM sl WHERE sentence <> '')"""
+  }
+
   /** DuckDB replay of [[graft.functions.UnigramSegment]]'s Viterbi DP
     * (q169/q170): the vocabulary VALUES are GENERATED from
     * [[graft.operators.UnigramLm.DefaultVocab]] so the two engines
@@ -4993,35 +5057,34 @@ object SparkEntry {
     // (RE2/Java common subset; group refs \1 here, $1 in Spark — same
     // semantics, different engine syntax)
     "q171_sentences" ->
-      """WITH dec AS (
-           SELECT doc_id, array_to_string(list_transform(
-             list_transform(string_split(text, ' '), (x, i) ->
-               CASE WHEN (doc_id + i - 1) % 11 = 3
-                 THEN 'Dr. ' || x ELSE x END),
-             (x, i) -> x || CASE ((doc_id * 7 + (i - 1) * 5) % 23)
-               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
-               WHEN 3 THEN '...' ELSE '' END), ' ') AS ptext
-           FROM documents),
-         mk AS (
-           SELECT doc_id, string_split(
-             regexp_replace(
-               regexp_replace(ptext,
-                 '\b(Dr|Mr|Mrs|Ms|Prof|St|No|Fig|vs|etc)\.', '\1<<A>>', 'g'),
-               '([.!?]+)\s+', '\1<<S>>', 'g'),
-             '<<S>>') AS parts
-           FROM dec),
-         sl AS (
-           SELECT doc_id, p,
-             trim(replace(parts[CAST(p AS INT)], '<<A>>', '.')) AS sentence
-           FROM (SELECT doc_id, parts,
-                   unnest(range(1, len(parts) + 1)) AS p FROM mk)),
-         fs AS (
-           SELECT doc_id, sentence,
-             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sent_id
-           FROM sl WHERE sentence <> '')
+      s"""WITH ${sentenceCtes(bp = false)}
          SELECT doc_id, sent_id, sentence,
            CAST(length(sentence) AS BIGINT) AS n_chars
          FROM fs ORDER BY doc_id, sent_id""",
+
+    // q180: the q171 chain over the boilerplate-tailed corpus, df >= 10
+    // hashes stripped, per-doc rebuild in sentence order
+    "q180_sentence_dedup" ->
+      s"""WITH ${sentenceCtes(bp = true)},
+         h AS (
+           SELECT doc_id, sent_id, sentence, md5(sentence) AS hh FROM fs),
+         rep AS (
+           SELECT hh FROM (SELECT DISTINCT doc_id, hh FROM h)
+           GROUP BY hh HAVING count(*) >= 10),
+         kept AS (
+           SELECT * FROM h WHERE hh NOT IN (SELECT hh FROM rep)),
+         reb AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(sentence, ' ' ORDER BY sent_id) AS text
+           FROM kept GROUP BY doc_id),
+         totd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+           FROM h GROUP BY doc_id)
+         SELECT t.doc_id, t.n_sents,
+           coalesce(r.n_kept, 0) AS n_kept,
+           md5(coalesce(r.text, '')) AS text_md5
+         FROM totd t LEFT JOIN reb r USING (doc_id)
+         ORDER BY doc_id""",
 
     // q168: q45's stage CTEs, re-pointed at the DROPPED side of each
     // gate — exact-dup complement, empty-token docs, lang/quality

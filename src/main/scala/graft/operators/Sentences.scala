@@ -64,4 +64,45 @@ object Sentences {
         .as(Seq("__p", "sentence")))
       .select(col(idCol), (col("__p") + 1).cast("long").as("sent_id"),
         col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+
+  /** Repeated-sentence stripping — the CCNet paragraph-dedup stage at
+    * sentence granularity: a sentence occurring in ≥ `minDf` DISTINCT
+    * documents is boilerplate ("Subscribe to our newsletter.") and is
+    * removed from EVERY document, the complement of keep-one document
+    * dedup and the sentence-level sibling of [[Dedup.duplicateSpans]]
+    * (which catches sub-sentence repeats).
+    *
+    * Scale shape (the [[Dedup]] exchange discipline): the df rollup
+    * and the strip join move (doc_id, 16-byte md5) rows, never
+    * sentence text; the rebuild groups on doc_id with
+    * order-deterministic concat. Returns one row per input document:
+    * (idCol, n_sents, n_kept, text) with `text` the kept sentences
+    * joined by one space — possibly empty when everything was
+    * boilerplate (surfaced, not dropped; the caller's empty-doc gate
+    * decides).
+    */
+  def stripRepeated(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every sentence")
+    val sents = graft.io.Spill(
+      split(docs, idCol, textCol)
+        .select(col(idCol), col("sent_id"), col("sentence"),
+          md5(col("sentence")).as("__h")), "graft-sentstrip-")
+    val repeated = sents.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__h"))
+    sents
+      .join(repeated, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_id"), col("sentence")))),
+          x => x.getField("sentence")), " ").as("text"))
+      .join(sents.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_sents")), Seq(idCol), "right")
+      .select(col(idCol), col("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
 }

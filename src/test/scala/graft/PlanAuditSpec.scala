@@ -406,7 +406,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q178_gopher_rules" -> 1,
     // the NB rater's classify shape + the heuristic join + the
     // label-bounded spilled pair table's kappa folds
-    "q179_lang_kappa" -> 6)
+    "q179_lang_kappa" -> 6,
+    // spilled sentence rows feed the distinct/df rollup, the hash
+    // anti-join (16-byte md5 exchanges, never text), the ordered
+    // rebuild + totals join, and the battery sort
+    "q180_sentence_dedup" -> 7)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

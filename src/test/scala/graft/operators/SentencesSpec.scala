@@ -52,4 +52,31 @@ class SentencesSpec extends AnyFunSuite with Matchers with SparkSpec {
       (0L, 1L, "A b.", 4L), (0L, 2L, "C d!", 4L),
       (1L, 1L, "E f?", 4L), (1L, 2L, "G.", 2L))
   }
+
+  test("stripRepeated removes df >= minDf boilerplate from every doc, " +
+      "keeps order, surfaces all-boilerplate docs empty") {
+    val bp = "Subscribe to our newsletter."
+    val out = Sentences.stripRepeated(
+        docs(s"Unique alpha. $bp Unique beta.",
+          s"$bp Another one here.",
+          s"Third doc text. $bp",
+          bp),   // entirely boilerplate
+        "id", "txt", minDf = 3)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (0L, 3L, 2L, "Unique alpha. Unique beta."),
+      (1L, 2L, 1L, "Another one here."),
+      (2L, 2L, 1L, "Third doc text."),
+      (3L, 1L, 0L, ""))
+    // below the floor nothing strips (df counts DISTINCT docs — a
+    // within-doc repeat is not corpus boilerplate)
+    val within = Sentences.stripRepeated(
+      docs(s"$bp $bp Own text here.", "Other doc."), "id", "txt",
+      minDf = 3)
+    within.orderBy(col("id")).collect()
+      .map(_.getLong(2)).toSeq shouldBe Seq(3L, 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Sentences.stripRepeated(docs("x."), "id", "txt", 1)
+  }
 }
