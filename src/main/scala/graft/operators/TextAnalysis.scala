@@ -54,6 +54,38 @@ object TextAnalysis {
     * published bounds. Documents with zero words fail with NULL
     * metrics rather than a divide error.
     */
+  /** The q178 `pass` conjunction as ONE map-only column — the form
+    * [[graft.pipelines.TrainingData.clean]]'s optional gopher gate
+    * filters on without a join. Single source of truth: [[gopherRules]]
+    * derives its `pass` column from this expression.
+    */
+  def gopherPass(text: Column): Column = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = words(text)
+    val lines = org.apache.spark.sql.functions.split(text, "\n")
+    val nW = size(w).cast("long")
+    val nLines = size(lines).cast("long")
+    def ratio(num: Column, den: Column) =
+      round(num.cast("double") / den.cast("double"), 6)
+    val wchars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val bullets = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("long")
+    val ellip = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+      .cast("long")
+    val alpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val nStops = size(array_intersect(array_distinct(w),
+      lit(stops.toArray))).cast("long")
+    nW >= 50 && nW <= 100000 &&
+      when(nW > 0, ratio(wchars, nW).between(3.0, 10.0)).otherwise(false) &&
+      ratio(symbols, nW) <= 0.1 &&
+      ratio(bullets, nLines) <= 0.9 &&
+      ratio(ellip, nLines) <= 0.3 &&
+      ratio(alpha, nW) >= 0.8 &&
+      nStops >= 2
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val w = col("__w"); val lines = col("__lines")
@@ -63,7 +95,7 @@ object TextAnalysis {
       .select(col(idCol), col(textCol).as("__t"),
         words(col(textCol)).as("__w"),
         split(col(textCol), "\n").as("__lines"))
-      .select(col(idCol),
+      .select(col(idCol), col("__t"),
         size(w).cast("long").as("n_words"),
         aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("__wchars"),
         (regexp_count(col("__t"), lit("#")) +
@@ -87,15 +119,7 @@ object TextAnalysis {
         when(col("n_words") > 0, ratio(col("__alpha"), col("n_words")))
           .as("alpha_ratio"),
         col("n_stopwords"),
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          when(col("n_words") > 0,
-            ratio(col("__wchars"), col("n_words")).between(3.0, 10.0))
-            .otherwise(false) &&
-          ratio(col("__symbols"), col("n_words")) <= 0.1 &&
-          ratio(col("__bullets"), col("__nlines")) <= 0.9 &&
-          ratio(col("__ellip"), col("__nlines")) <= 0.3 &&
-          ratio(col("__alpha"), col("n_words")) >= 0.8 &&
-          col("n_stopwords") >= 2).as("pass"))
+        gopherPass(col("__t")).as("pass"))
   }
 
   /** Per-group tokenizer health: fertility (BPE tokens per whitespace

@@ -167,6 +167,7 @@ object TrainingData {
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
+      gopherGate: Boolean = false,
       htmlCol: Option[String] = None,
       htmlMinTextChars: Int = 20,
       htmlMaxLinkDensity: Double = 0.5,
@@ -198,17 +199,28 @@ object TrainingData {
         docs, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     if (blocklistPhrases.nonEmpty) lineage.foreach(
       _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", docs, docs0))
+    // 0a2. optional Gopher rule gate ([[TextAnalysis.gopherPass]], the
+    // q178 battery's NAMED bounds as one map-only filter) — per-doc
+    // deterministic like the blocklist, so it runs this early (a
+    // rule-failing doc consumes no domain-cap budget and never pays
+    // dedup or scoring) and the streaming pipeline's epoch ≡ union
+    // argument holds unchanged
+    val ruleGated = if (!gopherGate) docs0
+      else docs0.where(
+        graft.operators.TextAnalysis.gopherPass(col(textCol)))
+    if (gopherGate) lineage.foreach(
+      _.diff("gopher", "gopher_rules_fail", docs0, ruleGated))
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
     // per-domain cap) — runs before dedup and scoring (only the 0a
     // phrase blocklist precedes it, so blocked docs don't consume
     // domain-cap budget); the domain blocklist is a pushed-down scan
     // filter, the cap windows only over-cap domains
     // ([[graft.operators.Urls.domainGate]])
-    val sourced = urlCol.fold(docs0)(u =>
-      graft.operators.Urls.domainGate(docs0, u, idCol,
+    val sourced = urlCol.fold(ruleGated)(u =>
+      graft.operators.Urls.domainGate(ruleGated, u, idCol,
         domainBlocklist, maxPerDomain))
     if (urlCol.isDefined) lineage.foreach(
-      _.diff("domain", "domain_blocked_or_over_cap", docs0, sourced))
+      _.diff("domain", "domain_blocked_or_over_cap", ruleGated, sourced))
     // 0b. optional URL-keyed dedup: refetches of the SAME page under
     // crawl-noise URL variants (fragments, utm_* params, case, default
     // ports) collapse onto one doc — min id per canonical URL

@@ -98,6 +98,35 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     cleaned.orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe direct
   }
 
+  test("the optional gopher gate drops rule-failing docs early with " +
+      "lineage attribution; defaults leave the pipeline untouched") {
+    import spark.implicits._
+    // long enough to clear the 50-word floor, distinct tails so the
+    // near-dup stage keeps both
+    def longDoc(tail: String) =
+      (goodDoc("with joins and windows over rows and groups " + tail) +
+        " ") * 4
+    val docs = Seq(
+      (1L, longDoc("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, longDoc("iota kappa lambda mu nu xi omicron pi rho sigma")),
+      // short doc: passes lang/quality but fails the 50-word floor
+      (3L, goodDoc("with short tail here"))
+    ).toDF("doc_id", "text")
+    val rec = TrainingData.lineageRecorder("doc_id")
+    TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, gopherGate = true,
+        lineage = Some(rec))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
+    rec.frame(spark).where(col("stage") === "gopher")
+      .collect().map(r => (r.getLong(0), r.getString(2))) shouldBe
+      Array((3L, "gopher_rules_fail"))
+    // gate off: doc 3 survives (it passes the default lang/quality)
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L)
+  }
+
   test("crawl end-to-end: WARC files -> responses -> clean(htmlCol) " +
       "equals cleaning the same pages directly") {
     import spark.implicits._
