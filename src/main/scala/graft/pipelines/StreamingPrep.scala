@@ -64,15 +64,24 @@ object StreamingPrep {
       minDsirLogw: Double = 0.0,
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
-      blocklistMaxHits: Long = 0): DataFrame = {
+      blocklistMaxHits: Long = 0,
+      gopherGate: Boolean = false): DataFrame = {
     // 0. optional literal-phrase blocklist — the same map-only
     // [[graft.operators.TextAnalysis.blocklistGate]] the batch pipeline
     // runs first, at the same point: per-doc deterministic, so it
     // commutes with the dedup fold (identical text gates identically)
     // and blocked docs never enter the fingerprint table
-    val listed = if (blocklistPhrases.isEmpty) batch
+    val listed0 = if (blocklistPhrases.isEmpty) batch
       else graft.operators.TextAnalysis.blocklistGate(
         batch, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+    // 0a2. optional Gopher rule gate — same map-only
+    // [[graft.operators.TextAnalysis.gopherPass]] filter at the same
+    // point as the batch pipeline's stage 0a2; per-doc deterministic,
+    // so epoch ≡ union holds unchanged and rule-failing docs never
+    // enter the fingerprint table
+    val listed = if (!gopherGate) listed0
+      else listed0.where(
+        graft.operators.TextAnalysis.gopherPass(col(textCol)))
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
     val novel = Dedup.incrementalExactDedup(
@@ -152,7 +161,8 @@ object StreamingPrep {
       minDsirLogw: Double = 0.0,
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
-      blocklistMaxHits: Long = 0): StreamingQuery =
+      blocklistMaxHits: Long = 0,
+      gopherGate: Boolean = false): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
@@ -164,7 +174,7 @@ object StreamingPrep {
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
-              blocklistPhrases, blocklistMaxHits)
+              blocklistPhrases, blocklistMaxHits, gopherGate)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
         }
         ()

@@ -288,4 +288,35 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     oneShot shouldBe (s1 ++ s2)
   }
+
+  test("the gopher rule gate slots into the streaming pipeline at the " +
+      "batch pipeline's point; a rule-failing doc never enters the " +
+      "fingerprint table") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-sprep-gr").toString
+    def longDoc(tail: String) =
+      (goodDoc("with joins and windows over rows and groups " + tail) +
+        " ") * 4
+    // doc 41 fails the 50-word floor and is the exact-dup seed of 51:
+    // with the gate on, 41's fingerprint never lands, and 51 (the same
+    // short text) must ALSO fall to the gate, not survive via dedup
+    val e1 = Seq(41L -> goodDoc("with short tail here"),
+      42L -> longDoc("alpha beta gamma delta epsilon zeta eta theta"))
+    val e2 = Seq(51L -> goodDoc("with short tail here"),
+      52L -> longDoc("iota kappa lambda mu nu xi omicron pi rho sigma"))
+    def ep(docs: Seq[(Long, String)], id: String) =
+      StreamingPrep.processBatch(docs.toDF("doc_id", "text"), "doc_id",
+          "text", s"$work/tables", batchId = id, gopherGate = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ep(e1, "e1"); val s2 = ep(e2, "e2")
+    s1 shouldBe Set(42L)
+    s2 shouldBe Set(52L)
+    // epoch ≡ union with the gate on (per-doc deterministic), and the
+    // streaming gate point matches the batch pipeline's stage 0a2
+    StreamingPrep.processBatch((e1 ++ e2).toDF("doc_id", "text"),
+        "doc_id", "text", s"$work/twin", batchId = "all",
+        gopherGate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      (s1 ++ s2)
+  }
 }
