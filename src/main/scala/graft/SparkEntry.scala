@@ -2019,6 +2019,26 @@ object SparkEntry {
         "lang_pred", "label")
     }),
 
+    // exact average precision (the PR-curve area, q173's
+    // precision-oriented sibling — AP weights the top of the ranking
+    // where ROC-AUC counts all pair inversions equally): same NB
+    // en-margin ranking, fixed-point integer precision@k terms
+    "q181_avg_precision" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      val model = graft.io.Spill(graft.operators.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "lang", "w"), "graft-nbp-")
+      val margin = graft.operators.NaiveBayes.labelScores(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "w", model)
+        .groupBy(col("doc_id"))
+        .agg((max(when(col("label") === "en", col("score"))) -
+          max(when(col("label") =!= "en", col("score")))).as("m"))
+      graft.operators.Eval.averagePrecision(
+        margin.join(t(s, d, "documents")
+          .select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id"),
+        "y", "m", tieCol = "doc_id")
+    }),
+
     // drop-reason lineage for the default cleaning pipeline: every
     // gate of q45's clean() records (doc_id, stage, reason) for the
     // docs it drops — recorded from the SAME frames the pipeline gates
@@ -4424,6 +4444,34 @@ object SparkEntry {
                / (1.0 - CAST(pek.pn AS DOUBLE) / (tk.n * tk.n)), 6)
              END AS kappa
          FROM tk, pek""",
+
+    // q181: the q173 margin ranking by (margin DESC, doc_id), each
+    // precision@k term as the same fixed-point floor division
+    "q181_avg_precision" ->
+      s"""WITH ${nbPredCtes(nbWordTokCtes)},
+         mg AS (
+           SELECT doc_id,
+             max(CASE WHEN label = 'en' THEN score END) -
+             max(CASE WHEN label <> 'en' THEN score END) AS m
+           FROM scall GROUP BY doc_id),
+         lab AS (
+           SELECT m.doc_id, m.m, (d.lang = 'en') AS y
+           FROM mg m JOIN documents d USING (doc_id)),
+         rk AS (
+           SELECT y,
+             row_number() OVER (ORDER BY m DESC, doc_id) AS k,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)
+               OVER (ORDER BY m DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+           FROM lab)
+         SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           count(*) AS n_ranked,
+           round(CAST(sum(CASE WHEN y
+               THEN (pk * 1000000000000) // k ELSE 0 END) AS DOUBLE)
+             / (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+               * 1e12), 6) AS ap
+         FROM rk""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves

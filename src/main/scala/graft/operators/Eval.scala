@@ -130,6 +130,37 @@ object Eval {
           .as("auc"))
   }
 
+  /** Exact average precision (the PR-curve area by the step
+    * convention): `AP = (1/nPos) Σ_{k: y_k} precision@k` over the
+    * ranking by (score DESC, tieCol ASC — an explicit deterministic
+    * tiebreak column, because AP is order-sensitive where ROC-AUC's
+    * rank correction is not). Each `precision@k = pos@k / k` term is
+    * computed in FIXED-POINT integer division (`pos@k · 10^12 div k` —
+    * floor, bit-identical across engines), the terms sum as longs, and
+    * ONE double division + round(6) lands the result — the same
+    * exactness contract as [[rocAuc]], with the same judged-holdout
+    * size contract (pos@k · 10^12 must fit a long). One row:
+    * (n_pos, n_ranked, ap); NULL ap when there are no positives.
+    */
+  def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.orderBy(col("__s").desc, col("__t"))
+    df.select(col(labelCol).cast("boolean").as("__y"),
+        col(scoreCol).cast("double").as("__s"), col(tieCol).as("__t"))
+      .select(col("__y"),
+        row_number().over(w).cast("long").as("__k"),
+        sum(when(col("__y"), 1L).otherwise(0L)).over(w).as("__pk"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_ranked"),
+        sum(when(col("__y"),
+          expr("(__pk * 1000000000000L) div __k")).otherwise(0L))
+          .as("__ts"))
+      .select(col("n_pos"), col("n_ranked"),
+        when(col("n_pos") > 0,
+          round(col("__ts").cast("double") /
+            (col("n_pos").cast("double") * 1e12), 6)).as("ap"))
+  }
+
   /** Cohen's kappa between two raters' labels — chance-corrected
     * agreement, the audit for "does the cheap heuristic agree with the
     * learned model" (gate substitution) and for LLM-judge/annotator

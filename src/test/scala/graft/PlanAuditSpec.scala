@@ -74,8 +74,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q177: the probe sweep broadcast against the corpus scan (the
     // q95/q133 dense posture)
     "q177_preference_pairs",
-    // q179: q123's L-row label broadcast inside the NB rater
-    "q179_lang_kappa")
+    // q179/q181: q123's L-row label broadcast inside the NB rater
+    "q179_lang_kappa", "q181_avg_precision")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -410,7 +410,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // spilled sentence rows feed the distinct/df rollup, the hash
     // anti-join (16-byte md5 exchanges, never text), the ordered
     // rebuild + totals join, and the battery sort
-    "q180_sentence_dedup" -> 7)
+    "q180_sentence_dedup" -> 7,
+    // q173's margin scaffold + ONE single-partition ranking sort
+    // shared by row_number and the running positive count
+    "q181_avg_precision" -> 9)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -77,6 +77,28 @@ class EvalSpec extends AnyFunSuite with Matchers with SparkSpec {
     cl.getDouble(2) shouldBe 1.0
   }
 
+  test("average precision: hand-computed step-convention area, " +
+      "deterministic tiebreak, degenerate no-positives") {
+    import spark.implicits._
+    def ap(rows: (Boolean, Double, Long)*): org.apache.spark.sql.Row =
+      Eval.averagePrecision(rows.toDF("y", "s", "id"), "y", "s", "id")
+        .head()
+    // ranking desc: y = 1,0,1,1,0 -> AP = (1 + 2/3 + 3/4) / 3
+    val r = ap((true, 0.9, 1L), (false, 0.8, 2L), (true, 0.7, 3L),
+      (true, 0.6, 4L), (false, 0.5, 5L))
+    r.getAs[Long]("n_pos") shouldBe 3L
+    r.getAs[Long]("n_ranked") shouldBe 5L
+    r.getAs[Double]("ap") shouldBe 0.805556
+    // perfect ranking -> 1.0; all-negative -> NULL
+    ap((true, 0.9, 1L), (true, 0.8, 2L), (false, 0.1, 3L))
+      .getAs[Double]("ap") shouldBe 1.0
+    ap((false, 0.9, 1L), (false, 0.8, 2L)).isNullAt(2) shouldBe true
+    // equal scores: the tie column decides — id 1 positive first vs
+    // id re-labeled so the positive ranks second
+    ap((true, 0.5, 1L), (false, 0.5, 2L)).getAs[Double]("ap") shouldBe 1.0
+    ap((false, 0.5, 1L), (true, 0.5, 2L)).getAs[Double]("ap") shouldBe 0.5
+  }
+
   test("Cohen's kappa: hand-computed chance correction, perfect and " +
       "degenerate agreement") {
     import spark.implicits._
