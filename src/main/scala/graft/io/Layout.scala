@@ -105,4 +105,107 @@ object Layout {
     }
     fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Write a RELEASE MANIFEST beside an already-written parquet
+    * dataset: one `_MANIFEST.json` line per data file with
+    * (path, bytes, rows, md5), plus a trailing summary line with
+    * file/row/byte totals. The reproducibility handshake of a corpus
+    * release — a consumer verifies the download against the manifest,
+    * and two releases diff at file granularity before
+    * [[graft.operators.CorpusDiff]] diffs at document granularity.
+    *
+    * Scale shape: hashing runs as ONE distributed job (a task per
+    * file — binaryFile-style streaming read, 8 MiB chunks, never a
+    * whole file in memory); per-file ROW counts come from parquet
+    * FOOTERS (a metadata read, not a data scan). Only the file LIST
+    * (paths + digests, bytes-per-file rows) returns to the driver,
+    * which writes the manifest JSON — file-count-sized, never
+    * data-sized.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getPath.getName, s.getLen))
+      .sortBy(_._2)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val hashed = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, files.length))
+      .map { case (full, name, bytes) =>
+        val p = new org.apache.hadoop.fs.Path(full)
+        val in = p.getFileSystem(conf.value).open(p)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        try {
+          val buf = new Array[Byte](8 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        val rows = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, conf.value))
+          try r.getRecordCount finally r.close()
+        }
+        (name, bytes, rows,
+          md.digest().map("%02x".format(_)).mkString)
+      }.collect().sortBy(_._1)
+    val lines = hashed.map { case (name, bytes, rows, md5) =>
+      s"""{"file":"$name","bytes":$bytes,"rows":$rows,"md5":"$md5"}"""
+    } :+ s"""{"files":${hashed.length},"rows":${hashed.map(_._3).sum},"bytes":${hashed.map(_._2).sum}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(hPath, "_MANIFEST.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    hashed.length
+  }
+
+  /** Verify a dataset against its `_MANIFEST.json`: recompute every
+    * file's md5/bytes (the same distributed job as [[writeManifest]])
+    * and return the mismatching or missing file names (empty = the
+    * release is intact). Extra files not in the manifest also report —
+    * a partial overwrite is corruption, not an append.
+    */
+  def verifyManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(hPath, "_MANIFEST.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entry = """"file":"([^"]+)","bytes":(\d+),"rows":(\d+),"md5":"([0-9a-f]+)"""".r
+    val want = entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(4))).toMap
+    // recompute through writeManifest's own hashing job on a temp pass:
+    // reuse the same per-file logic by listing + hashing here
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getPath.getName, s.getLen)).toSeq
+    val got = spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .map { case (full, name, bytes) =>
+        // a filesystem-level read/checksum failure IS corruption —
+        // report the file rather than crashing the audit (local FS
+        // keeps .crc sidecars, so a tampered file throws here)
+        try {
+          val p = new org.apache.hadoop.fs.Path(full)
+          val s = p.getFileSystem(conf.value).open(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          try {
+            val buf = new Array[Byte](8 << 20)
+            var n = s.read(buf)
+            while (n >= 0) { md.update(buf, 0, n); n = s.read(buf) }
+          } finally s.close()
+          name -> (bytes, md.digest().map("%02x".format(_)).mkString)
+        } catch { case _: java.io.IOException =>
+          name -> (-1L, "unreadable")
+        }
+      }.collect().toMap
+    val bad = got.collect { case (n, g) if !want.get(n).contains(g) => n }
+    val missing = want.keySet -- got.keySet
+    (bad ++ missing).toSeq.sorted
+  }
 }

@@ -112,4 +112,33 @@ class LayoutSpec extends AnyFunSuite with Matchers with SparkSpec {
     // nulls cluster: all null-x rows land in a single file
     back.where(col("x").isNull).select(input_file_name()).distinct().count() shouldBe 1L
   }
+
+  test("release manifest: write, verify intact, detect tamper / " +
+      "missing / extra files; totals match the dataset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-")
+      .toString + "/rel"
+    (1 to 500).map(i => (i.toLong, s"doc $i")).toDF("id", "txt")
+      .repartition(4).write.parquet(dir)
+    val n = Layout.writeManifest(spark, dir)
+    n should be >= 2
+    // manifest totals match the dataset
+    val man = scala.io.Source.fromFile(s"$dir/_MANIFEST.json").mkString
+    man should include(""""rows":500""")
+    Layout.verifyManifest(spark, dir) shouldBe empty
+    // tamper: flip a byte inside one data file
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try { raf.seek(f.length() / 2); raf.writeByte(0x55) }
+    finally raf.close()
+    Layout.verifyManifest(spark, dir) shouldBe Seq(f.getName)
+    // restore confidence boundary: a MISSING listed file also reports
+    f.delete() shouldBe true
+    Layout.verifyManifest(spark, dir) shouldBe Seq(f.getName)
+    // an EXTRA unlisted parquet file is corruption too, not an append
+    val extra = new java.io.File(dir, "zz-extra.parquet")
+    java.nio.file.Files.write(extra.toPath, Array[Byte](1, 2, 3))
+    Layout.verifyManifest(spark, dir) should contain("zz-extra.parquet")
+  }
 }
