@@ -1828,6 +1828,16 @@ object SparkEntry {
           t(s, d, "documents"), "lang", "text")
         .orderBy(col("lang"))),
 
+    // the unigram twin of q96: fixed-length id sequences (PAD=0, UNK=1,
+    // pieces at vocabIndex+2) — map-only segmentation + a plan-literal
+    // piece->id lookup; same battery canonical form as q96
+    "q182_unigram_ids" -> ((s, d) =>
+      graft.operators.UnigramLm.encodeIds(
+          t(s, d, "documents"), "doc_id", "text", maxLen = 24)
+        .select(col("doc_id"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"))
+        .orderBy(col("doc_id"))),
+
     // sentence segmentation over a synthesized PUNCTUATED corpus (the
     // raw fixture is punctuation-free word soup, so the decoration —
     // deterministic per (doc_id, word position): terminator runs,
@@ -5099,6 +5109,33 @@ object SparkEntry {
            round(CASE WHEN sum(ws) > 0 THEN
              CAST(sum(uni) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS unigram_fertility
          FROM __uf GROUP BY lang ORDER BY lang""",
+
+    // q182: ids off the SAME recursive-CTE segmentation (__udoc's
+    // segline), the identical piece->id map generated from DefaultVocab,
+    // truncate + zero-pad via list_resize
+    "q182_unigram_ids" -> {
+      val idValues = graft.operators.UnigramLm.DefaultVocab.zipWithIndex
+        .map { case ((p, _), i) => s"'$p'" -> s"CAST(${i + 2} AS BIGINT)" }
+      s"""WITH RECURSIVE $unigramOracleCtes,
+         __uidm AS (SELECT map([${idValues.map(_._1).mkString(", ")}],
+           [${idValues.map(_._2).mkString(", ")}]) AS m),
+         __uid0 AS (
+           SELECT d.doc_id,
+             CASE WHEN d.segline = '' THEN CAST([] AS BIGINT[]) ELSE
+               list_transform(string_split(d.segline, ' '),
+                 p -> coalesce(map_extract(v.m, p)[1], CAST(1 AS BIGINT)))
+             END[1:24] AS t
+           FROM __udoc d CROSS JOIN __uidm v),
+         __uids AS (
+           SELECT doc_id, list_concat(t,
+             list_transform(range(1, 24 - len(t) + 1),
+               x -> CAST(0 AS BIGINT))) AS ids
+           FROM __uid0)
+         SELECT doc_id,
+           array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)),
+             ' ') AS ids
+         FROM __uids ORDER BY doc_id"""
+    },
 
     // q171: the same decoration (two composed index lambdas), then the
     // protect/mark/split cascade replayed with the identical regexes

@@ -96,6 +96,38 @@ object UnigramLm {
         col("__s.score_micros").as("score_micros"),
         array_join(col("__s.pieces"), " ").as("segmentation"))
 
+  /** Fixed-length unigram id sequences — the unigram twin of
+    * [[graft.functions.Bpe.encodeIds]]'s contract (PAD = 0, UNK = 1,
+    * real pieces at vocabIndex + 2, truncate then right-pad to
+    * `maxLen`): the final model-input artifact for the SentencePiece
+    * family. Declarative on top of the segmentation expression — one
+    * piece→id map lookup per piece (a broadcast-free plan LITERAL,
+    * vocabulary-bounded) — so the whole encode stays map-only. Pieces
+    * the Viterbi fell back to char-by-char on (characters outside the
+    * vocabulary) map to UNK.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, vocab: Seq[(String, Long)] = DefaultVocab,
+      unkMicros: Long = DefaultUnkMicros,
+      maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    val idMap = map_from_arrays(
+      lit(vocab.map(_._1).toArray),
+      lit(vocab.indices.map(_ + 2L).toArray))
+    docs
+      .select(col(idCol),
+        segmentWords(TextFunctions.words(col(textCol)),
+          vocab, unkMicros, maxPieceLen).getField("pieces").as("__p"))
+      .select(col(idCol),
+        slice(transform(col("__p"),
+          p => coalesce(element_at(idMap, p), lit(1L))), 1, maxLen)
+          .as("__i"))
+      .select(col(idCol),
+        concat(col("__i"), array_repeat(lit(0L),
+          greatest(lit(0), lit(maxLen) - size(col("__i")))))
+          .as("ids"))
+  }
+
   /** Per-group fertility of the unigram tokenizer NEXT TO the BPE and
     * whitespace counts — the q111 comparison frame with the unigram
     * column added: pieces per whitespace token for both tokenizer

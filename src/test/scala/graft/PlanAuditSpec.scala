@@ -413,7 +413,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q180_sentence_dedup" -> 7,
     // q173's margin scaffold + ONE single-partition ranking sort
     // shared by row_number and the running positive count
-    "q181_avg_precision" -> 9)
+    "q181_avg_precision" -> 9,
+    // map-only segmentation + plan-literal id lookup + battery sort
+    // (the q96/q169 posture)
+    "q182_unigram_ids" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -114,4 +114,28 @@ class UnigramLmSpec extends AnyFunSuite with Matchers with SparkSpec {
     val de = out.find(_.getString(0) == "de").get
     de.getAs[Long]("unigram_pieces") shouldBe 5L // wind ow ×2 + group
   }
+
+  test("encodeIds: vocabIndex+2 ids, UNK=1 for fallback chars, " +
+      "truncate then zero-pad to maxLen") {
+    import spark.implicits._
+    def ids(text: String, maxLen: Int): Seq[Long] =
+      UnigramLm.encodeIds(Seq((1L, text)).toDF("id", "t"), "id", "t",
+          maxLen)
+        .head().getSeq[Long](1)
+    // DefaultVocab: 'a' is index 0 -> id 2, 'the' is the 37th entry
+    val theId = UnigramLm.DefaultVocab.indexWhere(_._1 == "the") + 2L
+    ids("the a", 4) shouldBe Seq(theId, 2L, 0L, 0L)   // pad
+    ids("the a", 1) shouldBe Seq(theId)               // truncate
+    // '0'..'9' are in-vocab chars; a char OUTSIDE the vocab falls back
+    // to a single-char UNK piece -> id 1 (words() keeps digits, drops
+    // punctuation, so use a letterlike unknown: words are lowercased
+    // a-z0-9 only, every char is in vocab -- force UNK via a vocab
+    // without 'q'
+    val noQ = UnigramLm.DefaultVocab.filterNot(_._1 == "q")
+    UnigramLm.encodeIds(Seq((1L, "q")).toDF("id", "t"), "id", "t", 2,
+        vocab = noQ)
+      .head().getSeq[Long](1) shouldBe Seq(1L, 0L)
+    // empty text -> all PAD
+    ids("", 3) shouldBe Seq(0L, 0L, 0L)
+  }
 }
