@@ -79,4 +79,36 @@ class SentencesSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sentences.stripRepeated(docs("x."), "id", "txt", 1)
   }
+
+  test("conservation property: across generated word/terminator/" +
+      "abbreviation mixes, the sentences rejoin to the input text and " +
+      "every boundary follows a terminator run") {
+    // deterministic pseudo-random corpus: the q171 decoration recipe
+    // over varied word shapes, including abbreviations mid-sentence
+    val words = Vector("alpha", "Dr.", "beta9", "x", "gamma", "No.",
+      "delta", "ee", "Fig.", "zeta")
+    val fixtures = (0 until 24).map { d =>
+      (0 until 30).map { i =>
+        val w = words((d * 13 + i * 7) % words.length)
+        (d * 7 + i * 5) % 11 match {
+          case 0 => w + "."
+          case 1 => w + "!"
+          case 2 => w + "..."
+          case _ => w
+        }
+      }.mkString(" ")
+    }
+    fixtures.foreach { text =>
+      val ss = sents(text)
+      // conservation: rejoining with single spaces reproduces the text
+      ss.mkString(" ") shouldBe text
+      // every non-final sentence ends in a terminator run; none ends
+      // on a protected abbreviation's dot
+      ss.dropRight(1).foreach { s =>
+        s should fullyMatch regex "(?s).*[.!?]"
+        Sentences.Abbrevs.foreach(a =>
+          s should not endWith (a + "."))
+      }
+    }
+  }
 }
