@@ -4160,8 +4160,11 @@ object SparkEntry {
 
     // q172: the per-label classification report over q123's
     // predictions vs the true labels — counts from one (truth, pred)
-    // GROUP BY, every ratio ONE integer->double division (F1 via its
-    // count identity 2tp/(2tp+fp+fn), never the p/r composition)
+    // GROUP BY, every ratio HALF-UP MICROS IN LONG ARITHMETIC
+    // ((num*2e6 + den) // (2*den), then one exact /1e6) mirroring
+    // Eval.micros exactly; F1 via its count identity 2tp/(2tp+fp+fn),
+    // never the p/r composition. round(double,6) is banned here: the
+    // engines' double rounding diverges on boundary ratios (r16)
     "q172_nb_report" ->
       s"""WITH ${nbPredCtes(nbWordTokCtes)},
          truth AS (
@@ -4183,13 +4186,16 @@ object SparkEntry {
            FROM byt FULL JOIN byp ON byt.label = byp.label)
          SELECT label, support, tp, fp, fn,
            CASE WHEN tp + fp > 0
-             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE 0.0
+             THEN CAST((tp * 2000000 + (tp + fp)) // (2 * (tp + fp))
+               AS DOUBLE) / 1e6 ELSE 0.0
              END AS precision,
            CASE WHEN support > 0
-             THEN round(CAST(tp AS DOUBLE) / support, 6) ELSE 0.0
+             THEN CAST((tp * 2000000 + support) // (2 * support)
+               AS DOUBLE) / 1e6 ELSE 0.0
              END AS recall,
            CASE WHEN 2 * tp + fp + fn > 0
-             THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+             THEN CAST((2 * tp * 2000000 + (2 * tp + fp + fn))
+               // (2 * (2 * tp + fp + fn)) AS DOUBLE) / 1e6
              ELSE 0.0 END AS f1
          FROM rep ORDER BY label""",
 
@@ -4211,15 +4217,19 @@ object SparkEntry {
            SELECT y,
              2 * rank() OVER (ORDER BY m) +
                count(*) OVER (PARTITION BY m) - 1 AS r2
-           FROM lab)
-         SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
-           sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg,
-           round(CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) -
-               sum(CASE WHEN y THEN 1 ELSE 0 END) *
-               (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) AS DOUBLE) /
-             (2 * sum(CASE WHEN y THEN 1 ELSE 0 END) *
-               sum(CASE WHEN y THEN 0 ELSE 1 END)), 6) AS auc
-         FROM rk""",
+           FROM lab),
+         ag AS (
+           SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS s2
+           FROM rk)
+         SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(((s2 - n_pos * (n_pos + 1)) * 2000000
+                 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg)
+               AS DOUBLE) / 1e6 END AS auc
+         FROM ag""",
 
     // q174: the same synthesized files, re-framed by RECORD SPLIT on
     // the version line (equivalent to the engine's Content-Length walk
@@ -4446,12 +4456,15 @@ object SparkEntry {
            SELECT CAST(coalesce(sum(ra * rb), 0) AS BIGINT) AS pn
            FROM rka JOIN rkb ON rka.a = rkb.b)
          SELECT tk.n AS n,
-           round(CAST(tk.d AS DOUBLE) / tk.n, 6) AS po,
-           round(CAST(pek.pn AS DOUBLE) / (tk.n * tk.n), 6) AS pe,
-           CASE WHEN CAST(pek.pn AS DOUBLE) / (tk.n * tk.n) < 1.0 THEN
-             round((CAST(tk.d AS DOUBLE) / tk.n
-                 - CAST(pek.pn AS DOUBLE) / (tk.n * tk.n))
-               / (1.0 - CAST(pek.pn AS DOUBLE) / (tk.n * tk.n)), 6)
+           CAST((tk.d * 2000000 + tk.n) // (2 * tk.n) AS DOUBLE) / 1e6
+             AS po,
+           CAST((pek.pn * 2000000 + tk.n * tk.n) // (2 * tk.n * tk.n)
+             AS DOUBLE) / 1e6 AS pe,
+           CASE WHEN tk.n * tk.n - pek.pn > 0 THEN
+             CAST((CASE WHEN tk.d * tk.n - pek.pn < 0 THEN -1 ELSE 1 END)
+               * ((abs(tk.d * tk.n - pek.pn) * 2000000
+                   + (tk.n * tk.n - pek.pn))
+                 // (2 * (tk.n * tk.n - pek.pn))) AS DOUBLE) / 1e6
              END AS kappa
          FROM tk, pek""",
 
@@ -4473,15 +4486,20 @@ object SparkEntry {
              sum(CASE WHEN y THEN 1 ELSE 0 END)
                OVER (ORDER BY m DESC, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
-           FROM lab)
-         SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_pos,
-           count(*) AS n_ranked,
-           round(CAST(sum(CASE WHEN y
-               THEN (pk * 1000000000000) // k ELSE 0 END) AS DOUBLE)
-             / (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
-               * 1e12), 6) AS ap
-         FROM rk""",
+           FROM lab),
+         ag AS (
+           SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             count(*) AS n_ranked,
+             CAST(coalesce(sum(CASE WHEN y
+               THEN (pk * 1000000000000) // k ELSE 0 END), 0) AS BIGINT)
+               AS ts
+           FROM rk)
+         SELECT n_pos, n_ranked,
+           CASE WHEN n_pos > 0 THEN
+             CAST((ts * 2 + n_pos * 1000000) // (n_pos * 2000000)
+               AS DOUBLE) / 1e6 END AS ap
+         FROM ag""",
 
     // q123's fit+classify with the md5 bucket fold (512 buckets, salt
     // 'nbh') applied to the word list in BOTH halves
@@ -5163,8 +5181,13 @@ object SparkEntry {
              string_agg(sentence, ' ' ORDER BY sent_id) AS text
            FROM kept GROUP BY doc_id),
          totd AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
-           FROM h GROUP BY doc_id)
+           -- anchored on the per-doc corpus frame, not the sentence
+           -- rollup: zero-sentence docs surface as n_sents = 0 (the
+           -- engine's one-row-per-input contract)
+           SELECT d.doc_id,
+             CAST(coalesce(count(h.sent_id), 0) AS BIGINT) AS n_sents
+           FROM dec d LEFT JOIN h ON d.doc_id = h.doc_id
+           GROUP BY d.doc_id)
          SELECT t.doc_id, t.n_sents,
            coalesce(r.n_kept, 0) AS n_kept,
            md5(coalesce(r.text, '')) AS text_md5

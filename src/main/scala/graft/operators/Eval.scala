@@ -11,12 +11,19 @@ import org.apache.spark.sql.functions._
   * same "measure, don't guess" cadence as the ANN recall audit (q138)
   * and the mining audit (q166).
   *
-  * Everything is exact and oracle-replayable: counts are integers,
-  * every ratio is ONE correctly-rounded integer→double division
-  * (F1 via its count identity `2tp / (2tp+fp+fn)` — never the
-  * p/r composition, whose intermediate rounding diverges across
-  * engines), and the exact AUC uses tie-corrected integer rank sums
-  * (Mann–Whitney) with a single final division.
+  * Everything is exact and oracle-replayable: counts are integers, and
+  * every 6-decimal ratio is computed as HALF-UP MICROS IN PURE LONG
+  * ARITHMETIC — `(num·2·10⁶ + den) div (2·den)` — followed by one
+  * exact `/1e6` division (micros < 2^52 are exact doubles). Never
+  * `round(double, 6)`: Spark rounds the double's shortest decimal
+  * representation (`BigDecimal.valueOf`) where DuckDB scales the
+  * binary double by 10⁶, and they disagree on boundary ratios — the
+  * r16 q172/q173 defect. F1 goes via its count identity
+  * `2tp / (2tp+fp+fn)` — never the p/r composition, whose
+  * intermediate rounding compounds. The exact AUC uses tie-corrected
+  * integer rank sums (Mann–Whitney) with the same single fixed-point
+  * finish. Size contract: `num·2·10⁶` must fit a long, i.e. every
+  * count numerator ≤ ~4.6·10¹² — judged holdouts by construction.
   *
   * Scale shapes: [[classificationReport]] is one (label, pred) hash
   * aggregate — L² rows no matter the corpus. [[rocAuc]] ranks
@@ -27,6 +34,20 @@ import org.apache.spark.sql.functions._
   * (spec-gated, the `approxDistinct` tolerance posture).
   */
 object Eval {
+
+  /** Half-up micros of `num/den` (both long Columns, `num ≥ 0`,
+    * `den > 0`): `(num·2·10⁶ + den) div (2·den)` — pure long
+    * arithmetic, bit-identical across engines (Spark `div` and DuckDB
+    * `//` both truncate, and the operands are non-negative so
+    * truncation ≡ floor).
+    */
+  private def micros(num: Column, den: Column): Column =
+    call_function("div", num * 2000000L + den, den * 2)
+
+  /** The exact 6-decimal double from a micros Column — one division
+    * by 1e6, exact for |micros| < 2^52.
+    */
+  private def fromMicros(m: Column): Column = m.cast("double") / 1e6
 
   /** Per-label classification report from (labelCol, predCol) rows:
     * (label, support, tp, fp, fn, precision, recall, f1), one row per
@@ -52,8 +73,7 @@ object Eval {
     val byPred = pairs.where(col("__p") =!= col("__t"))
       .groupBy(col("__p").as("label")).agg(sum(col("__n")).as("fp"))
     def ratio(num: Column, den: Column) =
-      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
-        .otherwise(0.0)
+      when(den > 0, fromMicros(micros(num, den))).otherwise(0.0)
     byTruth.join(byPred, Seq("label"), "full")
       .select(col("label"),
         coalesce(col("support"), lit(0L)).as("support"),
@@ -92,9 +112,9 @@ object Eval {
         sum(when(col("__y"), col("__r2")).otherwise(0L)).as("__s2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("__s2") - col("n_pos") * (col("n_pos") + 1))
-            .cast("double") /
-            (col("n_pos") * col("n_neg") * 2).cast("double"), 6))
+          fromMicros(micros(
+            col("__s2") - col("n_pos") * (col("n_pos") + 1),
+            col("n_pos") * col("n_neg") * 2)))
           .as("auc"))
   }
 
@@ -125,8 +145,8 @@ object Eval {
         sum(col("__p") * (col("__cnb") * 2 + col("__n"))).as("__s2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("__s2").cast("double") /
-            (col("n_pos") * col("n_neg") * 2).cast("double"), 6))
+          fromMicros(micros(col("__s2"),
+            col("n_pos") * col("n_neg") * 2)))
           .as("auc"))
   }
 
@@ -137,7 +157,7 @@ object Eval {
     * rank correction is not). Each `precision@k = pos@k / k` term is
     * computed in FIXED-POINT integer division (`pos@k · 10^12 div k` —
     * floor, bit-identical across engines), the terms sum as longs, and
-    * ONE double division + round(6) lands the result — the same
+    * ONE fixed-point half-up division lands the result — the same
     * exactness contract as [[rocAuc]], with the same judged-holdout
     * size contract (pos@k · 10^12 must fit a long). One row:
     * (n_pos, n_ranked, ap); NULL ap when there are no positives.
@@ -156,9 +176,14 @@ object Eval {
           expr("(__pk * 1000000000000L) div __k")).otherwise(0L))
           .as("__ts"))
       .select(col("n_pos"), col("n_ranked"),
+        // ap micros = half-up of __ts/(n_pos·10¹²) at 6 decimals
+        // ≡ (2·__ts + n_pos·10⁶) div (2·n_pos·10⁶) — the generic
+        // micros() helper would overflow (__ts·2·10⁶ > 2^63 already at
+        // thousands of ranked rows); this form holds to __ts < 2^62
         when(col("n_pos") > 0,
-          round(col("__ts").cast("double") /
-            (col("n_pos").cast("double") * 1e12), 6)).as("ap"))
+          fromMicros(call_function("div",
+            col("__ts") * 2 + col("n_pos") * 1000000L,
+            col("n_pos") * 2000000L))).as("ap"))
   }
 
   /** Cohen's kappa between two raters' labels — chance-corrected
@@ -166,15 +191,20 @@ object Eval {
     * learned model" (gate substitution) and for LLM-judge/annotator
     * consistency before judged data trains anything. One row:
     * (n, po, pe, kappa) with `po` observed agreement, `pe` the chance
-    * agreement from the margin products, `kappa = (po-pe)/(1-pe)`;
-    * integer counts, three correctly-rounded divisions, rounding only
-    * at the output — bit-replayable. Degenerate total agreement with
-    * pe = 1 (both raters constant) yields NULL kappa.
+    * agreement from the margin products; integer counts, each output a
+    * single fixed-point long division: po = d/n and pe = pn/n² as
+    * half-up micros, and kappa from its INTEGER identity
+    * `(d·n − pn) / (n² − pn)` — a possibly-negative numerator, so the
+    * micros are computed on |num| and the sign multiplied back (both
+    * engines truncate integral division toward zero; keeping operands
+    * non-negative sidesteps the floor-vs-truncate question entirely).
+    * Degenerate total agreement with pe = 1 (both raters constant)
+    * yields NULL kappa.
     *
     * Scale: the pair table is label-bounded (L² rows from one hash
     * aggregate, spilled once for its consumers); the margin-product
     * numerator is long arithmetic — judged-holdout-sized inputs by
-    * contract (n² must fit a long).
+    * contract (n²·2·10⁶ must fit a long: n ≤ ~2.1M rated rows).
     */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val pairs = graft.io.Spill(
@@ -189,35 +219,54 @@ object Eval {
     val rb = pairs.groupBy(col("__b")).agg(sum(col("__n")).as("__rb"))
     val pe = ra.join(rb, col("__a") === col("__b"))
       .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("__pn"))
-    val po = col("__d").cast("double") / col("n").cast("double")
-    val peV = col("__pn").cast("double") /
-      (col("n") * col("n")).cast("double")
+    val kNum = col("__d") * col("n") - col("__pn") // signed
+    val kDen = col("n") * col("n") - col("__pn")   // > 0 iff pe < 1
+    val kMag = micros(abs(kNum), kDen)
     tot.crossJoin(pe) // two one-row frames
-      .select(col("n"), round(po, 6).as("po"), round(peV, 6).as("pe"),
-        when(peV < 1.0, round((po - peV) / (lit(1.0) - peV), 6))
+      .select(col("n"),
+        when(col("n") > 0, fromMicros(micros(col("__d"), col("n"))))
+          .as("po"),
+        when(col("n") > 0,
+          fromMicros(micros(col("__pn"), col("n") * col("n"))))
+          .as("pe"),
+        when(kDen > 0,
+          fromMicros(when(kNum < 0, -kMag).otherwise(kMag)))
           .as("kappa"))
   }
 
   /** Reliability diagram data: per score-bin (bin, n, mean_score,
     * pos_rate) — is "0.9 confident" right 90% of the time? One
-    * nBins-bounded hash aggregate; mean_score stays exact via a
-    * DECIMAL sum before its single division.
+    * nBins-bounded hash aggregate. Fixed-point discipline: each score
+    * is quantized to half-up micros AT THE ROW (`round(s·10⁶)` — both
+    * engines round the IDENTICAL IEEE double product to an integer,
+    * which is cross-engine safe because k+0.5 is exactly representable
+    * and any other double is ≥ 1 ulp from a boundary), the micros sum
+    * as longs, and mean_score is one long division — so mean_score is
+    * exactly the mean of the 6-decimal-quantized scores, documented as
+    * such. pos_rate is a pure count ratio.
     */
   def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
-    df.select(col(labelCol).cast("boolean").as("__y"),
+    val binned = df.select(col(labelCol).cast("boolean").as("__y"),
         col(scoreCol).cast("double").as("__s"))
-      .select(col("__y"), col("__s"),
+      .select(col("__y"),
+        round(col("__s") * 1e6).cast("long").as("__sm"),
         least(greatest(
           floor((col("__s") - lo) / (hi - lo) * nBins).cast("long"),
           lit(0L)), lit(nBins - 1L)).as("bin"))
       .groupBy(col("bin")).agg(
         count(lit(1)).as("n"),
-        round(sum(col("__s").cast("decimal(28,6)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("mean_score"),
-        round(sum(when(col("__y"), 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double"), 6).as("pos_rate"))
+        sum(col("__sm")).as("__ss"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    // mean micros = half-up of __ss/n with a possibly-negative sum:
+    // micros on |__ss|, sign multiplied back (the cohenKappa posture)
+    val mMag = call_function("div",
+      abs(col("__ss")) * 2 + col("n"), col("n") * 2)
+    binned.select(col("bin"), col("n"),
+        fromMicros(when(col("__ss") < 0, -mMag).otherwise(mMag))
+          .as("mean_score"),
+        fromMicros(micros(col("__pos"), col("n"))).as("pos_rate"))
       .orderBy(col("bin"))
   }
 }
