@@ -5306,7 +5306,12 @@ object SparkEntry {
                '\s+', ' ', 'g')),
              ll := coalesce(list_sum(list_transform(
                regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
-               y -> len(y))), 0))) AS cs
+               y -> len(trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(replace(
+                   regexp_replace(y, '<[^>]+>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+                   '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                 '\s+', ' ', 'g'))))), 0))) AS cs
            FROM bl),
          keep AS (
            SELECT doc_id,

@@ -114,22 +114,28 @@ object Html {
     * `n_blocks` (candidate blocks with any text), `n_kept`.
     *
     * A block is kept iff its stripped text has at least `minTextChars`
-    * chars AND its raw anchor-innerHTML length is at most
+    * chars AND its anchor-text length — each anchor's innerHTML put
+    * through the SAME [[stripTags]] normalization as the block text,
+    * so marked-up anchors (`<a><b>x</b></a>`) and entity-bearing ones
+    * measure their visible characters, not their markup — is at most
     * `maxLinkDensity` × the stripped text length (link farms and
-    * related-article rails fail this even when long). Density compares
-    * in IEEE double — one multiply, one compare — so the oracle
-    * replays the decision bit-for-bit.
+    * related-article rails fail this even when long). Anchors that
+    * span a block-tag boundary are split by the block split before
+    * anchor matching and don't count — a documented convention of
+    * split-then-measure extraction (such markup is invalid HTML).
+    * Density compares in IEEE double — one multiply, one compare — so
+    * the oracle replays the decision bit-for-bit.
     */
   def extract(df: DataFrame, htmlCol: String, minTextChars: Int = 20,
       maxLinkDensity: Double = 0.5): DataFrame = {
     require(minTextChars >= 1, "minTextChars must be >= 1")
     require(maxLinkDensity >= 0.0, "maxLinkDensity must be >= 0")
     val blocks = split(removeNonContent(col(htmlCol)), blockBoundary)
-    // per-block (stripped text, raw anchor-innerHTML chars), in order
+    // per-block (stripped text, stripped anchor-text chars), in order
     val cand = transform(blocks, b => struct(
       stripTags(b).as("btxt"),
       aggregate(regexp_extract_all(b, lit(anchorInner), lit(1)),
-        lit(0), (acc, x) => acc + length(x)).as("ll")))
+        lit(0), (acc, x) => acc + length(stripTags(x))).as("ll")))
     val kept = filter(cand, x =>
       length(x.getField("btxt")) >= minTextChars &&
         x.getField("ll").cast("double") <=

@@ -92,16 +92,23 @@ object Sentences {
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDf)
       .select(col("__h"))
-    sents
+    val kept = sents
       .join(repeated, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("sent_id"), col("sentence")))),
           x => x.getField("sentence")), " ").as("text"))
+    // anchor on the ORIGINAL docs frame, not the sentence rollup: a
+    // document whose text yields zero sentences (empty/whitespace-only)
+    // has no `sents` rows at all and must still surface as
+    // (n_sents=0, n_kept=0, text='') per the one-row-per-input contract
+    docs.select(col(idCol))
       .join(sents.groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_sents")), Seq(idCol), "right")
-      .select(col(idCol), col("n_sents"),
+        .agg(count(lit(1)).as("n_sents")), Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
   }

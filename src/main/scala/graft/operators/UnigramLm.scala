@@ -170,7 +170,12 @@ object UnigramLm {
     */
   def emFit(wordCounts: Iterable[(String, Long)], vocabSize: Int,
       iters: Int = 4, maxPieceLen: Int = DefaultMaxPieceLen,
-      seedSize: Int = 4000): Seq[(String, Long)] = {
+      seedSize: Int = 4000): Seq[(String, Long)] =
+    emFitCore(wordCounts, vocabSize, iters, maxPieceLen, seedSize)._1
+
+  private def emFitCore(wordCounts: Iterable[(String, Long)],
+      vocabSize: Int, iters: Int, maxPieceLen: Int,
+      seedSize: Int): (Seq[(String, Long)], Vector[Double]) = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val words = wordCounts.iterator.filter(_._1.nonEmpty).toVector
@@ -204,7 +209,6 @@ object UnigramLm {
       else if (b == Double.NegativeInfinity) a
       else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
 
-    var lastLL = Double.NegativeInfinity
     val llHistory = Vector.newBuilder[Double]
     var it = 0
     while (it < iters) {
@@ -257,7 +261,6 @@ object UnigramLm {
         }
       }
       llHistory += ll
-      lastLL = ll
       val tot = expected.values.sum
       // M-step over pieces with mass; massless multi-char pieces drop,
       // massless chars keep a floor (coverage)
@@ -279,27 +282,21 @@ object UnigramLm {
       .take(math.max(0, vocabSize - keptChars.size))
     val kept = (keptChars ++ keptMulti).sorted
     val z = kept.map(p => math.exp(logp(p))).sum
-    kept.map(p => p -> micros(math.log(math.exp(logp(p)) / z)))
+    (kept.map(p => p -> micros(math.log(math.exp(logp(p)) / z))),
+      llHistory.result())
   }
 
-  /** [[emFit]] exposed with its round-by-round corpus log-likelihood
-    * (for the monotonicity property and convergence inspection).
+  /** [[emFit]] exposed with its round-by-round corpus log-likelihood —
+    * the INTERNAL pre-M-step objective each E-step computes (the exact
+    * quantity EM's monotonicity guarantee covers), threaded out of the
+    * single fit rather than re-fitting per round (which would be
+    * O(iters²) and would score a pruned-and-renormalized model, a
+    * different objective).
     */
   def emFitWithLL(wordCounts: Iterable[(String, Long)], vocabSize: Int,
       iters: Int = 4, maxPieceLen: Int = DefaultMaxPieceLen,
-      seedSize: Int = 4000): (Seq[(String, Long)], Seq[Double]) = {
-    // run emFit twice would double work; instead reuse the internal
-    // history via a tiny wrapper: recompute LL per round is the cost of
-    // clarity here — histograms are distinct-word-bounded.
-    val lls = Vector.newBuilder[Double]
-    (1 to iters).foreach { k =>
-      val m = emFit(wordCounts, vocabSize = Int.MaxValue, iters = k,
-        maxPieceLen = maxPieceLen, seedSize = seedSize)
-      lls += corpusLL(wordCounts, m.map { case (p, mu) => p -> (mu / 1e6) }.toMap,
-        maxPieceLen)
-    }
-    (emFit(wordCounts, vocabSize, iters, maxPieceLen, seedSize), lls.result())
-  }
+      seedSize: Int = 4000): (Seq[(String, Long)], Seq[Double]) =
+    emFitCore(wordCounts, vocabSize, iters, maxPieceLen, seedSize)
 
   /** Marginal corpus log-likelihood under a (piece → logp) model. */
   def corpusLL(wordCounts: Iterable[(String, Long)],

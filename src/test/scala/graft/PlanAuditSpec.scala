@@ -409,8 +409,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q179_lang_kappa" -> 6,
     // spilled sentence rows feed the distinct/df rollup, the hash
     // anti-join (16-byte md5 exchanges, never text), the ordered
-    // rebuild + totals join, and the battery sort
-    "q180_sentence_dedup" -> 7,
+    // rebuild + totals join, and the battery sort; +1 for the
+    // doc-frame anchor join (id-only rows) that surfaces
+    // zero-sentence docs per the one-row-per-input contract
+    "q180_sentence_dedup" -> 8,
     // q173's margin scaffold + ONE single-partition ranking sort
     // shared by row_number and the running positive count
     "q181_avg_precision" -> 9,

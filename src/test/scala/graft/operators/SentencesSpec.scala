@@ -78,6 +78,17 @@ class SentencesSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.getLong(2)).toSeq shouldBe Seq(3L, 1L)
     an[IllegalArgumentException] should be thrownBy
       Sentences.stripRepeated(docs("x."), "id", "txt", 1)
+    // a document yielding ZERO sentences (empty / whitespace-only text)
+    // still surfaces: one row per INPUT doc, (0, 0, "") — not silently
+    // dropped by the sentence-frame join
+    val zero = Sentences.stripRepeated(
+        docs("Real text here.", "", "   "), "id", "txt", minDf = 2)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    zero shouldBe Array(
+      (0L, 1L, 1L, "Real text here."),
+      (1L, 0L, 0L, ""),
+      (2L, 0L, 0L, ""))
   }
 
   test("conservation property: across generated word/terminator/" +
