@@ -53,6 +53,21 @@ object SparkEntry {
         .otherwise(wa)
     }), " ")
 
+  /** The q183/q184 eval-score fixture: label-correlated scores on the
+    * k/128 grid — exactly representable doubles, so binning
+    * (`floor(s·nBins)`) and row micro-quantization (`round(s·10⁶)`,
+    * which lands on x.5 halves both engines round identically away
+    * from zero) are bit-identical cross-engine. en docs score in
+    * [0.25, 0.99], the rest in [0, 0.74] — overlapping, so the AUC is
+    * informative rather than degenerate.
+    */
+  private def evalScores(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      (col("lang") === "en").as("y"),
+      (when(col("lang") === "en", (col("doc_id") * 13) % 96 + 32)
+        .otherwise((col("doc_id") * 13) % 96)
+        .cast("double") / 128.0).as("s"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join (SURVEY §2.6 joins).
     */
@@ -1837,6 +1852,25 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(col("ids").cast("array<string>"), " ").as("ids"))
         .orderBy(col("doc_id"))),
+
+    // binned ROC-AUC — the CORPUS-SCALE discrimination path (one
+    // nBins-bounded hash aggregate + an nBins-row cumulative window,
+    // no global sort — q173's exact path is the judged-holdout
+    // sibling): 128 bins over the exactly-representable k/128 score
+    // fixture, so every distinct score owns its bin and binned ≡ exact
+    // by the doubled-rank algebra; this row pins the bin walk,
+    // cumulative counts, and micros finish cross-engine
+    "q183_auc_binned" -> ((s, d) =>
+      graft.operators.Eval.rocAucBinned(evalScores(s, d), "y", "s",
+        0.0, 1.0, 128)),
+
+    // reliability-diagram calibration over the same score fixture:
+    // per-bin (n, mean_score, pos_rate) with the mean over
+    // row-quantized score micros and both ratios single fixed-point
+    // long divisions — "is 0.9 confident right 90% of the time"
+    "q184_calibration" -> ((s, d) =>
+      graft.operators.Eval.calibrationBins(evalScores(s, d), "y", "s",
+        0.0, 1.0, 16)),
 
     // sentence segmentation over a synthesized PUNCTUATED corpus (the
     // raw fixture is punctuation-free word soup, so the decoration —
@@ -4120,6 +4154,16 @@ object SparkEntry {
                w -> w <> '') AS w
            FROM documents WHERE doc_id % 2 = 1)"""
 
+  /** The q183/q184 score fixture CTE — the oracle twin of
+    * [[evalScores]]: the same k/128-grid label-correlated scores.
+    */
+  private val evalScoreCte: String =
+    """sc AS (
+           SELECT (lang = 'en') AS y,
+             CAST(CASE WHEN lang = 'en' THEN (doc_id * 13) % 96 + 32
+                  ELSE (doc_id * 13) % 96 END AS DOUBLE) / 128.0 AS s
+           FROM documents)"""
+
   /** DuckDB twin for each oracle-able query (column names + ordering match
     * the Spark side exactly; see determinism rules in the class doc).
     */
@@ -5154,6 +5198,54 @@ object SparkEntry {
              ' ') AS ids
          FROM __uids ORDER BY doc_id"""
     },
+
+    // q183: the binned-AUC algebra replayed — clamped floor binning on
+    // the exactly-representable k/128 fixture, cumulative
+    // negatives-below per bin, the trapezoidal doubled-rank sum, and
+    // the identical half-up micros finish
+    "q183_auc_binned" ->
+      s"""WITH $evalScoreCte,
+         b AS (
+           SELECT least(greatest(CAST(floor(s * 128) AS BIGINT), 0), 127)
+               AS bin,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+           FROM sc GROUP BY 1),
+         c AS (
+           SELECT p, nn, sum(nn) OVER (ORDER BY bin) - nn AS cnb FROM b),
+         ag AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * cnb + nn)) AS BIGINT) AS s2
+           FROM c)
+         SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST((s2 * 2000000 + 2 * n_pos * n_neg)
+               // (4 * n_pos * n_neg) AS DOUBLE) / 1e6 END AS auc
+         FROM ag""",
+
+    // q184: per-bin counts, the row-level micro quantization
+    // (round(s*1e6) — identical IEEE product, half-away-from-zero in
+    // both engines), and the two fixed-point divisions
+    "q184_calibration" ->
+      s"""WITH $evalScoreCte,
+         q AS (
+           SELECT least(greatest(CAST(floor(s * 16) AS BIGINT), 0), 15)
+               AS bin,
+             CAST(round(s * 1000000) AS BIGINT) AS sm, y
+           FROM sc),
+         g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sm) AS BIGINT) AS ss,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM q GROUP BY bin)
+         SELECT bin, n,
+           CAST((CASE WHEN ss < 0 THEN -1 ELSE 1 END)
+             * ((abs(ss) * 2 + n) // (2 * n)) AS DOUBLE) / 1e6
+             AS mean_score,
+           CAST((pos * 2000000 + n) // (2 * n) AS DOUBLE) / 1e6
+             AS pos_rate
+         FROM g ORDER BY bin""",
 
     // q171: the same decoration (two composed index lambdas), then the
     // protect/mark/split cascade replayed with the identical regexes

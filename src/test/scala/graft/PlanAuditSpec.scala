@@ -418,7 +418,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q181_avg_precision" -> 9,
     // map-only segmentation + plan-literal id lookup + battery sort
     // (the q96/q169 posture)
-    "q182_unigram_ids" -> 1)
+    "q182_unigram_ids" -> 1,
+    // ONE nBins-bounded hash aggregate + the nBins-row cumulative
+    // window's single-partition exchange — the corpus path never
+    // sorts corpus rows (q173's global ranking sort is the
+    // judged-holdout sibling)
+    "q183_auc_binned" -> 2,
+    // one nBins-bounded hash aggregate + the 16-row battery sort
+    "q184_calibration" -> 2)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
