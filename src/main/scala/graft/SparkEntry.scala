@@ -1872,6 +1872,31 @@ object SparkEntry {
       graft.operators.Eval.calibrationBins(evalScores(s, d), "y", "s",
         0.0, 1.0, 16)),
 
+    // Unicode/mojibake repair (the ftfy-posture stage): documents are
+    // decorated with GENERATED mojibake — single-encoded latin-1,
+    // DOUBLE-encoded, and control/zero-width junk snippets computed by
+    // the same byte round-trip Encoding.MojibakeTable models — then
+    // fixed by the repair → confusables → control-strip chain; the
+    // oracle replays the identical generated replace chain
+    // (Encoding.duckFixSql — one definition, two engines). Map-only,
+    // zero exchanges beyond the battery sort
+    "q185_fix_encoding" -> ((s, d) => {
+      val moji = concat(
+        when(col("doc_id") % 5 === 0, lit(MojiSnips(0)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 1, lit(MojiSnips(1)))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 2, lit(MojiSnips(2)))
+          .otherwise(lit("")))
+      graft.operators.Encoding.fix(
+          t(s, d, "documents").select(col("doc_id"), moji.as("mtext")),
+          "mtext")
+        .select(col("doc_id"), col("n_raw"), col("n_fixed"),
+          col("changed"), md5(col("mtext_fixed")).as("fixed_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sentence segmentation over a synthesized PUNCTUATED corpus (the
     // raw fixture is punctuation-free word soup, so the decoration —
     // deterministic per (doc_id, word position): terminator runs,
@@ -4154,6 +4179,43 @@ object SparkEntry {
                w -> w <> '') AS w
            FROM documents WHERE doc_id % 2 = 1)"""
 
+  /** The q185 mojibake snippets — GENERATED, never hand-typed: the
+    * same UTF-8-read-as-latin-1 round-trip
+    * [[graft.operators.Encoding.MojibakeTable]] models, applied once
+    * (snippet 0) and twice (snippet 1 — double-encoding), plus a
+    * control/zero-width junk tail (snippet 2). Interpolated verbatim
+    * into both the Spark fixture and the oracle CTE.
+    */
+  private val MojiSnips: IndexedSeq[String] = {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def l1(x: String) = new String(x.getBytes(UTF_8), ISO_8859_1)
+    IndexedSeq(
+      l1("Café déjà vu — “quoted” über… "),
+      l1(l1("don’t naïve «guille» ")),
+      " bin\u0007junk\u200bzw")
+  }
+
+  /** The q185 fixture CTE: the decorated corpus with [[MojiSnips]]
+    * interpolated as SQL literals (chr(7) splices the control byte —
+    * raw C0 bytes in literals are parser-hostile; the other
+    * characters are plain UTF-8).
+    */
+  private val mojiDocCte: String = {
+    def sqlLit(x: String): String =
+      x.split("\u0007", -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(7) || ")
+    s"""mj AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN ${sqlLit(MojiSnips(0))}
+               ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 1 THEN ${sqlLit(MojiSnips(1))}
+               ELSE '' END) ||
+             text ||
+             (CASE WHEN doc_id % 3 = 2 THEN ${sqlLit(MojiSnips(2))}
+               ELSE '' END) AS m
+           FROM documents)"""
+  }
+
   /** The q183/q184 score fixture CTE — the oracle twin of
     * [[evalScores]]: the same k/128-grid label-correlated scores.
     */
@@ -5223,6 +5285,25 @@ object SparkEntry {
              CAST((s2 * 2000000 + 2 * n_pos * n_neg)
                // (4 * n_pos * n_neg) AS DOUBLE) / 1e6 END AS auc
          FROM ag""",
+
+    // q185: the decorated corpus re-fixed by the GENERATED replace
+    // chain (Encoding.duckFixStages over the same MojibakeTable /
+    // ConfusablesTable — one definition, two engines; staged CTEs keep
+    // each expression under DuckDB's 128-deep binder cap)
+    "q185_fix_encoding" -> {
+      val stages = graft.operators.Encoding.duckFixStages("v")
+      val ctes = stages.zipWithIndex.map { case (e, i) =>
+        val src = if (i == 0) "(SELECT doc_id, m, m AS v FROM mj)"
+          else s"fx${i - 1}"
+        s"fx$i AS (SELECT doc_id, m, $e AS v FROM $src)"
+      }.mkString(",\n         ")
+      s"""WITH $mojiDocCte,
+         $ctes
+         SELECT doc_id, CAST(length(m) AS BIGINT) AS n_raw,
+           CAST(length(v) AS BIGINT) AS n_fixed,
+           v <> m AS changed, md5(v) AS fixed_md5
+         FROM fx${stages.size - 1} ORDER BY doc_id"""
+    },
 
     // q184: per-bin counts, the row-level micro quantization
     // (round(s*1e6) — identical IEEE product, half-away-from-zero in

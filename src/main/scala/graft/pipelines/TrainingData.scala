@@ -28,7 +28,11 @@ import graft.operators.Dedup
   * five stages above): `htmlCol` runs [[graft.operators.Html.extract]]
   * BEFORE everything (0-pre — map-only, the crawled-corpus entry point:
   * chrome/script removal + text-density block filter, extracted main
-  * text becomes `textCol` for every later stage), `blocklistPhrases` drops docs whose literal-phrase
+  * text becomes `textCol` for every later stage), `fixEncoding` runs
+  * the [[graft.operators.Encoding]] mojibake/confusable/control repair
+  * right after it (0-enc — map-only; docs whose text was mostly
+  * control/binary junk drop with reason "control_frac", so binary
+  * garbage never reaches dedup), `blocklistPhrases` drops docs whose literal-phrase
   * occurrence total exceeds `blocklistMaxHits` BEFORE every other stage
   * (0a — [[graft.operators.TextAnalysis.blocklistGate]], map-only, so
   * blocked docs consume no domain-cap budget and never pay dedup),
@@ -171,6 +175,8 @@ object TrainingData {
       htmlCol: Option[String] = None,
       htmlMinTextChars: Int = 20,
       htmlMaxLinkDensity: Double = 0.5,
+      fixEncoding: Boolean = false,
+      maxControlFrac: Double = 0.2,
       lineage: Option[LineageRecorder] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
@@ -187,6 +193,29 @@ object TrainingData {
         .withColumn(textCol, col(s"${h}_text"))
         .drop(s"${h}_text", "n_blocks", "n_kept", h)
     }
+    // 0-enc. optional Unicode/mojibake repair ([[graft.operators.Encoding]],
+    // the ftfy posture): map-only repair → confusables → control strip
+    // BEFORE language-id and quality scoring, so mojibake ("CafÃ©")
+    // doesn't poison the n-gram markers or fragment token statistics.
+    // Per-doc deterministic like the blocklist, so the streaming
+    // pipeline's epoch ≡ union argument holds unchanged. Docs whose
+    // text was mostly control/binary junk (the strip removed more than
+    // `maxControlFrac` of the repaired chars) drop here with reason
+    // "control_frac" — binary garbage should never reach dedup
+    val encFixed = if (!fixEncoding) docs else {
+      val pre = docs.withColumn("__enc0",
+          graft.operators.Encoding.normalizeConfusables(
+            graft.operators.Encoding.repairMojibake(col(textCol))))
+        .withColumn("__enc1",
+          graft.operators.Encoding.stripControls(col("__enc0")))
+      val keep = length(col("__enc0")) === 0 ||
+        (length(col("__enc0")) - length(col("__enc1"))).cast("double") <=
+          lit(maxControlFrac) * length(col("__enc0")).cast("double")
+      lineage.foreach(_.where("encoding", pre, keep,
+        lit(s"control_frac>$maxControlFrac")))
+      pre.where(keep).withColumn(textCol, col("__enc1"))
+        .drop("__enc0", "__enc1")
+    }
     // 0a. optional literal-phrase blocklist (the LDNOOBW gate) — map-only
     // ([[graft.operators.TextAnalysis.blocklistGate]]), so it runs before
     // EVERYTHING: a blocked doc consumes no domain-cap budget and never
@@ -194,11 +223,12 @@ object TrainingData {
     // pipeline applies the same gate at the same point (epoch ≡ union
     // holds — identical text gates identically, so exact-dup groups
     // drop or survive together)
-    val docs0 = if (blocklistPhrases.isEmpty) docs
+    val docs0 = if (blocklistPhrases.isEmpty) encFixed
       else graft.operators.TextAnalysis.blocklistGate(
-        docs, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+        encFixed, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     if (blocklistPhrases.nonEmpty) lineage.foreach(
-      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", docs, docs0))
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", encFixed,
+        docs0))
     // 0a2. optional Gopher rule gate ([[TextAnalysis.gopherPass]], the
     // q178 battery's NAMED bounds as one map-only filter) — per-doc
     // deterministic like the blocklist, so it runs this early (a

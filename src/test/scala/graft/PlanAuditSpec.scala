@@ -425,7 +425,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // judged-holdout sibling)
     "q183_auc_binned" -> 2,
     // one nBins-bounded hash aggregate + the 16-row battery sort
-    "q184_calibration" -> 2)
+    "q184_calibration" -> 2,
+    // map-only repair chain (generated replace cascade) + battery sort
+    "q185_fix_encoding" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -127,6 +127,43 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set(1L, 2L, 3L)
   }
 
+  test("the optional encoding stage repairs mojibake BEFORE dedup and " +
+      "scoring, and drops control-junk docs with lineage attribution") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def l1(x: String) = new String(x.getBytes(UTF_8), ISO_8859_1)
+    val accented = goodDoc("at the café with naïve résumé rows here")
+    val docs = Seq(
+      (1L, accented),
+      (2L, l1(accented)), // mojibake twin — repairs to doc 1's text
+      (3L, goodDoc("plus aggregates and buckets and ranges in the plan")),
+      (4L, "\u0001\u0002\u0003\u0004 the") // mostly control junk
+    ).toDF("doc_id", "text")
+    val rec = TrainingData.lineageRecorder("doc_id")
+    val survivors = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, fixEncoding = true,
+        lineage = Some(rec))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(1L, 3L)
+    val byId = rec.frame(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // the repaired twin is byte-identical to doc 1 → exact dedup takes
+    // it (proof the repair runs BEFORE dedup, not just before scoring)
+    byId(2L)._1 shouldBe "exact_dedup"
+    byId(4L) shouldBe ("encoding", "control_frac>0.2")
+    (survivors ++ byId.keys) shouldBe Set(1L, 2L, 3L, 4L) // partition
+    // stage off: the twin is NOT byte-identical — it falls only to the
+    // (much more expensive) near-dup stage, and the junk doc reaches
+    // the language gate instead of dropping at encoding
+    val recOff = TrainingData.lineageRecorder("doc_id")
+    TrainingData.clean(docs, "doc_id", "text",
+      cacheIntermediate = false, lineage = Some(recOff))
+    val offById = recOff.frame(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    offById(2L) shouldBe "near_dup"
+    offById.get(4L) should not be Some("encoding")
+  }
+
   test("crawl end-to-end: WARC files -> responses -> clean(htmlCol) " +
       "equals cleaning the same pages directly") {
     import spark.implicits._
