@@ -65,7 +65,8 @@ object StreamingPrep {
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
-      gopherGate: Boolean = false): DataFrame = {
+      gopherGate: Boolean = false,
+      lineage: Option[TrainingData.LineageRecorder] = None): DataFrame = {
     // 0. optional literal-phrase blocklist — the same map-only
     // [[graft.operators.TextAnalysis.blocklistGate]] the batch pipeline
     // runs first, at the same point: per-doc deterministic, so it
@@ -74,6 +75,9 @@ object StreamingPrep {
     val listed0 = if (blocklistPhrases.isEmpty) batch
       else graft.operators.TextAnalysis.blocklistGate(
         batch, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+    if (blocklistPhrases.nonEmpty) lineage.foreach(
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", batch,
+        listed0))
     // 0a2. optional Gopher rule gate — same map-only
     // [[graft.operators.TextAnalysis.gopherPass]] filter at the same
     // point as the batch pipeline's stage 0a2; per-doc deterministic,
@@ -82,11 +86,15 @@ object StreamingPrep {
     val listed = if (!gopherGate) listed0
       else listed0.where(
         graft.operators.TextAnalysis.gopherPass(col(textCol)))
+    if (gopherGate) lineage.foreach(
+      _.diff("gopher", "gopher_rules_fail", listed0, listed))
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints
     val novel = Dedup.incrementalExactDedup(
       listed.select(col(idCol), col(textCol)), idCol, textCol,
       s"$tablesDir/fps", batchId)
+    lineage.foreach(
+      _.diff("exact_dedup", "duplicate_text", listed, novel))
     // 2+3 (+2b, +2a'): THE shared gate of TrainingData.clean — one
     // definition, so batch and streaming survivor sets cannot silently
     // diverge. Under a model gate the projection spills before the
@@ -96,7 +104,7 @@ object StreamingPrep {
     val gated = graft.io.Spill(
       TrainingData.langQualityGate(novel, idCol, textCol, lang, minQuality,
         maxDupGramFrac, nbModel, nbCharGrams,
-        df => graft.io.Spill(df, "graft-sprep-g0-")),
+        df => graft.io.Spill(df, "graft-sprep-g0-"), lineage),
       "graft-sprep-")
     // 4. cross-run near-dup removal among gated docs: greedy
     // keep-smallest — under monotonic epoch ids a cross-epoch pair's
@@ -108,6 +116,11 @@ object StreamingPrep {
     val deduped0 = gated.join(
       pairs.select(col("id_b").cast("long").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+    lineage.foreach(_.rows(pairs.groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("__of"))
+      .select(col("id_b").cast("long").as(idCol),
+        lit("near_dup").as("stage"),
+        concat(lit("near_dup_of="), col("__of")).as("reason"))))
     // 4c. optional perplexity gate against FIXED precomputed trigram
     // tiers (`NgramLm.trigramTiers`, built ONCE by the caller OUTSIDE
     // any Spill.scoped region — the streaming mirror of
@@ -123,7 +136,10 @@ object StreamingPrep {
           gateIn, idCol, textCol, tiers)
         .where(col("bits") > maxLmBits)
         .select(col("doc_id").as(idCol))
-      gateIn.join(tooSurprising, Seq(idCol), "left_anti")
+      val out = gateIn.join(tooSurprising, Seq(idCol), "left_anti")
+      lineage.foreach(
+        _.diff("perplexity", s"bits>$maxLmBits", gateIn, out))
+      out
     }
     // 5. optional DSIR target-likeness floor against a FIXED persisted
     // ratio table ([[graft.operators.Dsir.fitRatio]] — fitting per epoch
@@ -139,7 +155,10 @@ object StreamingPrep {
           r, dsirSalt)
         .where(col("logw") >= minDsirLogw)
         .select(col("doc_id").as(idCol))
-      gateIn.join(keep, Seq(idCol), "left_semi")
+      val out = gateIn.join(keep, Seq(idCol), "left_semi")
+      lineage.foreach(
+        _.diff("dsir", s"logw<$minDsirLogw", gateIn, out))
+      out
     }
   }
 
@@ -147,6 +166,18 @@ object StreamingPrep {
     * survivors land in `outDir/batch=epoch-<id>` (an overwritten dir —
     * replay-idempotent), with the epoch id as the incremental tables'
     * batch id. Checkpointed: a restart resumes from unprocessed input.
+    *
+    * `lineageDir`: when set, each epoch's drop-reason lineage (the
+    * [[TrainingData.LineageRecorder]] frame — same stage labels and
+    * reasons as the batch pipeline's) is written to
+    * `lineageDir/batch=epoch-<id>`, ALSO an overwritten per-epoch dir,
+    * so a replayed micro-batch rewrites the identical lineage instead
+    * of duplicating rows (the same retry discipline as the survivor
+    * and state-table writes). Per-epoch survivors ∪ lineage partition
+    * the epoch's input exactly once, and the union of per-epoch
+    * lineage equals the one-shot lineage over the unioned input under
+    * the monotonic-id precondition (spec-pinned in
+    * `StreamingPrepSpec`).
     */
   def stream(input: DataFrame, idCol: String, textCol: String,
       tablesDir: String, outDir: String, checkpointDir: String,
@@ -162,7 +193,8 @@ object StreamingPrep {
       dsirSalt: String = "dsir",
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
-      gopherGate: Boolean = false): StreamingQuery =
+      gopherGate: Boolean = false,
+      lineageDir: Option[String] = None): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
@@ -170,12 +202,20 @@ object StreamingPrep {
         // batch end, while Spill-persisted frames the CALLER passed in
         // (nbModel, lmTiers, dsirRatio) must survive into the next epoch
         graft.io.Spill.scoped {
+          val rec = lineageDir.map(_ =>
+            TrainingData.lineageRecorder(idCol))
           processBatch(b, idCol, textCol, tablesDir, s"epoch-$epoch",
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
-              blocklistPhrases, blocklistMaxHits, gopherGate)
+              blocklistPhrases, blocklistMaxHits, gopherGate, rec)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
+          // lineage AFTER the survivor write: the epoch's state-table
+          // dirs exist by now and the history reads exclude this
+          // epoch's own batch dir, so the recorded frames re-evaluate
+          // to the same drops a replay would recompute
+          lineageDir.foreach(ld => rec.get.frame(b.sparkSession)
+            .write.mode("overwrite").parquet(s"$ld/batch=epoch-$epoch"))
         }
         ()
       }.start()

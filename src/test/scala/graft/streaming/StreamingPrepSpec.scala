@@ -244,6 +244,71 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe e0
   }
 
+  test("drop-reason lineage carries to the streaming pipeline: per-epoch " +
+      "survivors + lineage partition each epoch's input, epoch lineage " +
+      "equals one-shot lineage over the union, and the stream writes " +
+      "per-epoch lineage dirs") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-sprep-lin").toString
+    def ep(docs: Seq[(Long, String)], id: String) = {
+      val rec = graft.pipelines.TrainingData.lineageRecorder("doc_id")
+      val surv = StreamingPrep.processBatch(docs.toDF("doc_id", "text"),
+          "doc_id", "text", s"$work/tables", batchId = id,
+          lineage = Some(rec))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val lin = rec.frame(spark).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      (surv, lin)
+    }
+    val (s1, l1) = ep(epoch1, "e1")
+    val (s2, l2) = ep(epoch2, "e2")
+    // per-epoch partition: every input doc lands in survivors or ONE
+    // lineage row
+    (s1 ++ l1.map(_._1)) shouldBe epoch1.map(_._1).toSet
+    l1.map(_._1).distinct.length shouldBe l1.length
+    (s2 ++ l2.map(_._1)) shouldBe epoch2.map(_._1).toSet
+    l2.map(_._1).distinct.length shouldBe l2.length
+    // stage attribution matches the batch pipeline's labels, including
+    // cross-epoch drops (11 exact-dups epoch 1's doc 1; 12 near-dups 4)
+    val by = (l1 ++ l2).map(t => t._1 -> (t._2, t._3)).toMap
+    by(2L) shouldBe ("exact_dedup", "duplicate_text")
+    by(11L) shouldBe ("exact_dedup", "duplicate_text")
+    by(5L) shouldBe ("near_dup", "near_dup_of=4")
+    by(12L) shouldBe ("near_dup", "near_dup_of=4")
+    by(3L)._1 shouldBe "language"
+    // EPOCH ≡ UNION for lineage: the one-shot run over the union with
+    // fresh state records exactly the same (id, stage, reason) rows
+    val recU = graft.pipelines.TrainingData.lineageRecorder("doc_id")
+    StreamingPrep.processBatch((epoch1 ++ epoch2).toDF("doc_id", "text"),
+        "doc_id", "text", s"$work/twin", batchId = "all",
+        lineage = Some(recU))
+      .collect()
+    recU.frame(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe (l1 ++ l2).toSet
+
+    // the streamed form writes per-epoch lineage dirs with the same rows
+    val srcDir = Files.createTempDirectory("graft-sprep-lin-src").toString
+    val ckpt = checkpoint()
+    def feed(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(srcDir)
+    def runWave(): Unit = {
+      val input = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(srcDir)
+      val q = StreamingPrep.stream(input, "doc_id", "text",
+        s"$work/stables", s"$work/sout", ckpt,
+        lineageDir = Some(s"$work/slin"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    feed(epoch1); runWave()
+    feed(epoch2); runWave()
+    spark.read.parquet(s"$work/slin")
+      .select("doc_id", "stage", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe (l1 ++ l2).toSet
+  }
+
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-sprep-replay").toString
