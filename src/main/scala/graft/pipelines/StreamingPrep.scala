@@ -66,17 +66,39 @@ object StreamingPrep {
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
       gopherGate: Boolean = false,
+      fixEncoding: Boolean = false,
+      maxControlFrac: Double = 0.2,
       lineage: Option[TrainingData.LineageRecorder] = None): DataFrame = {
+    // 0-enc. optional Unicode/mojibake repair — the same map-only
+    // [[graft.operators.Encoding]] chain as the batch pipeline's 0-enc,
+    // at the same point: per-doc deterministic (epoch ≡ union holds),
+    // and repaired text is what enters the fingerprint table, so a
+    // mojibake twin of an accepted doc deduplicates instead of
+    // re-entering
+    val encFixed = if (!fixEncoding) batch else {
+      val pre = batch.withColumn("__enc0",
+          graft.operators.Encoding.normalizeConfusables(
+            graft.operators.Encoding.repairMojibake(col(textCol))))
+        .withColumn("__enc1",
+          graft.operators.Encoding.stripControls(col("__enc0")))
+      val keep = length(col("__enc0")) === 0 ||
+        (length(col("__enc0")) - length(col("__enc1"))).cast("double") <=
+          lit(maxControlFrac) * length(col("__enc0")).cast("double")
+      lineage.foreach(_.where("encoding", pre, keep,
+        lit(s"control_frac>$maxControlFrac")))
+      pre.where(keep).withColumn(textCol, col("__enc1"))
+        .drop("__enc0", "__enc1")
+    }
     // 0. optional literal-phrase blocklist — the same map-only
     // [[graft.operators.TextAnalysis.blocklistGate]] the batch pipeline
     // runs first, at the same point: per-doc deterministic, so it
     // commutes with the dedup fold (identical text gates identically)
     // and blocked docs never enter the fingerprint table
-    val listed0 = if (blocklistPhrases.isEmpty) batch
+    val listed0 = if (blocklistPhrases.isEmpty) encFixed
       else graft.operators.TextAnalysis.blocklistGate(
-        batch, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+        encFixed, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     if (blocklistPhrases.nonEmpty) lineage.foreach(
-      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", batch,
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", encFixed,
         listed0))
     // 0a2. optional Gopher rule gate — same map-only
     // [[graft.operators.TextAnalysis.gopherPass]] filter at the same
@@ -194,6 +216,8 @@ object StreamingPrep {
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
       gopherGate: Boolean = false,
+      fixEncoding: Boolean = false,
+      maxControlFrac: Double = 0.2,
       lineageDir: Option[String] = None): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -208,7 +232,8 @@ object StreamingPrep {
               lang, minQuality, nearDupThreshold, minhashK,
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
-              blocklistPhrases, blocklistMaxHits, gopherGate, rec)
+              blocklistPhrases, blocklistMaxHits, gopherGate,
+              fixEncoding, maxControlFrac, rec)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
           // lineage AFTER the survivor write: the epoch's state-table
           // dirs exist by now and the history reads exclude this

@@ -309,6 +309,41 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
       .toSet shouldBe (l1 ++ l2).toSet
   }
 
+  test("the encoding repair stage slots into the streaming pipeline at " +
+      "the batch pipeline's point: a mojibake twin of an accepted doc " +
+      "deduplicates cross-epoch") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def l1(x: String) = new String(x.getBytes(UTF_8), ISO_8859_1)
+    val work = Files.createTempDirectory("graft-sprep-enc").toString
+    val accented = goodDoc("at the café with naïve résumé rows here")
+    val e1 = Seq(61L -> accented,
+      62L -> goodDoc("plus aggregates and buckets and ranges in the plan"))
+    // epoch 2 re-sends the SAME doc as mojibake: with the stage on, the
+    // repaired text hits epoch 1's fingerprint and drops as exact dup
+    val e2 = Seq(71L -> l1(accented),
+      72L -> goodDoc("where filters and sorts and limits shape the result"))
+    def ep(docs: Seq[(Long, String)], id: String, fix: Boolean,
+        dir: String) = {
+      val rec = graft.pipelines.TrainingData.lineageRecorder("doc_id")
+      val surv = StreamingPrep.processBatch(docs.toDF("doc_id", "text"),
+          "doc_id", "text", s"$work/$dir", batchId = id,
+          fixEncoding = fix, lineage = Some(rec))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (surv, rec.frame(spark).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    }
+    ep(e1, "e1", fix = true, "tables")._1 shouldBe Set(61L, 62L)
+    val (s2, lin2) = ep(e2, "e2", fix = true, "tables")
+    s2 shouldBe Set(72L)
+    lin2(71L) shouldBe "exact_dedup" // repaired BEFORE fingerprinting
+    // stage off: the twin's raw bytes differ — it survives exact dedup
+    // (near-dup may still catch it only within whatever epoch pairs it)
+    ep(e1, "e1", fix = false, "tables2")
+    ep(e2, "e2", fix = false, "tables2")._2.get(71L) should
+      not be Some("exact_dedup")
+  }
+
   test("a replayed epoch recomputes the identical survivor set (retry safety)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-sprep-replay").toString
