@@ -1872,6 +1872,34 @@ object SparkEntry {
       graft.operators.Eval.calibrationBins(evalScores(s, d), "y", "s",
         0.0, 1.0, 16)),
 
+    // C4 line-level cleaning: documents are reshaped into LINES with
+    // one planted line per rule class (terminal punctuation, word
+    // floor, javascript boilerplate) plus doc_id-gated lorem/brace
+    // flag lines — the stage REWRITES docs by dropping offending
+    // lines where q178's gopher rules gate whole documents. Map-only
+    "q186_c4_lines" -> ((s, d) => {
+      val lines = concat_ws("\n",
+        concat(substring(col("text"), 1, 90), lit(" ends here.")),
+        lit("no terminal punctuation line fragment"),
+        lit("Too short."),
+        lit("Please enable javascript to continue with this page."),
+        concat(lit("Doc "), col("doc_id").cast("string"),
+          lit(" quoted line ends well?")),
+        when(col("doc_id") % 3 === 0,
+          lit("lorem ipsum dolor sit amet sits here."))
+          .otherwise(concat(substring(col("text"), 91, 60), lit("!"))),
+        when(col("doc_id") % 5 === 2,
+          lit("code marker { inside } line."))
+          .otherwise(lit("A final good sentence closes the document.")))
+      graft.operators.Lines.c4LineFilter(
+          t(s, d, "documents").select(col("doc_id"), lines.as("ltext")),
+          "doc_id", "ltext")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text")).as("text_md5"), col("has_brace"),
+          col("has_lorem"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode/mojibake repair (the ftfy-posture stage): documents are
     // decorated with GENERATED mojibake — single-encoded latin-1,
     // DOUBLE-encoded, and control/zero-width junk snippets computed by
@@ -5285,6 +5313,43 @@ object SparkEntry {
              CAST((s2 * 2000000 + 2 * n_pos * n_neg)
                // (4 * n_pos * n_neg) AS DOUBLE) / 1e6 END AS auc
          FROM ag""",
+
+    // q186: the planted line classes rebuilt and re-filtered with the
+    // identical keep predicate (terminal punct regex on the trimmed
+    // line, whitespace word floor, javascript contains) and doc flags
+    // on the ORIGINAL text
+    "q186_c4_lines" ->
+      """WITH lx AS (
+           SELECT doc_id,
+             substr(text, 1, 90) || ' ends here.' || chr(10) ||
+             'no terminal punctuation line fragment' || chr(10) ||
+             'Too short.' || chr(10) ||
+             'Please enable javascript to continue with this page.'
+               || chr(10) ||
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' quoted line ends well?'
+               || chr(10) ||
+             (CASE WHEN doc_id % 3 = 0
+               THEN 'lorem ipsum dolor sit amet sits here.'
+               ELSE substr(text, 91, 60) || '!' END) || chr(10) ||
+             (CASE WHEN doc_id % 5 = 2
+               THEN 'code marker { inside } line.'
+               ELSE 'A final good sentence closes the document.' END) AS lt
+           FROM documents),
+         k AS (
+           SELECT doc_id, len(string_split(lt, chr(10))) AS n_lines,
+             list_filter(string_split(lt, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"”]$')
+               AND len(list_filter(
+                 string_split_regex(trim(l), '\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(trim(l)), 'javascript')) AS ks,
+             contains(lt, '{') AS has_brace,
+             contains(lower(lt), 'lorem ipsum') AS has_lorem
+           FROM lx)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           md5(array_to_string(ks, chr(10))) AS text_md5,
+           has_brace, has_lorem
+         FROM k ORDER BY doc_id""",
 
     // q185: the decorated corpus re-fixed by the GENERATED replace
     // chain (Encoding.duckFixStages over the same MojibakeTable /

@@ -427,7 +427,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // one nBins-bounded hash aggregate + the 16-row battery sort
     "q184_calibration" -> 2,
     // map-only repair chain (generated replace cascade) + battery sort
-    "q185_fix_encoding" -> 1)
+    "q185_fix_encoding" -> 1,
+    // map-only line split/filter/rejoin + battery sort
+    "q186_c4_lines" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

