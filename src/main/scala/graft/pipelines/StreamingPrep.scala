@@ -68,6 +68,7 @@ object StreamingPrep {
       gopherGate: Boolean = false,
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
+      c4MinLineWords: Option[Int] = None,
       lineage: Option[TrainingData.LineageRecorder] = None): DataFrame = {
     // 0-enc. optional Unicode/mojibake repair — the same map-only
     // [[graft.operators.Encoding]] chain as the batch pipeline's 0-enc,
@@ -89,16 +90,35 @@ object StreamingPrep {
       pre.where(keep).withColumn(textCol, col("__enc1"))
         .drop("__enc0", "__enc1")
     }
+    // 0-lines. optional C4 line-level cleaning — the same map-only
+    // [[graft.operators.Lines]] rewrite + doc gate at the batch
+    // pipeline's 0-lines point; per-doc deterministic, so epoch ≡
+    // union holds and the REWRITTEN text is what fingerprints
+    val c4Gated = c4MinLineWords.fold(encFixed) { mw =>
+      val flagged = encFixed
+        .withColumn("__c4_brace", col(textCol).contains("{"))
+        .withColumn("__c4_lorem",
+          lower(col(textCol)).contains("lorem ipsum"))
+      val keep = !col("__c4_brace") && !col("__c4_lorem")
+      lineage.foreach(_.where("c4_doc", flagged, keep,
+        when(col("__c4_brace"), "contains_brace")
+          .otherwise("contains_lorem_ipsum")))
+      flagged.where(keep)
+        .withColumn(textCol, array_join(
+          filter(split(col(textCol), "\n"),
+            l => graft.operators.Lines.c4LineKeep(l, mw)), "\n"))
+        .drop("__c4_brace", "__c4_lorem")
+    }
     // 0. optional literal-phrase blocklist — the same map-only
     // [[graft.operators.TextAnalysis.blocklistGate]] the batch pipeline
     // runs first, at the same point: per-doc deterministic, so it
     // commutes with the dedup fold (identical text gates identically)
     // and blocked docs never enter the fingerprint table
-    val listed0 = if (blocklistPhrases.isEmpty) encFixed
+    val listed0 = if (blocklistPhrases.isEmpty) c4Gated
       else graft.operators.TextAnalysis.blocklistGate(
-        encFixed, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+        c4Gated, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     if (blocklistPhrases.nonEmpty) lineage.foreach(
-      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", encFixed,
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", c4Gated,
         listed0))
     // 0a2. optional Gopher rule gate — same map-only
     // [[graft.operators.TextAnalysis.gopherPass]] filter at the same
@@ -218,6 +238,7 @@ object StreamingPrep {
       gopherGate: Boolean = false,
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
+      c4MinLineWords: Option[Int] = None,
       lineageDir: Option[String] = None): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -233,7 +254,7 @@ object StreamingPrep {
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
               blocklistPhrases, blocklistMaxHits, gopherGate,
-              fixEncoding, maxControlFrac, rec)
+              fixEncoding, maxControlFrac, c4MinLineWords, rec)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
           // lineage AFTER the survivor write: the epoch's state-table
           // dirs exist by now and the history reads exclude this

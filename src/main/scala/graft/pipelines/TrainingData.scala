@@ -32,7 +32,11 @@ import graft.operators.Dedup
   * the [[graft.operators.Encoding]] mojibake/confusable/control repair
   * right after it (0-enc — map-only; docs whose text was mostly
   * control/binary junk drop with reason "control_frac", so binary
-  * garbage never reaches dedup), `blocklistPhrases` drops docs whose literal-phrase
+  * garbage never reaches dedup), `c4MinLineWords` then applies the C4
+  * line rules (0-lines — [[graft.operators.Lines]]: offending lines
+  * are REMOVED from each doc, and brace/lorem docs drop entirely with
+  * reason "contains_brace"/"contains_lorem_ipsum"),
+  * `blocklistPhrases` drops docs whose literal-phrase
   * occurrence total exceeds `blocklistMaxHits` BEFORE every other stage
   * (0a — [[graft.operators.TextAnalysis.blocklistGate]], map-only, so
   * blocked docs consume no domain-cap budget and never pay dedup),
@@ -177,6 +181,7 @@ object TrainingData {
       htmlMaxLinkDensity: Double = 0.5,
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
+      c4MinLineWords: Option[Int] = None,
       lineage: Option[LineageRecorder] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
@@ -216,6 +221,27 @@ object TrainingData {
       pre.where(keep).withColumn(textCol, col("__enc1"))
         .drop("__enc0", "__enc1")
     }
+    // 0-lines. optional C4 line-level cleaning ([[graft.operators.Lines]]):
+    // REWRITES each doc to its rule-passing lines and drops the C4
+    // doc-level offenders (code braces, lorem ipsum) with attribution —
+    // map-only like the encoding stage, per-doc deterministic (the
+    // streaming pipeline applies it at the same point), and docs whose
+    // every line fails fall out at the stage-2 tokenize gate
+    val c4Gated = c4MinLineWords.fold(encFixed) { mw =>
+      val flagged = encFixed
+        .withColumn("__c4_brace", col(textCol).contains("{"))
+        .withColumn("__c4_lorem",
+          lower(col(textCol)).contains("lorem ipsum"))
+      val keep = !col("__c4_brace") && !col("__c4_lorem")
+      lineage.foreach(_.where("c4_doc", flagged, keep,
+        when(col("__c4_brace"), "contains_brace")
+          .otherwise("contains_lorem_ipsum")))
+      flagged.where(keep)
+        .withColumn(textCol, array_join(
+          filter(split(col(textCol), "\n"),
+            l => graft.operators.Lines.c4LineKeep(l, mw)), "\n"))
+        .drop("__c4_brace", "__c4_lorem")
+    }
     // 0a. optional literal-phrase blocklist (the LDNOOBW gate) — map-only
     // ([[graft.operators.TextAnalysis.blocklistGate]]), so it runs before
     // EVERYTHING: a blocked doc consumes no domain-cap budget and never
@@ -223,11 +249,11 @@ object TrainingData {
     // pipeline applies the same gate at the same point (epoch ≡ union
     // holds — identical text gates identically, so exact-dup groups
     // drop or survive together)
-    val docs0 = if (blocklistPhrases.isEmpty) encFixed
+    val docs0 = if (blocklistPhrases.isEmpty) c4Gated
       else graft.operators.TextAnalysis.blocklistGate(
-        encFixed, idCol, textCol, blocklistPhrases, blocklistMaxHits)
+        c4Gated, idCol, textCol, blocklistPhrases, blocklistMaxHits)
     if (blocklistPhrases.nonEmpty) lineage.foreach(
-      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", encFixed,
+      _.diff("blocklist", s"phrase_hits>$blocklistMaxHits", c4Gated,
         docs0))
     // 0a2. optional Gopher rule gate ([[TextAnalysis.gopherPass]], the
     // q178 battery's NAMED bounds as one map-only filter) — per-doc

@@ -164,6 +164,42 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     offById.get(4L) should not be Some("encoding")
   }
 
+  test("the optional C4 line stage rewrites docs to their rule-passing " +
+      "lines and drops brace/lorem docs with lineage attribution") {
+    import spark.implicits._
+    val good = goodDoc("with joins and windows over rows and groups here.")
+    val docs = Seq(
+      // junk lines removed, the good line survives → doc passes gates
+      (1L, Seq("menu", good, "enable javascript please.").mkString("\n")),
+      // distinct bodies (no near-dup coupling with doc 1)
+      (2L, goodDoc("where filters and sorts and limits shape results.") +
+        "\nlorem ipsum dolor sit amet."), // doc-level drop
+      (3L, goodDoc("when groups and ranges and rollups cover the frame.") +
+        "\nif (x) { return; }"),          // doc-level drop
+      (4L, goodDoc("plus aggregates and buckets and ranges in the plan."))
+    ).toDF("doc_id", "text")
+    val rec = TrainingData.lineageRecorder("doc_id")
+    val out = TrainingData.clean(docs, "doc_id", "text",
+      cacheIntermediate = false, c4MinLineWords = Some(3),
+      lineage = Some(rec))
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+    rows.keySet shouldBe Set(1L, 4L)
+    // doc 1's surviving text is ONLY the good line (junk lines removed
+    // before tokenization — ws_tokens counts the rewritten text)
+    rows(1L) shouldBe good.split("\\s+").length.toLong
+    val byId = rec.frame(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    byId(2L) shouldBe ("c4_doc", "contains_lorem_ipsum")
+    byId(3L) shouldBe ("c4_doc", "contains_brace")
+    (rows.keySet ++ byId.keys) shouldBe Set(1L, 2L, 3L, 4L)
+    // stage off: every doc reaches the normal gates (braces and lorem
+    // are prose-legal there)
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L, 4L)
+  }
+
   test("crawl end-to-end: WARC files -> responses -> clean(htmlCol) " +
       "equals cleaning the same pages directly") {
     import spark.implicits._
