@@ -178,7 +178,13 @@ object Bench {
     def render(decimals: Int, keyFn: String => String): String = {
       val fmt = s"%.${decimals}f"
       def num(v: Double) = {
-        val s = fmt.formatLocal(java.util.Locale.ROOT, v)
+        // at the byte-pressured DECISECOND tier, >= 10 s values carry
+        // no useful signal in their tenth against a 2x anchor gate —
+        // render them whole to reclaim bytes for the sub-second bulk
+        // (the battery sits at that tier's ceiling; BENCH_ANCHORS.txt
+        // round-17 header note). Fuller tiers keep full precision.
+        val f = if (decimals == 1 && v >= 9.95) "%.0f" else fmt
+        val s = f.formatLocal(java.util.Locale.ROOT, v)
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         else s
       }
