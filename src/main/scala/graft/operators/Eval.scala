@@ -41,13 +41,13 @@ object Eval {
     * `//` both truncate, and the operands are non-negative so
     * truncation ≡ floor).
     */
-  private def micros(num: Column, den: Column): Column =
+  private[operators] def micros(num: Column, den: Column): Column =
     call_function("div", num * 2000000L + den, den * 2)
 
   /** The exact 6-decimal double from a micros Column — one division
     * by 1e6, exact for |micros| < 2^52.
     */
-  private def fromMicros(m: Column): Column = m.cast("double") / 1e6
+  private[operators] def fromMicros(m: Column): Column = m.cast("double") / 1e6
 
   /** Per-label classification report from (labelCol, predCol) rows:
     * (label, support, tp, fp, fn, precision, recall, f1), one row per

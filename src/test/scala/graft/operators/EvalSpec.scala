@@ -120,6 +120,34 @@ class EvalSpec extends AnyFunSuite with Matchers with SparkSpec {
       "a", "b").head().isNullAt(3) shouldBe true
   }
 
+  test("fixed-point micros equals BigDecimal HALF_UP at 6 decimals " +
+      "across random and boundary-sitting ratios") {
+    import spark.implicits._
+    // deterministic pseudo-random pairs + constructed .5-micro
+    // boundaries (n/d = (2m+1)k / (2·10⁶·k) sits EXACTLY on a half) —
+    // the class of value where round(double, 6) diverged cross-engine
+    // in r16
+    val rng = new scala.util.Random(17)
+    val random = Seq.fill(300)(
+      (rng.nextLong().abs % 4000000000000L,
+        rng.nextLong().abs % 1000000000L + 1))
+    val boundary = (1 to 50).map { m =>
+      val k = m % 7 + 1
+      ((2L * m + 1) * k, 2000000L * k)
+    }
+    val pairs = random ++ boundary ++ Seq((0L, 1L), (1L, 1L),
+      (4000000000000L, 1L), (1L, 2000000L), (3L, 2000000L))
+    val got = pairs.toDF("n", "d")
+      .select(col("n"), col("d"),
+        Eval.fromMicros(Eval.micros(col("n"), col("d"))).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (n, d, r) =>
+      val want = (BigDecimal(n) / BigDecimal(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      withClue(s"$n/$d: ") { r shouldBe want }
+    }
+  }
+
   test("calibration bins: counts, mean score, and positive rate per bin") {
     val out = Eval.calibrationBins(scored(
         (false, 0.1), (false, 0.15), (true, 0.2),   // bin 0: 1/3 pos
