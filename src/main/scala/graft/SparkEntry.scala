@@ -3290,7 +3290,8 @@ object SparkEntry {
           WHERE rank <= 5)
         SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_ref,
           CAST(count(c.vec_id) AS BIGINT) AS n_hit,
-          round(CAST(count(c.vec_id) AS DOUBLE) / count(*), 6) AS recall
+          CAST((count(c.vec_id) * 2000000 + count(*)) // (2 * count(*))
+            AS DOUBLE) / 1e6 AS recall
         FROM ref r LEFT JOIN cand c
           ON c.query_id = r.query_id AND c.vec_id = r.vec_id
         GROUP BY r.query_id ORDER BY r.query_id"""
@@ -3606,7 +3607,8 @@ object SparkEntry {
          FROM ideal WHERE ir <= 10 GROUP BY 1)
        SELECT i.query_id,
          CASE WHEN i.idcg = 0 THEN 0.0
-           ELSE round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / i.idcg, 6)
+           ELSE CAST((coalesce(d.dcg, 0) * 2000000 + i.idcg)
+             // (2 * i.idcg) AS DOUBLE) / 1e6
          END AS ndcg
        FROM idcg i LEFT JOIN dcg d USING (query_id)
        ORDER BY i.query_id"""
@@ -3627,7 +3629,8 @@ object SparkEntry {
        SELECT b.query_id,
          CAST(coalesce(f.fr, 0) AS BIGINT) AS first_rank,
          CASE WHEN f.fr IS NULL THEN 0.0
-           ELSE round(1.0 / f.fr, 6) END AS rr
+           ELSE CAST((2000000 + f.fr) // (2 * f.fr) AS DOUBLE) / 1e6
+           END AS rr
        FROM (SELECT DISTINCT query_id FROM rel) b
        LEFT JOIN fr f USING (query_id)
        ORDER BY b.query_id"""
@@ -3858,11 +3861,13 @@ object SparkEntry {
          FROM ${p}bwd WHERE r <= 4 GROUP BY 1),
        ${p}cand AS (
          SELECT f.src_id, f.tgt_id,
-           CAST(fn.sx AS DOUBLE) / fn.nx
-             + CAST(bn.sy AS DOUBLE) / bn.ny AS denom,
-           round(CAST(f.c AS DOUBLE) * 2
-             / (CAST(fn.sx AS DOUBLE) / fn.nx
-                + CAST(bn.sy AS DOUBLE) / bn.ny), 6) AS margin
+           fn.sx * bn.ny + bn.sy * fn.nx AS idenom,
+           CASE WHEN fn.sx * bn.ny + bn.sy * fn.nx > 0 THEN
+             CAST((CASE WHEN f.c < 0 THEN -1 ELSE 1 END)
+               * ((abs(2 * f.c * fn.nx * bn.ny) * 2000000
+                   + (fn.sx * bn.ny + bn.sy * fn.nx))
+                 // (2 * (fn.sx * bn.ny + bn.sy * fn.nx)))
+               AS DOUBLE) / 1e6 END AS margin
          FROM ${p}fwd f JOIN ${p}fnn fn USING (src_id)
            JOIN ${p}bnn bn USING (tgt_id)
          WHERE f.r <= 4),
@@ -3870,7 +3875,7 @@ object SparkEntry {
          SELECT src_id, tgt_id, margin,
            row_number() OVER (PARTITION BY src_id
              ORDER BY margin DESC, tgt_id) AS r
-         FROM ${p}cand WHERE denom > 0 AND margin >= 1.0)"""
+         FROM ${p}cand WHERE idenom > 0 AND margin >= 1.0)"""
 
   /** The exact-sweep candidate chain ending in `${p}c`. */
   private def bitextExactCand(p: String): String =
@@ -4047,15 +4052,16 @@ object SparkEntry {
        perq AS (
          SELECT g.ranker, g.query_id,
            CASE WHEN g.idcg = 0 THEN 0.0
-             ELSE round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / g.idcg, 6)
+             ELSE CAST((coalesce(d.dcg, 0) * 2000000 + g.idcg)
+               // (2 * g.idcg) AS DOUBLE) / 1e6
            END AS ndcg
          FROM (SELECT r.ranker, i.query_id, i.idcg
                FROM rankers r CROSS JOIN idcg i) g
          LEFT JOIN dcg d
            ON d.ranker = g.ranker AND d.query_id = g.query_id)
        SELECT ranker,
-         round(CAST(sum(CAST(round(ndcg * 1000000) AS BIGINT)) AS DOUBLE)
-           / (count(*) * 1e6), 6) AS mean_ndcg,
+         CAST((sum(CAST(round(ndcg * 1000000) AS BIGINT)) * 2
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_ndcg,
          CAST(count(*) AS BIGINT) AS n_queries
        FROM perq GROUP BY 1 ORDER BY 1"""
 
@@ -4534,25 +4540,27 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, n_words,
            CASE WHEN n_words > 0
-             THEN round(CAST(wchars AS DOUBLE) / n_words, 6) END
-             AS mean_word_len,
+             THEN CAST((wchars * 2000000 + n_words) // (2 * n_words)
+               AS DOUBLE) / 1e6 END AS mean_word_len,
            CASE WHEN n_words > 0
-             THEN round(CAST(symbols AS DOUBLE) / n_words, 6) END
-             AS symbol_ratio,
-           round(CAST(bullets AS DOUBLE) / nlines, 6) AS bullet_ratio,
-           round(CAST(ellip AS DOUBLE) / nlines, 6) AS ellipsis_ratio,
+             THEN CAST((symbols * 2000000 + n_words) // (2 * n_words)
+               AS DOUBLE) / 1e6 END AS symbol_ratio,
+           CAST((bullets * 2000000 + nlines) // (2 * nlines)
+             AS DOUBLE) / 1e6 AS bullet_ratio,
+           CAST((ellip * 2000000 + nlines) // (2 * nlines)
+             AS DOUBLE) / 1e6 AS ellipsis_ratio,
            CASE WHEN n_words > 0
-             THEN round(CAST(alpha AS DOUBLE) / n_words, 6) END
-             AS alpha_ratio,
+             THEN CAST((alpha * 2000000 + n_words) // (2 * n_words)
+               AS DOUBLE) / 1e6 END AS alpha_ratio,
            n_stopwords,
            (CASE WHEN n_words = 0 THEN false ELSE
              n_words BETWEEN 50 AND 100000
-             AND round(CAST(wchars AS DOUBLE) / n_words, 6)
-               BETWEEN 3.0 AND 10.0
-             AND round(CAST(symbols AS DOUBLE) / n_words, 6) <= 0.1
-             AND round(CAST(bullets AS DOUBLE) / nlines, 6) <= 0.9
-             AND round(CAST(ellip AS DOUBLE) / nlines, 6) <= 0.3
-             AND round(CAST(alpha AS DOUBLE) / n_words, 6) >= 0.8
+             AND (wchars * 2000000 + n_words) // (2 * n_words)
+               BETWEEN 3000000 AND 10000000
+             AND (symbols * 2000000 + n_words) // (2 * n_words) <= 100000
+             AND (bullets * 2000000 + nlines) // (2 * nlines) <= 900000
+             AND (ellip * 2000000 + nlines) // (2 * nlines) <= 300000
+             AND (alpha * 2000000 + n_words) // (2 * n_words) >= 800000
              AND n_stopwords >= 2 END) AS pass
          FROM m ORDER BY doc_id""",
 
@@ -5228,8 +5236,9 @@ object SparkEntry {
              AS BIGINT) AS n_correct,
            CAST(sum(CASE WHEN lm.tgt_id IS NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_missing,
-           round(1.0 - CAST(sum(CASE WHEN lm.tgt_id = em.tgt_id
-             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
+           CAST(((count(*) - sum(CASE WHEN lm.tgt_id = em.tgt_id
+               THEN 1 ELSE 0 END)) * 2000000 + count(*))
+             // (2 * count(*)) AS DOUBLE) / 1e6 AS error_rate
          FROM em LEFT JOIN lm USING (src_id)""",
     // q169: the Viterbi DP replayed as a recursive CTE (vocabulary
     // VALUES generated from DefaultVocab — see unigramOracleCtes)
@@ -5256,10 +5265,12 @@ object SparkEntry {
            CAST(sum(ws) AS BIGINT) AS ws_tokens,
            CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            CAST(sum(uni) AS BIGINT) AS unigram_pieces,
-           round(CASE WHEN sum(ws) > 0 THEN
-             CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS bpe_fertility,
-           round(CASE WHEN sum(ws) > 0 THEN
-             CAST(sum(uni) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS unigram_fertility
+           CASE WHEN sum(ws) > 0 THEN
+             CAST((CAST(sum(bpe) AS BIGINT) * 2000000 + CAST(sum(ws) AS BIGINT))
+               // (2 * CAST(sum(ws) AS BIGINT)) AS DOUBLE) / 1e6 END AS bpe_fertility,
+           CASE WHEN sum(ws) > 0 THEN
+             CAST((CAST(sum(uni) AS BIGINT) * 2000000 + CAST(sum(ws) AS BIGINT))
+               // (2 * CAST(sum(ws) AS BIGINT)) AS DOUBLE) / 1e6 END AS unigram_fertility
          FROM __uf GROUP BY lang ORDER BY lang""",
 
     // q182: ids off the SAME recursive-CTE segmentation (__udoc's
@@ -5458,9 +5469,10 @@ object SparkEntry {
                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
                WHEN s_es > 0 THEN 'es'
                ELSE 'und' END AS lang_pred,
-             round(0.5 * (len(list_distinct(w)) / len(w))
-                 + 0.3 * (s_en / len(w))
-                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
            FROM feat WHERE len(w) > 0),
          gated AS (
            SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
@@ -5794,9 +5806,10 @@ object SparkEntry {
 
     "q34_quality" ->
       """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-           round(0.5 * (len(list_distinct(w)) / len(w))
-               + 0.3 * (s_en / len(w))
-               + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
          FROM (
            SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
@@ -5825,10 +5838,12 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            CAST(sum(ws) AS BIGINT) AS ws_tokens,
-           round(CASE WHEN sum(ws) > 0 THEN
-             CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END, 6) AS fertility,
-           round(CASE WHEN sum(bpe) > 0 THEN
-             CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END, 6) AS chars_per_token
+           CASE WHEN sum(ws) > 0 THEN
+             CAST((CAST(sum(bpe) AS BIGINT) * 2000000 + CAST(sum(ws) AS BIGINT))
+               // (2 * CAST(sum(ws) AS BIGINT)) AS DOUBLE) / 1e6 END AS fertility,
+           CASE WHEN sum(bpe) > 0 THEN
+             CAST((CAST(sum(chars) AS BIGINT) * 2000000 + CAST(sum(bpe) AS BIGINT))
+               // (2 * CAST(sum(bpe) AS BIGINT)) AS DOUBLE) / 1e6 END AS chars_per_token
          FROM __fert_base GROUP BY lang ORDER BY lang""",
 
     "q36_fingerprint" ->
@@ -5984,9 +5999,10 @@ object SparkEntry {
                WHEN s_es > 0 THEN 'es'
                ELSE 'und' END AS lang_pred,
              CAST(len(w) AS BIGINT) AS n_words,
-             round(0.5 * (len(list_distinct(w)) / len(w))
-                 + 0.3 * (s_en / len(w))
-                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
            FROM feat WHERE len(w) > 0),
          gated AS (
            SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
@@ -6065,10 +6081,10 @@ object SparkEntry {
                ELSE 'und' END AS lang_pred
            FROM feat WHERE len(w) > 0)
          SELECT doc_id, lang_pred, CAST(len(w) AS BIGINT) AS n_words,
-           round(0.5 * (len(list_distinct(w)) / len(w))
-               + 0.3 * ((CASE lang_pred WHEN 'en' THEN s_en WHEN 'de' THEN s_de
-                         WHEN 'fr' THEN s_fr WHEN 'es' THEN s_es ELSE 0 END) / len(w))
-               + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+           CAST((((5 * len(list_distinct(w)) + 3 * (CASE lang_pred WHEN 'en' THEN s_en WHEN 'de' THEN s_de WHEN 'fr' THEN s_fr WHEN 'es' THEN s_es ELSE 0 END)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
          FROM langd ORDER BY doc_id""",
 
     // q27's candidate pairs -> undirected edges -> recursive min-label
@@ -6493,8 +6509,10 @@ object SparkEntry {
            GROUP BY 1, 2, 3)
          SELECT corpus_id, probe_id, CAST(overlap AS BIGINT) AS overlap,
            CAST(probe_size AS BIGINT) AS probe_size,
-           round(overlap / probe_size, 6) AS containment
-         FROM pairs WHERE round(overlap / probe_size, 6) >= 0.8
+           CAST((overlap * 2000000 + probe_size) // (2 * probe_size)
+             AS DOUBLE) / 1e6 AS containment
+         FROM pairs WHERE CAST((overlap * 2000000 + probe_size)
+           // (2 * probe_size) AS DOUBLE) / 1e6 >= 0.8
          ORDER BY corpus_id, probe_id""",
 
     "q84_repetition" ->
@@ -6510,8 +6528,10 @@ object SparkEntry {
                  count(*) AS distinct_grams, max(c) AS top_count
                FROM c GROUP BY doc_id)
          SELECT doc_id, n_grams,
-           round(1.0 - distinct_grams / n_grams, 6) AS dup_gram_frac,
-           round(top_count / n_grams, 6) AS top_gram_share
+           CAST(((n_grams - distinct_grams) * 2000000 + n_grams)
+             // (2 * n_grams) AS DOUBLE) / 1e6 AS dup_gram_frac,
+           CAST((top_count * 2000000 + n_grams)
+             // (2 * n_grams) AS DOUBLE) / 1e6 AS top_gram_share
          FROM s ORDER BY doc_id""",
 
     "q85_seq_pack" ->
@@ -6670,9 +6690,10 @@ object SparkEntry {
     "q108_quantile_floor" ->
       """WITH scored AS (
            SELECT doc_id, lang,
-             round(0.5 * (len(list_distinct(w)) / len(w))
-                 + 0.3 * (s_en / len(w))
-                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
            FROM (
              SELECT doc_id, lang,
                list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
@@ -6873,9 +6894,10 @@ object SparkEntry {
                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
                WHEN s_es > 0 THEN 'es'
                ELSE 'und' END AS lang_pred,
-             round(0.5 * (len(list_distinct(w)) / len(w))
-                 + 0.3 * (s_en / len(w))
-                 + 0.2 * least(1.0, len(w) / 250.0), 6) AS quality
+             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
            FROM feat WHERE len(w) > 0),
          gated AS (
            SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),

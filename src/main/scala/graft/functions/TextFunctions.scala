@@ -183,8 +183,16 @@ object TextFunctions {
   }
 
   /** Quality score in [0,1]: lexical diversity + stopword share + length
-    * credit. Mirrors the oracle SQL token-for-token (left-to-right Double
-    * arithmetic). Callers must pre-filter size(words) > 0.
+    * credit — `0.5·(distinct/n) + 0.3·(hits/n) + 0.2·min(1, n/250)`,
+    * computed EXACTLY as one fixed-point long division
+    * ([[graft.functions.FixedPoint]]): over the common denominator
+    * `1250·n` the numerator is the integer
+    * `(5·distinct + 3·hits)·125 + min(n, 250)·n`, so the half-up
+    * 6-decimal value is bit-identical across engines — the oracle
+    * replays the same integers (`round(double, 6)` on the summed
+    * ratios was the r16 divergence class). Callers must pre-filter
+    * size(words) > 0. Size contract: n·2.5·10⁹ must fit a long —
+    * per-document word counts < ~2·10⁶, with hits ≤ chars.
     *
     * `stopPattern` is the stopword-marker regex used for the stopword-share
     * term; the default is the English marker set (the battery's historical
@@ -193,13 +201,8 @@ object TextFunctions {
     * weighting systematically under-scores well-formed non-English prose.
     */
   def qualityScore(ws: Column, text: Column,
-      stopPattern: String = LangMarkers.head._2): Column = {
-    val nWords = size(ws)
-    val diversity = size(array_distinct(ws)) / nWords
-    val stopRatio = markerHits(text, stopPattern) / nWords
-    val lenScore = least(lit(1.0), nWords / lit(250.0))
-    round(lit(0.5) * diversity + lit(0.3) * stopRatio + lit(0.2) * lenScore, 6)
-  }
+      stopPattern: String = LangMarkers.head._2): Column =
+    qualityFixedPoint(ws, markerHits(text, stopPattern))
 
   /** [[qualityScore]] with the stopword term matched to a per-row language
     * column (as produced by [[langId]]): a French document's stopword share
@@ -208,13 +211,16 @@ object TextFunctions {
     * length alone.
     */
   def qualityScoreByLang(ws: Column, text: Column, lang: Column): Column = {
-    val nWords = size(ws)
-    val diversity = size(array_distinct(ws)) / nWords
     val hits = LangMarkers.foldRight(lit(0L): Column) { case ((l, p), acc) =>
       when(lang === l, markerHits(text, p)).otherwise(acc)
     }
-    val stopRatio = hits / nWords
-    val lenScore = least(lit(1.0), nWords / lit(250.0))
-    round(lit(0.5) * diversity + lit(0.3) * stopRatio + lit(0.2) * lenScore, 6)
+    qualityFixedPoint(ws, hits)
+  }
+
+  private def qualityFixedPoint(ws: Column, hits: Column): Column = {
+    val n = size(ws).cast("long")
+    val num = (size(array_distinct(ws)).cast("long") * 5 + hits * 3) *
+      125L + least(n, lit(250L)) * n
+    graft.functions.FixedPoint.ratio6(num, n * 1250L)
   }
 }

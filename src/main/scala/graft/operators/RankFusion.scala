@@ -151,8 +151,9 @@ object RankFusion {
     */
   private def ndcgRatio: org.apache.spark.sql.Column =
     when(col("__idcg") === 0, lit(0.0))
-      .otherwise(round(coalesce(col("__dcg"), lit(0L)).cast("double")
-        / col("__idcg").cast("double"), 6)).as("ndcg")
+      // dcg/idcg are integer micros — one fixed-point half-up division
+      .otherwise(graft.functions.FixedPoint.ratio6(
+        coalesce(col("__dcg"), lit(0L)), col("__idcg"))).as("ndcg")
 
   /** Side-by-side ranking-quality leaderboard: mean nDCG@k of several
     * NAMED retrieval runs against one shared judgment frame — "which
@@ -206,8 +207,12 @@ object RankFusion {
       .select(col("ranker"), ndcgRatio)
       .groupBy(col("ranker"))
       .agg(
-        round(sum(round(col("ndcg") * 1e6).cast("long")).cast("double")
-          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_ndcg"),
+        // mean of micro-quantized per-query ndcg as ONE fixed-point
+        // half-up long division (micros-sum / n), then the exact /1e6 —
+        // round(double, 6) on the mean was the r16 divergence class
+        graft.functions.FixedPoint.fromMicros(call_function("div",
+          sum(round(col("ndcg") * 1e6).cast("long")) * 2 + count(lit(1)),
+          count(lit(1)) * 2)).as("mean_ndcg"),
         count(lit(1)).as("n_queries"))
   }
 
@@ -234,7 +239,11 @@ object RankFusion {
       .select(col("query_id"),
         coalesce(col("__fr"), lit(0L)).cast("long").as("first_rank"),
         when(col("__fr").isNull, lit(0.0))
-          .otherwise(round(lit(1.0) / col("__fr").cast("double"), 6))
+          // fixed-point micros, never round(double, 6): 1/rank sits
+          // exactly on a 6-decimal half for ranks like 640 (2^7*5),
+          // where the engines' double rounding diverges (the r16 class)
+          .otherwise(graft.functions.FixedPoint.ratio6(
+            lit(1L), col("__fr").cast("long")))
           .as("rr"))
   }
 
@@ -251,7 +260,7 @@ object RankFusion {
       .agg(count(lit(1)).as("n_ref"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("query_id"), col("n_ref"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_ref").cast("double"), 6)
+        graft.functions.FixedPoint.ratio6(col("n_hit"), col("n_ref"))
           .as("recall"))
   }
 }

@@ -237,8 +237,12 @@ object Similarity {
         sum(col("__ok")).as("n_correct"),
         sum(col("__miss")).as("n_missing"))
       .select(col("n_gold"), col("n_correct"), col("n_missing"),
-        round(lit(1.0) - col("n_correct").cast("double")
-          / col("n_gold").cast("double"), 6).as("error_rate"))
+        // 1 - c/g computed as the exact ratio (g-c)/g in fixed-point
+        // micros; guarded BEFORE the n_gold filter below (ANSI integral
+        // division by zero throws where the old double division gave NaN)
+        when(col("n_gold") > 0, graft.functions.FixedPoint.ratio6(
+          col("n_gold") - col("n_correct"), col("n_gold")))
+          .as("error_rate"))
       // an EMPTY gold frame has no error rate to report: zero rows,
       // not one null-filled row (the global agg always emits a row)
       .where(col("n_gold") > 0)
@@ -268,12 +272,15 @@ object Similarity {
       .select(col("src_id"), col("__p._2").as("tgt_id"),
         col("__p._1").as("__c"), col("__sx"), col("__nx"))
       .join(sy, Seq("tgt_id"))
-      .withColumn("__denom",
-        col("__sx").cast("double") / col("__nx")
-          + col("__sy").cast("double") / col("__ny"))
-      .where(col("__denom") > 0)
-      .withColumn("margin",
-        round(col("__c").cast("double") * 2 / col("__denom"), 6))
+      // margin = 2c / (sx/nx + sy/ny) as the EXACT rational
+      // 2*c*nx*ny / (sx*ny + sy*nx), half-up fixed-point micros
+      // (signed: cosines can be negative) — the double-division form
+      // rounded with round(double, 6), the r16 divergence class
+      .withColumn("__iden",
+        col("__sx") * col("__ny") + col("__sy") * col("__nx"))
+      .where(col("__iden") > 0)
+      .withColumn("margin", graft.functions.FixedPoint.signedRatio6(
+        col("__c") * 2 * col("__nx") * col("__ny"), col("__iden")))
       .where(col("margin") >= minMargin)
       .groupBy(col("src_id"))
       .agg(best(round(col("margin") * 1e6).cast("long"),

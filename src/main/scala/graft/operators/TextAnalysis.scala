@@ -65,8 +65,13 @@ object TextAnalysis {
     val lines = org.apache.spark.sql.functions.split(text, "\n")
     val nW = size(w).cast("long")
     val nLines = size(lines).cast("long")
-    def ratio(num: Column, den: Column) =
-      round(num.cast("double") / den.cast("double"), 6)
+    // every threshold compares FIXED-POINT MICROS against an integer —
+    // pure long arithmetic end to end (graft.functions.FixedPoint), so
+    // a ratio landing exactly on a rule boundary decides identically
+    // in both engines (round(double, 6) does not — the r16 class);
+    // zero-word docs guard each division (ANSI integral div throws)
+    def microsOf(num: Column, den: Column) =
+      graft.functions.FixedPoint.micros(num, den)
     val wchars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
     val symbols = (regexp_count(text, lit("#")) +
       regexp_count(text, lit("\\.\\.\\."))).cast("long")
@@ -78,19 +83,20 @@ object TextAnalysis {
     val nStops = size(array_intersect(array_distinct(w),
       lit(stops.toArray))).cast("long")
     nW >= 50 && nW <= 100000 &&
-      when(nW > 0, ratio(wchars, nW).between(3.0, 10.0)).otherwise(false) &&
-      ratio(symbols, nW) <= 0.1 &&
-      ratio(bullets, nLines) <= 0.9 &&
-      ratio(ellip, nLines) <= 0.3 &&
-      ratio(alpha, nW) >= 0.8 &&
+      when(nW > 0, microsOf(wchars, nW).between(3000000L, 10000000L) &&
+        microsOf(symbols, nW) <= 100000L &&
+        microsOf(alpha, nW) >= 800000L).otherwise(false) &&
+      microsOf(bullets, nLines) <= 900000L && // split yields >= 1 line
+      microsOf(ellip, nLines) <= 300000L &&
       nStops >= 2
   }
 
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val w = col("__w"); val lines = col("__lines")
+    // fixed-point micros, never round(double, 6) — see [[gopherPass]]
     def ratio(num: Column, den: Column) =
-      round(num.cast("double") / den.cast("double"), 6)
+      graft.functions.FixedPoint.ratio6(num, den)
     docs
       .select(col(idCol), col(textCol).as("__t"),
         words(col(textCol)).as("__w"),
@@ -127,9 +133,11 @@ object TextAnalysis {
     * a tokenizer serves every language/source in a multilingual corpus
     * rather than fragmenting the low-resource ones. Exact integer sums in
     * one map-only projection + one hash aggregate per group; the two
-    * ratios are single IEEE divisions of those exact sums (rounded to 6),
-    * so an external engine reproduces them bit-for-bit. Groups with zero
-    * whitespace tokens yield NULL fertility rather than a crash.
+    * ratios are fixed-point half-up micros of those exact sums
+    * ([[graft.functions.FixedPoint]] — a corpus-sized token-sum ratio
+    * can land exactly on a 6-decimal half, where round(double, 6)
+    * diverges across engines). Groups with zero whitespace tokens
+    * yield NULL fertility rather than a crash.
     */
   def tokenizerFertility(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame =
@@ -142,12 +150,10 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(col("__bpe")).as("bpe_tokens"),
         sum(col("__ws")).as("ws_tokens"),
-        round(when(sum(col("__ws")) > 0,
-          sum(col("__bpe")).cast("double")
-            / sum(col("__ws")).cast("double")), 6).as("fertility"),
-        round(when(sum(col("__bpe")) > 0,
-          sum(col("__chars")).cast("double")
-            / sum(col("__bpe")).cast("double")), 6).as("chars_per_token"))
+        when(sum(col("__ws")) > 0, graft.functions.FixedPoint.ratio6(
+          sum(col("__bpe")), sum(col("__ws")))).as("fertility"),
+        when(sum(col("__bpe")) > 0, graft.functions.FixedPoint.ratio6(
+          sum(col("__chars")), sum(col("__bpe")))).as("chars_per_token"))
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
@@ -1197,9 +1203,14 @@ object TextAnalysis {
         graft.functions.GraftFunctions.repetition_stats(col("__w"), n).as("__r"))
       .select(col(idCol),
         col("__r.n_grams").as("n_grams"),
-        round(lit(1.0) - col("__r.distinct_grams") / col("__r.n_grams"), 6)
-          .as("dup_gram_frac"),
-        round(col("__r.top_count") / col("__r.n_grams"), 6).as("top_gram_share"))
+        // exact (n - distinct)/n and top/n in fixed-point micros --
+        // integer ratios, the round(double, 6) r16 divergence class
+        graft.functions.FixedPoint.ratio6(
+          (col("__r.n_grams") - col("__r.distinct_grams")).cast("long"),
+          col("__r.n_grams").cast("long")).as("dup_gram_frac"),
+        graft.functions.FixedPoint.ratio6(
+          col("__r.top_count").cast("long"),
+          col("__r.n_grams").cast("long")).as("top_gram_share"))
   }
 
   /** Benchmark decontamination, pair-report form: corpus documents whose
@@ -1239,7 +1250,9 @@ object TextAnalysis {
       .select(col("corpus_id"), col("probe_id"),
         col("overlap").cast("long").as("overlap"),
         col("probe_size").cast("long").as("probe_size"),
-        round(col("overlap") / col("probe_size"), 6).as("containment"))
+        graft.functions.FixedPoint.ratio6(
+          col("overlap").cast("long"), col("probe_size").cast("long"))
+          .as("containment"))
       .where(col("containment") >= threshold)
   }
 

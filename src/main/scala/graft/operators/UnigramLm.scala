@@ -150,12 +150,10 @@ object UnigramLm {
         sum(col("__ws")).as("ws_tokens"),
         sum(col("__bpe")).as("bpe_tokens"),
         sum(col("__uni")).as("unigram_pieces"),
-        round(when(sum(col("__ws")) > 0,
-          sum(col("__bpe")).cast("double")
-            / sum(col("__ws")).cast("double")), 6).as("bpe_fertility"),
-        round(when(sum(col("__ws")) > 0,
-          sum(col("__uni")).cast("double")
-            / sum(col("__ws")).cast("double")), 6).as("unigram_fertility"))
+        when(sum(col("__ws")) > 0, graft.functions.FixedPoint.ratio6(
+          sum(col("__bpe")), sum(col("__ws")))).as("bpe_fertility"),
+        when(sum(col("__ws")) > 0, graft.functions.FixedPoint.ratio6(
+          sum(col("__uni")), sum(col("__ws")))).as("unigram_fertility"))
 
   /** Full-EM unigram fit over a word histogram, at the driver (the
     * [[graft.functions.Bpe.trainFromCounts]] posture — cost bounded by
