@@ -45,6 +45,7 @@ object GraftFunctions {
     * [[graft.GraftExtensions]] (cluster-wide via `spark.sql.extensions`).
     */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ascii_clean" -> { exprs => AsciiClean(exprs(0)) },
     "cosine_sim" -> { exprs =>
       CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1)))
     },
@@ -240,6 +241,9 @@ object GraftFunctions {
 
   /** Cosine similarity between two array<float|double> columns. */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** True iff the string is printable-ASCII + tab/LF/CR (byte scan). */
+  def ascii_clean(c: Column): Column = call_function("ascii_clean", c)
 
   /** k-minimum MinHash signature of an array<string> shingle column. */
   def minhash(tokens: Column, k: Int, seed: Long = 7L): Column =

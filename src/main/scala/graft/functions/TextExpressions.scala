@@ -627,3 +627,61 @@ case class WinnowFingerprints(child: Expression, k: Int, win: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** True iff every byte of the string is printable ASCII (0x20–0x7E) or
+  * tab/LF/CR — the [[graft.operators.Encoding]] clean-row fast path:
+  * any suspect character (mojibake lead, confusable, control) has at
+  * least one byte OUTSIDE this set (non-ASCII chars by UTF-8 structure,
+  * controls directly), so an `ascii_clean` row is a PROVEN fixed point
+  * of the repair cascade. One branch-light byte scan with real codegen
+  * — this guard runs on EVERY row of a cleaning pipeline, where the
+  * equivalent `translate`/`rlike` tests measured 4–5 scan-passes
+  * (`tools/EncodingThroughputProbe`).
+  */
+case class AsciiClean(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ascii_clean"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      // signed byte: >= 0x80 is negative; controls are 0x00-0x1F/0x7F
+      if (b < 0x20 || b == 0x7f) {
+        if (b != 0x09 && b != 0x0a && b != 0x0d) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val ok = ctx.freshName("ok")
+      s"""
+         |int $n = $a.numBytes();
+         |boolean $ok = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $b = $a.getByte($i);
+         |  if ($b < 0x20 || $b == 0x7f) {
+         |    if ($b != 0x09 && $b != 0x0a && $b != 0x0d) {
+         |      $ok = false; break;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

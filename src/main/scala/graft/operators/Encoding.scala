@@ -126,9 +126,54 @@ object Encoding {
   def stripControls(c: Column): Column =
     regexp_replace(c, ControlCharClass, "")
 
-  /** The full fix: repair → normalize → strip. */
+  /** One character class covering every way a row can be non-clean:
+    * the mojibake tables' LEAD characters (every multi-char `from`
+    * starts with one, so a row without any cannot match any repair),
+    * the single-char confusable `from`s, and the control block. A row
+    * matching NOTHING in this class is a PROVEN fixed point of the
+    * whole [[fixText]] cascade — the basis of the suspect-guard
+    * fast path (measured 15× by `tools/EncodingThroughputProbe`:
+    * the ~200-replace cascade costs 15 scan-passes, so clean rows —
+    * the overwhelming majority of a real corpus — must not pay it).
+    */
+  val SuspectCharClass: String = {
+    val chars = (MojibakeTable.map(_._1.head) ++
+      ConfusablesTable.map(_._1).filter(_.length == 1).map(_.head))
+      .distinct.sorted
+    // \x{XXXX} escapes parse identically in Java regex and RE2
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F" +
+      chars.map(ch => f"\\x{${ch.toInt}%04x}").mkString + "]"
+  }
+
+  /** Every concrete character of [[SuspectCharClass]] as one string
+    * (the control ranges enumerated), for the translate-based guard.
+    */
+  private val SuspectChars: String =
+    (((0x00 to 0x08) ++ Seq(0x0B, 0x0C) ++ (0x0E to 0x1F) ++
+      (0x7F to 0x9F)).map(_.toChar) ++
+      MojibakeTable.map(_._1.head) ++
+      ConfusablesTable.map(_._1).filter(_.length == 1).map(_.head))
+      .distinct.mkString
+
+  /** The full fix: repair → normalize → strip, behind a TWO-STAGE
+    * guard: (1) `ascii_clean` — one codegen'd BYTE scan
+    * ([[graft.functions.AsciiClean]]); a printable-ASCII(+tab/LF/CR)
+    * row is a strict-superset test of [[SuspectCharClass]], so
+    * skipping is exact; (2) rows carrying non-ASCII take the precise
+    * suspect-char `translate` test, so legitimately-accented clean
+    * text also skips the cascade. Measured by
+    * `tools/EncodingThroughputProbe`: unguarded, the ~200-replace
+    * cascade costs ~15 scan-passes per value; the byte-scan guard
+    * returns clean-corpus cost to ~the md5-baseline pass. The DuckDB
+    * oracle replays the UNGUARDED chain ([[duckFixStages]]) — same
+    * results by the fixed-point argument, so the guards are invisible
+    * to the hash.
+    */
   def fixText(c: Column, passes: Int = 2): Column =
-    stripControls(normalizeConfusables(repairMojibake(c, passes)))
+    when(graft.functions.GraftFunctions.ascii_clean(c), c)
+      .when(length(translate(c, SuspectChars, "")) < length(c),
+        stripControls(normalizeConfusables(repairMojibake(c, passes))))
+      .otherwise(c)
 
   /** Frame-level stage: adds `<textCol>_fixed` plus the audit columns
     * `n_raw` / `n_fixed` (char counts before/after) and `changed`.

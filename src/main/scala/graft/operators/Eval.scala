@@ -269,4 +269,26 @@ object Eval {
         fromMicros(micros(col("__pos"), col("n"))).as("pos_rate"))
       .orderBy(col("bin"))
   }
+
+  /** Brier score — the proper scoring rule beside [[calibrationBins]]'
+    * reliability view: mean squared gap between the (micro-quantized)
+    * score and the 0/1 outcome, one row (n, brier). Fixed-point
+    * throughout: per-row gap `sm − y·10⁶` in micros, squared and
+    * summed as longs, ONE half-up division at the end —
+    * `brier·10⁶ = (2·Σgap² + n·10⁶) div (2·n·10⁶)`. Perfect
+    * confident predictions score 0, maximally wrong ones 1, the
+    * constant 0.5 scorer 0.25. Size contract: Σgap² ≤ n·10¹² must
+    * leave room for ·2 — judged holdouts ≤ ~4.6M rows.
+    */
+  def brierScore(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val gap = round(col(scoreCol).cast("double") * 1e6).cast("long") -
+      when(col(labelCol).cast("boolean"), 1000000L).otherwise(0L)
+    df.select(gap.as("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__g") * col("__g")).as("__ss"))
+      .select(col("n"),
+        when(col("n") > 0, fromMicros(call_function("div",
+          col("__ss") * 2 + col("n") * 1000000L,
+          col("n") * 2000000L))).as("brier"))
+  }
 }

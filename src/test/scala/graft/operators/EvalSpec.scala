@@ -120,6 +120,20 @@ class EvalSpec extends AnyFunSuite with Matchers with SparkSpec {
       "a", "b").head().isNullAt(3) shouldBe true
   }
 
+  test("Brier score: perfect 0, maximally wrong 1, constant-half 0.25, " +
+      "hand-computed mixed case, empty NULL") {
+    def brier(rows: (Boolean, Double)*): org.apache.spark.sql.Row =
+      Eval.brierScore(scored(rows: _*), "y", "s").head()
+    brier((true, 1.0), (false, 0.0)).getDouble(1) shouldBe 0.0
+    brier((true, 0.0), (false, 1.0)).getDouble(1) shouldBe 1.0
+    brier((true, 0.5), (false, 0.5)).getDouble(1) shouldBe 0.25
+    // hand: ((0.8-1)^2 + (0.3-0)^2) / 2 = (0.04 + 0.09) / 2 = 0.065
+    brier((true, 0.8), (false, 0.3)).getDouble(1) shouldBe 0.065
+    import spark.implicits._
+    Eval.brierScore(Seq.empty[(Boolean, Double)].toDF("y", "s"), "y", "s")
+      .head().isNullAt(1) shouldBe true
+  }
+
   test("fixed-point micros equals BigDecimal HALF_UP at 6 decimals " +
       "across random and boundary-sitting ratios") {
     import spark.implicits._
