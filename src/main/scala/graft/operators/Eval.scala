@@ -35,19 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Half-up micros of `num/den` (both long Columns, `num ≥ 0`,
-    * `den > 0`): `(num·2·10⁶ + den) div (2·den)` — pure long
-    * arithmetic, bit-identical across engines (Spark `div` and DuckDB
-    * `//` both truncate, and the operands are non-negative so
-    * truncation ≡ floor).
+  /** Delegates to [[graft.functions.FixedPoint]] — the battery-wide
+    * single definition of the half-up-micros discipline.
     */
   private[operators] def micros(num: Column, den: Column): Column =
-    call_function("div", num * 2000000L + den, den * 2)
+    graft.functions.FixedPoint.micros(num, den)
 
-  /** The exact 6-decimal double from a micros Column — one division
-    * by 1e6, exact for |micros| < 2^52.
-    */
-  private[operators] def fromMicros(m: Column): Column = m.cast("double") / 1e6
+  private[operators] def fromMicros(m: Column): Column =
+    graft.functions.FixedPoint.fromMicros(m)
 
   /** Per-label classification report from (labelCol, predCol) rows:
     * (label, support, tp, fp, fn, precision, recall, f1), one row per
