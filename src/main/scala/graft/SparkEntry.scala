@@ -6716,7 +6716,9 @@ object SparkEntry {
            WHERE word <> '' GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            round(log2(CAST(sum(c) AS DOUBLE))
-             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits
+             - CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e9)
+                 AS BIGINT)) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * 1e9), 4) AS entropy_bits
          FROM tc GROUP BY doc_id ORDER BY doc_id""",
 
     "q101_token_drift" ->

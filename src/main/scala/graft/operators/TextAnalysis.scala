@@ -202,11 +202,15 @@ object TextAnalysis {
     * drives it to 0, natural prose sits in between. Two hash aggregates
     * ((doc, token) counts, then per-doc), linear in corpus tokens, using
     * H = log2(n) - Σ c·log2(c) / n so one grouping level computes both
-    * the total and the sum. Rounded to 4 decimals: the per-term doubles
-    * carry engine-specific last-ulp log2 differences (measured: Spark and
-    * DuckDB log2 disagree in the last ulp on ~28% of integer inputs), so
-    * the oracle matches on the rounded value, same contract as the q98
-    * perplexity scorer. Documents with no tokens are absent.
+    * the total and the sum. The per-term values quantize to NANO-unit
+    * longs BEFORE summing — `round(c·log2(c)·1e9)` — so the aggregate
+    * is ORDER-INVARIANT (a raw double sum depends on partition merge
+    * order, i.e. nondeterministic run to run) and the engines' last-ulp
+    * log2 differences (measured: Spark and DuckDB log2 disagree in the
+    * last ulp on ~28% of integer inputs, ~1e-12 relative) vanish under
+    * the ~1e-3-of-a-nano rounding slack. One double division + the
+    * final round(4) remain, same contract as the q98 perplexity scorer.
+    * Documents with no tokens are absent.
     */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -215,10 +219,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("__slc"))
+        sum(round(col("c").cast("double") *
+          log2(col("c").cast("double")) * 1e9).cast("long")).as("__slc9"))
       .select(col("doc_id"), col("n_tokens"),
         round(log2(col("n_tokens").cast("double"))
-          - col("__slc") / col("n_tokens"), 4).as("entropy_bits"))
+          - col("__slc9").cast("double") /
+            (col("n_tokens").cast("double") * 1e9), 4).as("entropy_bits"))
 
   /** BM25 relevance of each document to the query `terms` (k1/b standard
     * defaults; Robertson-Spärck Jones idf with the +1 floor so common
