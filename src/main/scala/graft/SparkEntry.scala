@@ -4833,7 +4833,9 @@ object SparkEntry {
            LEFT JOIN cu USING (w3)
            CROSS JOIN m CROSS JOIN v)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(avg(bits), 4) AS bits
+           CAST((sum(CAST(round(bits * 1e6) AS BIGINT)) * 2
+               + count(*) * 100) // (count(*) * 200) AS DOUBLE) / 1e4
+             AS bits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     // perceptual image hash: replay the keyed-BMP pixel formula (pure
@@ -6779,7 +6781,9 @@ object SparkEntry {
            SELECT b.doc_id, -log2((cb.cb + 1.0) / (cu.cu + v.v)) AS bits
            FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(bits), 4) AS bits
+           CAST((sum(CAST(round(bits * 1e6) AS BIGINT)) * 2
+               + count(*) * 100) // (count(*) * 200) AS DOUBLE) / 1e4
+             AS bits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     // q98's scoring CTEs + exact tercile cuts (quantile_cont ≡ Spark's
@@ -6803,7 +6807,9 @@ object SparkEntry {
            FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
          sc AS (
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(avg(bits), 4) AS bits
+             CAST((sum(CAST(round(bits * 1e6) AS BIGINT)) * 2
+               + count(*) * 100) // (count(*) * 200) AS DOUBLE) / 1e4
+             AS bits
            FROM rows_ GROUP BY doc_id),
          cuts AS (
            SELECT round(quantile_cont(bits, 1.0 / 3), 9) AS c1,

@@ -53,10 +53,18 @@ object NgramLm {
       .join(cu, Seq("w1"), "left")
       .crossJoin(vocab) // one row; broadcast by size
       .select(col("doc_id"),
-        (-log2((coalesce(col("cb"), lit(0L)) + 1).cast("double")
-          / (coalesce(col("cu"), lit(0L)) + col("v")))).as("bits"))
+        // per-bigram bits rounded to 6 then quantized to micro-longs:
+        // the per-doc mean is then ONE order-invariant long sum + a
+        // fixed-point division (a raw double avg depends on partition
+        // merge order — nondeterministic run to run)
+        round(round(-log2((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("v"))), 6) * 1e6)
+          .cast("long").as("__bm"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 4).as("bits"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (call_function("div",
+          sum(col("__bm")) * 2 + count(lit(1)) * 100,
+          count(lit(1)) * 200).cast("double") / 1e4).as("bits"))
   }
 
   /** Self-scoring convenience: train on `docs`, score `docs`. */
@@ -177,9 +185,16 @@ object NgramLm {
           .when(col("cb").isNotNull,
             lit(0.4) * col("cb").cast("double") / col("c1x"))
           .otherwise(lit(0.16) * (coalesce(col("cu"), lit(0L)) + lit(1.0))
-            / (col("n") + col("v")))), 6).as("bits"))
+            / (col("n") + col("v")))), 6).as("__b6"))
+      .select(col("doc_id"),
+        round(col("__b6") * 1e6).cast("long").as("__bm"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("bits")), 4).as("bits"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        // order-invariant micro-long sum + one fixed-point division
+        // (see scoreBits)
+        (call_function("div",
+          sum(col("__bm")) * 2 + count(lit(1)) * 100,
+          count(lit(1)) * 200).cast("double") / 1e4).as("bits"))
   }
 
   def scoreBitsTrigram(docs: DataFrame, idCol: String, textCol: String,
