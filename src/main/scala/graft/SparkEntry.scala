@@ -6630,14 +6630,23 @@ object SparkEntry {
            SELECT i AS dim, sum(CAST(embedding[i] AS DECIMAL(38,12))) AS sb
            FROM (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i FROM eb)
            GROUP BY i),
+         mm AS (
+           SELECT
+             CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+               / (SELECT count(*) FROM ea) AS ma,
+             CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+               / (SELECT count(*) FROM eb) AS mb
+           FROM da JOIN db USING (dim)),
          dots AS (
-           SELECT sum(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) AS ab,
-             sum(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) AS aa,
-             sum(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) AS bb
-           FROM da JOIN db USING (dim))
+           SELECT sum(CAST(round(ma * mb * 1e12) AS BIGINT)) AS ab,
+             sum(CAST(round(ma * ma * 1e12) AS BIGINT)) AS aa,
+             sum(CAST(round(mb * mb * 1e12) AS BIGINT)) AS bb
+           FROM mm)
          SELECT (SELECT count(*) FROM ea) AS n_a,
            (SELECT count(*) FROM eb) AS n_b,
-           round(ab / sqrt(aa * bb), 6) AS centroid_cos
+           round(CAST(ab AS DOUBLE)
+             / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6)
+             AS centroid_cos
          FROM dots""",
 
     // positions are 1-based here vs Spark's 0-based posexplode — only

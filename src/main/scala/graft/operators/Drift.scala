@@ -58,13 +58,17 @@ object Drift {
     * semantic shift token counts can't see (same vocabulary, different
     * topics). Output: one row (n_a, n_b, centroid_cos).
     *
-    * Computed as the cosine of the per-dimension SUM vectors — identical
-    * to the cosine of the means (cosine is scale-invariant), so no
-    * count division enters the aggregate. Each slice collapses to
-    * `dim` rows in one hash aggregate (explode + group by dimension);
-    * the sums are DECIMAL(38,12)-exact, so they are order-independent
-    * and engine-replayable (the q99 trick), and the final cosine is
-    * arithmetic over `dim` values. Rounded to 6 decimals.
+    * Computed as the cosine of the per-dimension MEAN vectors (means,
+    * not sums, so per-dimension products stay in [-1, 1] regardless of
+    * corpus size; cosine is scale-invariant either way). Each slice
+    * collapses to `dim` rows in one hash aggregate (explode + group by
+    * dimension); the sums are DECIMAL(38,12)-exact (order-independent,
+    * engine-replayable — the q99 trick), the per-dimension products
+    * quantize to pico-unit longs (`round(ma·mb·1e12)`) so the THREE
+    * dot products are order-invariant long sums too (a raw double sum
+    * over the dim rows depends on partition merge order), and the
+    * final cosine is one double expression over three longs. Rounded
+    * to 6 decimals.
     */
   def embeddingCentroidCos(a: DataFrame, b: DataFrame,
       embCol: String): DataFrame = {
@@ -74,14 +78,19 @@ object Drift {
         .agg(sum(col("x").cast("decimal(38,12)")).as(sName))
     val na = a.agg(count(lit(1)).as("n_a")) // one row; broadcast
     val nb = b.agg(count(lit(1)).as("n_b"))
+    def pico(x: Column) = round(x * 1e12).cast("long")
     dimSums(a, "sa").join(dimSums(b, "sb"), Seq("dim"))
-      .select(col("sa").cast("double").as("sa"),
-        col("sb").cast("double").as("sb"))
-      .agg(sum(col("sa") * col("sb")).as("ab"),
-        sum(col("sa") * col("sa")).as("aa"),
-        sum(col("sb") * col("sb")).as("bb"))
       .crossJoin(na).crossJoin(nb)
       .select(col("n_a"), col("n_b"),
-        round(col("ab") / sqrt(col("aa") * col("bb")), 6).as("centroid_cos"))
+        (col("sa").cast("double") / col("n_a")).as("ma"),
+        (col("sb").cast("double") / col("n_b")).as("mb"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(pico(col("ma") * col("mb"))).as("ab"),
+        sum(pico(col("ma") * col("ma"))).as("aa"),
+        sum(pico(col("mb") * col("mb"))).as("bb"))
+      .select(col("n_a"), col("n_b"),
+        round(col("ab").cast("double") /
+          sqrt(col("aa").cast("double") * col("bb").cast("double")), 6)
+          .as("centroid_cos"))
   }
 }
