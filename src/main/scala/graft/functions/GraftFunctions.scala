@@ -46,6 +46,12 @@ object GraftFunctions {
     */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ascii_clean" -> { exprs => AsciiClean(exprs(0)) },
+    "fix_text" -> {
+      case Seq(child, Literal(p: Int, _)) => MojibakeFix(child, p)
+      case Seq(child) => MojibakeFix(child, 2)
+      case other => throw new IllegalArgumentException(
+        s"fix_text(text, passes literal); got ${other.size} args")
+    },
     "cosine_sim" -> { exprs =>
       CosineSimilarity(asDoubleArray(exprs(0)), asDoubleArray(exprs(1)))
     },

@@ -685,3 +685,72 @@ case class AsciiClean(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The [[graft.operators.Encoding]] repair cascade as ONE imperative
+  * expression — semantically identical to the declarative
+  * `replace`-chain fold over the same tables (MojibakeTable × passes,
+  * then ConfusablesTable, then the control strip), which the DuckDB
+  * oracle replays; this form exists because the 400-node generated
+  * chain bloated the stage's codegen (measured ~60 µs/row of cold-code
+  * overhead even for rows the guard skipped) where `java.lang.String
+  * .replace` is an intrinsified indexOf scan that RETURNS THE SAME
+  * OBJECT when the needle is absent. Rows with no suspect character
+  * (checked here in one pass over a precomputed char set) return the
+  * input untouched — the same fixed-point argument as the
+  * `ascii_clean` guard, one level more precise. CodegenFallback: one
+  * eval per row against O(table × chars) work amortizes the call
+  * overhead (the [[WordShingles]] precedent).
+  */
+case class MojibakeFix(child: Expression, passes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(passes >= 1, "passes must be >= 1")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    if (!MojibakeFix.hasSuspect(raw)) return input
+    var s = raw
+    var p = 0
+    while (p < passes) {
+      val t = MojibakeFix.moji
+      var i = 0
+      while (i < t.length) { s = s.replace(t(i)._1, t(i)._2); i += 1 }
+      p += 1
+    }
+    val cf = MojibakeFix.conf
+    var j = 0
+    while (j < cf.length) { s = s.replace(cf(j)._1, cf(j)._2); j += 1 }
+    UTF8String.fromString(
+      MojibakeFix.controls.matcher(s).replaceAll(""))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MojibakeFix {
+  private lazy val moji: Array[(String, String)] =
+    graft.operators.Encoding.MojibakeTable.toArray
+  private lazy val conf: Array[(String, String)] =
+    graft.operators.Encoding.ConfusablesTable.toArray
+  private lazy val controls: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      graft.operators.Encoding.ControlCharClass)
+  private lazy val suspect: java.util.BitSet = {
+    val bs = new java.util.BitSet(0x10000)
+    graft.operators.Encoding.SuspectChars.foreach(c => bs.set(c.toInt))
+    bs
+  }
+
+  private[functions] def hasSuspect(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (suspect.get(s.charAt(i).toInt)) return true
+      i += 1
+    }
+    false
+  }
+}

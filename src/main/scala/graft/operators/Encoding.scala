@@ -148,7 +148,7 @@ object Encoding {
   /** Every concrete character of [[SuspectCharClass]] as one string
     * (the control ranges enumerated), for the translate-based guard.
     */
-  private val SuspectChars: String =
+  private[graft] val SuspectChars: String =
     (((0x00 to 0x08) ++ Seq(0x0B, 0x0C) ++ (0x0E to 0x1F) ++
       (0x7F to 0x9F)).map(_.toChar) ++
       MojibakeTable.map(_._1.head) ++
@@ -159,21 +159,23 @@ object Encoding {
     * guard: (1) `ascii_clean` — one codegen'd BYTE scan
     * ([[graft.functions.AsciiClean]]); a printable-ASCII(+tab/LF/CR)
     * row is a strict-superset test of [[SuspectCharClass]], so
-    * skipping is exact; (2) rows carrying non-ASCII take the precise
-    * suspect-char `translate` test, so legitimately-accented clean
-    * text also skips the cascade. Measured by
-    * `tools/EncodingThroughputProbe`: unguarded, the ~200-replace
-    * cascade costs ~15 scan-passes per value; the byte-scan guard
-    * returns clean-corpus cost to ~the md5-baseline pass. The DuckDB
-    * oracle replays the UNGUARDED chain ([[duckFixStages]]) — same
-    * results by the fixed-point argument, so the guards are invisible
-    * to the hash.
+    * skipping is exact; (2) the cascade itself runs as the single
+    * imperative [[graft.functions.MojibakeFix]] expression (the SAME
+    * ordered tables — its first act is a precise suspect-char scan, so
+    * legitimately-accented clean text also passes through untouched).
+    * Measured by `tools/EncodingThroughputProbe`: the declarative
+    * ~200-replace chain cost ~15 scan-passes per value unguarded and
+    * still ~4 guarded (400 codegen nodes of cold code); the imperative
+    * form costs ~the md5-baseline pass on clean corpora. The DuckDB
+    * oracle replays the UNGUARDED declarative chain
+    * ([[duckFixStages]]) — identical results: `repairMojibake`/
+    * `normalizeConfusables`/`stripControls` remain the executable
+    * definition MojibakeFix mirrors table-for-table, pinned by
+    * `EncodingSpec`'s declarative ≡ imperative property.
     */
   def fixText(c: Column, passes: Int = 2): Column =
     when(graft.functions.GraftFunctions.ascii_clean(c), c)
-      .when(length(translate(c, SuspectChars, "")) < length(c),
-        stripControls(normalizeConfusables(repairMojibake(c, passes))))
-      .otherwise(c)
+      .otherwise(call_function("fix_text", c, lit(passes)))
 
   /** Frame-level stage: adds `<textCol>_fixed` plus the audit columns
     * `n_raw` / `n_fixed` (char counts before/after) and `changed`.
