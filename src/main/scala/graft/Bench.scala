@@ -175,15 +175,20 @@ object Bench {
     // (documented in BASELINE.md beside the qNN shortening).
     def ordKey(k: String) = shortKey(k).stripPrefix("q")
     val shortOk = results.map(r => shortKey(r._1)).distinct.size == results.size
-    def render(decimals: Int, keyFn: String => String): String = {
+    def render(decimals: Int, keyFn: String => String,
+        wholeFrom: Double = Double.MaxValue): String = {
       val fmt = s"%.${decimals}f"
       def num(v: Double) = {
-        // at the byte-pressured DECISECOND tier, >= 10 s values carry
-        // no useful signal in their tenth against a 2x anchor gate —
-        // render them whole to reclaim bytes for the sub-second bulk
-        // (the battery sits at that tier's ceiling; BENCH_ANCHORS.txt
-        // round-17 header note). Fuller tiers keep full precision.
-        val f = if (decimals == 1 && v >= 9.95) "%.0f" else fmt
+        // at the byte-pressured DECISECOND tiers, values at/above
+        // `wholeFrom` carry little signal in their tenth against a 2x
+        // anchor gate — render them whole to reclaim bytes for the
+        // sub-second bulk, where whole-second rounding would be
+        // catastrophic (0.4 -> "0"). The ladder lowers the threshold
+        // gradually (10 s -> 5 s -> 2 s: worst relative rounding error
+        // 5% -> 10% -> 25%) before any sub-2 s value loses its tenth
+        // (BENCH_ANCHORS.txt round-17 header note). Fuller tiers keep
+        // full precision.
+        val f = if (decimals == 1 && v >= wholeFrom) "%.0f" else fmt
         val s = f.formatLocal(java.util.Locale.ROOT, v)
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
         else s
@@ -201,17 +206,27 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed$flakyField$adjField,"queries":$qs,"sf":"$sf"}"""
     }
     val full: String => String = identity
+    val noWhole = Double.MaxValue
     // keys degrade BEFORE values: full names at full precision first,
-    // then unique-prefix keys, then bare ordinals, down through coarser
-    // values; coarser full-name renders only when shortening is
-    // unavailable
-    val attempts: Seq[(Int, String => String)] = Seq(3 -> full) ++
-      (if (shortOk) Seq[(Int, String => String)](
-        3 -> shortKey _, 2 -> shortKey _, 1 -> shortKey _,
-        1 -> ordKey _, 0 -> ordKey _)
-       else Seq[(Int, String => String)](2 -> full, 1 -> full)) :+
-      (0 -> full)
-    attempts.iterator.map { case (d, f) => render(d, f) }
+    // then unique-prefix keys, then bare ordinals; at the decisecond
+    // ordinal tier the whole-render threshold walks down 10 s -> 5 s ->
+    // 2 s before ANY sub-2 s value falls to the whole-second floor;
+    // coarser full-name renders only when shortening is unavailable
+    val attempts: Seq[(Int, String => String, Double)] =
+      Seq((3, full, noWhole)) ++
+      (if (shortOk) Seq[(Int, String => String, Double)](
+        (3, shortKey _, noWhole), (2, shortKey _, noWhole),
+        (1, shortKey _, 9.95),
+        (1, ordKey _, 9.95), (1, ordKey _, 4.95), (1, ordKey _, 1.95),
+        // the last graded step before the floor: >= 1 s rows whole
+        // (worst rounding error ~33% — still far better for the anchor
+        // gate than the floor's 0.4 -> "0")
+        (1, ordKey _, 0.95),
+        (0, ordKey _, noWhole))
+       else Seq[(Int, String => String, Double)](
+        (2, full, noWhole), (1, full, 9.95))) :+
+      ((0, full, noWhole))
+    attempts.iterator.map { case (d, f, w) => render(d, f, w) }
       .find(_.length <= maxLen)
       .getOrElse(render(0, if (shortOk) ordKey else full))
   }

@@ -101,6 +101,25 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // sub-second resolution survives to 185 via the ordinal tier
     Bench.jsonLine((1 to 185).map(i => f"q$i%02d_synthetic" -> 0.488),
       "/root/testdata/sf0.1") should include(":0.5")
+    // the graded whole-render tiers (10 s -> 5 s -> 2 s -> 1 s) carry a
+    // REALISTIC digit mix past the flat-decisecond ceiling: a 191-query
+    // battery shaped like the r16 driver line must keep the sub-second
+    // bulk's tenth (never the whole-second floor, where 0.4 -> "0"
+    // would poison the anchor gate) by rendering only its >= 1-2 s rows
+    // whole (simulated ceiling: 191 fits at the 1 s tier, 193 does not —
+    // the next battery row past 191 must free line bytes first)
+    val grownRealistic = (1 to 191).map { i =>
+      f"q$i%02d_synthetic" -> (if (i % 37 == 0) 10.0 + (i % 5)
+        else if (i % 7 == 0) 1.0 + (i % 40) / 10.0
+        else (i % 9 + 1) / 10.0)
+    }
+    val grLine = Bench.jsonLine(grownRealistic, "/root/testdata/sf0.1")
+    grLine.length should be <= 1840
+    grLine should include(":0.5") // the bulk keeps its tenth
+    // a 3.1 s row rides whichever graded tier the line landed on —
+    // whole ("3") under byte pressure, decisecond ("3.1") otherwise —
+    // but never disappears into "0"
+    grLine should (include(""""21":3.1""") or include(""""21":3,"""))
   }
 
   test("checked-in anchors parse and cover the battery at both SFs") {
