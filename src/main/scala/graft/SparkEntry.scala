@@ -1925,6 +1925,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Brier score over the q183/q184 score frame — the third
+    // calibration-family metric (mean squared score-outcome gap); one
+    // hash aggregate of per-row micro-long squares, fixed-point finish
+    "q187_brier" -> ((s, d) =>
+      graft.operators.Eval.brierScore(evalScores(s, d), "y", "s")),
+
+    // Bloom-accelerated cross-run exact dedup: every third document
+    // seeds the fingerprint history, then the FULL corpus arrives as a
+    // second batch routed through the history's Bloom filter — rows the
+    // filter rejects are definitely novel and skip the confirm
+    // anti-join entirely (map-only); the novel set is bit-identical to
+    // the plain path because the filter only ROUTES rows, never decides
+    // membership alone. High fpp forces real traffic down the confirm
+    // lane at battery scale
+    "q188_bloom_dedup" -> ((s, d) => {
+      val fpDir = java.nio.file.Files.createTempDirectory("graft-fpb-")
+        .resolve("fp_table").toString
+      val docs = t(s, d, "documents")
+      Dedup.incrementalExactDedup(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", fpDir, "seed") // fp write is eager in the call
+      Dedup.incrementalExactDedupBloom(docs, "doc_id", "text", fpDir,
+          "probe", fpp = 0.1)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip (S7 file formats beyond parquet/csv/json):
+    // lineitem written to ORC and read back must aggregate identically
+    // to the parquet original the oracle reads
+    "q189_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc-")
+        .resolve("li").toString
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // sentence segmentation over a synthesized PUNCTUATED corpus (the
     // raw fixture is punctuation-free word soup, so the decoration —
     // deterministic per (doc_id, word position): terminator runs,
@@ -5405,6 +5444,43 @@ object SparkEntry {
            CAST((pos * 2000000 + n) // (2 * n) AS DOUBLE) / 1e6
              AS pos_rate
          FROM g ORDER BY bin""",
+
+    // q187: per-row micro gap (round(s*1e6) — identical IEEE product,
+    // half-away-from-zero in both engines, the q184 quantization) minus
+    // the 0/1e6 label, one integer sum of squares, one half-up
+    // fixed-point division
+    "q187_brier" ->
+      s"""WITH $evalScoreCte,
+         g AS (
+           SELECT CAST(round(s * 1000000) AS BIGINT)
+             - CASE WHEN y THEN 1000000 ELSE 0 END AS g
+           FROM sc)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST((CAST(sum(g * g) AS BIGINT) * 2 + count(*) * 1000000)
+             // (2 * count(*) * 1000000) AS DOUBLE) / 1e6 AS brier
+         FROM g""",
+
+    // q188: the Bloom filter only routes rows between the map-only
+    // novel lane and the exact confirm join, so the novel set is the
+    // plain seen-set anti-join the oracle computes (null-safe via LEFT
+    // JOIN, not NOT IN)
+    "q188_bloom_dedup" ->
+      """WITH fp AS (
+           SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f,
+             doc_id
+           FROM documents),
+         seed AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+         reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+         SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
+         WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q189: the ORC round-trip must preserve values exactly — the
+    // oracle aggregates the parquet original
+    "q189_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR)
+             AS DOUBLE) AS total_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q171: the same decoration (two composed index lambdas), then the
     // protect/mark/split cascade replayed with the identical regexes

@@ -153,6 +153,74 @@ object Dedup {
     docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** [[incrementalExactDedup]] with a Bloom-filter fast path for the
+    * common case: most of an incoming batch is NOVEL, yet the plain path
+    * shuffles every batch fingerprint into an anti-join against the whole
+    * history table. Here the history is first folded into a Bloom filter
+    * (one aggregate over the 16-byte fp column, built with Spark's
+    * `DataFrameStatFunctions.bloomFilter`); batch rows the filter rejects
+    * are DEFINITELY novel — they skip the join entirely, leaving only the
+    * filter-positive sliver (true duplicates + the fpp share of false
+    * positives) to confirm against the history exactly. Results are
+    * BIT-IDENTICAL to the plain path for any filter contents: the Bloom
+    * filter only routes rows between the map-only lane and the exact
+    * confirm join, it never decides membership alone.
+    *
+    * Scale posture: the filter costs ~1.2·n·ln(1/fpp)/ln²2 bits driver-
+    * side (120 MB per 10⁸ history fps at fpp=0.01) and ships to executors
+    * once per stage via the task-binary broadcast. Histories past
+    * `maxFilterBytes` fall back to the plain anti-join — correct at any
+    * size, just without the fast path; at that scale keep a Bloom filter
+    * per history SHARD (date range, source) and call this per shard, or
+    * raise fpp: the confirm join absorbs false positives either way.
+    * Retry safety, batch-directory layout, and the materialize-before-
+    * write ordering are exactly [[incrementalExactDedup]]'s.
+    */
+  def incrementalExactDedupBloom(docs: DataFrame, idCol: String,
+      textCol: String, fpTablePath: String, batchId: String = null,
+      fpp: Double = 0.01, maxFilterBytes: Long = 256L << 20): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = docs.sparkSession
+    val bid = Option(batchId).getOrElse(
+      "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
+    val withFp = docs.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val batchReps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    val seen =
+      try spark.read.schema("fp STRING, batch STRING").parquet(fpTablePath)
+        .where(col("batch") =!= bid).select(col("fp"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
+      }
+    // the history is scanned at most twice (count + filter build, both
+    // digest-only column scans); n sizes the filter, and oversizing from
+    // cross-batch duplicate fps only LOWERS the realized fpp
+    val seenCount = seen.count()
+    val filterBytes =
+      math.ceil(-seenCount * math.log(fpp) / (math.log(2) * math.log(2)) / 8)
+    val novelPlan =
+      if (seenCount == 0) batchReps // first batch: no history to consult
+      else if (filterBytes > maxFilterBytes) // fall back, stay correct
+        batchReps.join(seen, Seq("fp"), "left_anti")
+      else {
+        val bloom = seen.stat.bloomFilter("fp", seenCount, fpp)
+        // null fp (null text) never equi-joins as seen — route it down
+        // the definitely-novel lane, exactly where the plain anti-join
+        // path leaves it
+        val mightBeSeen =
+          udf((fp: String) => fp != null && bloom.mightContain(fp))
+        batchReps.where(!mightBeSeen(col("fp")))
+          .unionByName(batchReps.where(mightBeSeen(col("fp")))
+            .join(seen, Seq("fp"), "left_anti"))
+      }
+    val novel = graft.io.Spill(novelPlan, "graft-novel-")
+    novel.select(col("fp")).write.mode("overwrite")
+      .parquet(s"$fpTablePath/batch=$bid")
+    docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** Compact the [[incrementalExactDedup]] fingerprint table: every call
     * adds a `batch=<id>/` directory, so at daily-batch cadence the "seen"
     * scan degrades into a small-files read (per-file open/footer overhead

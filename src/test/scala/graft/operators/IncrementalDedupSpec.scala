@@ -54,6 +54,76 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out3.count() shouldBe 0
   }
 
+  test("bloom-accelerated incremental dedup is bit-identical to the plain " +
+      "path across batches, fallback, retry, and null text") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fpb-").toString
+    val plainT = base + "/plain"; val bloomT = base + "/bloom"
+    val fallT = base + "/fall"
+
+    // batch 1 (empty history: the filter is skipped entirely) — a
+    // normalized in-batch dup, a null text, and novel rows
+    val batch1 = Seq(
+      (1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "THE  QUICK   brown FOX"), (4L, null: String),
+      (5L, "completely new text")).toDF("doc_id", "text")
+    // batch 2 — repeats of batch 1 (bloom-positive, confirmed seen), a
+    // fresh null text (must ride the definitely-novel lane, not NPE in
+    // the filter), and novel rows the filter rejects map-only
+    val batch2 = Seq(
+      (10L, "lorem ipsum dolor"), (11L, "the quick brown fox"),
+      (12L, "genuinely unseen text"), (13L, null: String),
+      (14L, "another novel document")).toDF("doc_id", "text")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq(batch1 -> "b1", batch2 -> "b2").foreach { case (b, bid) =>
+      val plain = ids(Dedup.incrementalExactDedup(b, "doc_id", "text",
+        plainT, bid))
+      val bloom = ids(Dedup.incrementalExactDedupBloom(b, "doc_id", "text",
+        bloomT, bid))
+      // maxFilterBytes = 0 forces the over-budget fallback lane
+      val fall = ids(Dedup.incrementalExactDedupBloom(b, "doc_id", "text",
+        fallT, bid, maxFilterBytes = 0L))
+      withClue(s"$bid: ") { bloom shouldBe plain; fall shouldBe plain }
+    }
+    // the persisted fingerprint tables agree row-for-row too
+    val fps = Seq(plainT, bloomT, fallT).map(t =>
+      spark.read.parquet(t).select("fp", "batch").collect()
+        .map(_.toSeq).toSet)
+    fps(1) shouldBe fps(0)
+    fps(2) shouldBe fps(0)
+
+    // a retried micro-batch re-emits its own documents (the replay must
+    // not consult its own first attempt's fingerprints via the filter)
+    val replay = ids(Dedup.incrementalExactDedupBloom(batch2, "doc_id",
+      "text", bloomT, "b2"))
+    replay shouldBe ids(Dedup.incrementalExactDedup(batch2, "doc_id",
+      "text", plainT, "b2"))
+
+    // larger generated corpus: 300 docs, every third a normalized repeat
+    // of an earlier text — enough volume that false positives would
+    // surface if the filter decided membership alone
+    val big1 = (1 to 300).map(i =>
+      (i.toLong, s"generated document number ${i % 200} content"))
+      .toDF("doc_id", "text")
+    val big2 = (301 to 600).map(i =>
+      (i.toLong, s"generated document number ${i % 350} content"))
+      .toDF("doc_id", "text")
+    Seq(big1 -> "g1", big2 -> "g2").foreach { case (b, bid) =>
+      val plain = ids(Dedup.incrementalExactDedup(b, "doc_id", "text",
+        plainT, bid))
+      val bloom = ids(Dedup.incrementalExactDedupBloom(b, "doc_id", "text",
+        bloomT, bid, fpp = 0.2)) // high fpp: exercise the confirm join
+      withClue(s"$bid: ") { bloom shouldBe plain }
+    }
+    // knob validation fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalExactDedupBloom(batch1, "doc_id", "text",
+        bloomT, "bx", fpp = 1.5)
+    }
+  }
+
   test("compaction folds batch dirs without changing the novel set") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-fpc-").toString + "/fp"
