@@ -1964,6 +1964,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // WordPiece (BERT-family) greedy longest-match segmentation —
+    // completes the tokenizer triad beside BPE (q35/q82) and
+    // unigram-LM (q169/q170/q182); map-only, the oracle replays the
+    // greedy walk with a recursive CTE over distinct words. Interior
+    // digits are absent from the vocabulary, so real fixture words
+    // exercise the all-or-nothing [UNK] collapse
+    "q190_wordpiece" -> ((s, d) =>
+      graft.operators.WordPiece.segment(t(s, d, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_unk_words"), md5(col("segmentation")).as("seg_md5"))
+        .orderBy(col("doc_id"))),
+
     // sentence segmentation over a synthesized PUNCTUATED corpus (the
     // raw fixture is punctuation-free word soup, so the decoration —
     // deterministic per (doc_id, word position): terminator runs,
@@ -2751,6 +2764,75 @@ object SparkEntry {
              SELECT o.doc_id, sum(ws.n_pieces) AS n_pieces, sum(ws.score) AS score,
                string_agg(ws.seg, ' ' ORDER BY o.p) AS segline
              FROM __uocc o JOIN __uwordseg ws USING (word)
+             GROUP BY o.doc_id) a ON d.doc_id = a.doc_id)"""
+  }
+
+  /** DuckDB replay of [[graft.functions.WordPieceSegment]]'s greedy
+    * longest-match walk: per DISTINCT word, the recursive CTE advances
+    * one piece per step — the longest candidate length whose surface
+    * form (`##`-prefixed at interior positions) is in the vocabulary —
+    * and a position with no match flips the failed flag, collapsing the
+    * word to `[UNK]` (the all-or-nothing rule). Per-doc frames then
+    * re-join words positionally, the q169 discipline.
+    */
+  private def wordpieceOracleCtes: String = {
+    val vocabValues = graft.operators.WordPiece.DefaultVocab
+      .map(p => s"('$p')").mkString(", ")
+    val maxL = graft.operators.WordPiece.DefaultMaxPieceLen
+    s"""__wv(piece) AS (VALUES $vocabValues),
+         __wvl AS (SELECT list(piece) AS l FROM __wv),
+         __wdw AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           FROM documents),
+         __wwords AS (SELECT DISTINCT unnest(w) AS word FROM __wdw),
+         __wstep(word, pos, np, seg, failed) AS (
+           SELECT word, 0, CAST(0 AS BIGINT), CAST('' AS VARCHAR), false
+           FROM __wwords
+           UNION ALL
+           SELECT word,
+             CASE WHEN bl IS NULL THEN CAST(len(word) AS INT)
+               ELSE pos + CAST(bl AS INT) END,
+             np + 1,
+             CASE WHEN bl IS NULL THEN seg
+               WHEN seg = '' THEN bp
+               ELSE seg || ' ' || bp END,
+             bl IS NULL
+           FROM (
+             SELECT word, pos, np, seg, bl,
+               CASE WHEN pos = 0 THEN substr(word, 1, CAST(bl AS INT))
+                 ELSE '##' || substr(word, pos + 1, CAST(bl AS INT)) END AS bp
+             FROM (
+               SELECT s.word, s.pos, s.np, s.seg,
+                 list_max(list_filter(
+                   range(1, least($maxL, len(s.word) - s.pos) + 1),
+                   ll -> list_contains(v.l,
+                     CASE WHEN s.pos = 0 THEN substr(s.word, 1, CAST(ll AS INT))
+                       ELSE '##' || substr(s.word, s.pos + 1, CAST(ll AS INT))
+                     END))) AS bl
+               FROM __wstep s, __wvl v
+               WHERE s.pos < len(s.word) AND NOT s.failed))),
+         __wwordseg AS (
+           SELECT word,
+             CASE WHEN failed THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces,
+             CASE WHEN failed THEN '[UNK]' ELSE seg END AS seg,
+             CASE WHEN failed THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS unk
+           FROM __wstep WHERE pos >= len(word)),
+         __wocc AS (
+           SELECT doc_id, CAST(p AS INT) AS p, w[CAST(p AS INT)] AS word
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM __wdw)),
+         __wdoc AS (
+           SELECT d.doc_id,
+             CAST(len(d.w) AS BIGINT) AS n_words,
+             CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+             CAST(coalesce(a.unk, 0) AS BIGINT) AS n_unk_words,
+             coalesce(a.segline, '') AS segline
+           FROM __wdw d LEFT JOIN (
+             SELECT o.doc_id, sum(ws.n_pieces) AS n_pieces,
+               sum(ws.unk) AS unk,
+               string_agg(ws.seg, ' ' ORDER BY o.p) AS segline
+             FROM __wocc o JOIN __wwordseg ws USING (word)
              GROUP BY o.doc_id) a ON d.doc_id = a.doc_id)"""
   }
 
@@ -5473,6 +5555,14 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q190: the greedy longest-match walk replayed per distinct word
+    // (recursive CTE), per-doc frames re-joined positionally
+    "q190_wordpiece" ->
+      s"""WITH RECURSIVE $wordpieceOracleCtes
+         SELECT doc_id, n_words, n_pieces, n_unk_words,
+           md5(segline) AS seg_md5
+         FROM __wdoc ORDER BY doc_id""",
 
     // q189: the ORC round-trip must preserve values exactly — the
     // oracle aggregates the parquet original

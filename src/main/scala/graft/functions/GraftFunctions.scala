@@ -78,6 +78,25 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"bpe_encode_ids(text, maxLen literal); got ${other.size} args")
     },
+    // WordPiece greedy longest-match segmentation: vocabulary as one
+    // foldable array of surface pieces (continuation forms carry their
+    // prefix), plus the prefix/unk/maxPieceLen literals
+    "wordpiece_segment" -> {
+      case Seq(child, ps, Literal(pref, StringType),
+          Literal(unk, StringType), Literal(maxLen: Int, _))
+          if ps.foldable =>
+        val pa = ps.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(pa != null, "wordpiece_segment: vocab must be non-null")
+        WordPieceSegment(child,
+          (0 until pa.numElements()).map(i => pa.getUTF8String(i).toString),
+          pref.toString, unk.toString, maxLen)
+      case other =>
+        throw new IllegalArgumentException(
+          "wordpiece_segment(words, pieces array<string> constant, " +
+            "contPrefix string literal, unkToken string literal, " +
+            s"maxPieceLen int literal); got ${other.size} args")
+    },
     // unigram-LM Viterbi segmentation: vocabulary as two parallel
     // foldable arrays (pieces, micro-log-probs) — plan constants like
     // phrase_hits' list; evaluated once at build, embedded in the

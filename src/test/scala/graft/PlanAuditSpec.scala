@@ -429,7 +429,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // map-only repair chain (generated replace cascade) + battery sort
     "q185_fix_encoding" -> 1,
     // map-only line split/filter/rejoin + battery sort
-    "q186_c4_lines" -> 1)
+    "q186_c4_lines" -> 1,
+    // map-only micro-gap projection + ONE whole-frame hash aggregate
+    "q187_brier" -> 1,
+    // the RETURNED plan: docs semi-join against the spilled novel ids
+    // + battery sort; the routing itself (groupBy reps, bloom lanes,
+    // confirm anti-join) ran at construction into the spill — its
+    // exchanges carry 16-byte digests only
+    "q188_bloom_dedup" -> 3,
+    // ORC scan + ONE partial/final hash agg + battery sort (the write
+    // ran at construction)
+    "q189_orc_roundtrip" -> 2,
+    // WordPiece greedy walk is one expression eval per doc — map-only
+    // + battery sort (the q169 posture)
+    "q190_wordpiece" -> 1)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** WordPiece greedy longest-match segmentation: the BERT all-or-nothing
+  * contract against hand-verified cases, reconstruction and counting
+  * invariants on the fixture corpus, and knob validation.
+  */
+class WordPieceSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def seg(words: String*): (Seq[String], Long) = {
+    import spark.implicits._
+    val row = Seq(Tuple1(words)).toDF("w")
+      .select(WordPiece.segmentWords(col("w")).as("s"))
+      .select(col("s.pieces"), col("s.n_unk_words")).head()
+    (row.getSeq[String](0), row.getLong(1))
+  }
+
+  test("greedy longest-match: the longest piece wins at every position") {
+    // "table" is one piece even though tab+##le also tiles it
+    seg("table")._1 shouldBe Seq("table")
+    // "tables": longest initial match "table", then continuation "##s"
+    seg("tables")._1 shouldBe Seq("table", "##s")
+    // "value" -> whole-word piece absent? present: "value"
+    seg("value")._1 shouldBe Seq("value")
+    // "values" -> "value" + "##s"
+    seg("values")._1 shouldBe Seq("value", "##s")
+    // "groups" -> "group" + "##s" (not gr+##oup+##s)
+    seg("groups")._1 shouldBe Seq("group", "##s")
+    // continuation pieces beat char-by-char: "cabin" = c ##a ##b ##in
+    seg("cabin")._1 shouldBe Seq("c", "##a", "##b", "##in")
+  }
+
+  test("all-or-nothing UNK: an unmatchable interior position collapses " +
+      "the whole word, and only that word — neighbors are untouched") {
+    // digits exist only word-initially in DefaultVocab
+    val (pieces, unk) = seg("a7b", "table")
+    pieces shouldBe Seq("[UNK]", "table")
+    unk shouldBe 1L
+  }
+
+  test("interior digits UNK; word-initial digits segment") {
+    seg("a7b") shouldBe (Seq("[UNK]"), 1L)
+    seg("7up") shouldBe (Seq("7", "##u", "##p"), 0L)
+    seg("x123") shouldBe (Seq("[UNK]"), 1L)
+  }
+
+  test("empty word arrays and multi-word ordering") {
+    seg()._1 shouldBe Seq.empty
+    val (pieces, unk) = seg("the", "fast", "query")
+    pieces shouldBe Seq("the", "fast", "query")
+    unk shouldBe 0L
+  }
+
+  test("fixture corpus invariants: reconstruction, counts, determinism") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = WordPiece.segment(docs, "doc_id", "text").cache()
+    try {
+      out.count() shouldBe docs.count()
+      // n_pieces >= n_words - n_unk... every non-UNK word yields >= 1
+      // piece and UNK words yield exactly 1
+      out.where(col("n_pieces") < col("n_words")).count() shouldBe 0
+      // stripping ## and [UNK] reconstructs the words modulo UNK: check
+      // on the docs with zero UNK words — the segmentation re-joined
+      // without prefixes equals the space-joined word list
+      val joined = docs
+        .select(col("doc_id"),
+          array_join(graft.functions.TextFunctions.words(col("text")), " ")
+            .as("orig"))
+        .join(out, "doc_id")
+        .where(col("n_unk_words") === 0)
+        .select(col("orig"),
+          regexp_replace(regexp_replace(col("segmentation"), " ##", ""),
+            "##", "").as("rebuilt"))
+      joined.count() should be > 0L
+      joined.where(col("orig") =!= col("rebuilt")).count() shouldBe 0
+      // deterministic across evaluations
+      val a = out.orderBy("doc_id").collect().map(_.toSeq)
+      val b = WordPiece.segment(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      a shouldBe b
+    } finally out.unpersist()
+  }
+
+  test("knob validation fails loud") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a"))).toDF("w")
+    intercept[Exception] {
+      df.select(WordPiece.segmentWords(col("w"), vocab = Seq("a", "a")))
+        .collect()
+    }
+    intercept[Exception] { // unk must not be a piece
+      df.select(WordPiece.segmentWords(col("w"),
+        vocab = Seq("a", "[UNK]"))).collect()
+    }
+    intercept[Exception] { // piece body over maxPieceLen
+      df.select(WordPiece.segmentWords(col("w"),
+        vocab = Seq("abcdefghij"), maxPieceLen = 4)).collect()
+    }
+  }
+}
