@@ -153,32 +153,51 @@ object Dedup {
     docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
-  /** [[incrementalExactDedup]] with a Bloom-filter fast path for the
-    * common case: most of an incoming batch is NOVEL, yet the plain path
-    * shuffles every batch fingerprint into an anti-join against the whole
-    * history table. Here the history is first folded into a Bloom filter
-    * (one aggregate over the 16-byte fp column, built with Spark's
-    * `DataFrameStatFunctions.bloomFilter`); batch rows the filter rejects
-    * are DEFINITELY novel — they skip the join entirely, leaving only the
-    * filter-positive sliver (true duplicates + the fpp share of false
-    * positives) to confirm against the history exactly. Results are
-    * BIT-IDENTICAL to the plain path for any filter contents: the Bloom
-    * filter only routes rows between the map-only lane and the exact
-    * confirm join, it never decides membership alone.
+  /** [[incrementalExactDedup]] with a PERSISTED Bloom-filter fast path
+    * for the common case: most of an incoming batch is NOVEL, yet the
+    * plain path shuffles every batch fingerprint into an anti-join
+    * against the whole history table, every batch. Here a filter over
+    * the history lives beside the table ([[graft.io.BloomStore]],
+    * `_bloom/gen-<n>`) and is MERGED forward with each batch's novel
+    * fingerprints, so steady state touches the history only through the
+    * confirm lane:
     *
-    * Scale posture: the filter costs ~1.2·n·ln(1/fpp)/ln²2 bits driver-
-    * side (120 MB per 10⁸ history fps at fpp=0.01) and ships to executors
-    * once per stage via the task-binary broadcast. Histories past
-    * `maxFilterBytes` fall back to the plain anti-join — correct at any
-    * size, just without the fast path; at that scale keep a Bloom filter
-    * per history SHARD (date range, source) and call this per shard, or
-    * raise fpp: the confirm join absorbs false positives either way.
-    * Retry safety, batch-directory layout, and the materialize-before-
-    * write ordering are exactly [[incrementalExactDedup]]'s.
+    *   - batch rows the filter rejects are DEFINITELY novel — map-only,
+    *     no history scan, no shuffle;
+    *   - the filter-positive sliver (true duplicates + the fpp share of
+    *     false positives) confirms exactly — broadcast back over one
+    *     map-only history scan when it fits `maxConfirmBroadcastRows`
+    *     (the history is never shuffled), the plain shuffle anti-join
+    *     past that.
+    *
+    * Results are BIT-IDENTICAL to the plain path for ANY filter
+    * contents: the filter only routes rows between lanes, it never
+    * decides membership alone. Correctness therefore rides on the
+    * filter never UNDER-claiming, which the store enforces two ways
+    * (see [[graft.io.BloomStore]]): the filter gains the batch's
+    * fingerprints BEFORE the batch directory is written (a crash
+    * between leaves an over-claiming filter — routes a few extra rows
+    * to the confirm lane, harmless), and a replayed micro-batch finds
+    * its own first-attempt fps in the filter, confirms against a
+    * history that EXCLUDES its own directory, and re-emits — the
+    * [[incrementalExactDedup]] retry contract.
+    *
+    * Scale posture: the filter costs ~1.2·n·ln(1/fpp)/ln²2 bits (120 MB
+    * per 10⁸ history fps at fpp=0.01), lives on the table's filesystem,
+    * and ships to executors once per stage via the task-binary
+    * broadcast. It is rebuilt from one digest-column scan only when
+    * absent or saturated (inserted > expected: realized fpp would
+    * drift); rebuild sizing doubles ahead of the observed count.
+    * Histories whose filter would exceed `maxFilterBytes` fall back to
+    * the plain anti-join — correct at any size; at that scale keep a
+    * filter per history SHARD (date range, source) and call per shard.
+    * Batch-directory layout and the materialize-before-write ordering
+    * are exactly [[incrementalExactDedup]]'s.
     */
   def incrementalExactDedupBloom(docs: DataFrame, idCol: String,
       textCol: String, fpTablePath: String, batchId: String = null,
-      fpp: Double = 0.01, maxFilterBytes: Long = 256L << 20): DataFrame = {
+      fpp: Double = 0.01, maxFilterBytes: Long = 256L << 20,
+      maxConfirmBroadcastRows: Long = 1L << 20): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val spark = docs.sparkSession
     val bid = Option(batchId).getOrElse(
@@ -194,28 +213,81 @@ object Dedup {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
       }
-    // the history is scanned at most twice (count + filter build, both
-    // digest-only column scans); n sizes the filter, and oversizing from
-    // cross-batch duplicate fps only LOWERS the realized fpp
-    val seenCount = seen.count()
-    val filterBytes =
-      math.ceil(-seenCount * math.log(fpp) / (math.log(2) * math.log(2)) / 8)
-    val novelPlan =
-      if (seenCount == 0) batchReps // first batch: no history to consult
-      else if (filterBytes > maxFilterBytes) // fall back, stay correct
-        batchReps.join(seen, Seq("fp"), "left_anti")
-      else {
-        val bloom = seen.stat.bloomFilter("fp", seenCount, fpp)
+    def filterBytes(n: Long) =
+      math.ceil(-n.max(1L) * math.log(fpp) / (math.log(2) * math.log(2)) / 8)
+
+    // load the persisted filter; rebuild from ONE history scan when
+    // absent or saturated; None past the byte budget (plain path)
+    val loaded = graft.io.BloomStore.load(spark, fpTablePath)
+      .filter { case (_, m) => m.inserted <= m.expected }
+    val filterState: Option[(org.apache.spark.util.sketch.BloomFilter,
+        graft.io.BloomStore.Meta)] = loaded.orElse {
+      val seenCount = seen.count()
+      if (seenCount == 0) {
+        // empty history: seed an empty filter sized for growth so the
+        // very next batch already has a cache to merge into
+        if (filterBytes(1L << 16) > maxFilterBytes) None
+        else Some((org.apache.spark.util.sketch.BloomFilter
+            .create(1L << 16, fpp),
+          graft.io.BloomStore.Meta(1L << 16, fpp, 0L)))
+      } else {
+        val expected = math.max(seenCount * 2, 1L << 16)
+        if (filterBytes(expected) > maxFilterBytes) None
+        else {
+          val bf = seen.where(col("fp").isNotNull)
+            .stat.bloomFilter("fp", expected, fpp)
+          Some((bf, graft.io.BloomStore.Meta(expected, fpp, seenCount)))
+        }
+      }
+    }
+
+    val novelPlan = filterState match {
+      case None => batchReps.join(seen, Seq("fp"), "left_anti")
+      case Some((bloom, _)) =>
         // null fp (null text) never equi-joins as seen — route it down
         // the definitely-novel lane, exactly where the plain anti-join
         // path leaves it
         val mightBeSeen =
           udf((fp: String) => fp != null && bloom.mightContain(fp))
-        batchReps.where(!mightBeSeen(col("fp")))
-          .unionByName(batchReps.where(mightBeSeen(col("fp")))
-            .join(seen, Seq("fp"), "left_anti"))
-      }
+        val definite = batchReps.where(!mightBeSeen(col("fp")))
+        val sliver = graft.io.Spill(
+          batchReps.where(mightBeSeen(col("fp"))), "graft-sliver-")
+        val sliverCount = sliver.count()
+        val confirmed =
+          if (sliverCount == 0) sliver // no history touch at all
+          else if (sliverCount <= maxConfirmBroadcastRows) {
+            // broadcast the sliver OVER the history (map-only semi scan,
+            // the history side never shuffles), then subtract the
+            // matches — both broadcasts bounded by the sliver
+            val matched = seen.join(broadcast(sliver.select(col("fp"))),
+              Seq("fp"), "left_semi").distinct() // <= sliver rows even
+                // when a fp recurs across history batch dirs
+            sliver.join(broadcast(matched), Seq("fp"), "left_anti")
+          } else sliver.join(seen, Seq("fp"), "left_anti")
+        definite.unionByName(confirmed)
+    }
     val novel = graft.io.Spill(novelPlan, "graft-novel-")
+
+    // SUPERSET-FIRST: the filter gains this batch's novel fps BEFORE
+    // the batch directory exists — a crash between the two leaves an
+    // over-claiming filter (safe), never an under-claiming one. The
+    // update itself is one bounded aggregate over the batch-sized novel
+    // frame, merged bit-wise (same expected/fpp => compatible layouts).
+    filterState.foreach { case (bloom, meta) =>
+      val novelNonNull = novel.where(col("fp").isNotNull)
+      val added = novelNonNull.count()
+      if (added > 0) {
+        // meta.fpp (not the call's fpp) so the layouts stay compatible
+        // with a filter persisted under different knobs
+        val update = novelNonNull.stat.bloomFilter("fp", meta.expected,
+          meta.fpp)
+        bloom.mergeInPlace(update)
+      }
+      // an unchanged, already-persisted filter needs no new generation
+      if (added > 0 || loaded.isEmpty)
+        graft.io.BloomStore.save(spark, fpTablePath, bloom,
+          meta.copy(inserted = meta.inserted + added))
+    }
     novel.select(col("fp")).write.mode("overwrite")
       .parquet(s"$fpTablePath/batch=$bid")
     docs.join(novel.select(col(idCol)), Seq(idCol), "left_semi")

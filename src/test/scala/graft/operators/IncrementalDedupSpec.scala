@@ -124,6 +124,68 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("the persisted filter is reused across batches, skips generation " +
+      "churn on all-repeat batches, and over-claiming is harmless") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-fpbs-").toString + "/fp"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val b1 = (1 to 50).map(i => (i.toLong, s"seed text number $i"))
+      .toDF("doc_id", "text")
+    ids(Dedup.incrementalExactDedupBloom(b1, "doc_id", "text",
+      table, "b1")) should have size 50
+    val gen1 = graft.io.BloomStore.latestGen(spark, table)
+    gen1 should be >= 0L
+    // the filter file sits under the underscore dir, invisible to the
+    // history parquet read
+    spark.read.parquet(table).count() shouldBe 50
+
+    // an all-repeat batch: nothing novel — the persisted filter routes
+    // every row to the confirm lane, and NO new generation is written
+    val b2 = (101 to 150).map(i => (i.toLong, s"seed text number ${i - 100}"))
+      .toDF("doc_id", "text")
+    ids(Dedup.incrementalExactDedupBloom(b2, "doc_id", "text",
+      table, "b2")) shouldBe empty
+    graft.io.BloomStore.latestGen(spark, table) shouldBe gen1
+
+    // a mixed batch advances the generation with only its novel fps
+    val b3 = Seq((200L, "seed text number 7"), (201L, "fresh text alpha"))
+      .toDF("doc_id", "text")
+    ids(Dedup.incrementalExactDedupBloom(b3, "doc_id", "text",
+      table, "b3")) shouldBe Set(201L)
+    graft.io.BloomStore.latestGen(spark, table) should be > gen1
+
+    // OVER-CLAIMING is harmless (the superset-first crash window): make
+    // the filter claim fps the table does not hold by deleting b3's
+    // batch directory — the exact outcome of a crash between the filter
+    // update and the table write. A rerun under a fresh id must still
+    // emit the doc: the filter routes it to the confirm lane, where the
+    // history (sans b3) holds nothing
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmr); f.delete()
+    }
+    rmr(new java.io.File(s"$table/batch=b3"))
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((301L, "fresh text alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "b3-retry")) shouldBe Set(301L)
+
+    // saturation: meta.inserted exceeding meta.expected forces a
+    // rebuild (new generation from one history scan) instead of letting
+    // the realized fpp drift unbounded
+    val genNow = graft.io.BloomStore.latestGen(spark, table)
+    val (bf, meta) = graft.io.BloomStore.load(spark, table).get
+    graft.io.BloomStore.save(spark, table, bf,
+      meta.copy(inserted = meta.expected + 1))
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((400L, "fresh text beta")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "b4")) shouldBe Set(400L)
+    val (_, meta2) = graft.io.BloomStore.load(spark, table).get
+    meta2.inserted should be <= meta2.expected
+    graft.io.BloomStore.latestGen(spark, table) should be > genNow
+  }
+
   test("compaction folds batch dirs without changing the novel set") {
     import spark.implicits._
     val table = java.nio.file.Files.createTempDirectory("graft-fpc-").toString + "/fp"
