@@ -69,6 +69,7 @@ object StreamingPrep {
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
       c4MinLineWords: Option[Int] = None,
+      bloomDedup: Boolean = false,
       lineage: Option[TrainingData.LineageRecorder] = None): DataFrame = {
     // 0-enc. optional Unicode/mojibake repair — the same map-only
     // [[graft.operators.Encoding]] chain as the batch pipeline's 0-enc,
@@ -131,9 +132,17 @@ object StreamingPrep {
     if (gopherGate) lineage.foreach(
       _.diff("gopher", "gopher_rules_fail", listed0, listed))
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
-    // against every earlier epoch's fingerprints
-    val novel = Dedup.incrementalExactDedup(
-      listed.select(col(idCol), col(textCol)), idCol, textCol,
+    // against every earlier epoch's fingerprints; `bloomDedup` routes
+    // through the persisted-filter fast path (bit-identical survivors
+    // by the [[Dedup.incrementalExactDedupBloom]] contract — the filter
+    // only routes rows, and its superset-first ordering survives epoch
+    // replays), which at continuous-ingestion cadence stops the epoch
+    // cost growing with the fingerprint history
+    val gatedDocs = listed.select(col(idCol), col(textCol))
+    val novel = if (bloomDedup)
+      Dedup.incrementalExactDedupBloom(gatedDocs, idCol, textCol,
+        s"$tablesDir/fps", batchId)
+    else Dedup.incrementalExactDedup(gatedDocs, idCol, textCol,
       s"$tablesDir/fps", batchId)
     lineage.foreach(
       _.diff("exact_dedup", "duplicate_text", listed, novel))
@@ -239,6 +248,7 @@ object StreamingPrep {
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
       c4MinLineWords: Option[Int] = None,
+      bloomDedup: Boolean = false,
       lineageDir: Option[String] = None): StreamingQuery =
     input.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -254,7 +264,8 @@ object StreamingPrep {
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
               blocklistPhrases, blocklistMaxHits, gopherGate,
-              fixEncoding, maxControlFrac, c4MinLineWords, rec)
+              fixEncoding, maxControlFrac, c4MinLineWords, bloomDedup,
+              rec)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")
           // lineage AFTER the survivor write: the epoch's state-table
           // dirs exist by now and the history reads exclude this

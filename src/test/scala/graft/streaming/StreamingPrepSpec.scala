@@ -77,6 +77,43 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
     oneShot shouldBe all
   }
 
+  test("bloomDedup routes epoch dedup through the persisted filter with " +
+      "bit-identical survivors, cross-epoch drops, and replay safety") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sprep-bsrc").toString
+    val work = Files.createTempDirectory("graft-sprep-b").toString
+    val ckpt = checkpoint()
+
+    def feed(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(srcDir)
+    def runWave(): Unit = {
+      val input = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(srcDir)
+      val q = StreamingPrep.stream(input, "doc_id", "text",
+        s"$work/tables", s"$work/out", ckpt, bloomDedup = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    feed(epoch1); runWave()
+    survivorsUnder(s"$work/out") shouldBe Set(1L, 4L)
+    feed(epoch2); runWave()
+    // same cross-epoch decisions as the plain path's pinned run above
+    survivorsUnder(s"$work/out") shouldBe Set(1L, 4L, 13L)
+    // the filter generations live beside the fingerprint table, hidden
+    // from the history parquet read
+    graft.io.BloomStore.latestGen(spark,
+      s"$work/tables/fps") should be >= 0L
+    // a replayed epoch recomputes identically (the filter holds the
+    // epoch's own fps, but the history read excludes its dir — the
+    // confirm lane re-admits them)
+    val replay = StreamingPrep.processBatch(epoch2.toDF("doc_id", "text"),
+        "doc_id", "text", s"$work/tables", batchId = "epoch-1",
+        bloomDedup = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    replay shouldBe Set(13L)
+  }
+
   test("the NB language gate slots into the streaming pipeline") {
     import spark.implicits._
     import graft.functions.TextFunctions.charGrams
