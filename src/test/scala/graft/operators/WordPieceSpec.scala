@@ -87,6 +87,47 @@ class WordPieceSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally out.unpersist()
   }
 
+  test("training: the likelihood criterion prefers exclusive pairs over " +
+      "frequent-part pairs, merges deterministically, covers singles") {
+    // "xy" occurs 5x and x,y occur ONLY together (score 5/(5*5)=0.2);
+    // "ab" occurs 10x but a,b are everywhere (a:30, b:30 -> 10/900).
+    // Frequency-ranked BPE would merge (a,##b) first; WordPiece must
+    // pick (x,##y).
+    val counts = Seq(
+      "xy" -> 5L, "ab" -> 10L,
+      "a" -> 10L, "b" -> 10L, "ba" -> 10L)
+    val vocab = WordPiece.trainFromCounts(counts, nMerges = 1)
+    vocab should contain("xy")
+    (vocab should not).contain("ab")
+    // every seen character form is covered
+    vocab should contain allOf ("a", "b", "x", "##y", "##b", "##a")
+    // determinism
+    WordPiece.trainFromCounts(counts, nMerges = 3) shouldBe
+      WordPiece.trainFromCounts(counts, nMerges = 3)
+  }
+
+  test("a trained vocabulary round-trips its own training corpus with " +
+      "zero UNK words and plugs into the segmenter") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").limit(100)
+    val vocab = WordPiece.train(docs, "text", nMerges = 50)
+    vocab.distinct.size shouldBe vocab.size
+    // segment the SAME corpus under the trained vocab: full coverage of
+    // seen characters means no word can fail
+    val seg = WordPiece.segment(docs, "doc_id", "text", vocab = vocab)
+    seg.agg(sum("n_unk_words")).head().getLong(0) shouldBe 0L
+    // merges actually compress: fewer pieces than characters
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("w"))
+    val nChars = words
+      .agg(sum(org.apache.spark.sql.functions.length(col("w"))))
+      .head().getLong(0)
+    val nPieces = seg.agg(sum("n_pieces")).head().getLong(0)
+    nPieces should be < nChars
+  }
+
   test("knob validation fails loud") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a"))).toDF("w")
