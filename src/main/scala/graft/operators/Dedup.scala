@@ -307,6 +307,11 @@ object Dedup {
     * a crash between write and delete only wastes space. Distinct-ness
     * also makes re-running compaction idempotent. Returns the number of
     * parquet data files under the table after compaction.
+    *
+    * The [[incrementalExactDedupBloom]] filter under `_bloom/` is left
+    * untouched and stays VALID: compaction rewrites layout without
+    * changing the fingerprint set, so the filter's superset contract
+    * holds (spec-pinned in `IncrementalDedupSpec`).
     */
   def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
       fpTablePath: String, excludeBatch: String = null,

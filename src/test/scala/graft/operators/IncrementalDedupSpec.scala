@@ -171,6 +171,16 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq((301L, "fresh text alpha")).toDF("doc_id", "text"),
       "doc_id", "text", table, "b3-retry")) shouldBe Set(301L)
 
+    // compaction interplay: folding the batch dirs rewrites layout
+    // without changing the fingerprint set, so the untouched filter
+    // stays a valid superset — decisions after compaction are identical
+    Dedup.compactFingerprints(spark, table)
+    graft.io.BloomStore.latestGen(spark, table) should be >= 0L
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((350L, "seed text number 9"), (351L, "fresh text gamma"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", table, "b3c")) shouldBe Set(351L)
+
     // saturation: meta.inserted exceeding meta.expected forces a
     // rebuild (new generation from one history scan) instead of letting
     // the realized fpp drift unbounded
