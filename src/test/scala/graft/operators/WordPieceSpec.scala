@@ -128,6 +128,55 @@ class WordPieceSpec extends AnyFunSuite with Matchers with SparkSpec {
     nPieces should be < nChars
   }
 
+  test("property: the expression equals an independent greedy-walk " +
+      "transcription (the oracle CTE's strategy) on arbitrary words") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the oracle's strategy, transcribed directly: at each position take
+    // the longest vocabulary match; any dead position collapses the word
+    def reference(w: String): (List[String], Boolean) = {
+      val vocab = WordPiece.DefaultVocab.toSet
+      val maxL = WordPiece.DefaultMaxPieceLen
+      var pos = 0
+      val acc = scala.collection.mutable.ListBuffer.empty[String]
+      while (pos < w.length) {
+        val hit = (math.min(maxL, w.length - pos) to 1 by -1).iterator
+          .map { l =>
+            if (pos == 0) w.substring(0, l)
+            else WordPiece.ContPrefix + w.substring(pos, pos + l)
+          }.find(vocab.contains)
+        hit match {
+          case Some(p) =>
+            acc += p
+            pos += (if (pos == 0) p.length
+              else p.length - WordPiece.ContPrefix.length)
+          case None => return (List(WordPiece.UnkToken), true)
+        }
+      }
+      (acc.toList, false)
+    }
+    // piece-rich alphabet so random words actually hit multi-char
+    // pieces, plus digits to exercise the UNK collapse
+    val charGen: Gen[Char] = Gen.frequency(
+      (8, Gen.oneOf("tablevaluegroupdatsrow".toSeq)),
+      (2, Gen.alphaLowerChar), (1, Gen.numChar))
+    val wordGen: Gen[String] = Gen.chooseNum(1, 16)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val prop = Prop.forAll(Gen.listOfN(6, wordGen)) { ws =>
+      val (pieces, unk) = seg(ws: _*)
+      val expected = ws.filter(_.nonEmpty).map(reference)
+      pieces == expected.flatMap(_._1) &&
+        unk == expected.count(_._2).toLong &&
+        // reconstruction on the non-UNK prefix-stripped pieces
+        expected.filterNot(_._2).map(_._1.map(p =>
+          p.stripPrefix(WordPiece.ContPrefix)).mkString).forall { rebuilt =>
+          ws.contains(rebuilt)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(120), prop)
+    withClue(res.status) { res.passed shouldBe true }
+  }
+
   test("knob validation fails loud") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a"))).toDF("w")
