@@ -1964,6 +1964,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Spark 4's recursive CTE (WITH RECURSIVE) — the hierarchy-walk /
+    // reachability surface the engine gained in 4.0: part keys form a
+    // 10-ary tree (child k under parent k div 10), walked from part 1
+    // with per-level accounting. Tree edges mean one parent per node —
+    // no duplicate paths — and the frontier empties past the key
+    // ceiling, so UNION ALL terminates naturally; each recursive step
+    // is one EQUI join (child's parent = frontier key), the same
+    // iterative-join shape the PageRank loop runs
+    "q191_recursive_cte" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_v")
+      s.sql("""WITH RECURSIVE walk(pk, lvl) AS (
+                 SELECT CAST(1 AS BIGINT), 0
+                 UNION ALL
+                 SELECT p.p_partkey, w.lvl + 1
+                 FROM part_v p JOIN walk w ON p.p_partkey DIV 10 = w.pk)
+               SELECT lvl, count(*) AS cnt,
+                 CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(38,9)))
+                   AS STRING) AS DOUBLE) AS price_sum
+               FROM walk JOIN part_v p2 ON walk.pk = p2.p_partkey
+               GROUP BY lvl ORDER BY lvl""")
+    }),
+
     // WordPiece (BERT-family) greedy longest-match segmentation —
     // completes the tokenizer triad beside BPE (q35/q82) and
     // unigram-LM (q169/q170/q182); map-only, the oracle replays the
@@ -5555,6 +5577,20 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q191: the identical tree walk — DuckDB integer division is //
+    // where Spark's is DIV, otherwise statement-for-statement
+    "q191_recursive_cte" ->
+      """WITH RECURSIVE walk(pk, lvl) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION ALL
+           SELECT p.p_partkey, w.lvl + 1
+           FROM part p JOIN walk w ON p.p_partkey // 10 = w.pk)
+         SELECT lvl, count(*) AS cnt,
+           CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(38,9)))
+             AS VARCHAR) AS DOUBLE) AS price_sum
+         FROM walk JOIN part p2 ON walk.pk = p2.p_partkey
+         GROUP BY lvl ORDER BY lvl""",
 
     // q190: the greedy longest-match walk replayed per distinct word
     // (recursive CTE), per-doc frames re-joined positionally

@@ -442,7 +442,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q189_orc_roundtrip" -> 2,
     // WordPiece greedy walk is one expression eval per doc — map-only
     // + battery sort (the q169 posture)
-    "q190_wordpiece" -> 1)
+    "q190_wordpiece" -> 1,
+    // the recursive-CTE walk: the UnionLoop's per-step equi join, the
+    // level rollup's partial/final pair, the final part join, and the
+    // battery sort — iterative-join shaped by definition (the q99 class)
+    "q191_recursive_cte" -> 7)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
