@@ -101,14 +101,15 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     // sub-second resolution survives to 185 via the ordinal tier
     Bench.jsonLine((1 to 185).map(i => f"q$i%02d_synthetic" -> 0.488),
       "/root/testdata/sf0.1") should include(":0.5")
-    // the graded whole-render tiers (10 s -> 5 s -> 2 s -> 1 s) carry a
-    // REALISTIC digit mix past the flat-decisecond ceiling: a 191-query
+    // the graded whole-render tiers (10 s -> 5 s -> 2 s -> 1 s), plus
+    // the LEAN wrapper (failed absent-means-0, whole total), carry a
+    // REALISTIC digit mix past the flat-decisecond ceiling: a 193-query
     // battery shaped like the r16 driver line must keep the sub-second
     // bulk's tenth (never the whole-second floor, where 0.4 -> "0"
     // would poison the anchor gate) by rendering only its >= 1-2 s rows
-    // whole (simulated ceiling: 191 fits at the 1 s tier, 193 does not —
-    // the next battery row past 191 must free line bytes first)
-    val grownRealistic = (1 to 191).map { i =>
+    // whole (simulated ceiling: 193 fits lean at the 1 s tier, 195 does
+    // not — the next battery row past 193 must free line bytes first)
+    val grownRealistic = (1 to 193).map { i =>
       f"q$i%02d_synthetic" -> (if (i % 37 == 0) 10.0 + (i % 5)
         else if (i % 7 == 0) 1.0 + (i % 40) / 10.0
         else (i % 9 + 1) / 10.0)
