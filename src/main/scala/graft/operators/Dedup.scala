@@ -217,8 +217,11 @@ object Dedup {
       math.ceil(-n.max(1L) * math.log(fpp) / (math.log(2) * math.log(2)) / 8)
 
     // load the persisted filter; rebuild from ONE history scan when
-    // absent or saturated; None past the byte budget (plain path)
-    val loaded = graft.io.BloomStore.load(spark, fpTablePath)
+    // absent, saturated, or unreadable (the filter is a CACHE — a torn
+    // or corrupt artifact must cost a rebuild, not fail the batch);
+    // None past the byte budget (plain path)
+    val loaded = scala.util.Try(graft.io.BloomStore.load(spark, fpTablePath))
+      .getOrElse(None)
       .filter { case (_, m) => m.inserted <= m.expected }
     val filterState: Option[(org.apache.spark.util.sketch.BloomFilter,
         graft.io.BloomStore.Meta)] = loaded.orElse {

@@ -194,6 +194,18 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     val (_, meta2) = graft.io.BloomStore.load(spark, table).get
     meta2.inserted should be <= meta2.expected
     graft.io.BloomStore.latestGen(spark, table) should be > genNow
+
+    // a corrupt filter artifact is a CACHE failure, not a batch
+    // failure: truncate the latest .bf and the next call rebuilds
+    val gen = graft.io.BloomStore.latestGen(spark, table)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_bloom/gen-$gen.bf"),
+      Array[Byte](1, 2, 3))
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((500L, "fresh text delta"), (501L, "fresh text beta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", table, "b5")) shouldBe Set(500L)
+    graft.io.BloomStore.load(spark, table).isDefined shouldBe true
   }
 
   test("compaction folds batch dirs without changing the novel set") {
