@@ -153,6 +153,33 @@ object SparkEntry {
     when(col("doc_id") % 6 === 0, lit("&fbclid=IwAR2xYz")).otherwise(lit("")),
     when(col("doc_id") % 9 === 0, lit("#ref-2")).otherwise(lit("")))
 
+  /** Synthetic robots.txt body for q192 — one fixed file applied to the
+    * `.example.org` hosts of [[syntheticUrl]]: a multi-agent header
+    * group with wildcard/anchored rules for graftbot (longest-match and
+    * allow-tie cases land on real doc paths) and a `*` fallback group.
+    * The oracle parses the IDENTICAL text (concat_ws of these lines).
+    */
+  private val robotsFixtureLines: Seq[String] = Seq(
+    "# synthetic robots fixture",
+    "User-agent: FancyBot",
+    "User-agent: graftbot",
+    "Disallow: /p/1*",
+    "Allow: /p/12*$",
+    "Disallow: /*lang=de$",
+    "Crawl-delay: 3",
+    "",
+    "User-agent: *",
+    "Disallow: /p/*9")
+
+  /** Nested-replace chain escaping regex metacharacters (all but `*`)
+    * of a DuckDB string expression — the oracle's half of the robots
+    * pattern-to-regex translation ([[graft.functions.RobotsDecide]]'s
+    * scaladoc); `*` then becomes `.*` at the call site.
+    */
+  private def reEscSql(expr: String): String =
+    Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$")
+      .foldLeft(expr)((acc, c) => s"replace($acc, '$c', '\\$c')")
+
   /** Deterministic synthetic PQ codebook for q121 — m=4 subspaces x
     * ksub=8 centroids x dsub=16 dims over the 64-dim embeddings; every
     * centroid is integer arithmetic / 8 (a dyadic rational, exact in
@@ -1962,6 +1989,26 @@ object SparkEntry {
       s.read.orc(dir).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("total_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // robots.txt gating (RFC 9309 subset) — the crawl-politeness stage
+    // between WARC ingestion and the URL/domain family: the fixture
+    // body is parsed ONCE per `.example.org` host (group selection for
+    // agent graftbot: named groups beat the * fallback), each URL's
+    // path-and-query is judged by the longest matching rule (allow
+    // wins ties, trailing $ anchors, missing robots row = allowed).
+    // The parsed rule table broadcasts; the decision is map-only
+    "q192_robots_gate" -> ((s, d) => {
+      val R = graft.operators.Robots
+      val urls = t(s, d, "documents").withColumn("url", syntheticUrl)
+      val robots = urls.select(R.urlHost(col("url")).as("host")).distinct()
+        .where(col("host").endsWith(".example.org"))
+        .withColumn("body", lit(robotsFixtureLines.mkString("\n")))
+      R.gate(urls, "url",
+          broadcast(R.parse(robots, "host", "body", "graftbot")))
+        .select(col("doc_id"), R.urlHost(col("url")).as("host"),
+          col("allowed"))
+        .orderBy(col("doc_id"))
     }),
 
     // Spark 4's recursive CTE (WITH RECURSIVE) — the hierarchy-walk /
@@ -5577,6 +5624,71 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q192: the robots parse replayed line-by-line (comment strip,
+    // directive split, user-agent-run grouping via lag + running sum,
+    // group selection for graftbot), then the longest-match decision
+    // with each pattern translated to an anchored regex (metachar
+    // escape chain, * -> .*, trailing-$ anchor; specificity excludes
+    // the $). Non-.example.org hosts carry no robots row -> allowed
+    "q192_robots_gate" -> {
+      val bodySql = robotsFixtureLines
+        .map(l => "'" + l + "'").mkString("concat_ws(chr(10), ", ", ", ")")
+      val core = "CASE WHEN r.pattern LIKE '%$' " +
+        "THEN substr(r.pattern, 1, length(r.pattern) - 1) " +
+        "ELSE r.pattern END"
+      val pq = "regexp_extract(h.url, " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?][^#]*)', 1)"
+      s"""WITH $urlDomainCtes,
+         rb AS (SELECT $bodySql AS body),
+         rl AS (
+           SELECT CAST(p AS INT) AS i, l[CAST(p AS INT)] AS raw
+           FROM (SELECT l, unnest(range(1, len(l) + 1)) AS p
+                 FROM (SELECT string_split(body, chr(10)) AS l FROM rb))),
+         dv AS (
+           SELECT i,
+             lower(trim(substr(line, 1, strpos(line, ':') - 1))) AS name,
+             trim(substr(line, strpos(line, ':') + 1)) AS value
+           FROM (SELECT i, trim(CASE WHEN strpos(raw, '#') > 0
+                    THEN substr(raw, 1, strpos(raw, '#') - 1)
+                    ELSE raw END) AS line
+                 FROM rl)
+           WHERE strpos(line, ':') > 1),
+         g0 AS (
+           SELECT i, name, value,
+             CASE WHEN name = 'user-agent' AND
+                 coalesce(lag(name) OVER (ORDER BY i), '') <> 'user-agent'
+               THEN 1 ELSE 0 END AS new_g
+           FROM dv),
+         g AS (SELECT i, name, value,
+             sum(new_g) OVER (ORDER BY i) AS gid FROM g0),
+         ag AS (SELECT gid, list(lower(value)) AS ags
+           FROM g WHERE name = 'user-agent' AND value <> '' GROUP BY gid),
+         named AS (SELECT gid FROM ag WHERE list_contains(ags, 'graftbot')),
+         sel AS (SELECT gid FROM named
+           UNION ALL
+           SELECT gid FROM ag WHERE list_contains(ags, '*')
+             AND NOT EXISTS (SELECT 1 FROM named)),
+         rsel AS (SELECT g.value AS pattern, g.name = 'allow' AS allow
+           FROM g JOIN sel USING (gid)
+           WHERE g.name IN ('allow', 'disallow') AND g.value <> ''),
+         up AS (SELECT h.doc_id, h.host,
+             CASE WHEN $pq = '' THEN '/' ELSE $pq END AS pathq
+           FROM h),
+         m AS (SELECT up.doc_id, r.allow, length($core) AS clen
+           FROM up, rsel r
+           WHERE up.host LIKE '%.example.org'
+             AND regexp_matches(up.pathq,
+               '^' || replace(${reEscSql(core)}, '*', '.*')
+                   || CASE WHEN r.pattern LIKE '%$$' THEN '$$' ELSE '' END)),
+         best AS (SELECT doc_id, max(clen) AS mc FROM m GROUP BY doc_id),
+         verdict AS (SELECT m.doc_id, bool_or(m.allow) AS allowed
+           FROM m JOIN best b ON m.doc_id = b.doc_id AND m.clen = b.mc
+           GROUP BY m.doc_id)
+         SELECT up.doc_id, up.host, coalesce(v.allowed, true) AS allowed
+         FROM up LEFT JOIN verdict v USING (doc_id)
+         ORDER BY up.doc_id"""
+    },
 
     // q191: the identical tree walk — DuckDB integer division is //
     // where Spark's is DIV, otherwise statement-for-statement

@@ -78,6 +78,17 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"bpe_encode_ids(text, maxLen literal); got ${other.size} args")
     },
+    // robots.txt parse (per host) and longest-match decision (per URL)
+    "robots_select" -> {
+      case Seq(body, agent) => RobotsSelect(body, agent)
+      case other => throw new IllegalArgumentException(
+        s"robots_select(body, agent); got ${other.size} args")
+    },
+    "robots_decide" -> {
+      case Seq(path, patterns, allows) => RobotsDecide(path, patterns, allows)
+      case other => throw new IllegalArgumentException(
+        s"robots_decide(pathq, patterns, allows); got ${other.size} args")
+    },
     // WordPiece greedy longest-match segmentation: vocabulary as one
     // foldable array of surface pieces (continuation forms carry their
     // prefix), plus the prefix/unk/maxPieceLen literals

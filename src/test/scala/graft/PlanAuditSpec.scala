@@ -446,7 +446,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the recursive-CTE walk: the UnionLoop's per-step equi join, the
     // level rollup's partial/final pair, the final part join, and the
     // battery sort — iterative-join shaped by definition (the q99 class)
-    "q191_recursive_cte" -> 7)
+    "q191_recursive_cte" -> 7,
+    // host distinct for the robots frame + the broadcast of the parsed
+    // rules + the battery sort; the per-URL decision is map-only
+    "q192_robots_gate" -> 6)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
