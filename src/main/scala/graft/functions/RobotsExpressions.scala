@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * octets). Directive names and agent tokens compare case-insensitive;
   * pattern values keep their case. `#` starts a comment; rules with an
   * empty value are dropped (the conventional empty-Disallow = no
-  * restriction). A `user-agent` line opens a new group unless the
+  * restriction). `crawl-delay` attaches to its group (first valid
+  * non-negative value wins within a group; the smallest among the
+  * SELECTED groups is returned); `sitemap` values are global and
+  * returned in file order. A `user-agent` line opens a new group unless the
   * previous directive was also `user-agent` (multi-agent headers share
   * one group); rules before any group header are ignored; blank and
   * unrecognized lines are transparent.
@@ -42,6 +45,11 @@ case class RobotsSelect(left: Expression, right: Expression)
     StructField("patterns", ArrayType(StringType, containsNull = false),
       nullable = false),
     StructField("allows", ArrayType(BooleanType, containsNull = false),
+      nullable = false),
+    // smallest valid crawl-delay among the selected groups (null: none)
+    StructField("crawl_delay", DoubleType, nullable = true),
+    // every sitemap URL in the file, in order (global per RFC)
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
       nullable = false)))
 
   override def prettyName: String = "robots_select"
@@ -50,10 +58,15 @@ case class RobotsSelect(left: Expression, right: Expression)
     val body = bodyAny.asInstanceOf[UTF8String].toString
     val agent = agentAny.asInstanceOf[UTF8String].toString
       .toLowerCase(java.util.Locale.ROOT)
-    // parse into groups: (agents, rules(pattern, allow))
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[(String, Boolean)])]
+    // parse into groups: (agents, rules(pattern, allow), crawlDelay)
+    final class Group {
+      val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rules =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      var crawlDelay: Option[Double] = None
+    }
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var inUaRun = false
     body.split("\n", -1).foreach { raw =>
       val noComment = {
@@ -68,25 +81,32 @@ case class RobotsSelect(left: Expression, right: Expression)
         val value = line.substring(colon + 1).trim
         name match {
           case "user-agent" =>
-            if (!inUaRun) groups += ((
-              scala.collection.mutable.ArrayBuffer.empty[String],
-              scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]))
-            if (value.nonEmpty) groups.last._1 +=
+            if (!inUaRun) groups += new Group
+            if (value.nonEmpty) groups.last.agents +=
               value.toLowerCase(java.util.Locale.ROOT)
             inUaRun = true
           case "allow" | "disallow" =>
             inUaRun = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += ((value, name == "allow"))
+              groups.last.rules += ((value, name == "allow"))
+          case "crawl-delay" =>
+            inUaRun = false
+            if (groups.nonEmpty && groups.last.crawlDelay.isEmpty)
+              groups.last.crawlDelay =
+                scala.util.Try(value.toDouble).toOption.filter(_ >= 0)
+          case "sitemap" =>
+            inUaRun = false // global, but still ends a UA run
+            if (value.nonEmpty) sitemaps += value
           case _ => inUaRun = false // other directives end a UA run
         }
       }
       // blank and unrecognized lines are transparent (RFC 9309: lines
       // carry no grouping meaning of their own)
     }
-    val named = groups.filter(_._1.contains(agent))
-    val chosen = if (named.nonEmpty) named else groups.filter(_._1.contains("*"))
-    val rules = chosen.flatMap(_._2)
+    val named = groups.filter(_.agents.contains(agent))
+    val chosen =
+      if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+    val rules = chosen.flatMap(_.rules)
     val ps = new Array[AnyRef](rules.length)
     val as = new Array[Any](rules.length)
     var i = 0
@@ -95,7 +115,11 @@ case class RobotsSelect(left: Expression, right: Expression)
       as(i) = rules(i)._2
       i += 1
     }
-    InternalRow(new GenericArrayData(ps), new GenericArrayData(as))
+    val delay = chosen.flatMap(_.crawlDelay).reduceOption(math.min(_, _))
+    InternalRow(new GenericArrayData(ps), new GenericArrayData(as),
+      delay.map(java.lang.Double.valueOf).orNull,
+      new GenericArrayData(sitemaps.toArray.map(s =>
+        UTF8String.fromString(s): AnyRef)))
   }
 
   override protected def withNewChildrenInternal(

@@ -41,6 +41,17 @@ object Robots {
   def selectRules(body: Column, agent: String): Column =
     call_function("robots_select", body, lit(agent))
 
+  /** Crawl delay (seconds) the selected groups impose on `agent` —
+    * the scheduler input beside the allow/deny gate; null when no
+    * selected group carries a valid value.
+    */
+  def crawlDelay(rules: Column): Column = rules.getField("crawl_delay")
+
+  /** Every sitemap URL declared in the file, in order (global per
+    * RFC — independent of the agent's group selection).
+    */
+  def sitemaps(rules: Column): Column = rules.getField("sitemaps")
+
   /** Longest-match decision for one path against a rule struct (true
     * when fetchable; null rules — no robots row — decide true).
     */

@@ -74,6 +74,32 @@ class RobotsSpec extends AnyFunSuite with Matchers with SparkSpec {
     decide("otherbot", "/p/39") shouldBe Seq(false)
   }
 
+  test("crawl-delay follows group selection; sitemaps are global") {
+    import spark.implicits._
+    val b =
+      """Sitemap: https://a.example.com/map1.xml
+        |User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Crawl-delay: 1
+        |Disallow: /x
+        |User-agent: *
+        |Crawl-delay: 10
+        |Sitemap: https://a.example.com/map2.xml
+        |User-agent: slowbot
+        |Crawl-delay: notanumber
+        |""".stripMargin
+    def sel(agent: String) = Seq(1).toDF("i")
+      .select(Robots.selectRules(lit(b), agent).as("r"))
+      .select(Robots.crawlDelay(col("r")).as("d"),
+        Robots.sitemaps(col("r")).as("s")).head()
+    val g = sel("graftbot")
+    g.getDouble(0) shouldBe 2.5 // first valid value in the group wins
+    g.getSeq[String](1) shouldBe Seq("https://a.example.com/map1.xml",
+      "https://a.example.com/map2.xml") // global, in file order
+    sel("otherbot").getDouble(0) shouldBe 10.0 // the * group's delay
+    sel("slowbot").isNullAt(0) shouldBe true // invalid number -> null
+  }
+
   test("host and path-query extraction") {
     import spark.implicits._
     val rows = Seq(
