@@ -164,6 +164,8 @@ object TrainingData {
       stripSpansMinCount: Int = 2,
       minQualityQuantile: Option[Double] = None,
       urlCol: Option[String] = None,
+      robotsTable: Option[DataFrame] = None,
+      robotsAgent: String = "*",
       domainBlocklist: Seq[String] = Nil,
       maxPerDomain: Long = Long.MaxValue,
       dedupByUrl: Boolean = false,
@@ -185,6 +187,8 @@ object TrainingData {
       lineage: Option[LineageRecorder] = None): DataFrame = {
     require(!dedupByUrl || urlCol.isDefined,
       "dedupByUrl requires urlCol")
+    require(robotsTable.isEmpty || urlCol.isDefined,
+      "robotsTable requires urlCol")
     // 0-pre. optional HTML extraction — the true FIRST stage when the
     // corpus arrives as crawled HTML: [[graft.operators.Html.extract]]
     // strips chrome/scripts and keeps text-dense blocks (map-only, no
@@ -266,17 +270,33 @@ object TrainingData {
         graft.operators.TextAnalysis.gopherPass(col(textCol)))
     if (gopherGate) lineage.foreach(
       _.diff("gopher", "gopher_rules_fail", docs0, ruleGated))
+    // 0-rb. optional robots.txt gate ([[graft.operators.Robots]], the
+    // q192 battery's RFC 9309 subset) — the EARLIEST URL decision:
+    // a disallowed fetch should consume no domain-cap budget and never
+    // reach dedup or scoring. `robotsTable` is a (host, body) frame;
+    // its parsed rule table broadcasts (crawl robots universes are
+    // host-bounded — pre-aggregate per host upstream if not), and the
+    // per-doc decision is map-only, so epoch ≡ union would hold if the
+    // streaming twin ever gains URL columns
+    val polite = robotsTable.fold(ruleGated) { rt =>
+      graft.operators.Robots.gate(ruleGated, urlCol.get,
+          broadcast(graft.operators.Robots.parse(rt, "host", "body",
+            robotsAgent)))
+        .where(col("allowed")).drop("allowed")
+    }
+    if (robotsTable.isDefined) lineage.foreach(
+      _.diff("robots", "robots_disallowed", ruleGated, polite))
     // 0. optional URL/domain gate (the C4 blocklist + RefinedWeb
     // per-domain cap) — runs before dedup and scoring (only the 0a
-    // phrase blocklist precedes it, so blocked docs don't consume
-    // domain-cap budget); the domain blocklist is a pushed-down scan
-    // filter, the cap windows only over-cap domains
+    // phrase blocklist and the robots gate precede it, so blocked docs
+    // don't consume domain-cap budget); the domain blocklist is a
+    // pushed-down scan filter, the cap windows only over-cap domains
     // ([[graft.operators.Urls.domainGate]])
-    val sourced = urlCol.fold(ruleGated)(u =>
-      graft.operators.Urls.domainGate(ruleGated, u, idCol,
+    val sourced = urlCol.fold(polite)(u =>
+      graft.operators.Urls.domainGate(polite, u, idCol,
         domainBlocklist, maxPerDomain))
     if (urlCol.isDefined) lineage.foreach(
-      _.diff("domain", "domain_blocked_or_over_cap", ruleGated, sourced))
+      _.diff("domain", "domain_blocked_or_over_cap", polite, sourced))
     // 0b. optional URL-keyed dedup: refetches of the SAME page under
     // crawl-noise URL variants (fragments, utm_* params, case, default
     // ports) collapse onto one doc — min id per canonical URL

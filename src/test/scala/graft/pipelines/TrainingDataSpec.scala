@@ -331,6 +331,50 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
     all shouldBe Set(1L, 2L, 3L, 4L)
   }
 
+  test("robots gate (stage 0-rb) drops disallowed fetches before the " +
+      "domain cap, with lineage; hosts without robots pass") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: the domain's MIN id, but robots-disallowed
+      (1L, goodDoc("with joins and windows over rows and groups here"),
+        "https://a.example.com/private/1"),
+      (2L, goodDoc("plus aggregates and buckets and ranges in the plan"),
+        "https://a.example.com/public/2"),
+      (3L, goodDoc("where filters and sorts and limits shape the result"),
+        "https://b.example.com/private/3") // no robots row -> allowed
+    ).toDF("doc_id", "text", "url")
+    val robots = Seq(("a.example.com",
+      "User-agent: *\nDisallow: /private/")).toDF("host", "body")
+
+    val rec = TrainingData.lineageRecorder("doc_id")
+    val out = TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, urlCol = Some("url"),
+        robotsTable = Some(robots), lineage = Some(rec))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out shouldBe Set(2L, 3L)
+    val drops = rec.frame(spark)
+      .where(col("stage") === "robots")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    drops.toSeq shouldBe Seq(1L -> "robots_disallowed")
+
+    // a robots-blocked doc consumes NO domain-cap budget: both hosts
+    // share the REGISTERED domain example.com, so cap=1 admits exactly
+    // one doc — and it must be doc 2, the min id among fetchable docs
+    // (were the cap applied first, it would spend the budget on the
+    // disallowed doc 1 and the domain would ship nothing)
+    TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false, urlCol = Some("url"),
+        robotsTable = Some(robots), maxPerDomain = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(2L)
+    // robotsTable without urlCol fails loud
+    intercept[IllegalArgumentException] {
+      TrainingData.clean(docs, "doc_id", "text",
+        robotsTable = Some(robots))
+    }
+  }
+
   test("url dedup (stage 0b) collapses crawl-noise refetches of one page") {
     import spark.implicits._
     val docs = Seq(
