@@ -114,6 +114,32 @@ class RobotsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(2) shouldBe ("x.example.net", "?q=1")
   }
 
+  test("the gate runs under Structured Streaming (stream-static join): " +
+      "a continuous URL frontier is gated per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val robots = Seq(("a.example.com", body)).toDF("host", "body")
+    val parsed = Robots.parse(robots, "host", "body", "graftbot")
+    val in = MemoryStream[(Long, String)]
+    val q = Robots.gate(in.toDF().toDF("id", "url"), "url",
+        org.apache.spark.sql.functions.broadcast(parsed))
+      .writeStream.format("memory").queryName("robots_gated")
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in.addData((1L, "https://a.example.com/p/15"),
+        (2L, "https://a.example.com/q/ok"),
+        (3L, "https://other.example.net/p/15"))
+      q.processAllAvailable()
+      in.addData((4L, "https://a.example.com/p/125?lang=de"))
+      q.processAllAvailable()
+      val got = spark.table("robots_gated")
+        .select("id", "allowed").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      got shouldBe Map(1L -> false, 2L -> true, 3L -> true, 4L -> false)
+    } finally q.stop()
+  }
+
   test("property: the imperative matcher equals the regex translation " +
       "the oracle runs, on random paths and patterns") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
