@@ -4502,11 +4502,12 @@ object SparkEntry {
            FROM pred p JOIN documents d USING (doc_id)),
          pairs AS (SELECT t, pr, count(*) AS n FROM truth GROUP BY t, pr),
          byt AS (
-           SELECT t AS label, sum(n) AS support,
-             sum(CASE WHEN pr = t THEN n ELSE 0 END) AS tp
+           SELECT t AS label, CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN pr = t THEN n ELSE 0 END) AS BIGINT)
+               AS tp
            FROM pairs GROUP BY t),
          byp AS (
-           SELECT pr AS label, sum(n) AS fp
+           SELECT pr AS label, CAST(sum(n) AS BIGINT) AS fp
            FROM pairs WHERE pr <> t GROUP BY pr),
          rep AS (
            SELECT coalesce(byt.label, byp.label) AS label,

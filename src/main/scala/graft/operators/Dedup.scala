@@ -124,10 +124,22 @@ object Dedup {
     * shuffles digests, not text. One directory accrues per batch — fold
     * them periodically with [[compactFingerprints]] or the seen-scan
     * becomes a small-files bottleneck.
+    *
+    * BLOOM COEXISTENCE: if a `_bloom/` cache from
+    * [[incrementalExactDedupBloom]] sits beside this table, this path
+    * drops it BEFORE writing its batch directory — the plain path never
+    * maintains the filter, so leaving it in place would let a later
+    * bloom call route this batch's fingerprints (absent from the stale
+    * filter) down the definitely-novel lane and re-admit true
+    * duplicates. Clear-before-write keeps every crash window safe: a
+    * crash after the clear but before the write leaves no filter (next
+    * bloom call rebuilds from the history scan), never an
+    * under-claiming one.
     */
   def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
       fpTablePath: String, batchId: String = null): DataFrame = {
     val spark = docs.sparkSession
+    graft.io.BloomStore.clear(spark, fpTablePath)
     val bid = Option(batchId).getOrElse(
       "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
     val withFp = docs.select(col(idCol),
@@ -170,11 +182,16 @@ object Dedup {
     *     (the history is never shuffled), the plain shuffle anti-join
     *     past that.
     *
-    * Results are BIT-IDENTICAL to the plain path for ANY filter
-    * contents: the filter only routes rows between lanes, it never
-    * decides membership alone. Correctness therefore rides on the
-    * filter never UNDER-claiming, which the store enforces two ways
-    * (see [[graft.io.BloomStore]]): the filter gains the batch's
+    * Results are BIT-IDENTICAL to the plain path for any filter that
+    * OVER-claims (contains at least every history fingerprint): extra
+    * positives only route more rows to the confirm lane, which decides
+    * exactly. A filter-NEGATIVE, by contrast, skips the confirm join
+    * entirely — so an under-claiming filter silently re-admits true
+    * duplicates. Correctness therefore rides on the filter never
+    * under-claiming, which is enforced three ways
+    * (see [[graft.io.BloomStore]]): [[incrementalExactDedup]] drops the
+    * filter before growing the history outside this path (the two may
+    * be interleaved on one table), and the filter gains the batch's
     * fingerprints BEFORE the batch directory is written (a crash
     * between leaves an over-claiming filter — routes a few extra rows
     * to the confirm lane, harmless), and a replayed micro-batch finds

@@ -124,6 +124,37 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("interleaving the plain path between bloom calls on one table " +
+      "cannot re-admit duplicates (the stale-filter hazard)") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-fpi-").toString + "/fp"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1 via the BLOOM path: seeds history AND a filter over it
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "i1")) shouldBe Set(1L, 2L)
+    graft.io.BloomStore.load(spark, table) should not be None
+
+    // batch 2 via the PLAIN path: grows the history — and must drop the
+    // now-stale filter (it lacks gamma's fingerprint; left in place, a
+    // later bloom call would route gamma down the definitely-novel lane)
+    ids(Dedup.incrementalExactDedup(
+      Seq((3L, "gamma text")).toDF("doc_id", "text"),
+      "doc_id", "text", table, "i2")) shouldBe Set(3L)
+    graft.io.BloomStore.load(spark, table) shouldBe None
+
+    // batch 3 via the BLOOM path again: the repeat of the plain-path
+    // batch's text MUST be rejected (rebuilt filter covers it), and the
+    // genuinely novel row passes
+    ids(Dedup.incrementalExactDedupBloom(
+      Seq((10L, "gamma text"), (11L, "delta text"), (12L, "alpha text"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", table, "i3")) shouldBe Set(11L)
+  }
+
   test("the persisted filter is reused across batches, skips generation " +
       "churn on all-repeat batches, and over-claiming is harmless") {
     import spark.implicits._
