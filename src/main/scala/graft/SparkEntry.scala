@@ -1991,6 +1991,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // leakage-safe train/val split: assignment by near-dup CLUSTER (the
+    // q52 component graph), not by document — every member of a cluster
+    // inherits the min-id representative's unit-hash side, so no
+    // near-dup pair straddles train/val (the silent held-out
+    // contamination a per-doc hash split commits). Labels bounded by
+    // the pair graph broadcast over the corpus subset; singletons are
+    // their own cluster and never shuffle
+    "q193_leakage_split" -> ((s, d) => {
+      val subset = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      graft.operators.Sampling.leakageSafeSplit(
+        subset.select(col("doc_id")), "doc_id",
+        Dedup.ngramJaccardPairs(subset, "doc_id", "text",
+          n = 3, threshold = 0.02),
+        valFraction = 0.2, salt = "split")
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt gating (RFC 9309 subset) — the crawl-politeness stage
     // between WARC ingestion and the URL/domain family: the fixture
     // body is parsed ONCE per `.example.org` host (group selection for
@@ -3142,6 +3159,48 @@ object SparkEntry {
     * features, q132 hashed NB features) so the fold arithmetic cannot
     * drift between oracles or between a tr/te CTE pair.
     */
+  /** The q52 near-dup connected-components CTE chain (shared verbatim by
+    * the q193 leakage-split oracle so the pair graph and the recursive
+    * min-label reachability cannot drift between the two): 3-shingles of
+    * the `doc_id % 5 = 0` subset, df-capped [2,100] posting lists,
+    * Jaccard >= 0.02 candidate pairs, undirected edges, recursive
+    * min-label closure ending in `cc(id, comp)`. Callers prepend
+    * `WITH RECURSIVE` and aggregate `min(comp)` per id themselves.
+    */
+  private def nearDupCcCtes: String =
+    """dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id % 5 = 0)
+           WHERE len(w) >= 3),
+         posting AS (
+           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
+           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id)"""
+
   private def md5BucketSql(expr: String, salt: String, buckets: Int): String =
     s"CAST(floor(CAST(('0x' || substr(md5($expr || '$salt'), 1, 8)) " +
       s"AS UBIGINT) / 4294967296.0 * $buckets) AS INTEGER)"
@@ -5626,6 +5685,24 @@ object SparkEntry {
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
 
+    // q193: the q52 component CTEs verbatim (shared helper — the pair
+    // graph cannot drift between the two oracles), folded to min-label
+    // per id, left-joined onto the subset so unpaired docs are their
+    // own singleton cluster; the split side is the unit-hash of the
+    // REPRESENTATIVE (first 8 md5 hex chars over 2^32 — exact doubles
+    // both engines) against the 0.2 threshold
+    "q193_leakage_split" ->
+      s"""WITH RECURSIVE $nearDupCcCtes,
+         lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS rep,
+           CASE WHEN CAST(('0x' || substr(md5(
+               CAST(coalesce(l.comp, d.doc_id) AS VARCHAR) || 'split'),
+               1, 8)) AS UBIGINT) / 4294967296.0 < 0.2
+             THEN 'val' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+         WHERE d.doc_id % 5 = 0
+         ORDER BY d.doc_id""",
+
     // q192: the robots parse replayed line-by-line (comment strip,
     // directive split, user-agent-run grouping via lag + running sum,
     // group selection for graftbot), then the longest-match decision
@@ -6407,38 +6484,7 @@ object SparkEntry {
     // q27's candidate pairs -> undirected edges -> recursive min-label
     // reachability; min(comp) per id is the component's smallest member
     "q52_dedup_components" ->
-      """WITH RECURSIVE dd AS (
-           SELECT doc_id,
-             list_distinct(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM (
-             SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
-             FROM documents WHERE doc_id % 5 = 0)
-           WHERE len(w) >= 3),
-         posting AS (
-           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
-         kept AS (
-           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
-           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
-             USING (shingle)
-           WHERE d.df BETWEEN 2 AND 100),
-         inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
-           FROM kept a JOIN kept b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT id_a, id_b FROM inter
-           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id)
+      s"""WITH RECURSIVE $nearDupCcCtes
          SELECT id, min(comp) AS comp FROM cc GROUP BY id ORDER BY id""",
 
     "q53_grouping_sets" ->

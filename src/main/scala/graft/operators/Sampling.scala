@@ -127,6 +127,41 @@ object Sampling {
       floor(unitHash(col(idCol), salt) * nShards).cast("int"))
   }
 
+  /** Leakage-safe train/validation split: assignment by near-dup CLUSTER,
+    * not by document. A plain per-doc hash split puts ~valFraction of each
+    * near-dup cluster's members in val while their near-copies train — the
+    * classic silent contamination that inflates every held-out metric.
+    * Here the candidate-pair graph (e.g. [[Dedup.ngramJaccardPairs]] /
+    * minhash/simhash pairs — any (id_a, id_b) frame) is collapsed with
+    * [[Dedup.connectedComponents]], every document inherits its cluster's
+    * min-id REPRESENTATIVE (docs in no pair are their own singleton
+    * cluster), and the [[unitHash]] of the representative decides the
+    * side — so a cluster moves as a unit and no pair ever straddles the
+    * split. Same determinism contract as every op here: membership is a
+    * pure function of (cluster representative, salt).
+    *
+    * Output: (idCol, rep, split) with split in {'train','val'}.
+    *
+    * Scale posture: the CC label table is bounded by 2x the PAIR count
+    * (only paired docs carry labels — the df-capped candidate graph, not
+    * the corpus), so the labels side broadcasts and the corpus-side join
+    * is map-only; singletons — the overwhelming bulk at any scale — never
+    * shuffle at all. The split decision is one codegen'd projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valFraction: Double, salt: String = ""): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      "valFraction must be in [0,1]")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    docs.join(broadcast(labels), col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__cc_comp"), col(idCol)).as("rep"))
+      .withColumn("split",
+        when(unitHash(col("rep"), salt) < lit(valFraction), "val")
+          .otherwise("train"))
+  }
+
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
       groupCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")

@@ -153,4 +153,42 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select(col("shuffle_key")).collect().map(_.getDouble(0)).toSeq
     keys shouldBe keys.sorted
   }
+
+  test("leakage-safe split: no near-dup pair straddles train/val, " +
+      "singletons split per-doc, deterministic under repartitioning") {
+    import spark.implicits._
+    // pair graph: {1,2,3} chained, {10,11} — 4,5,6 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.leakageSafeSplit(d, "doc_id", pairs, 0.5, "s")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+    val out = run(docs)
+    out.keySet shouldBe docs.collect().map(_.getLong(0)).toSet // total
+    // every cluster member carries the min-id representative AND one side
+    Seq(1L, 2L, 3L).map(out(_)._1).toSet shouldBe Set(1L)
+    Seq(1L, 2L, 3L).map(out(_)._2).toSet should have size 1
+    Seq(10L, 11L).map(out(_)._1).toSet shouldBe Set(10L)
+    Seq(10L, 11L).map(out(_)._2).toSet should have size 1
+    // singletons are their own representative
+    Seq(4L, 5L, 6L).foreach(i => out(i)._1 shouldBe i)
+    out.values.map(_._2).toSet should contain allOf ("train", "val")
+    run(docs.repartition(5)) shouldBe out // partitioning-invariant
+    // the decisive property at corpus size: NO pair straddles the split —
+    // and the per-doc hash split it replaces demonstrably does
+    val big = (1L to 400L).toDF("doc_id")
+    val bigPairs = (1L to 199L).map(i => (2 * i, 2 * i + 1))
+      .toDF("id_a", "id_b") // 199 adjacent-odd/even pairs
+    val safe = Sampling.leakageSafeSplit(big, "doc_id", bigPairs, 0.3, "z")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    bigPairs.collect().foreach { r =>
+      safe(r.getLong(0)) shouldBe safe(r.getLong(1))
+    }
+    val naive = Sampling.hashSplit(big, "doc_id",
+      Seq("train" -> 0.7, "val" -> 0.3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    bigPairs.collect().count(r =>
+      naive(r.getLong(0)) != naive(r.getLong(1))) should be > 0
+  }
 }
