@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wsTokens
+
+/** Fill-in-the-middle (FIM) training transforms: rewrite a fraction of
+  * documents as (prefix, suffix, middle) infilling examples so a
+  * left-to-right LM learns to complete holes — the standard code-model
+  * data augmentation ("Efficient Training of Language Models to Fill in
+  * the Middle", the PSM/SPM formats). Reference scope: the scaffold has
+  * no training-data surface; this extends the LLM-pipeline family per
+  * the project north star.
+  *
+  * Everything is DETERMINISTIC per (id, salt) through
+  * [[Sampling.unitHash]] — which documents transform, where the two cuts
+  * fall, and which format (PSM or SPM) each transformed doc gets are all
+  * pure hash functions, so re-runs, repartitionings, and external
+  * engines reproduce the exact same training set (the auditability
+  * contract every op in [[Sampling]] carries), and distinct salts give
+  * independent draws per epoch.
+  *
+  * Cuts are TOKEN-level (the whitespace tokenization shared with
+  * [[Chunking]]): cut1 = floor(u1 * (n+1)), cut2 = cut1 +
+  * floor(u2 * (n - cut1 + 1)), so 0 <= cut1 <= cut2 <= n uniformly over
+  * valid cut pairs — empty prefix/middle/suffix segments are legal (the
+  * paper's posture: degenerate holes teach open-ended completion).
+  * Output text is sentinel-joined:
+  * PSM `<PRE> prefix <SUF> suffix <MID> middle`, SPM
+  * `<SUF> suffix <PRE> prefix <MID> middle` (middle always LAST — the
+  * model generates it); untransformed docs pass through verbatim with
+  * fmt 'plain'. The caller maps sentinels to real tokenizer specials.
+  *
+  * Scale posture: one map-only codegen'd projection — no shuffle, no
+  * state, no driver loop; at 100 TB this runs at scan speed alongside
+  * the other map-only cleaners.
+  */
+object Fim {
+
+  val PRE = "<PRE>"
+  val SUF = "<SUF>"
+  val MID = "<MID>"
+
+  /** Transform ~`fimFraction` of docs into infilling examples, of which
+    * ~`spmFraction` use SPM ordering (the rest PSM). Output: idCol,
+    * `fmt` ('plain'|'psm'|'spm'), `n_tokens` (long, of the ORIGINAL
+    * text), `text_out`.
+    */
+  def transform(df: DataFrame, idCol: String, textCol: String,
+      fimFraction: Double, spmFraction: Double = 0.5,
+      salt: String = ""): DataFrame = {
+    require(fimFraction >= 0 && fimFraction <= 1,
+      "fimFraction must be in [0,1]")
+    require(spmFraction >= 0 && spmFraction <= 1,
+      "spmFraction must be in [0,1]")
+    val id = col(idCol)
+    def u(tag: String) = Sampling.unitHash(id, salt + tag)
+    val toks = wsTokens(col(textCol))
+    val n = size(toks)
+    // floor(u*(n+1)) lands uniformly in [0, n]; the second draw spans
+    // the remaining tail so (cut1, cut2) covers every valid pair
+    val cut1 = floor(u("c1") * (n + 1)).cast("int")
+    val cut2 = (cut1 + floor(u("c2") * (n - cut1 + 1)).cast("int"))
+    // token-array assembly (not concat_ws over strings: empty segments
+    // would leave double-space artifacts and break the exact
+    // token-stream reconstruction the spec pins)
+    val prefix = slice(toks, lit(1), cut1)
+    val middle = slice(toks, cut1 + 1, cut2 - cut1)
+    val suffix = slice(toks, cut2 + 1, greatest(n - cut2, lit(0)))
+    val psm = array_join(concat(array(lit(PRE)), prefix,
+      array(lit(SUF)), suffix, array(lit(MID)), middle), " ")
+    val spm = array_join(concat(array(lit(SUF)), suffix,
+      array(lit(PRE)), prefix, array(lit(MID)), middle), " ")
+    val fmt = when(u("fim") >= fimFraction, "plain")
+      .when(u("spm") < spmFraction, "spm").otherwise("psm")
+    df.select(id, fmt.as("fmt"), n.cast("long").as("n_tokens"),
+      when(fmt === "plain", col(textCol))
+        .when(fmt === "spm", spm).otherwise(psm).as("text_out"))
+  }
+}

@@ -57,4 +57,32 @@ object Preferences {
       .select(col("query_id"), col("pair_no"), col("chosen_id"),
         col("rejected_id"), col("gap"))
   }
+
+  /** Rejection-sampling selection (best-of-N / RAFT): keep each prompt's
+    * single highest-scored candidate, dropping prompts whose best falls
+    * below `minScore` — the SFT-side sibling of [[preferencePairs]]
+    * (there the gap makes a pair; here only the winner survives, and a
+    * prompt where even the winner is weak contributes nothing rather
+    * than a bad example). Ties break to the SMALLEST candidate id
+    * (deterministic, engine-independent). Scores carry the same
+    * integer-scale contract as [[preferencePairs]].
+    *
+    * Output: (query_id, best_id, best_score, n_cands).
+    *
+    * Scale shape: ONE hash aggregate over the candidate frame —
+    * `max(struct(score, -cand))` gives argmax-with-tiebreak without a
+    * window or self-join, partial aggregation map-side, so the shuffle
+    * carries one row per prompt per map task.
+    */
+  def bestOfN(scored: DataFrame, queryCol: String, candCol: String,
+      scoreCol: String, minScore: Long = Long.MinValue): DataFrame =
+    scored.select(col(queryCol).cast("long").as("query_id"),
+        col(candCol).cast("long").as("__c"),
+        col(scoreCol).cast("long").as("__s"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__s").as("s"), (-col("__c")).as("nc"))).as("b"),
+        count(lit(1)).as("n_cands"))
+      .where(col("b.s") >= minScore)
+      .select(col("query_id"), (-col("b.nc")).as("best_id"),
+        col("b.s").as("best_score"), col("n_cands"))
 }

@@ -58,4 +58,29 @@ class PreferencesSpec extends AnyFunSuite with Matchers with SparkSpec {
       Preferences.preferencePairs(scored((1L, 1L, 1L)), "q", "cand",
         "s", 5L, 0)
   }
+
+  test("best-of-N keeps each prompt's argmax, ties to the smallest " +
+      "candidate id, weak winners dropped by minScore") {
+    def best(minScore: Long, rows: (Long, Long, Long)*) =
+      Preferences.bestOfN(scored(rows: _*), "q", "cand", "s", minScore)
+        .orderBy(col("query_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // prompt 1: clear winner; prompt 2: tied top -> smallest cand;
+    // prompt 3: best below the floor -> the whole prompt drops
+    best(50L,
+      (1L, 10L, 40L), (1L, 11L, 90L), (1L, 12L, 70L),
+      (2L, 20L, 80L), (2L, 21L, 80L), (2L, 19L, 10L),
+      (3L, 30L, 49L), (3L, 31L, 20L)) shouldBe
+      Seq((1L, 11L, 90L, 3L), (2L, 20L, 80L, 3L))
+    // default floor keeps everything, including negative scores
+    best(Long.MinValue, (7L, 70L, -5L), (7L, 71L, -9L)) shouldBe
+      Seq((7L, 70L, -5L, 2L))
+    // partitioning-invariant (one hash aggregate, no window)
+    val df = scored((1L to 500L).map(i => (i % 20, i, i * 7 % 101)): _*)
+    val a = Preferences.bestOfN(df, "q", "cand", "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Preferences.bestOfN(df.repartition(9), "q", "cand", "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap shouldBe a
+  }
 }
