@@ -221,6 +221,13 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"repetition_stats(words, n literal); got ${other.size} args")
     },
+    "deflate_stats" -> {
+      case Seq(child, Literal(level: Int, _)) => DeflateStats(child, level)
+      case Seq(child) => DeflateStats(child, 6)
+      case other =>
+        throw new IllegalArgumentException(
+          s"deflate_stats(text, level literal); got ${other.size} args")
+    },
     "warc_records" -> {
       case Seq(child) => WarcRecords(child)
       case other =>
@@ -324,6 +331,12 @@ object GraftFunctions {
     */
   def repetition_stats(words: Column, n: Int): Column =
     call_function("repetition_stats", words, lit(n))
+
+  /** Deflate-compressibility stats of a text column:
+    * struct<raw_bytes, deflate_bytes> (see [[DeflateStats]]).
+    */
+  def deflate_stats(text: Column, level: Int = 6): Column =
+    call_function("deflate_stats", text, lit(level))
 
   /** One-pass int8 quantization: struct<scale: double, q: array<int>>. */
   def int8_quantize(emb: Column): Column = call_function("int8_quantize", emb)

@@ -754,3 +754,46 @@ object MojibakeFix {
     false
   }
 }
+
+/** Deflate-compressibility stats of a text column:
+  * struct<raw_bytes, deflate_bytes> (both LONG) over the UTF-8 encoding —
+  * the zlib/gzip compression-ratio quality signal (Dolma/RefinedWeb-style
+  * heuristics): boilerplate and template spam compress far below natural
+  * prose, while binary junk and encrypted/garbled bytes barely compress
+  * at all, so BOTH ratio tails are filter candidates. Raw DEFLATE
+  * (nowrap, fixed level) with a per-eval Deflater so partitions share
+  * nothing.
+  *
+  * Ratio semantics are left to the caller (exact micros over the two
+  * longs). The byte count is a HEURISTIC signal, not an oracle-replayable
+  * quantity: it depends on the JVM's zlib build, so thresholds must not
+  * sit knife-edge on a boundary (the spec pins driver-JVM parity and the
+  * ordering/tail invariants instead — no DuckDB twin exists).
+  */
+case class DeflateStats(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(level >= 1 && level <= 9, "deflate level must be in [1,9]")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_bytes", LongType, nullable = false),
+    StructField("deflate_bytes", LongType, nullable = false)))
+  override def prettyName: String = "deflate_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bytes.length.toLong, total))
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1219,6 +1219,33 @@ object TextAnalysis {
           col("__r.n_grams").cast("long")).as("top_gram_share"))
   }
 
+  /** Deflate compression-ratio quality signal: (idCol, raw_bytes,
+    * deflate_bytes, compression_ratio) where the ratio is
+    * deflate/raw in exact fixed-point micros — the zlib heuristic the
+    * Dolma/RefinedWeb-class cleaners run beside the Gopher gates: a
+    * LOW ratio marks template/boilerplate repetition (compresses too
+    * well — complementary to [[repetition]], which only sees n-gram
+    * structure), a ratio near or above 1 marks non-text junk. Empty
+    * texts are dropped (no bytes to measure). One map-only projection
+    * through [[graft.functions.DeflateStats]] — zero shuffles, scan
+    * speed at any corpus size. The byte counts are heuristic (JVM zlib
+    * build dependent), so this family is spec-pinned, not
+    * oracle-replayed; gate thresholds should sit in the bulk of the
+    * distribution, never knife-edge.
+    */
+  def compressionSignal(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .deflate_stats(col(textCol), level).as("__d"))
+      .where(col("__d.raw_bytes") > 0)
+      .select(col(idCol),
+        col("__d.raw_bytes").as("raw_bytes"),
+        col("__d.deflate_bytes").as("deflate_bytes"),
+        graft.functions.FixedPoint.ratio6(
+          col("__d.deflate_bytes"), col("__d.raw_bytes"))
+          .as("compression_ratio"))
+
   /** Benchmark decontamination, pair-report form: corpus documents whose
     * distinct n-gram shingles CONTAIN at least `threshold` of a probe
     * (benchmark) document's shingles. Containment — |corpus ∩ probe| /
