@@ -97,6 +97,70 @@ object Packing {
     assigned.toDF().withColumnRenamed("id", idCol)
   }
 
+  /** Group-coherent packing — the in-context-pretraining ordering: walk
+    * each shard's documents GROUPED (by domain, near-dup cluster, topic
+    * cluster — any `groupCol`) so related documents are adjacent and
+    * tend to land in the SAME training sequence, giving long-context
+    * training coherent context windows instead of unrelated
+    * concatenation. Same greedy budget walk as [[packGreedy]] with two
+    * ordering changes: the shard is the [[Sampling.unitHash]] bucket of
+    * the GROUP (a group never splits across shards — salt 'pack'), and
+    * the within-shard order is (group, id). Sequences still run across
+    * group boundaries (a boundary reset would pay up to budget-1 wasted
+    * tokens per SMALL group; adjacency is what buys the coherence), so
+    * a group's documents span at most adjacent sequences.
+    *
+    * Output: `(id, group, shard, seq_id, seq_pos, oversize)`. The
+    * assignment is a pure function of (group hash, group order, id
+    * order, token counts) — partitioning-invariant like every packer
+    * here. Scale posture identical to [[packGreedy]]: one shard
+    * exchange, partition-local sort, single forward pass; nShards is
+    * the parallelism knob and group skew is bounded by the largest
+    * group's token mass, exactly the skew [[Skew]] salting must NOT fix
+    * here (splitting a group defeats the point).
+    */
+  private[operators] case class PackInG(shard: Long, grp: String, id: Long,
+      tokens: Long)
+  private[operators] case class PackOutG(id: Long, group: String,
+      shard: Long, seq_id: Long, seq_pos: Long, oversize: Boolean)
+
+  def packRelated(df: DataFrame, idCol: String, tokensCol: String,
+      groupCol: String, budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    df.select(
+        floor(Sampling.unitHash(col(groupCol).cast("string"), "pack")
+          * nShards).cast("long").as("shard"),
+        col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tokens"))
+      .as[PackInG]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("grp"), col("id"))
+      .mapPartitions { it =>
+        var curShard = 0L
+        var first = true
+        var seqId = 0L
+        var cum = 0L
+        var pos = 0L
+        it.map { r =>
+          if (first || r.shard != curShard) {
+            curShard = r.shard; first = false
+            seqId = 0L; cum = r.tokens; pos = 0L
+          } else if (cum + r.tokens <= budget) {
+            cum += r.tokens; pos += 1L
+          } else {
+            seqId += 1L; cum = r.tokens; pos = 0L
+          }
+          PackOutG(r.id, r.grp, r.shard, seqId, pos, r.tokens > budget)
+        }
+      }
+      .toDF().withColumnRenamed("id", idCol)
+  }
+
   /** Per-sequence roll-up of a [[packGreedy]] assignment joined back to
     * token counts: how many documents and tokens each sequence carries.
     * The fill ratio (`tokens / budget`) is the packing-efficiency metric

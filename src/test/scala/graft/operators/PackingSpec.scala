@@ -109,6 +109,48 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("group-coherent packing: a group never splits across shards, its " +
+      "docs are adjacent (same or consecutive sequences), budget holds, " +
+      "and the assignment is partitioning-invariant") {
+    import spark.implicits._
+    // 6 domains x 8 docs of 30 tokens, budget 100 -> a domain's 240
+    // tokens spans ~3 sequences; ids interleave domains so adjacency
+    // must come from the ORDERING, not the input order
+    val rows = (0 until 48).map { i =>
+      (i.toLong, s"domain${i % 6}.example", 30L)
+    }
+    val base = rows.toDF("id", "domain", "tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packRelated(d, "id", "tokens", "domain", 100L, 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1)
+    val out = run(base)
+    out.map(_._1).toSeq shouldBe (0L until 48L)
+    // one shard per group
+    out.groupBy(_._2).foreach { case (_, g) =>
+      g.map(_._3).toSet should have size 1
+    }
+    // within a group, (seq_id, seq_pos) is contiguous in id order and
+    // never exceeds budget (30*3 <= 100 < 30*4 -> at most 3 per seq)
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val seqs = g.sortBy(_._1).map(_._4)
+      seqs shouldBe seqs.sorted // ids ascend through sequences
+      g.groupBy(_._4).foreach { case (_, s) => s.length should be <= 3 }
+    }
+    // coherence: every sequence holds docs of at most 2 groups (a
+    // boundary can straddle), vs the id-ordered packer which interleaves
+    out.groupBy(x => (x._3, x._4)).foreach { case (_, s) =>
+      s.map(_._2).toSet.size should be <= 2
+    }
+    run(base.repartition(7)) shouldBe out
+    // oversize flags still fire per doc
+    val big = Seq((1L, "d", 300L), (2L, "d", 10L)).toDF("id", "domain", "tokens")
+    Packing.packRelated(big, "id", "tokens", "domain", 100L, 2)
+      .where(col("oversize")).count() shouldBe 1L
+  }
+
   test("sequenceStats reports docs and token fill per sequence") {
     val rows = Seq((0L, 40L, 0L), (1L, 40L, 0L), (2L, 40L, 0L))
     val base = docs(rows)
