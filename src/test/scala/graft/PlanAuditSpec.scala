@@ -479,6 +479,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("BuildRight") // probes are the broadcast build side
   }
 
+  test("leakage-safe split broadcasts the CC label table " +
+      "(corpus side never shuffles for the split decision)") {
+    val plan = planOf(SparkEntry.queries("q193_leakage_split")(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+  }
+
   test("filters reach the parquet scan (pushdown)") {
     val plan = planOf(SparkEntry.queries("q03_filter")(spark, sfDir))
     plan should include("PushedFilters")
