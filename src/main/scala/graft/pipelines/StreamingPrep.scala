@@ -66,6 +66,7 @@ object StreamingPrep {
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
       gopherGate: Boolean = false,
+      compressionRatioBounds: Option[(Double, Double)] = None,
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
       c4MinLineWords: Option[Int] = None,
@@ -126,11 +127,25 @@ object StreamingPrep {
     // point as the batch pipeline's stage 0a2; per-doc deterministic,
     // so epoch ≡ union holds unchanged and rule-failing docs never
     // enter the fingerprint table
-    val listed = if (!gopherGate) listed0
+    val listed1 = if (!gopherGate) listed0
       else listed0.where(
         graft.operators.TextAnalysis.gopherPass(col(textCol)))
     if (gopherGate) lineage.foreach(
-      _.diff("gopher", "gopher_rules_fail", listed0, listed))
+      _.diff("gopher", "gopher_rules_fail", listed0, listed1))
+    // 0a3. optional compression-ratio gate — same map-only deflate
+    // predicate at the same point as the batch pipeline's stage 0a3;
+    // per-doc deterministic, so epoch ≡ union holds unchanged and
+    // over/under-compressible docs never enter the fingerprint table
+    val listed = compressionRatioBounds.fold(listed1) { case (lo, hi) =>
+      val st = graft.functions.GraftFunctions.deflate_stats(col(textCol))
+      val keep = st.getField("raw_bytes") === 0L ||
+        (st.getField("deflate_bytes") >= lit(lo) * st.getField("raw_bytes") &&
+          st.getField("deflate_bytes") <= lit(hi) * st.getField("raw_bytes"))
+      val gated = listed1.where(keep)
+      lineage.foreach(_.diff("compression",
+        s"ratio_outside_[$lo,$hi]", listed1, gated))
+      gated
+    }
     // 1. cross-run exact dedup: in-batch min-id collapse + anti-join
     // against every earlier epoch's fingerprints; `bloomDedup` routes
     // through the persisted-filter fast path (bit-identical survivors
@@ -245,6 +260,7 @@ object StreamingPrep {
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
       gopherGate: Boolean = false,
+      compressionRatioBounds: Option[(Double, Double)] = None,
       fixEncoding: Boolean = false,
       maxControlFrac: Double = 0.2,
       c4MinLineWords: Option[Int] = None,
@@ -264,6 +280,7 @@ object StreamingPrep {
               nbModel, nbCharGrams, maxDupGramFrac,
               lmTiers, maxLmBits, dsirRatio, minDsirLogw, dsirSalt,
               blocklistPhrases, blocklistMaxHits, gopherGate,
+              compressionRatioBounds,
               fixEncoding, maxControlFrac, c4MinLineWords, bloomDedup,
               rec)
             .write.mode("overwrite").parquet(s"$outDir/batch=epoch-$epoch")

@@ -178,6 +178,7 @@ object TrainingData {
       blocklistPhrases: Seq[String] = Nil,
       blocklistMaxHits: Long = 0,
       gopherGate: Boolean = false,
+      compressionRatioBounds: Option[(Double, Double)] = None,
       htmlCol: Option[String] = None,
       htmlMinTextChars: Int = 20,
       htmlMaxLinkDensity: Double = 0.5,
@@ -265,11 +266,33 @@ object TrainingData {
     // rule-failing doc consumes no domain-cap budget and never pays
     // dedup or scoring) and the streaming pipeline's epoch ≡ union
     // argument holds unchanged
-    val ruleGated = if (!gopherGate) docs0
+    val ruleGated0 = if (!gopherGate) docs0
       else docs0.where(
         graft.operators.TextAnalysis.gopherPass(col(textCol)))
     if (gopherGate) lineage.foreach(
-      _.diff("gopher", "gopher_rules_fail", docs0, ruleGated))
+      _.diff("gopher", "gopher_rules_fail", docs0, ruleGated0))
+    // 0a3. optional compression-ratio gate ([[TextAnalysis]]'s deflate
+    // signal inlined as one map-only predicate): keep docs whose
+    // deflate/raw byte ratio lies in [min, max] — below-min is
+    // template/boilerplate repetition the n-gram gates can miss
+    // (structure wider than any gram window), above-max is non-text
+    // junk. Same per-doc deterministic class as the Gopher gate, so
+    // the streaming epoch ≡ union argument holds unchanged. Empty
+    // texts pass (no bytes to judge — the stage-2 tokenize gate owns
+    // them). Heuristic thresholds: place them in the distribution's
+    // bulk, never knife-edge (the signal is JVM-zlib dependent)
+    val ruleGated = compressionRatioBounds.fold(ruleGated0) {
+      case (lo, hi) =>
+        val st = graft.functions.GraftFunctions
+          .deflate_stats(col(textCol))
+        val keep = st.getField("raw_bytes") === 0L ||
+          (st.getField("deflate_bytes") >= lit(lo) * st.getField("raw_bytes") &&
+            st.getField("deflate_bytes") <= lit(hi) * st.getField("raw_bytes"))
+        val gated = ruleGated0.where(keep)
+        lineage.foreach(_.diff("compression",
+          s"ratio_outside_[$lo,$hi]", ruleGated0, gated))
+        gated
+    }
     // 0-rb. optional robots.txt gate ([[graft.operators.Robots]], the
     // q192 battery's RFC 9309 subset) — the EARLIEST URL decision:
     // a disallowed fetch should consume no domain-cap budget and never

@@ -127,6 +127,42 @@ class TrainingDataSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set(1L, 2L, 3L)
   }
 
+  test("the optional compression gate (stage 0a3) drops the " +
+      "too-compressible template doc with lineage attribution") {
+    import spark.implicits._
+    def longDoc(tail: String) =
+      (goodDoc("with joins and windows over rows and groups " + tail) +
+        " ") * 4
+    val docs = Seq(
+      (1L, longDoc("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, longDoc("iota kappa lambda mu nu xi omicron pi rho sigma")),
+      // template spam: one 3-word phrase repeated — deflate crushes it
+      // far below prose's ratio even though it clears lang/quality
+      (3L, Seq.fill(80)("the best price").mkString(" "))
+    ).toDF("doc_id", "text")
+    // measure the fixture's actual ratios, then thread a threshold
+    // between spam and prose — never knife-edge on either
+    val sig = graft.operators.TextAnalysis.compressionSignal(
+        docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    sig(3L) should be < sig(1L)
+    val lo = (sig(3L) + sig(1L).min(sig(2L))) / 2
+    val rec = TrainingData.lineageRecorder("doc_id")
+    TrainingData.clean(docs, "doc_id", "text",
+        cacheIntermediate = false,
+        compressionRatioBounds = Some((lo, 1.5)),
+        lineage = Some(rec))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
+    rec.frame(spark).where(col("stage") === "compression")
+      .collect().map(_.getLong(0)) shouldBe Array(3L)
+    // gate off: the near-dup stage is what it falls to — it survives
+    // there (no >= threshold partner) and quality keeps it too
+    TrainingData.clean(docs, "doc_id", "text", cacheIntermediate = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L)
+  }
+
   test("the optional encoding stage repairs mojibake BEFORE dedup and " +
       "scoring, and drops control-junk docs with lineage attribution") {
     import spark.implicits._

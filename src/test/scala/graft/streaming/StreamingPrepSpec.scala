@@ -456,4 +456,43 @@ class StreamingPrepSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
       (s1 ++ s2)
   }
+
+  test("the compression gate slots into the streaming pipeline at the " +
+      "batch pipeline's 0a3 point; a template doc never enters the " +
+      "fingerprint table") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-sprep-cz").toString
+    def longDoc(tail: String) =
+      (goodDoc("with joins and windows over rows and groups " + tail) +
+        " ") * 4
+    val spam = Seq.fill(80)("the best price").mkString(" ")
+    // measure the fixture ratios, thread the floor between spam and
+    // prose (the TrainingDataSpec discipline — never knife-edge)
+    val probe = Seq(1L -> longDoc("alpha beta"), 2L -> spam)
+      .toDF("doc_id", "text")
+    val sig = graft.operators.TextAnalysis.compressionSignal(
+        probe, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val bounds = Some(((sig(2L) + sig(1L)) / 2, 1.5))
+    // doc 61 is the spam and the exact-dup seed of 71: with the gate on
+    // 61's fingerprint never lands, and 71 (same text) must ALSO fall
+    // to the gate, not survive via the missing fingerprint
+    val e1 = Seq(61L -> spam,
+      62L -> longDoc("alpha beta gamma delta epsilon zeta eta theta"))
+    val e2 = Seq(71L -> spam,
+      72L -> longDoc("iota kappa lambda mu nu xi omicron pi rho sigma"))
+    def ep(docs: Seq[(Long, String)], id: String) =
+      StreamingPrep.processBatch(docs.toDF("doc_id", "text"), "doc_id",
+          "text", s"$work/tables", batchId = id,
+          compressionRatioBounds = bounds)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ep(e1, "e1"); val s2 = ep(e2, "e2")
+    s1 shouldBe Set(62L)
+    s2 shouldBe Set(72L)
+    StreamingPrep.processBatch((e1 ++ e2).toDF("doc_id", "text"),
+        "doc_id", "text", s"$work/twin", batchId = "all",
+        compressionRatioBounds = bounds)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      (s1 ++ s2)
+  }
 }
