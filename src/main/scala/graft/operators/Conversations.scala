@@ -65,4 +65,54 @@ object Conversations {
           x => concat(x.getField("r"), lit(": "), x.getField("c"))),
           "\n").as("transcript"))
   }
+
+  /** SFT loss-mask spans for [[assemble]]'s transcripts: one row per
+    * KEPT turn with its whitespace-token offsets in the assembled
+    * transcript and whether the loss trains on it — the standard
+    * instruction-tuning convention (train on assistant turns only; the
+    * prompt/user/tool tokens are context, and training on them teaches
+    * the model to parrot users). Keeping mask construction beside
+    * assembly — same budget walk, same rendering — is what makes the
+    * offsets TRUSTWORTHY: a separately-computed mask drifts the moment
+    * the renderer changes.
+    *
+    * Output: `(key, turn_no, role, token_start, token_end, train)` —
+    * `turn_no` 0-based among kept turns oldest-first, offsets
+    * half-open `[token_start, token_end)` over the transcript's
+    * whitespace tokens (each turn's width is the token count of its
+    * full `role: content` rendering, so any role string is accounted
+    * exactly), `train` = membership of `trainRoles`. Turns a
+    * [[Chunking]]/packer downstream can convert to per-token 0/1
+    * weights with one `sequence()` explode.
+    *
+    * Same scale shape as [[assemble]]: the descending budget window and
+    * the ascending offset window share one key partitioning — Catalyst
+    * plans ONE exchange for both.
+    */
+  def lossMaskSpans(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, roleCol: String, contentCol: String,
+      tokenBudget: Long, trainRoles: Seq[String]): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(trainRoles.nonEmpty, "trainRoles must name at least one role")
+    val wDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(seqCol))
+    val kept = events
+      .select(col(keyCol), col(tsCol), col(seqCol),
+        col(roleCol).cast("string").as("role"),
+        tok(concat(col(roleCol).cast("string"), lit(": "),
+          col(contentCol).cast("string"))).as("__w"),
+        tok(col(contentCol)).as("__tok"))
+      .withColumn("__keep", sum(col("__tok")).over(wDesc) <= tokenBudget)
+      .where(col("__keep"))
+    kept
+      .withColumn("turn_no", (row_number().over(wAsc) - 1).cast("long"))
+      .withColumn("token_end", sum(col("__w")).over(wAsc))
+      .select(col(keyCol), col("turn_no"), col("role"),
+        (col("token_end") - col("__w")).as("token_start"),
+        col("token_end"),
+        col("role").isInCollection(trainRoles).as("train"))
+  }
 }
