@@ -46,6 +46,53 @@ object Sketches {
       sum(col("rows")).as("rows"))
   }
 
+  /** Sketch-based corpus-overlap estimate — the cheap pre-check before
+    * any exact cross-corpus pass: two corpora's distinct n-gram shingle
+    * sets reduced to one kilobyte-scale HLL sketch EACH (map-side
+    * partial aggregation; the shuffle carries sketches, never
+    * shingles), then inclusion–exclusion over the union sketch:
+    * `|A∩B| ≈ |A| + |B| − |A∪B|` (clamped at 0 — HLL error can push
+    * the difference slightly negative on disjoint corpora), Jaccard =
+    * inter/union, containment of B = inter/|B| (the q83
+    * decontamination metric's corpus-level estimate: "how much of the
+    * benchmark's vocabulary does the corpus cover"). At 100 TB this
+    * answers "is it WORTH running exact decontamination / diffing
+    * against that other snapshot" for two corpus scans and kilobytes
+    * of shuffle; the exact pipelines then run only when the estimate
+    * says the overlap is material.
+    *
+    * Subtraction STACKS the two sketches' relative errors — treat the
+    * intersection-derived numbers as decision signals (~few % of the
+    * larger set size at default lgK), not measurements;
+    * `SketchesSpec` gates them against exact counts on planted overlap.
+    * Output: one row (a_distinct, b_distinct, union_est,
+    * intersection_est, jaccard_est, containment_b_est).
+    */
+  def corpusOverlapEstimate(a: DataFrame, b: DataFrame, textCol: String,
+      n: Int = 3, lgK: Int = 14): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    def sketch(df: DataFrame, name: String) =
+      df.select(explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.words(col(textCol)), n))
+          .as("__sh"))
+        .agg(hll_sketch_agg(col("__sh"), lit(lgK)).as(name))
+    sketch(a, "ha").crossJoin(sketch(b, "hb"))
+      .select(
+        hll_sketch_estimate(col("ha")).as("a_distinct"),
+        hll_sketch_estimate(col("hb")).as("b_distinct"),
+        hll_sketch_estimate(hll_union(col("ha"), col("hb")))
+          .as("union_est"))
+      .select(col("a_distinct"), col("b_distinct"), col("union_est"),
+        greatest(col("a_distinct") + col("b_distinct") - col("union_est"),
+          lit(0L)).as("intersection_est"))
+      .select(col("a_distinct"), col("b_distinct"), col("union_est"),
+        col("intersection_est"),
+        (col("intersection_est").cast("double") / col("union_est"))
+          .as("jaccard_est"),
+        (col("intersection_est").cast("double") / col("b_distinct"))
+          .as("containment_b_est"))
+  }
+
   /** Count-Min frequency-sketch table: one binary CMS of `keyCol` per
     * `grainCols` group. Point frequency questions ("how often did key X
     * appear in slice Y / overall") then run against kilobytes per grain

@@ -62,4 +62,42 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkSpec {
     Sketches.cmsLookup(sk, Seq(-999999L))(-999999L) should
       be <= math.max(4L, (2 * 0.0001 * total).toLong)
   }
+
+  test("corpus-overlap estimate tracks the exact shingle Jaccard and " +
+      "containment on planted overlap; disjoint corpora estimate ~0") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    // corpus A: docs 0,1,2 mod 4; corpus B: docs 0 mod 4 (planted
+    // subset) plus 3 mod 4 (novel) — material but partial overlap
+    val a = docs.where(col("doc_id") % 4 =!= 3)
+    val b = docs.where(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 3)
+    val est = Sketches.corpusOverlapEstimate(a, b, "text").collect()(0)
+    // exact reference over the same distinct-shingle sets
+    def shingles(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.words(col("text")), 3)).as("sh"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (sa, sb) = (shingles(a), shingles(b))
+    val inter = (sa & sb).size.toDouble
+    val exactJ = inter / (sa | sb).size
+    val exactC = inter / sb.size
+    // subtraction stacks the sketch errors: gate at a loose multiple
+    // of the lgK=14 bound (~1.2% per sketch), not the single-sketch one
+    est.getAs[Long]("a_distinct").toDouble shouldBe
+      sa.size.toDouble +- (0.05 * sa.size)
+    est.getAs[Long]("b_distinct").toDouble shouldBe
+      sb.size.toDouble +- (0.05 * sb.size)
+    est.getAs[Double]("jaccard_est") shouldBe exactJ +- 0.1
+    est.getAs[Double]("containment_b_est") shouldBe exactC +- 0.1
+    exactJ should be > 0.1 // the planted overlap is material
+    // disjoint corpora: intersection clamps to ~0
+    val c = docs.where(col("doc_id") % 4 === 1)
+    val d = docs.where(col("doc_id") % 4 === 2)
+    val dj = Sketches.corpusOverlapEstimate(c, d, "text").collect()(0)
+    val exactDj = {
+      val (sc, sd) = (shingles(c), shingles(d))
+      (sc & sd).size.toDouble / (sc | sd).size
+    }
+    dj.getAs[Double]("jaccard_est") shouldBe exactDj +- 0.1
+  }
 }
