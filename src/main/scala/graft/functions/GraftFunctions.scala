@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Registry + Column-level API for graft's custom Catalyst expressions.
   *
@@ -221,6 +222,15 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"repetition_stats(words, n literal); got ${other.size} args")
     },
+    "span_corrupt" -> {
+      case Seq(words, id, Literal(salt: UTF8String, _),
+          Literal(rate: Double, _), Literal(spanLen: Int, _)) =>
+        SpanCorrupt(words, id, salt.toString, rate, spanLen)
+      case other =>
+        throw new IllegalArgumentException(
+          "span_corrupt(words, id, salt literal, rate literal, " +
+            s"spanLen literal); got ${other.size} args")
+    },
     "deflate_stats" -> {
       case Seq(child, Literal(level: Int, _)) => DeflateStats(child, level)
       case Seq(child) => DeflateStats(child, 6)
@@ -337,6 +347,14 @@ object GraftFunctions {
     */
   def deflate_stats(text: Column, level: Int = 6): Column =
     call_function("deflate_stats", text, lit(level))
+
+  /** T5-style span corruption of an array<string> token column keyed by
+    * id: struct<input, target, n_spans> (see [[SpanCorrupt]]).
+    */
+  def span_corrupt(words: Column, id: Column, salt: String, rate: Double,
+      spanLen: Int): Column =
+    call_function("span_corrupt", words, id.cast("string"), lit(salt),
+      lit(rate), lit(spanLen))
 
   /** One-pass int8 quantization: struct<scale: double, q: array<int>>. */
   def int8_quantize(emb: Column): Column = call_function("int8_quantize", emb)

@@ -797,3 +797,83 @@ case class DeflateStats(child: Expression, level: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** T5/UL2-style span corruption of an `array<string>` token column —
+  * the denoising-objective data transform beside
+  * [[graft.operators.Fim]]'s infilling: random token spans are replaced
+  * by numbered sentinels in the input and emitted after their sentinels
+  * in the target (`input: a <extra_id_0> d`, `target: <extra_id_0> b c
+  * <extra_id_1>` — the trailing sentinel closes the target, the T5
+  * convention).
+  *
+  * "Random" is DETERMINISTIC per (id, salt, position): position i
+  * starts a span iff the [[HashFamilies.md5Long]]-derived unit hash of
+  * `salt:id:i` falls below `rate / spanLen` (expected corrupted
+  * fraction ~= rate); each span covers `spanLen` tokens and overlapping
+  * starts merge. Re-runs, repartitionings, and external engines
+  * reproduce the identical corruption; distinct salts redraw per epoch
+  * (the [[graft.operators.Sampling]] auditability contract).
+  *
+  * Output struct<input, target, n_spans>; a draw with no spans leaves
+  * the input verbatim with target `<extra_id_0>` (close sentinel only).
+  */
+case class SpanCorrupt(words: Expression, id: Expression, salt: String,
+    rate: Double, spanLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  require(rate > 0 && rate < 1, "rate must be in (0,1)")
+  require(spanLen >= 1, "spanLen must be >= 1")
+
+  override def left: Expression = words
+  override def right: Expression = id
+  override def dataType: DataType = StructType(Seq(
+    StructField("input", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false)))
+  override def prettyName: String = "span_corrupt"
+
+  override def nullSafeEval(wordsIn: Any, idIn: Any): Any = {
+    val w = wordsIn.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    val idStr = idIn.toString
+    val threshold = rate / spanLen
+    // span-start draws, then merge overlaps into disjoint [start, end)
+    val starts = (0 until n).filter { i =>
+      val h = HashFamilies.md5Long(
+        UTF8String.fromString(s"$salt:$idStr:$i"))
+      (h >>> 32).toDouble / 4294967296.0 < threshold
+    }
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    starts.foreach { s =>
+      val e = math.min(s + spanLen, n)
+      if (spans.nonEmpty && s <= spans.last._2)
+        spans(spans.size - 1) = (spans.last._1, math.max(spans.last._2, e))
+      else spans += ((s, e))
+    }
+    val input = new StringBuilder
+    val target = new StringBuilder
+    var pos = 0
+    var k = 0
+    def appendTok(sb: StringBuilder, t: String): Unit = {
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(t)
+    }
+    spans.foreach { case (s, e) =>
+      while (pos < s) { appendTok(input, w.getUTF8String(pos).toString); pos += 1 }
+      appendTok(input, s"<extra_id_$k>")
+      appendTok(target, s"<extra_id_$k>")
+      while (pos < e) { appendTok(target, w.getUTF8String(pos).toString); pos += 1 }
+      k += 1
+    }
+    while (pos < n) { appendTok(input, w.getUTF8String(pos).toString); pos += 1 }
+    appendTok(target, s"<extra_id_$k>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(input.toString),
+        UTF8String.fromString(target.toString), k))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(words = newLeft, id = newRight)
+}

@@ -78,4 +78,29 @@ object Fim {
       when(fmt === "plain", col(textCol))
         .when(fmt === "spm", spm).otherwise(psm).as("text_out"))
   }
+
+  /** T5/UL2-style span corruption — the denoising-objective transform
+    * beside [[transform]]'s infilling: deterministic pseudo-random token
+    * spans (expected ~`rate` of each doc's tokens, spans of `spanLen`,
+    * overlaps merged) become numbered `<extra_id_k>` sentinels in
+    * `input`, with the removed tokens emitted after their sentinels in
+    * `target` (trailing close sentinel — the T5 convention). The draw
+    * is a pure function of (id, salt, position) via
+    * [[graft.functions.SpanCorrupt]], so re-runs and repartitionings
+    * reproduce it exactly and distinct salts redraw per epoch. Output:
+    * idCol, `n_tokens` (original), `n_spans`, `input`, `target` — one
+    * map-only projection, scan speed at any corpus size.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      rate: Double, spanLen: Int = 3, salt: String = ""): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.span_corrupt(toks, col(idCol),
+          salt, rate, spanLen).as("__c"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        col("__c.n_spans").cast("long").as("n_spans"),
+        col("__c.input").as("input"),
+        col("__c.target").as("target"))
+  }
 }

@@ -118,4 +118,70 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  /** Reassemble the original token stream from a span-corruption pair:
+    * walk input, replacing `<extra_id_k>` with target's k-th span.
+    */
+  private def reassemble(input: String, target: String): Seq[String] = {
+    val sentinel = "<extra_id_(\\d+)>".r
+    val tToks = target.split(" ").toSeq
+    val spanStarts = tToks.zipWithIndex.collect {
+      case (t, i) if sentinel.matches(t) => i
+    }
+    val spans = spanStarts.sliding(2).collect {
+      case Seq(a, b) => tToks.slice(a + 1, b)
+    }.toSeq
+    input.split(" ").toSeq.filter(_.nonEmpty).flatMap {
+      case sentinel(k) => spans(k.toInt)
+      case t => Seq(t)
+    }
+  }
+
+  test("span corruption: splicing target spans back into the input " +
+      "reproduces every original token stream; rate tracks; " +
+      "deterministic; a new salt redraws") {
+    val in = docs(300)
+    val orig = in.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSeq).toMap
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Fim.spanCorrupt(d, "doc_id", "text", rate = 0.3, spanLen = 2,
+        salt = salt).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toMap
+    val out = run(in, "s0")
+    out.keySet shouldBe orig.keySet
+    var corrupted = 0L; var total = 0L
+    out.foreach { case (id, (nTok, nSpans, input, target)) =>
+      nTok shouldBe orig(id).length.toLong
+      reassemble(input, target) shouldBe orig(id)
+      // target format: k numbered spans + one close sentinel
+      "<extra_id_".r.findAllIn(target).length shouldBe nSpans + 1
+      corrupted += nTok - input.split(" ")
+        .count(t => !t.startsWith("<extra_id_"))
+      total += nTok
+    }
+    // expected corrupted fraction ~ rate (merged overlaps pull it
+    // slightly under; 300 docs of 1-17 tokens -> wide tolerance)
+    corrupted.toDouble / total shouldBe 0.3 +- 0.12
+    out.count(_._2._2 > 0) should be > 0
+    run(in.repartition(7), "s0") shouldBe out // partitioning-invariant
+    run(in, "s1") should not be out // new epoch, new spans
+  }
+
+  test("span corruption degenerate cases: no-span draws pass the text " +
+      "verbatim with a close sentinel; knobs validate") {
+    import spark.implicits._
+    val one = Seq((999L, "alpha beta gamma")).toDF("doc_id", "text")
+    // rate tiny enough that this id draws no span
+    val r = Fim.spanCorrupt(one, "doc_id", "text", rate = 1e-9)
+      .collect()(0)
+    r.getLong(2) shouldBe 0L
+    r.getString(3) shouldBe "alpha beta gamma"
+    r.getString(4) shouldBe "<extra_id_0>"
+    an[Exception] should be thrownBy
+      Fim.spanCorrupt(one, "doc_id", "text", rate = 1.5).collect()
+    an[Exception] should be thrownBy
+      Fim.spanCorrupt(one, "doc_id", "text", 0.3, spanLen = 0).collect()
+  }
 }
