@@ -1991,6 +1991,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // fill-in-the-middle training transform: ~half the docs rewritten
+    // as PSM/SPM infilling examples (token-level cuts uniform over
+    // valid pairs, both cuts and the format pure unit-hash functions of
+    // (doc_id, salt)) — one map-only codegen projection; the oracle
+    // replays cuts, slices, and sentinel assembly from the same md5
+    // arithmetic
+    "q194_fim" -> ((s, d) =>
+      graft.operators.Fim.transform(t(s, d, "documents"),
+          "doc_id", "text", fimFraction = 0.5, spmFraction = 0.5,
+          salt = "fimq")
+        .orderBy(col("doc_id"))),
+
     // leakage-safe train/val split: assignment by near-dup CLUSTER (the
     // q52 component graph), not by document — every member of a cluster
     // inherits the min-id representative's unit-hash side, so no
@@ -5684,6 +5696,44 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q194: the FIM rewrite replayed from the same md5 unit-hash
+    // arithmetic (k/2^32 and the products are IEEE-exact in both
+    // engines): cut1 = floor(u_c1*(n+1)), cut2 = cut1 +
+    // floor(u_c2*(n-cut1+1)), token-array slices re-joined around the
+    // sentinels; format from the u_fim/u_spm draws
+    "q194_fim" ->
+      """WITH tok AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         u AS (
+           SELECT doc_id, text, w, len(w) AS n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqc1'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc1,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqc2'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc2,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqfim'), 1, 8)) AS UBIGINT) / 4294967296.0 AS ufim,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqspm'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uspm
+           FROM tok),
+         cuts AS (
+           SELECT *, CAST(floor(uc1 * (n + 1)) AS INT) AS c1
+           FROM u),
+         segs AS (
+           SELECT doc_id, text, n, ufim, uspm,
+             w[1:c1] AS pre,
+             w[c1+1:c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT)] AS mid,
+             w[c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT) + 1:n] AS suf
+           FROM cuts)
+         SELECT doc_id,
+           CASE WHEN ufim >= 0.5 THEN 'plain'
+             WHEN uspm < 0.5 THEN 'spm' ELSE 'psm' END AS fmt,
+           CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN ufim >= 0.5 THEN text
+             WHEN uspm < 0.5 THEN array_to_string(
+               ['<SUF>'] || suf || ['<PRE>'] || pre || ['<MID>'] || mid, ' ')
+             ELSE array_to_string(
+               ['<PRE>'] || pre || ['<SUF>'] || suf || ['<MID>'] || mid, ' ')
+             END AS text_out
+         FROM segs ORDER BY doc_id""",
 
     // q193: the q52 component CTEs verbatim (shared helper — the pair
     // graph cannot drift between the two oracles), folded to min-label
