@@ -1991,6 +1991,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // best-of-N rejection-sampling selection: each synthetic prompt's
+    // argmax candidate (ties to the smallest id) via ONE
+    // max(struct(score, -cand)) hash aggregate — no window, no
+    // self-join; prompts whose best clears minScore only
+    "q195_best_of_n" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("q"),
+        col("doc_id").as("cand"),
+        ((col("doc_id") * 37) % 1000).as("score"))
+      graft.operators.Preferences.bestOfN(scored, "q", "cand", "score",
+          minScore = 500L)
+        .orderBy(col("query_id"))
+    }),
+
     // fill-in-the-middle training transform: ~half the docs rewritten
     // as PSM/SPM infilling examples (token-level cuts uniform over
     // valid pairs, both cuts and the format pure unit-hash functions of
@@ -5696,6 +5710,25 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q195: the argmax-with-tiebreak replayed as a rank-1 window
+    // (score DESC, cand ASC) — semantically identical to the engine's
+    // max(struct(score, -cand)) aggregate — plus the minScore floor
+    "q195_best_of_n" ->
+      """WITH sc AS (
+           SELECT doc_id % 50 AS q, doc_id AS cand,
+             (doc_id * 37) % 1000 AS score
+           FROM documents),
+         rk AS (
+           SELECT q, cand, score,
+             row_number() OVER (PARTITION BY q
+               ORDER BY score DESC, cand ASC) AS rn,
+             count(*) OVER (PARTITION BY q) AS n_cands
+           FROM sc)
+         SELECT q AS query_id, cand AS best_id, score AS best_score,
+           CAST(n_cands AS BIGINT) AS n_cands
+         FROM rk WHERE rn = 1 AND score >= 500
+         ORDER BY query_id""",
 
     // q194: the FIM rewrite replayed from the same md5 unit-hash
     // arithmetic (k/2^32 and the products are IEEE-exact in both
