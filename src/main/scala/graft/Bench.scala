@@ -188,7 +188,7 @@ object Bench {
     val shortOk = results.map(r => shortKey(r._1)).distinct.size == results.size
     def render(decimals: Int, keyFn: String => String,
         wholeFrom: Double = Double.MaxValue, lean: Boolean = false,
-        ultraLean: Boolean = false): String = {
+        ultraLean: Boolean = false, hyperLean: Boolean = false): String = {
       val fmt = s"%.${decimals}f"
       def num(v: Double) = {
         // at the byte-pressured DECISECOND tiers, values at/above
@@ -226,7 +226,11 @@ object Bench {
       // other field survives so the line still json-parses to the same
       // value/queries/sf payload (documented in BASELINE.md)
       val unitField = if (ultraLean) "" else ""","unit":"sec""""
-      s"""{"metric":"total","value":$totalStr$unitField$failedField$flakyField$adjField,"queries":$qs,"sf":"$sf"}"""
+      // HYPER-LEAN: "sf" goes too (14 B) — redundant for the driver,
+      // whose BENCH_r{N}.json wrapper records sf independently of the
+      // line, and BENCH_LOCAL.json always keeps the full wrapper
+      val sfField = if (hyperLean) "" else s""","sf":"$sf""""
+      s"""{"metric":"total","value":$totalStr$unitField$failedField$flakyField$adjField,"queries":$qs$sfField}"""
     }
     val full: String => String = identity
     val noWhole = Double.MaxValue
@@ -235,33 +239,35 @@ object Bench {
     // ordinal tier the whole-render threshold walks down 10 s -> 5 s ->
     // 2 s before ANY sub-2 s value falls to the whole-second floor;
     // coarser full-name renders only when shortening is unavailable
-    type Tier = (Int, String => String, Double, Boolean, Boolean)
+    type Tier = (Int, String => String, Double, Boolean, Boolean, Boolean)
     val attempts: Seq[Tier] =
-      Seq[Tier]((3, full, noWhole, false, false)) ++
+      Seq[Tier]((3, full, noWhole, false, false, false)) ++
       (if (shortOk) Seq[Tier](
-        (3, shortKey _, noWhole, false, false),
-        (2, shortKey _, noWhole, false, false),
-        (1, shortKey _, 9.95, false, false),
-        (1, ordKey _, 9.95, false, false),
-        (1, ordKey _, 4.95, false, false),
-        (1, ordKey _, 1.95, false, false),
+        (3, shortKey _, noWhole, false, false, false),
+        (2, shortKey _, noWhole, false, false, false),
+        (1, shortKey _, 9.95, false, false, false),
+        (1, ordKey _, 9.95, false, false, false),
+        (1, ordKey _, 4.95, false, false, false),
+        (1, ordKey _, 1.95, false, false, false),
         // the last graded steps before the floor: >= 1 s rows whole
         // (worst rounding error ~33% — still far better for the anchor
         // gate than the floor's 0.4 -> "0"), then the lean wrapper,
-        // then zero-stripped keys (the 194-row step), then the
-        // ultra-lean wrapper (the 195+-row step)
-        (1, ordKey _, 0.95, false, false),
-        (1, ordKey _, 0.95, true, false),
-        (1, minKey _, 0.95, true, false),
-        (1, minKey _, 0.95, true, true),
-        (0, minKey _, noWhole, true, true))
+        // then zero-stripped keys (the 194-row step), the ultra-lean
+        // wrapper (195), and the hyper-lean wrapper (196+)
+        (1, ordKey _, 0.95, false, false, false),
+        (1, ordKey _, 0.95, true, false, false),
+        (1, minKey _, 0.95, true, false, false),
+        (1, minKey _, 0.95, true, true, false),
+        (1, minKey _, 0.95, true, true, true),
+        (0, minKey _, noWhole, true, true, true))
        else Seq[Tier](
-        (2, full, noWhole, false, false), (1, full, 9.95, false, false))) :+
-      ((0, full, noWhole, true, false): Tier)
+        (2, full, noWhole, false, false, false),
+        (1, full, 9.95, false, false, false))) :+
+      ((0, full, noWhole, true, false, false): Tier)
     attempts.iterator
-      .map { case (d, f, w, ln, ul) => render(d, f, w, ln, ul) }
+      .map { case (d, f, w, ln, ul, hl) => render(d, f, w, ln, ul, hl) }
       .find(_.length <= maxLen)
       .getOrElse(render(0, if (shortOk) minKey else full, lean = true,
-        ultraLean = true))
+        ultraLean = true, hyperLean = true))
   }
 }

@@ -1991,6 +1991,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SFT loss-mask spans over synthetic conversations: per-kept-turn
+    // token offsets into the assembled transcript (same budget walk as
+    // the assembler — two windows, one key exchange) with train =
+    // assistant turns only
+    "q196_loss_mask" -> ((s, d) => {
+      val ev = t(s, d, "documents").select(
+        (col("doc_id") % 40).as("conv"),
+        col("doc_id").as("ts"), col("doc_id").as("seq"),
+        when(col("doc_id") % 2 === 0, "user").otherwise("assistant")
+          .as("role"),
+        col("text"))
+      graft.operators.Conversations.lossMaskSpans(ev, "conv", "ts",
+          "seq", "role", "text", tokenBudget = 200L, Seq("assistant"))
+        .orderBy(col("conv"), col("turn_no"))
+    }),
+
     // best-of-N rejection-sampling selection: each synthetic prompt's
     // argmax candidate (ties to the smallest id) via ONE
     // max(struct(score, -cand)) hash aggregate — no window, no
@@ -5710,6 +5726,40 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q196: the budget walk (descending suffix-sum window) and the
+    // offset walk (ascending running sum over the full `role: content`
+    // rendering widths) replayed verbatim; window sums cast AS BIGINT
+    // (the q172 HUGEINT lesson)
+    "q196_loss_mask" ->
+      """WITH ev AS (
+           SELECT doc_id % 40 AS conv, doc_id AS ts, doc_id AS seq,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             text
+           FROM documents),
+         tokd AS (
+           SELECT conv, ts, seq, role,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS tk,
+             len(list_filter(string_split_regex(role || ': ' || text,
+               '\s+'), x -> x <> '')) AS w
+           FROM ev),
+         marked AS (
+           SELECT *,
+             sum(tk) OVER (PARTITION BY conv ORDER BY ts DESC, seq DESC
+               ROWS UNBOUNDED PRECEDING) <= 200 AS keep
+           FROM tokd),
+         kept AS (SELECT * FROM marked WHERE keep)
+         SELECT conv,
+           CAST(row_number() OVER wa - 1 AS BIGINT) AS turn_no, role,
+           CAST(sum(w) OVER wa - w AS BIGINT) AS token_start,
+           CAST(sum(w) OVER wa AS BIGINT) AS token_end,
+           role = 'assistant' AS train
+         FROM kept
+         WINDOW wa AS (PARTITION BY conv ORDER BY ts, seq
+           ROWS UNBOUNDED PRECEDING)
+         ORDER BY conv, turn_no""",
 
     // q195: the argmax-with-tiebreak replayed as a rank-1 window
     // (score DESC, cand ASC) — semantically identical to the engine's
