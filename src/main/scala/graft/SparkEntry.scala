@@ -1991,6 +1991,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // group-coherent packing: the q85 greedy walk re-ordered so a
+    // domain never splits across shards (shard = unit-hash bucket of
+    // the GROUP) and same-domain docs pack adjacently — the
+    // in-context-pretraining layout; the oracle replays the walk with
+    // the q85 recursive CTE over the (group, id) order
+    "q197_pack_related" -> ((s, d) =>
+      graft.operators.Packing.packRelated(
+        t(s, d, "documents")
+          .withColumn("domain",
+            concat(lit("d"), (col("doc_id") % 37).cast("string")))
+          .withColumn("tokens", TextFunctions.wsTokenCount(col("text"))),
+        "doc_id", "tokens", "domain", budget = 256L, nShards = 8)
+        .orderBy(col("doc_id"))),
+
     // SFT loss-mask spans over synthetic conversations: per-kept-turn
     // token offsets into the assembled transcript (same budget walk as
     // the assembler — two windows, one key exchange) with train =
@@ -5726,6 +5740,43 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q197: q85's recursive greedy replay with two ordering changes —
+    // shard from the md5 unit-hash bucket of the GROUP (the q116 fold
+    // arithmetic over grp || 'pack') and rn over (grp, doc_id)
+    "q197_pack_related" ->
+      """WITH RECURSIVE base AS MATERIALIZED (
+           SELECT doc_id, 'd' || CAST(doc_id % 37 AS VARCHAR) AS grp,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS tokens
+           FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, grp, tokens,
+             CAST(floor(CAST(('0x' || substr(md5(grp || 'pack'), 1, 8))
+               AS UBIGINT) / 4294967296.0 * 8) AS BIGINT) AS shard
+           FROM base),
+         rn AS MATERIALIZED (
+           SELECT *, row_number() OVER (PARTITION BY shard
+             ORDER BY grp, doc_id) AS r
+           FROM sh),
+         packed AS (
+           SELECT shard, grp, doc_id, tokens, r,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum,
+             CAST(0 AS BIGINT) AS seq_pos
+           FROM rn WHERE r = 1
+           UNION ALL
+           SELECT b.shard, b.grp, b.doc_id, b.tokens, b.r,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id
+               ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens
+               ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1
+               ELSE CAST(0 AS BIGINT) END
+           FROM packed p JOIN rn b
+             ON b.shard = p.shard AND b.r = p.r + 1)
+         SELECT doc_id, grp AS "group", shard, seq_id, seq_pos,
+           tokens > 256 AS oversize
+         FROM packed ORDER BY doc_id""",
 
     // q196: the budget walk (descending suffix-sum window) and the
     // offset walk (ascending running sum over the full `role: content`
