@@ -1991,6 +1991,17 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // T5-style span corruption: deterministic per-(id, salt, position)
+    // md5 draws select ~rate of each doc's tokens as merged 3-token
+    // spans — numbered sentinels in the input, removed tokens after
+    // their sentinels in the target, trailing close sentinel; one
+    // map-only imperative projection, oracle replays draws, coverage,
+    // island numbering, and assembly in window SQL
+    "q198_span_corrupt" -> ((s, d) =>
+      graft.operators.Fim.spanCorrupt(t(s, d, "documents"),
+          "doc_id", "text", rate = 0.25, spanLen = 3, salt = "sc")
+        .orderBy(col("doc_id"))),
+
     // group-coherent packing: the q85 greedy walk re-ordered so a
     // domain never splits across shards (shard = unit-hash bucket of
     // the GROUP) and same-domain docs pack adjacently — the
@@ -5740,6 +5751,64 @@ object SparkEntry {
          reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
          SELECT r.doc_id FROM reps r LEFT JOIN seed s ON r.f = s.f
          WHERE s.f IS NULL ORDER BY doc_id""",
+
+    // q198: the corruption replayed position-by-position — the start
+    // draw is the same md5 unit hash over 'sc:id:i' against the SAME
+    // IEEE division 0.25/3 (never a decimal literal of it), span
+    // coverage via a rolling spanLen-window max over the start flags,
+    // islands (merged spans) via the corrupted-run-start running sum,
+    // both renderings assembled with ordered string_agg, close
+    // sentinel appended from the island count
+    "q198_span_corrupt" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, w[CAST(i AS INT) + 1] AS t, i
+           FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i
+                 FROM tok)),
+         draw AS (
+           SELECT doc_id, t, i,
+             CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+               || ':' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+               / 4294967296.0 < 0.25 / 3 AS st
+           FROM pos),
+         cov AS (
+           SELECT doc_id, t, i,
+             max(CAST(st AS INT)) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS corr
+           FROM draw),
+         isl AS (
+           SELECT doc_id, t, i, corr,
+             corr AND NOT coalesce(lag(corr) OVER (PARTITION BY doc_id
+               ORDER BY i), FALSE) AS isl_start
+           FROM cov),
+         num AS (
+           SELECT doc_id, t, i, corr, isl_start,
+             sum(CASE WHEN isl_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+           FROM isl),
+         agg AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN NOT corr THEN t
+                 WHEN isl_start THEN '<extra_id_' || CAST(k AS VARCHAR)
+                   || '>' END, ' ' ORDER BY i)
+               FILTER (WHERE corr = FALSE OR isl_start) AS input,
+             string_agg(CASE WHEN isl_start THEN '<extra_id_'
+                 || CAST(k AS VARCHAR) || '> ' || t ELSE t END, ' '
+               ORDER BY i) FILTER (WHERE corr) AS tgt,
+             CAST(max(k) + 1 AS BIGINT) AS n_spans
+           FROM num GROUP BY doc_id)
+         SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_tokens,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           coalesce(agg.input, '') AS input,
+           coalesce(agg.tgt || ' ', '') || '<extra_id_'
+             || CAST(coalesce(agg.n_spans, 0) AS VARCHAR) || '>'
+             AS target
+         FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+         ORDER BY tok.doc_id""",
 
     // q197: q85's recursive greedy replay with two ordering changes —
     // shard from the md5 unit-hash bucket of the GROUP (the q116 fold
