@@ -169,6 +169,40 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     run(in, "s1") should not be out // new epoch, new spans
   }
 
+  test("span corruption totality + reconstruction over arbitrary " +
+      "unicode corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // tokens from a hostile alphabet: unicode letters, confusables,
+    // punctuation, digits — anything non-whitespace survives wsTokens,
+    // and neither the expression nor the reassembly may choke on it
+    val tokGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf('a', 'Z', '9', 'é', 'ü', '中', 'λ', '!', '_', '%',
+        ' '.toString.head, '"', '\\')).map(_.mkString))
+    val docGen = for {
+      id <- Gen.choose(0L, 100000L)
+      n <- Gen.choose(0, 25)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield (id, toks.mkString(" "))
+    val corpusGen = Gen.choose(1, 25)
+      .flatMap(Gen.listOfN(_, docGen).map(_.distinctBy(_._1)))
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val out = Fim.spanCorrupt(df, "doc_id", "text", 0.4, 2, "fz")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getString(3), r.getString(4))).toMap
+      rows.forall { case (id, text) =>
+        val orig = text.split("\\s+").toSeq.filter(_.nonEmpty)
+        val (nSpans, input, target) = out(id)
+        reassemble(input, target) == orig &&
+          "<extra_id_".r.findAllIn(target).length == nSpans + 1
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("span corruption degenerate cases: no-span draws pass the text " +
       "verbatim with a close sentinel; knobs validate") {
     import spark.implicits._
