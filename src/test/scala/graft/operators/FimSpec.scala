@@ -169,6 +169,41 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     run(in, "s1") should not be out // new epoch, new spans
   }
 
+  test("FIM transform totality + reconstruction over arbitrary " +
+      "unicode corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val tokGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf('a', 'Z', '9', 'é', 'ü', '中', 'λ', '!', '_', '%',
+        '"', '\\')).map(_.mkString))
+    val docGen = for {
+      id <- Gen.choose(0L, 100000L)
+      n <- Gen.choose(0, 25)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield (id, toks.mkString(" "))
+    val corpusGen = Gen.choose(1, 25)
+      .flatMap(Gen.listOfN(_, docGen).map(_.distinctBy(_._1)))
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val out = Fim.transform(rows.toDF("doc_id", "text"), "doc_id",
+          "text", fimFraction = 0.7, spmFraction = 0.5, salt = "pz")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(3))).toMap
+      rows.forall { case (id, text) =>
+        val orig = text.split("\\s+").toSeq.filter(_.nonEmpty)
+        out(id) match {
+          case ("plain", t) =>
+            t.split("\\s+").toSeq.filter(_.nonEmpty) == orig
+          case (fmt, t) =>
+            val (p, s, m) = parse(fmt, t)
+            (p ++ m ++ s) == orig
+        }
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("span corruption totality + reconstruction over arbitrary " +
       "unicode corpora (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
