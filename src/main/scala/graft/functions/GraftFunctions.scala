@@ -238,6 +238,15 @@ object GraftFunctions {
         throw new IllegalArgumentException(
           s"deflate_stats(text, level literal); got ${other.size} args")
     },
+    "deflate_ratio_in" -> {
+      case Seq(child, Literal(lo: Double, _), Literal(hi: Double, _),
+          Literal(level: Int, _)) =>
+        DeflateRatioGate(child, lo, hi, level)
+      case other =>
+        throw new IllegalArgumentException(
+          "deflate_ratio_in(text, lo literal, hi literal, level literal); " +
+            s"got ${other.size} args")
+    },
     "warc_records" -> {
       case Seq(child) => WarcRecords(child)
       case other =>
@@ -347,6 +356,13 @@ object GraftFunctions {
     */
   def deflate_stats(text: Column, level: Int = 6): Column =
     call_function("deflate_stats", text, lit(level))
+
+  /** True iff text is empty or deflate/raw lies in [lo, hi] — one deflate
+    * per row (see [[DeflateRatioGate]]).
+    */
+  def deflate_ratio_in(text: Column, lo: Double, hi: Double,
+      level: Int = 6): Column =
+    call_function("deflate_ratio_in", text, lit(lo), lit(hi), lit(level))
 
   /** T5-style span corruption of an array<string> token column keyed by
     * id: struct<input, target, n_spans> (see [[SpanCorrupt]]).

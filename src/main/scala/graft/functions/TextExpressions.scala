@@ -781,7 +781,21 @@ case class DeflateStats(child: Expression, level: Int)
   override def prettyName: String = "deflate_stats"
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val (raw, total) = DeflateStats.counts(input.asInstanceOf[UTF8String], level)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](raw, total))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateStats {
+  /** One deflate pass: (raw UTF-8 byte count, deflate byte count). A fresh
+    * per-call Deflater so partitions share nothing.
+    */
+  private[functions] def counts(s: UTF8String, level: Int): (Long, Long) = {
+    val bytes = s.getBytes
     val d = new java.util.zip.Deflater(level, true)
     try {
       d.setInput(bytes)
@@ -789,9 +803,36 @@ case class DeflateStats(child: Expression, level: Int)
       val buf = new Array[Byte](8192)
       var total = 0L
       while (!d.finished()) total += d.deflate(buf)
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](bytes.length.toLong, total))
+      (bytes.length.toLong, total)
     } finally d.end()
+  }
+}
+
+/** Boolean compression-ratio gate: true iff the text is empty (no bytes to
+  * judge) or deflate_bytes/raw_bytes lies in [lo, hi]. Semantically equal to
+  * filtering on [[DeflateStats]]'s two fields, but evaluated as ONE
+  * expression so each row deflates exactly ONCE: a predicate that references
+  * the stats struct several times gets the CodegenFallback child replicated
+  * per reference (FilterExec generates no subexpression elimination, and
+  * Catalyst re-inlines any withColumn materialization when it pushes the
+  * deterministic filter back below the project) — up to 3 deflates per row
+  * on the pipelines' hot cleaning path. The bound comparison matches the
+  * struct-predicate form bit for bit: long counts cast to double, compared
+  * against lo*raw / hi*raw.
+  */
+case class DeflateRatioGate(child: Expression, lo: Double, hi: Double,
+    level: Int) extends UnaryExpression with CodegenFallback {
+
+  require(level >= 1 && level <= 9, "deflate level must be in [1,9]")
+  require(lo <= hi, "lo must be <= hi")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "deflate_ratio_in"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (raw, defl) = DeflateStats.counts(input.asInstanceOf[UTF8String], level)
+    raw == 0L ||
+      (defl.toDouble >= lo * raw.toDouble && defl.toDouble <= hi * raw.toDouble)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -136,12 +136,11 @@ object StreamingPrep {
     // predicate at the same point as the batch pipeline's stage 0a3;
     // per-doc deterministic, so epoch ≡ union holds unchanged and
     // over/under-compressible docs never enter the fingerprint table
+    // single-eval [[graft.functions.DeflateRatioGate]] predicate — one
+    // deflate per row, same rationale as the batch pipeline's stage 0a3
     val listed = compressionRatioBounds.fold(listed1) { case (lo, hi) =>
-      val st = graft.functions.GraftFunctions.deflate_stats(col(textCol))
-      val keep = st.getField("raw_bytes") === 0L ||
-        (st.getField("deflate_bytes") >= lit(lo) * st.getField("raw_bytes") &&
-          st.getField("deflate_bytes") <= lit(hi) * st.getField("raw_bytes"))
-      val gated = listed1.where(keep)
+      val gated = listed1.where(graft.functions.GraftFunctions
+        .deflate_ratio_in(col(textCol), lo, hi))
       lineage.foreach(_.diff("compression",
         s"ratio_outside_[$lo,$hi]", listed1, gated))
       gated

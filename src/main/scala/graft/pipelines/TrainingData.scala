@@ -280,15 +280,14 @@ object TrainingData {
     // the streaming epoch ≡ union argument holds unchanged. Empty
     // texts pass (no bytes to judge — the stage-2 tokenize gate owns
     // them). Heuristic thresholds: place them in the distribution's
-    // bulk, never knife-edge (the signal is JVM-zlib dependent)
+    // bulk, never knife-edge (the signal is JVM-zlib dependent). The
+    // predicate is the single-eval [[graft.functions.DeflateRatioGate]]
+    // so each row deflates exactly once — a struct-field predicate would
+    // replicate the CodegenFallback deflate per reference (up to 3x/row)
     val ruleGated = compressionRatioBounds.fold(ruleGated0) {
       case (lo, hi) =>
-        val st = graft.functions.GraftFunctions
-          .deflate_stats(col(textCol))
-        val keep = st.getField("raw_bytes") === 0L ||
-          (st.getField("deflate_bytes") >= lit(lo) * st.getField("raw_bytes") &&
-            st.getField("deflate_bytes") <= lit(hi) * st.getField("raw_bytes"))
-        val gated = ruleGated0.where(keep)
+        val gated = ruleGated0.where(graft.functions.GraftFunctions
+          .deflate_ratio_in(col(textCol), lo, hi))
         lineage.foreach(_.diff("compression",
           s"ratio_outside_[$lo,$hi]", ruleGated0, gated))
         gated

@@ -83,6 +83,49 @@ class CompressionSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("deflate_ratio_in matches the struct-field predicate row for row") {
+    import spark.implicits._
+    val docs = Seq((1L, prose), (2L, spam), (3L, noise), (4L, ""),
+      (5L, null: String), (6L, "x"), (7L, prose + spam)).toDF("doc_id", "text")
+    val (lo, hi) = (0.35, 0.95)
+    val st = graft.functions.GraftFunctions.deflate_stats(col("text"))
+    val structKeep = st.getField("raw_bytes") === 0L ||
+      (st.getField("deflate_bytes") >= lit(lo) * st.getField("raw_bytes") &&
+        st.getField("deflate_bytes") <= lit(hi) * st.getField("raw_bytes"))
+    val viaStruct = docs.where(structKeep).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaGate = docs.where(graft.functions.GraftFunctions
+        .deflate_ratio_in(col("text"), lo, hi)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    viaGate shouldBe viaStruct
+    viaGate should contain(4L) // empty text passes (no bytes to judge)
+    viaGate should not contain 5L // null text drops (null-false predicate)
+  }
+
+  test("the gate plans as ONE expression in the filter (single deflate " +
+      "per row) and stays map-only") {
+    import spark.implicits._
+    // RDD-backed input: a local Seq would fold into LocalTableScan at
+    // optimization time and erase the filter from the plan entirely
+    val docs = spark.sparkContext.parallelize(Seq((1L, prose)))
+      .toDF("doc_id", "text")
+    val plan = docs.where(graft.functions.GraftFunctions
+        .deflate_ratio_in(col("text"), 0.3, 0.9))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    // exactly one deflate call site in the physical predicate — the
+    // struct-field form inlines deflate_stats once per field reference
+    "deflate".r.findAllIn(plan.toLowerCase).size shouldBe 1
+    // and the struct-field form really does replicate the deflate —
+    // the 3x-per-row hazard the gate expression exists to avoid
+    val st = graft.functions.GraftFunctions.deflate_stats(col("text"))
+    val structPlan = docs.where(st.getField("raw_bytes") === 0L ||
+        (st.getField("deflate_bytes") >= lit(0.3) * st.getField("raw_bytes") &&
+          st.getField("deflate_bytes") <= lit(0.9) * st.getField("raw_bytes")))
+      .queryExecution.executedPlan.toString
+    "deflate".r.findAllIn(structPlan.toLowerCase).size should be > 1
+  }
+
   test("knob validation fails loud") {
     import spark.implicits._
     val docs = Seq((1L, prose)).toDF("doc_id", "text")
