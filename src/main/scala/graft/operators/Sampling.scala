@@ -144,17 +144,29 @@ object Sampling {
     *
     * Scale posture: the CC label table is bounded by 2x the PAIR count
     * (only paired docs carry labels — the df-capped candidate graph, not
-    * the corpus), so the labels side broadcasts and the corpus-side join
-    * is map-only; singletons — the overwhelming bulk at any scale — never
-    * shuffle at all. The split decision is one codegen'd projection.
+    * the corpus), so at typical dup rates the labels side broadcasts and
+    * the corpus-side join is map-only; singletons — the overwhelming bulk
+    * at any scale — never shuffle at all. The split decision is one
+    * codegen'd projection. The broadcast hint is SIZE-GATED, not taken on
+    * faith: a 100 TB crawl at 30-50% duplication can push the paired-doc
+    * label frame to billions of rows, where a forced broadcast fails the
+    * job or OOMs the driver — past `maxLabelBroadcastRows` (default 2^20,
+    * the [[Dedup.incrementalExactDedupBloom]] confirm-lane convention) the
+    * join degrades to a plain shuffle equi-join instead. The count that
+    * decides is cheap: [[Dedup.connectedComponents]] already materializes
+    * its result via the iteration's checkpoints.
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-      valFraction: Double, salt: String = ""): DataFrame = {
+      valFraction: Double, salt: String = "",
+      maxLabelBroadcastRows: Long = 1L << 20): DataFrame = {
     require(valFraction >= 0 && valFraction <= 1,
       "valFraction must be in [0,1]")
     val labels = Dedup.connectedComponents(pairs)
       .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
-    docs.join(broadcast(labels), col(idCol) === col("__cc_id"), "left")
+    val labelsSide =
+      if (labels.count() <= maxLabelBroadcastRows) broadcast(labels)
+      else labels
+    docs.join(labelsSide, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol),
         coalesce(col("__cc_comp"), col(idCol)).as("rep"))
       .withColumn("split",

@@ -191,4 +191,40 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     bigPairs.collect().count(r =>
       naive(r.getLong(0)) != naive(r.getLong(1))) should be > 0
   }
+
+  test("leakage-safe split size-gates the label broadcast: past the row " +
+      "cap it degrades to a shuffle join with identical output") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L).toDF("doc_id")
+    def collectOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val hinted = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 0.5, "s")
+    val gated = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 0.5, "s",
+      maxLabelBroadcastRows = 0L) // force the too-large-to-broadcast path
+    collectOf(gated) shouldBe collectOf(hinted) // membership unchanged
+    // the fallback really is a plain join: no broadcast HINT survives in
+    // the optimized plan (AQE may still choose broadcast at these sizes —
+    // the hint's absence is what unpins the forced driver-side broadcast)
+    gated.queryExecution.optimizedPlan.toString should not
+      include("ResolvedHint")
+    val spark2 = docs.sparkSession
+    val prevThreshold = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark2.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark2.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 0.5, "s",
+        maxLabelBroadcastRows = 0L).queryExecution.executedPlan.toString
+      plan should not include "BroadcastHashJoin" // genuinely un-forced
+      // while the hinted path still broadcasts even with auto-broadcast off
+      val hintedPlan = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 0.5,
+        "s").queryExecution.executedPlan.toString
+      hintedPlan should include("BroadcastHashJoin")
+    } finally {
+      spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark2.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
