@@ -5763,7 +5763,8 @@ object SparkEntry {
       """WITH tok AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '')
-               AS w
+               AS w,
+             strpos(text, '<extra_id_') > 0 AS clash
            FROM documents),
          pos AS (
            SELECT doc_id, w[CAST(i AS INT) + 1] AS t, i
@@ -5803,6 +5804,7 @@ object SparkEntry {
            FROM num GROUP BY doc_id)
          SELECT tok.doc_id, CAST(len(tok.w) AS BIGINT) AS n_tokens,
            coalesce(agg.n_spans, 0) AS n_spans,
+           tok.clash AS sentinel_clash,
            coalesce(agg.input, '') AS input,
            coalesce(agg.tgt || ' ', '') || '<extra_id_'
              || CAST(coalesce(agg.n_spans, 0) AS VARCHAR) || '>'
@@ -5912,6 +5914,8 @@ object SparkEntry {
            FROM documents),
          u AS (
            SELECT doc_id, text, w, len(w) AS n,
+             len(list_filter(w,
+               x -> x IN ('<PRE>', '<SUF>', '<MID>'))) > 0 AS clash,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqc1'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc1,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqc2'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc2,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimqfim'), 1, 8)) AS UBIGINT) / 4294967296.0 AS ufim,
@@ -5921,7 +5925,7 @@ object SparkEntry {
            SELECT *, CAST(floor(uc1 * (n + 1)) AS INT) AS c1
            FROM u),
          segs AS (
-           SELECT doc_id, text, n, ufim, uspm,
+           SELECT doc_id, text, n, clash, ufim, uspm,
              w[1:c1] AS pre,
              w[c1+1:c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT)] AS mid,
              w[c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT) + 1:n] AS suf
@@ -5930,6 +5934,7 @@ object SparkEntry {
            CASE WHEN ufim >= 0.5 THEN 'plain'
              WHEN uspm < 0.5 THEN 'spm' ELSE 'psm' END AS fmt,
            CAST(n AS BIGINT) AS n_tokens,
+           clash AS sentinel_clash,
            CASE WHEN ufim >= 0.5 THEN text
              WHEN uspm < 0.5 THEN array_to_string(
                ['<SUF>'] || suf || ['<PRE>'] || pre || ['<MID>'] || mid, ' ')

@@ -32,6 +32,18 @@ import graft.functions.TextFunctions.wsTokens
   * model generates it); untransformed docs pass through verbatim with
   * fmt 'plain'. The caller maps sentinels to real tokenizer specials.
   *
+  * SENTINEL COLLISION: the sentinels are plain strings spliced into the
+  * whitespace-joined output — a document whose own tokens contain
+  * `<PRE>`/`<SUF>`/`<MID>` (or `<extra_id_k>` for [[spanCorrupt]])
+  * produces AMBIGUOUS, unreconstructable output. Both transforms
+  * therefore emit a `sentinel_clash` flag so callers can route such docs
+  * out (or re-salt them into the plain lane) BEFORE sentinel mapping:
+  * [[transform]] flags an exact whitespace-token match against the three
+  * sentinels; [[spanCorrupt]] flags conservatively on the `<extra_id_`
+  * substring anywhere in the text (a superset — the cheap codegen'd
+  * check; routing a rare false positive out costs one document,
+  * missing a true positive corrupts a training example).
+  *
   * Scale posture: one map-only codegen'd projection — no shuffle, no
   * state, no driver loop; at 100 TB this runs at scan speed alongside
   * the other map-only cleaners.
@@ -45,7 +57,9 @@ object Fim {
   /** Transform ~`fimFraction` of docs into infilling examples, of which
     * ~`spmFraction` use SPM ordering (the rest PSM). Output: idCol,
     * `fmt` ('plain'|'psm'|'spm'), `n_tokens` (long, of the ORIGINAL
-    * text), `text_out`.
+    * text), `sentinel_clash` (true iff a source token IS one of the
+    * sentinels — the output is then ambiguous; route such docs out),
+    * `text_out`.
     */
   def transform(df: DataFrame, idCol: String, textCol: String,
       fimFraction: Double, spmFraction: Double = 0.5,
@@ -75,6 +89,8 @@ object Fim {
     val fmt = when(u("fim") >= fimFraction, "plain")
       .when(u("spm") < spmFraction, "spm").otherwise("psm")
     df.select(id, fmt.as("fmt"), n.cast("long").as("n_tokens"),
+      arrays_overlap(toks, array(lit(PRE), lit(SUF), lit(MID)))
+        .as("sentinel_clash"),
       when(fmt === "plain", col(textCol))
         .when(fmt === "spm", spm).otherwise(psm).as("text_out"))
   }
@@ -88,8 +104,10 @@ object Fim {
     * is a pure function of (id, salt, position) via
     * [[graft.functions.SpanCorrupt]], so re-runs and repartitionings
     * reproduce it exactly and distinct salts redraw per epoch. Output:
-    * idCol, `n_tokens` (original), `n_spans`, `input`, `target` — one
-    * map-only projection, scan speed at any corpus size.
+    * idCol, `n_tokens` (original), `n_spans`, `sentinel_clash` (true iff
+    * the text contains the `<extra_id_` sentinel prefix — conservative
+    * substring check; see the object doc's collision note), `input`,
+    * `target` — one map-only projection, scan speed at any corpus size.
     */
   def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
       rate: Double, spanLen: Int = 3, salt: String = ""): DataFrame = {
@@ -97,9 +115,11 @@ object Fim {
     df.select(col(idCol),
         graft.functions.GraftFunctions.span_corrupt(toks, col(idCol),
           salt, rate, spanLen).as("__c"),
-        size(toks).cast("long").as("n_tokens"))
+        size(toks).cast("long").as("n_tokens"),
+        (instr(col(textCol), "<extra_id_") > 0).as("sentinel_clash"))
       .select(col(idCol), col("n_tokens"),
         col("__c.n_spans").cast("long").as("n_spans"),
+        col("sentinel_clash"),
         col("__c.input").as("input"),
         col("__c.target").as("target"))
   }

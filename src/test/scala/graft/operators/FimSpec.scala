@@ -48,8 +48,8 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.length shouldBe 400
     var psmSeen = 0; var spmSeen = 0
     rows.foreach { r =>
-      val (id, fmt, nTok, text) =
-        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      val (id, fmt, nTok, text) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getAs[String]("text_out"))
       nTok shouldBe orig(id).length.toLong
       fmt match {
         case "plain" => text.split(" ").toSeq shouldBe orig(id)
@@ -81,7 +81,8 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     val in = docs(200)
     def run(d: org.apache.spark.sql.DataFrame, salt: String) =
       Fim.transform(d, "doc_id", "text", 0.7, 0.5, salt)
-        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("text_out"))
+        .toMap
     val base = run(in, "e0")
     run(in.repartition(7), "e0") shouldBe base
     run(in, "e0") shouldBe base
@@ -96,12 +97,32 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     val rows = Fim.transform(in, "doc_id", "text", 1.0, 0.5, "d")
       .collect()
     rows.foreach { r =>
-      val (id, fmt, text) = (r.getLong(0), r.getString(1), r.getString(3))
+      val (id, fmt, text) =
+        (r.getLong(0), r.getString(1), r.getAs[String]("text_out"))
       val orig = in.where(col("doc_id") === id).collect()(0)
         .getString(1).split("\\s+").toSeq.filter(_.nonEmpty)
       val (p, s, m) = parse(fmt, text)
       (p ++ m ++ s) shouldBe orig
     }
+  }
+
+  test("sentinel_clash flags docs whose own tokens collide with the " +
+      "sentinels (ambiguous output) so callers can route them out") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "plain safe text"),
+      (2L, "code with <MID> token inside"), // exact token = sentinel
+      (3L, "joined<PRE>token is not a clash"), // substring only — fine
+      (4L, "t5 style <extra_id_3> leftover")).toDF("doc_id", "text")
+    val fim = Fim.transform(in, "doc_id", "text", 1.0, 0.5, "c")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("sentinel_clash"))
+      .toMap
+    fim shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> false)
+    val sc = Fim.spanCorrupt(in, "doc_id", "text", 0.3, 2, "c")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("sentinel_clash"))
+      .toMap
+    // conservative substring check: doc 4 flags (even mid-token it would)
+    sc shouldBe Map(1L -> false, 2L -> false, 3L -> false, 4L -> true)
   }
 
   test("knob validation fails loud") {
@@ -146,8 +167,8 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     def run(d: org.apache.spark.sql.DataFrame, salt: String) =
       Fim.spanCorrupt(d, "doc_id", "text", rate = 0.3, spanLen = 2,
         salt = salt).collect()
-        .map(r => r.getLong(0) ->
-          (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getAs[String]("input"), r.getAs[String]("target")))
         .toMap
     val out = run(in, "s0")
     out.keySet shouldBe orig.keySet
@@ -187,7 +208,7 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
       val out = Fim.transform(rows.toDF("doc_id", "text"), "doc_id",
           "text", fimFraction = 0.7, spmFraction = 0.5, salt = "pz")
         .collect().map(r => r.getLong(0) ->
-          (r.getString(1), r.getString(3))).toMap
+          (r.getString(1), r.getAs[String]("text_out"))).toMap
       rows.forall { case (id, text) =>
         val orig = text.split("\\s+").toSeq.filter(_.nonEmpty)
         out(id) match {
@@ -225,7 +246,8 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
       val df = rows.toDF("doc_id", "text")
       val out = Fim.spanCorrupt(df, "doc_id", "text", 0.4, 2, "fz")
         .collect().map(r => r.getLong(0) ->
-          (r.getLong(2), r.getString(3), r.getString(4))).toMap
+          (r.getLong(2), r.getAs[String]("input"),
+            r.getAs[String]("target"))).toMap
       rows.forall { case (id, text) =>
         val orig = text.split("\\s+").toSeq.filter(_.nonEmpty)
         val (nSpans, input, target) = out(id)
@@ -246,8 +268,8 @@ class FimSpec extends AnyFunSuite with Matchers with SparkSpec {
     val r = Fim.spanCorrupt(one, "doc_id", "text", rate = 1e-9)
       .collect()(0)
     r.getLong(2) shouldBe 0L
-    r.getString(3) shouldBe "alpha beta gamma"
-    r.getString(4) shouldBe "<extra_id_0>"
+    r.getAs[String]("input") shouldBe "alpha beta gamma"
+    r.getAs[String]("target") shouldBe "<extra_id_0>"
     an[Exception] should be thrownBy
       Fim.spanCorrupt(one, "doc_id", "text", rate = 1.5).collect()
     an[Exception] should be thrownBy
