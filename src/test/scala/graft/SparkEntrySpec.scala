@@ -123,6 +123,57 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
     grLine should (include(""""21":3.1""") or include(""""21":3,"""))
   }
 
+  test("past the exhausted key ladder the ELIDE tiers hold deciseconds " +
+      "for every over-anchor row at 210+ battery rows") {
+    // the round-18 ladder (bare+hyper+ultra-lean) is exhausted at ~198
+    // worst-case rows; row 199+ rides the elide tiers instead of the
+    // whole-second floor: at/under-1.5x-anchor rows leave the map
+    // (absent = at anchor, counted in "ok"), so the rows the 2x anchor
+    // gate actually reads keep their tenth at ANY battery size
+    Seq(210, 230, 300).foreach { n =>
+      val rows = (1 to n).map { i =>
+        f"q$i%02d_synthetic" -> (if (i % 23 == 0) 12.0 + (i % 5) // >10 s
+          else if (i % 11 == 0) 3.1 // 6.2x its anchor — must ship
+          else 0.5) // at anchor — elidable
+      }
+      val anchors = rows.map { case (k, _) =>
+        k.takeWhile(_ != '_') -> 0.5 }.toMap
+      val line = Bench.jsonLine(rows, "/root/testdata/sf0.1",
+        anchors = anchors)
+      withClue(s"$n rows: ") {
+        line.length should be <= 1840
+        line should include(""":3.1""") // over-anchor rows keep the tenth
+        line should include(""""ok":""") // elided rows are counted
+        line should not include ":0.5" // at-anchor rows elide
+      }
+    }
+    // adjudication worst case rides along: every over-2x row re-read
+    val rows = (1 to 210).map { i =>
+      f"q$i%02d_synthetic" -> (if (i % 3 == 0) 3.1 else 0.5) }
+    val anchors = rows.map { case (k, _) =>
+      k.takeWhile(_ != '_') -> 0.5 }.toMap
+    val adj = rows.filter(_._2 > 1.0).map { case (k, _) => k -> 0.5 }
+    Bench.jsonLine(rows, "/root/testdata/sf0.1", adjudicated = adj,
+      anchors = anchors).length should be <= 1840
+    // no anchors -> nothing elides -> the pre-elide ladder still rules
+    // (the whole-second floor, as before this tier existed)
+    val noAnchor = Bench.jsonLine(rows, "/root/testdata/sf0.1")
+    noAnchor.length should be <= 1840
+    noAnchor should not include """"ok":"""
+    // values that elide still count in the headline total: the 210-row
+    // elide line's whole-rendered total must cover the full battery sum,
+    // not just the shipped rows
+    val all210 = (1 to 210).map { i =>
+      f"q$i%02d_synthetic" -> (if (i % 11 == 0) 3.1 else 0.5) }
+    val a210 = all210.map { case (k, _) => k.takeWhile(_ != '_') -> 0.5 }
+      .toMap
+    val line210 = Bench.jsonLine(all210, "/root/testdata/sf0.1",
+      anchors = a210)
+    val rendered = """"value":(\d+)""".r.findFirstMatchIn(line210)
+      .get.group(1).toDouble
+    rendered shouldBe all210.map(_._2).sum +- 1.0
+  }
+
   test("checked-in anchors parse and cover the battery at both SFs") {
     val battery = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_')).toSet
     Seq("sf0.1", "sf0.01").foreach { sf =>
@@ -144,10 +195,13 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
       "q04_worse" -> 9.0,      // 9x — adjudicated, ranked first
       "q05_no_anchor" -> 99.0) // new query, no anchor row — skipped
     Bench.outliers(results, anchors) shouldBe Seq("q04_worse", "q02_slow")
-    // the cap bounds a systemic-regression round to a sample
+    // EVERY tripping row adjudicates by default (the round-18 record left
+    // six over-2x rows unverified under the old ~5 cap — VERDICT r18
+    // item 1); the cap remains available as an explicit knob
     val many = (10 to 30).map(i => s"q$i" -> 10.0)
     val manyAnchors = many.map { case (n, _) => n -> 1.0 }.toMap
-    Bench.outliers(many, manyAnchors) should have size 5
+    Bench.outliers(many, manyAnchors) should have size many.size
+    Bench.outliers(many, manyAnchors, cap = 5) should have size 5
     // both readings ship: original min under queries, re-run adjudicated
     val line = Bench.jsonLine(Seq("q72_salted_join" -> 4.489),
       "/root/testdata/sf0.1", adjudicated = Seq("q72_salted_join" -> 1.99))
