@@ -37,10 +37,25 @@ for name in sorted(oracle):
     except TypeError as e:
         fails.append((name, f"driver-sort canary: {e}")); continue
     try:
-        exp = con.execute(oracle[name]).fetchall()
-        exp_cols = [d[0] for d in con.description]
+        rel = con.sql(oracle[name])
+        exp_types = [str(t).upper() for t in rel.types]
+        exp_cols = list(rel.columns)
+        exp = rel.fetchall()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
+    # Driver-harness canary #2: the real gate hashes values after a pandas
+    # round-trip, where a DuckDB HUGEINT or DECIMAL(38,0) output column
+    # (e.g. an uncast sum() over integers) hash-diverges from Spark's
+    # int64 even when every value is identical — the q172 failure mode,
+    # red for two driver rounds while this script's repr() compare stayed
+    # green (Python ints erase the width). Fail on the TYPE so the next
+    # uncast oracle reproduces locally: CAST the aggregate AS BIGINT.
+    wide = [f"{c} ({t})" for c, t in zip(exp_cols, exp_types)
+            if t in ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL(38,0)")]
+    if wide:
+        fails.append((name, f"oracle type guard: {wide} would hash-diverge "
+                      "from Spark int64 in the driver compare — "
+                      "CAST ... AS BIGINT in the oracle SQL")); continue
     if sorted(got_cols) != sorted(exp_cols):
         fails.append((name, f"schema: got {got_cols} want {exp_cols}")); continue
     if len(got) != len(exp):
