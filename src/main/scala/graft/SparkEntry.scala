@@ -1997,6 +1997,22 @@ object SparkEntry {
     // their sentinels in the target, trailing close sentinel; one
     // map-only imperative projection, oracle replays draws, coverage,
     // island numbering, and assembly in window SQL
+    // the END-TO-END pretraining export (the q90 pattern extended to
+    // the full round-18 training surface): clean() survivors ->
+    // leakage-safe split over the survivors' own pair graph -> train
+    // side -> per-epoch FIM (sentinel-clash docs routed out) -> exact
+    // output token counts -> group-coherent packing. One plan, one
+    // oracle replaying the whole chain through the shared CTE helpers
+    // (cleanSurvivorCtes ≡ q90, the pair/CC chain ≡ q193, the FIM
+    // draws ≡ q194, the recursive pack walk ≡ q197)
+    "q199_training_export" -> ((s, d) =>
+      graft.pipelines.TrainingExport.pretrainAssignments(
+        t(s, d, "documents"), "doc_id", "text",
+        concat(lit("d"), (col("doc_id") % 37).cast("string")),
+        valFraction = 0.2, pairThreshold = 0.02, epochSalt = "ep0",
+        fimFraction = 0.5, spmFraction = 0.5, budget = 256L, nShards = 8)
+        .orderBy(col("doc_id"))),
+
     "q198_span_corrupt" -> ((s, d) =>
       graft.operators.Fim.spanCorrupt(t(s, d, "documents"),
           "doc_id", "text", rate = 0.25, spanLen = 3, salt = "sc")
@@ -3235,17 +3251,89 @@ object SparkEntry {
     * `WITH RECURSIVE` and aggregate `min(comp)` per id themselves.
     */
   private def nearDupCcCtes: String =
-    """dd AS (
+    nearDupCcCtesOver("documents WHERE doc_id % 5 = 0", "")
+
+  /** The same pair-graph + closure chain over an arbitrary (doc_id, text)
+    * source, CTE names prefixed with `p` so it can coexist with the
+    * clean-survivor chain's own posting-list CTEs in one oracle (q199).
+    * Ends in `${p}cc(id, comp)`.
+    */
+  private def nearDupCcCtesOver(source: String, p: String): String =
+    s"""${p}dd AS (
            SELECT doc_id,
              list_distinct(list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
            FROM (
              SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
-             FROM documents WHERE doc_id % 5 = 0)
+               list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+             FROM $source)
            WHERE len(w) >= 3),
-         posting AS (
-           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
+         ${p}posting AS (
+           SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM ${p}dd),
+         ${p}kept AS (
+           SELECT p.doc_id, p.sh_size, p.shingle FROM ${p}posting p
+           JOIN (SELECT shingle, count(*) AS df FROM ${p}posting GROUP BY 1) d
+             USING (shingle)
+           WHERE d.df BETWEEN 2 AND 100),
+         ${p}inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
+           FROM ${p}kept a JOIN ${p}kept b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         ${p}pairs AS (
+           SELECT id_a, id_b FROM ${p}inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02),
+         ${p}edges AS (
+           SELECT id_a AS src, id_b AS dst FROM ${p}pairs
+           UNION ALL SELECT id_b, id_a FROM ${p}pairs),
+         ${p}cc AS (
+           SELECT src AS id, src AS comp FROM ${p}edges
+           UNION
+           SELECT e.src AS id, c.comp FROM ${p}edges e JOIN ${p}cc c ON e.dst = c.id)"""
+
+  /** [[graft.pipelines.TrainingData.clean]]-with-defaults survivor CTEs,
+    * shared VERBATIM by the q90 and q199 oracles (the shared-helper
+    * discipline: the gate chain cannot drift between the two replays).
+    * Normalize-dedup min-id, language-ID scores, the exact fixed-point
+    * quality arithmetic, the en/0.26 gate, 3-shingle df-capped
+    * Jaccard-0.5 near-dup removal. Ends in `surv(doc_id, text)`.
+    */
+  private def cleanSurvivorCtes: String =
+    """uniq AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IN (
+             SELECT min(doc_id) FROM documents
+             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
+         feat AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
+           FROM uniq),
+         scored AS (
+           SELECT doc_id, text, w,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred,
+             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
+                 + least(len(w), 250) * len(w)) * 2000000
+                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
+                 / 1e6 AS quality
+           FROM feat WHERE len(w) > 0),
+         gated AS (
+           SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
+         dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM gated WHERE len(w) >= 3),
+         posting AS (SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
          kept AS (
            SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
            JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
@@ -3257,16 +3345,12 @@ object SparkEntry {
            FROM kept a JOIN kept b
              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT id_a, id_b FROM inter
-           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.02),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         cc AS (
-           SELECT src AS id, src AS comp FROM edges
-           UNION
-           SELECT e.src AS id, c.comp FROM edges e JOIN cc c ON e.dst = c.id)"""
+         removed AS (
+           SELECT DISTINCT id_b FROM inter
+           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5),
+         surv AS (
+           SELECT g.doc_id, g.text FROM gated g
+           WHERE g.doc_id NOT IN (SELECT id_b FROM removed))"""
 
   private def md5BucketSql(expr: String, salt: String, buckets: Int): String =
     s"CAST(floor(CAST(('0x' || substr(md5($expr || '$salt'), 1, 8)) " +
@@ -7508,58 +7592,75 @@ object SparkEntry {
            CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM kept GROUP BY source ORDER BY source""",
 
-    "q90_prep_e2e" ->
-      """WITH RECURSIVE uniq AS (
-           SELECT doc_id, text FROM documents
-           WHERE doc_id IN (
-             SELECT min(doc_id) FROM documents
-             GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g'))),
-         feat AS (
-           SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
-             len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS s_en,
-             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
-             len(regexp_extract_all(lower(text), '\b(le|les|et|est|que|une)\b')) AS s_fr,
-             len(regexp_extract_all(lower(text), '\b(el|los|y|es|por|una)\b')) AS s_es
-           FROM uniq),
-         scored AS (
-           SELECT doc_id, text, w,
-             CASE
-               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-               WHEN s_es > 0 THEN 'es'
-               ELSE 'und' END AS lang_pred,
-             CAST((((5 * len(list_distinct(w)) + 3 * (s_en)) * 125
-                 + least(len(w), 250) * len(w)) * 2000000
-                 + 1250 * len(w)) // (2500 * len(w)) AS DOUBLE)
-                 / 1e6 AS quality
-           FROM feat WHERE len(w) > 0),
-         gated AS (
-           SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.26),
-         dd AS (
+    // q199: the full export chain replayed — clean survivors (the q90
+    // helper verbatim), the sp_-prefixed pair/CC chain over `surv`
+    // (q193's graph arithmetic), train = rep unit-hash >= 0.2, FIM
+    // format draws (q194's md5 arithmetic, salt ep0) with the
+    // sentinel-clash exclusion, output tokens = n + 3 for transformed
+    // docs (the three sentinels are the only added whitespace tokens),
+    // then q197's recursive greedy walk (group d(doc_id%37), 8 shards,
+    // budget 256)
+    "q199_training_export" ->
+      ("WITH RECURSIVE " + cleanSurvivorCtes + ",\n         " +
+        nearDupCcCtesOver("surv", "sp_") + """,
+         lab AS (SELECT id, min(comp) AS comp FROM sp_cc GROUP BY id),
+         tr AS (
+           SELECT s.doc_id, s.text
+           FROM surv s LEFT JOIN lab l ON s.doc_id = l.id
+           WHERE CAST(('0x' || substr(md5(
+               CAST(coalesce(l.comp, s.doc_id) AS VARCHAR) || 'split'),
+               1, 8)) AS UBIGINT) / 4294967296.0 >= 0.2),
+         ft AS (
            SELECT doc_id,
-             list_distinct(list_transform(range(1, len(w)-1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM gated WHERE len(w) >= 3),
-         posting AS (SELECT doc_id, len(sh) AS sh_size, unnest(sh) AS shingle FROM dd),
-         kept AS (
-           SELECT p.doc_id, p.sh_size, p.shingle FROM posting p
-           JOIN (SELECT shingle, count(*) AS df FROM posting GROUP BY 1) d
-             USING (shingle)
-           WHERE d.df BETWEEN 2 AND 100),
-         inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh_size AS size_a, b.sh_size AS size_b, count(*) AS inter
-           FROM kept a JOIN kept b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         removed AS (
-           SELECT DISTINCT id_b FROM inter
-           WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5),
-         surv AS (
-           SELECT g.doc_id, g.text FROM gated g
-           WHERE g.doc_id NOT IN (SELECT id_b FROM removed)),
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM tr),
+         fm AS (
+           SELECT doc_id, len(w) AS n,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || 'ep0fim'), 1, 8)) AS UBIGINT) / 4294967296.0 >= 0.5
+               THEN 'plain'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || 'ep0spm'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.5
+               THEN 'spm' ELSE 'psm' END AS fmt
+           FROM ft
+           WHERE len(list_filter(w,
+             x -> x IN ('<PRE>', '<SUF>', '<MID>'))) = 0),
+         sized AS (
+           SELECT doc_id, fmt,
+             CAST(n + CASE WHEN fmt = 'plain' THEN 0 ELSE 3 END
+               AS BIGINT) AS tokens,
+             'd' || CAST(doc_id % 37 AS VARCHAR) AS grp
+           FROM fm),
+         psh AS MATERIALIZED (
+           SELECT doc_id, fmt, tokens, grp,
+             CAST(floor(CAST(('0x' || substr(md5(grp || 'pack'), 1, 8))
+               AS UBIGINT) / 4294967296.0 * 8) AS BIGINT) AS shard
+           FROM sized),
+         prn AS MATERIALIZED (
+           SELECT *, row_number() OVER (PARTITION BY shard
+             ORDER BY grp, doc_id) AS r
+           FROM psh),
+         packed AS (
+           SELECT shard, grp, doc_id, fmt, tokens, r,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum,
+             CAST(0 AS BIGINT) AS seq_pos
+           FROM prn WHERE r = 1
+           UNION ALL
+           SELECT b.shard, b.grp, b.doc_id, b.fmt, b.tokens, b.r,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id
+               ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens
+               ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1
+               ELSE CAST(0 AS BIGINT) END
+           FROM packed p JOIN prn b
+             ON b.shard = p.shard AND b.r = p.r + 1)
+         SELECT doc_id, fmt, tokens, grp AS "group", shard, seq_id,
+           seq_pos, tokens > 256 AS oversize
+         FROM packed ORDER BY doc_id"""),
+
+    "q90_prep_e2e" ->
+      ("WITH RECURSIVE " + cleanSurvivorCtes + """,
          tok AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wt
@@ -7586,6 +7687,6 @@ object SparkEntry {
              CASE WHEN p.cum + b.tokens <= 96 THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END
            FROM packed p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
          SELECT cid, shard, seq_id, seq_pos, tokens > 96 AS oversize
-         FROM packed ORDER BY cid"""
+         FROM packed ORDER BY cid""")
   )
 }

@@ -1,0 +1,126 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Fim, Packing, Sampling}
+
+/** The END of the training-data pipeline: one plan from raw documents to
+  * the training artifact a run actually consumes. Round-18 landed the
+  * pieces (leakage-safe split, group-coherent packing, per-epoch FIM,
+  * manifested layout); this composes them in the order a pretraining
+  * export runs them, so a user gets the artifact with one call instead
+  * of re-deriving the glue (and the glue IS semantics: split before
+  * transform — val text must never influence a train example; transform
+  * before packing — budgets must count the tokens the model will SEE,
+  * sentinels included).
+  *
+  * Stages ([[pretrainAssignments]]):
+  *   1. [[TrainingData.clean]] survivors (defaults — the q90 gate chain).
+  *   2. [[Sampling.leakageSafeSplit]] over the survivors' own n-gram
+  *      Jaccard candidate-pair graph: near-dup CLUSTERS move as units,
+  *      so no near-copy of a val doc trains.
+  *   3. TRAIN side only: [[Fim.transform]] with a per-epoch salt
+  *      (distinct salts redraw holes per epoch), dropping
+  *      `sentinel_clash` docs — their output would be ambiguous.
+  *   4. Token counts OF THE OUTPUT: a transformed doc carries its
+  *      original tokens plus exactly the three sentinels (empty
+  *      segments add no whitespace tokens), so `tokens = n_tokens +
+  *      (fmt = 'plain' ? 0 : 3)` — exact, no second tokenize pass.
+  *   5. [[Packing.packRelated]]: group-coherent greedy packing into
+  *      `budget`-token sequences, groups never splitting across shards.
+  *
+  * Scale posture: every stage keeps its own audited shape — the clean
+  * gates are map-only over digests/postings, the split label table is
+  * size-gated before broadcasting, FIM is a zero-exchange projection,
+  * packing is one shard exchange + partition-local sort + forward pass.
+  * The only NEW exchanges the composition adds are the id-equi joins
+  * stitching stage outputs (survivor ids back to text, assignments back
+  * to fmt/tokens) — hash joins on the id column, no skew (ids are
+  * unique), no driver materialization anywhere. The survivor frame
+  * feeds THREE plan branches (pair graph, split corpus side, train
+  * join) and the FIM frame two, so both are [[graft.io.Spill]]ed once
+  * (the clean() `cacheIntermediate` discipline — without it the whole
+  * cleaning subplan re-executes per branch: measured 66 exchanges in
+  * the un-spilled battery plan vs 3 in the audited tail, with each
+  * stage's own audited subplan running exactly ONCE, eagerly, at spill
+  * time). Pass `spillIntermediate = false` when managing intermediate
+  * storage externally.
+  *
+  * Reference scope: the scaffold has no training-data surface; this
+  * extends the LLM-pipeline family per the project north star.
+  */
+object TrainingExport {
+
+  /** Per-document export assignment for ONE epoch of the train side:
+    * `(idCol, fmt, tokens, group, shard, seq_id, seq_pos, oversize)`.
+    * Deterministic end-to-end: every stage draws through
+    * [[Sampling.unitHash]], so the artifact is a pure function of
+    * (corpus, knobs, epochSalt) — re-runs, repartitionings, and external
+    * engines (the DuckDB oracle replays the full chain) reproduce it
+    * bit-for-bit.
+    *
+    * @param groupExpr packing-coherence group (domain, topic, near-dup
+    *                  cluster rep) evaluated against `docs`' columns
+    */
+  def pretrainAssignments(docs: DataFrame, idCol: String, textCol: String,
+      groupExpr: Column, valFraction: Double = 0.1,
+      pairThreshold: Double = 0.02, epochSalt: String = "ep0",
+      fimFraction: Double = 0.5, spmFraction: Double = 0.5,
+      budget: Long = 4096L, nShards: Int = 256,
+      spillIntermediate: Boolean = true): DataFrame = {
+    def spill(df: DataFrame): DataFrame =
+      if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
+    val survIds = TrainingData.clean(docs, idCol, textCol)
+      .select(col(idCol))
+    val surv = spill(survIds.join(
+      docs.select(col(idCol), col(textCol), groupExpr.as("__grp")),
+      Seq(idCol)))
+    val pairs = Dedup.ngramJaccardPairs(surv, idCol, textCol,
+      n = 3, threshold = pairThreshold)
+    val split = Sampling.leakageSafeSplit(surv.select(col(idCol)), idCol,
+      pairs, valFraction, salt = "split")
+    val train = surv.join(
+      split.where(col("split") === "train").select(col(idCol)), Seq(idCol))
+    val fimmed = spill(Fim.transform(train, idCol, textCol, fimFraction,
+        spmFraction, epochSalt)
+      .where(!col("sentinel_clash"))
+      .withColumn("tokens", col("n_tokens") +
+        when(col("fmt") === "plain", 0L).otherwise(3L))
+      .join(train.select(col(idCol), col("__grp")), Seq(idCol)))
+    val withGrp = fimmed
+    Packing.packRelated(withGrp, idCol, "tokens", "__grp", budget, nShards)
+      .join(fimmed.select(col(idCol), col("fmt"), col("tokens")), Seq(idCol))
+      .select(col(idCol), col("fmt"), col("tokens"), col("group"),
+        col("shard"), col("seq_id"), col("seq_pos"), col("oversize"))
+  }
+
+  /** Write the epoch's train corpus as the release artifact: assignment
+    * columns + the FIM output text, parquet partitioned by shard
+    * (sequences never cross shards, so a trainer reads shard
+    * directories independently), plus [[graft.io.Layout.writeManifest]]
+    * per shard directory — the (path, bytes, rows, md5) handshake a
+    * consumer verifies before training. Returns the manifested file
+    * count. Text is re-derived through the SAME deterministic transform
+    * (same epoch salt), so it cannot drift from the assignment.
+    */
+  def writePretrainCorpus(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, groupExpr: Column, outDir: String,
+      valFraction: Double = 0.1, pairThreshold: Double = 0.02,
+      epochSalt: String = "ep0", fimFraction: Double = 0.5,
+      spmFraction: Double = 0.5, budget: Long = 4096L,
+      nShards: Int = 256): Int = {
+    val assign = pretrainAssignments(docs, idCol, textCol, groupExpr,
+      valFraction, pairThreshold, epochSalt, fimFraction, spmFraction,
+      budget, nShards)
+    val text = Fim.transform(docs.select(col(idCol), col(textCol)), idCol,
+      textCol, fimFraction, spmFraction, epochSalt)
+    assign.join(text.select(col(idCol), col("text_out")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.isDirectory).map(_.getPath.toString)
+      .map(graft.io.Layout.writeManifest(spark, _)).sum
+  }
+}

@@ -449,7 +449,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     "q191_recursive_cte" -> 7,
     // host distinct for the robots frame + the broadcast of the parsed
     // rules + the battery sort; the per-URL decision is map-only
-    "q192_robots_gate" -> 6)
+    "q192_robots_gate" -> 6,
+    // the e2e pretraining export's AUDITED TAIL: the pack shard
+    // repartition + the assignment join + the battery sort. The clean/
+    // pair/split/FIM stages run exactly once, eagerly, behind the two
+    // Spill materializations (without them the cleaning subplan
+    // re-executes per branch — 66 exchanges measured un-spilled); each
+    // stage's own shape is audited by its q45/q52/q193/q194/q197 twin
+    "q199_training_export" -> 3)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -63,19 +63,30 @@ class SparkEntrySpec extends AnyFunSuite with Matchers with SparkSpec {
           else if (i % 7 == 0) 1.0 + (i % 40) / 10.0 // 1-5 s rows
           else (i % 9 + 1) / 10.0) // the sub-second bulk
       }
-    val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1")
-    // sub-second resolution must survive on the realistic mix:
-    // centisecond while the line fits, decisecond once the battery
-    // outgrows the 2-decimal tier, never whole-second
-    rLine should (include(":0.1") or include(":0.11"))
+    // the REAL driver line always carries the checked-in anchors (the
+    // battery passed the 198-row ladder ceiling at row 199, so a full
+    // anchor-less realistic mix now rides the whole-second floor; with
+    // anchors, the ELIDE tiers keep deciseconds for exactly the rows
+    // the 2x gate reads — at/under-1.5x rows leave the map into "ok")
+    val sfAnchors = Bench.loadAnchors("sf0.1", "BENCH_ANCHORS.txt")
+    val rLine = Bench.jsonLine(realistic, "/root/testdata/sf0.1",
+      anchors = sfAnchors)
     rLine.length should be <= 1840
+    rLine should include(""""ok":""") // elision fired at this size
+    // sub-second resolution survives for shipped rows: some over-anchor
+    // row keeps its tenth (never the all-whole-second floor)
+    rLine should include regex """:\d+\.\d"""
     // the shortened keys stay unique and keep their ordinal — at the
     // round-16 battery size (170) the 1-decimal qNN tier overflows by
-    // ~13 bytes, so the keys degrade one step further to the bare
-    // ordinal ("85") before any value rounds to whole seconds
+    // ~13 bytes, so the keys degrade further to the bare ordinal
+    // before any value rounds to whole seconds
     val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     prefixes.distinct.size shouldBe prefixes.size
-    rLine should (include("\"q85\":") or include("\"85\":"))
+    // every over-1.5x-anchor row ships; elided count accounts for the rest
+    val shipped = realistic.count { case (k, v) =>
+      sfAnchors.get(k.takeWhile(_ != '_')).forall(a => v > 1.5 * a) }
+    val okN = """"ok":(\d+)""".r.findFirstMatchIn(rLine).get.group(1).toInt
+    okN shouldBe realistic.size - shipped
     // worst case WITH the adjudication field (cap of 5 re-run outliers)
     // still fits the same tail-capture budget
     val adj = worst.take(5).map { case (n, _) => n -> 88.888 }

@@ -1,0 +1,117 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** End-to-end pretraining export: split hygiene (no near-dup pair
+  * straddles train/val, val never reaches the artifact), FIM/packing
+  * composition invariants, full determinism under repartitioning and
+  * re-execution, a distinct artifact per epoch salt, and the manifested
+  * corpus write round-trip.
+  */
+class TrainingExportSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  // English-markered docs that pass clean()'s lang+quality gates. The
+  // shared preamble appears in all 120 docs, so its shingles exceed the
+  // df-cap (100) and can never form candidate pairs; each (2i, 2i+1)
+  // pair shares a per-i middle segment (df = 2 shingles) sized so the
+  // pair's Jaccard lands BETWEEN the split's pair threshold (0.02) and
+  // clean()'s near-dup removal threshold (0.5): both docs survive
+  // cleaning, yet the leakage-safe split must move them as one cluster.
+  private def corpus = {
+    import spark.implicits._
+    (1 to 60).flatMap { i =>
+      val preamble = "the data of a table is the thing to scan and " +
+        "filter and sort with joins and windows over rows and groups"
+      val mid = s"topic$i subject$i matter$i detail$i"
+      Seq((2L * i, s"$preamble $mid alpha variant one"),
+        (2L * i + 1, s"$preamble $mid beta variant two"))
+    }.toDF("doc_id", "text")
+  }
+
+  private def assignments(df: org.apache.spark.sql.DataFrame,
+      salt: String = "ep0") =
+    TrainingExport.pretrainAssignments(df, "doc_id", "text",
+      (col("doc_id") % 7).cast("string"), valFraction = 0.3,
+      pairThreshold = 0.02, epochSalt = salt, fimFraction = 0.6,
+      spmFraction = 0.5, budget = 120L, nShards = 4)
+
+  test("no near-dup pair straddles the artifact: a doc trains iff its " +
+      "whole cluster trains, and val docs never reach the export") {
+    val out = assignments(corpus).collect()
+      .map(r => r.getLong(0)).toSet
+    out should not be empty
+    // planted pairs (2i, 2i+1): either both exported or neither
+    (1 to 60).foreach { i =>
+      withClue(s"pair ($i): ") {
+        out.contains(2L * i) shouldBe out.contains(2L * i + 1)
+      }
+    }
+    // some clusters must actually be held out at valFraction 0.3
+    (1 to 60).count(i => !out.contains(2L * i)) should be > 0
+  }
+
+  test("packing invariants hold over the composed chain: budget, " +
+      "contiguous seq_pos, group-pure shards") {
+    val rows = assignments(corpus).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // per-sequence token sums respect the budget unless oversize
+    rows.groupBy(r => (r._5, r._6)).foreach { case (_, seq) =>
+      if (!seq.exists(_._8)) seq.map(_._3).sum should be <= 120L
+    }
+    // seq_pos contiguous from 0 within each (shard, seq_id)
+    rows.groupBy(r => (r._5, r._6)).foreach { case (_, seq) =>
+      seq.map(_._7).sorted shouldBe (0L until seq.length).toSeq
+    }
+    // a group lives on exactly one shard (groups never split)
+    rows.groupBy(_._4).foreach { case (_, g) =>
+      g.map(_._5).distinct should have size 1
+    }
+    // transformed docs carry the three sentinels in their token count
+    rows.foreach { case (_, fmt, tokens, _, _, _, _, _) =>
+      if (fmt != "plain") tokens should be >= 3L
+    }
+  }
+
+  test("deterministic under repartitioning and re-execution; a new " +
+      "epoch salt redraws formats but keeps membership") {
+    val base = assignments(corpus).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assignments(corpus.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap shouldBe base
+    assignments(corpus).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap shouldBe base
+    val ep1 = assignments(corpus, salt = "ep1").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    ep1.keySet shouldBe base.keySet // split/clean don't depend on epoch
+    ep1 should not be base // holes/formats redraw
+  }
+
+  test("writePretrainCorpus lands a shard-partitioned corpus with a " +
+      "verifiable manifest per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-")
+      .toString
+    val nFiles = TrainingExport.writePretrainCorpus(spark, corpus,
+      "doc_id", "text", (col("doc_id") % 7).cast("string"), dir,
+      valFraction = 0.3, pairThreshold = 0.02, epochSalt = "ep0",
+      fimFraction = 0.6, spmFraction = 0.5, budget = 120L, nShards = 4)
+    nFiles should be > 0
+    val back = spark.read.parquet(dir)
+    back.columns.toSet should contain allOf ("doc_id", "fmt", "tokens",
+      "shard", "seq_id", "seq_pos", "text_out")
+    back.count() shouldBe assignments(corpus).count()
+    // every shard directory carries an intact manifest
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.toString)
+    shardDirs should not be empty
+    shardDirs.foreach { sd =>
+      graft.io.Layout.verifyManifest(spark, sd) shouldBe empty
+    }
+  }
+}
