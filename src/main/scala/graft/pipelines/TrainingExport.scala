@@ -19,7 +19,18 @@ import graft.operators.{Dedup, Fim, Packing, Sampling}
   *   1. [[TrainingData.clean]] survivors (defaults — the q90 gate chain).
   *   2. [[Sampling.leakageSafeSplit]] over the survivors' own n-gram
   *      Jaccard candidate-pair graph: near-dup CLUSTERS move as units,
-  *      so no near-copy of a val doc trains.
+  *      so no near-copy of a val doc trains. This pair graph is built
+  *      FRESH over the survivors rather than reusing clean()'s internal
+  *      removal graph — deliberately: the two graphs answer different
+  *      questions at different thresholds (removal kills >=0.5
+  *      near-copies; the split must also bind the WEAK 0.02-0.5
+  *      near-dups that survived removal), and the df-cap universe must
+  *      be the shipped survivor set, not the pre-removal gated set — a
+  *      shingle just over the df cap among gated docs can be a
+  *      legitimate pair key among survivors. The second posting pass
+  *      costs one df-capped index build over the (already heavily
+  *      reduced) survivor set, on the spilled survivors — not a rescan
+  *      of the raw corpus.
   *   3. TRAIN side only: [[Fim.transform]] with a per-epoch salt
   *      (distinct salts redraw holes per epoch), dropping
   *      `sentinel_clash` docs — their output would be ambiguous.
