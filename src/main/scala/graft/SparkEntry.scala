@@ -1997,6 +1997,27 @@ object SparkEntry {
     // their sentinels in the target, trailing close sentinel; one
     // map-only imperative projection, oracle replays draws, coverage,
     // island numbering, and assembly in window SQL
+    // the SFT-side export twin of q199: the q196 conversations through
+    // loss-mask span assembly, per-conversation transcript widths from
+    // the SAME budget walk, then whole conversations packed
+    // group-coherently into training sequences — one row per kept turn
+    // carrying both its loss-mask span and its conversation's sequence
+    // assignment (the artifact an SFT trainer batches by (shard,
+    // seq_id), masking loss outside the train spans)
+    "q200_sft_export" -> ((s, d) => {
+      val ev = t(s, d, "documents").select(
+        (col("doc_id") % 40).as("conv"),
+        col("doc_id").as("ts"), col("doc_id").as("seq"),
+        when(col("doc_id") % 2 === 0, "user").otherwise("assistant")
+          .as("role"),
+        col("text"))
+      graft.pipelines.TrainingExport.sftAssignments(ev, "conv", "ts",
+          "seq", "role", "text", tokenBudget = 200L, Seq("assistant"),
+          concat(lit("g"), (col("conv") % 7).cast("string")),
+          budget = 256L, nShards = 4)
+        .orderBy(col("conv"), col("turn_no"))
+    }),
+
     // the END-TO-END pretraining export (the q90 pattern extended to
     // the full round-18 training surface): clean() survivors ->
     // leakage-safe split over the survivors' own pair graph -> train
@@ -3351,6 +3372,43 @@ object SparkEntry {
          surv AS (
            SELECT g.doc_id, g.text FROM gated g
            WHERE g.doc_id NOT IN (SELECT id_b FROM removed))"""
+
+  /** The q196 loss-mask replay shared VERBATIM with the q200 SFT-export
+    * oracle: the synthetic conversation frame, newest-fitting-turns
+    * budget walk (descending window), and ascending offset walk over the
+    * `role: content` rendering widths, window sums cast AS BIGINT (the
+    * q172 HUGEINT lesson). Ends in `spans(conv, turn_no, role,
+    * token_start, token_end, train)`.
+    */
+  private def lossMaskSpanCtes: String =
+    """ev AS (
+           SELECT doc_id % 40 AS conv, doc_id AS ts, doc_id AS seq,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             text
+           FROM documents),
+         tokd AS (
+           SELECT conv, ts, seq, role,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS tk,
+             len(list_filter(string_split_regex(role || ': ' || text,
+               '\s+'), x -> x <> '')) AS w
+           FROM ev),
+         marked AS (
+           SELECT *,
+             sum(tk) OVER (PARTITION BY conv ORDER BY ts DESC, seq DESC
+               ROWS UNBOUNDED PRECEDING) <= 200 AS keep
+           FROM tokd),
+         kept AS (SELECT * FROM marked WHERE keep),
+         spans AS (
+           SELECT conv,
+             CAST(row_number() OVER wa - 1 AS BIGINT) AS turn_no, role,
+             CAST(sum(w) OVER wa - w AS BIGINT) AS token_start,
+             CAST(sum(w) OVER wa AS BIGINT) AS token_end,
+             role = 'assistant' AS train
+           FROM kept
+           WINDOW wa AS (PARTITION BY conv ORDER BY ts, seq
+             ROWS UNBOUNDED PRECEDING))"""
 
   private def md5BucketSql(expr: String, salt: String, buckets: Int): String =
     s"CAST(floor(CAST(('0x' || substr(md5($expr || '$salt'), 1, 8)) " +
@@ -5938,34 +5996,9 @@ object SparkEntry {
     // rendering widths) replayed verbatim; window sums cast AS BIGINT
     // (the q172 HUGEINT lesson)
     "q196_loss_mask" ->
-      """WITH ev AS (
-           SELECT doc_id % 40 AS conv, doc_id AS ts, doc_id AS seq,
-             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
-               AS role,
-             text
-           FROM documents),
-         tokd AS (
-           SELECT conv, ts, seq, role,
-             len(list_filter(string_split_regex(text, '\s+'),
-               x -> x <> '')) AS tk,
-             len(list_filter(string_split_regex(role || ': ' || text,
-               '\s+'), x -> x <> '')) AS w
-           FROM ev),
-         marked AS (
-           SELECT *,
-             sum(tk) OVER (PARTITION BY conv ORDER BY ts DESC, seq DESC
-               ROWS UNBOUNDED PRECEDING) <= 200 AS keep
-           FROM tokd),
-         kept AS (SELECT * FROM marked WHERE keep)
-         SELECT conv,
-           CAST(row_number() OVER wa - 1 AS BIGINT) AS turn_no, role,
-           CAST(sum(w) OVER wa - w AS BIGINT) AS token_start,
-           CAST(sum(w) OVER wa AS BIGINT) AS token_end,
-           role = 'assistant' AS train
-         FROM kept
-         WINDOW wa AS (PARTITION BY conv ORDER BY ts, seq
-           ROWS UNBOUNDED PRECEDING)
-         ORDER BY conv, turn_no""",
+      ("WITH " + lossMaskSpanCtes + """
+         SELECT conv, turn_no, role, token_start, token_end, train
+         FROM spans ORDER BY conv, turn_no"""),
 
     // q195: the argmax-with-tiebreak replayed as a rank-1 window
     // (score DESC, cand ASC) — semantically identical to the engine's
@@ -7591,6 +7624,47 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS kept_chars,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM kept GROUP BY source ORDER BY source""",
+
+    // q200: the q196 span CTEs verbatim (shared helper), conv widths =
+    // max(token_end) per conv, then q197's recursive greedy pack walk
+    // over the md5 group-bucket shard and (group, conv) order; the
+    // final join hangs every kept turn's span on its conversation's
+    // sequence assignment
+    "q200_sft_export" ->
+      ("WITH RECURSIVE " + lossMaskSpanCtes + """,
+         cv AS (
+           SELECT conv, max(token_end) AS tokens,
+             'g' || CAST(conv % 7 AS VARCHAR) AS grp
+           FROM spans GROUP BY conv),
+         psh AS MATERIALIZED (
+           SELECT conv, tokens, grp,
+             CAST(floor(CAST(('0x' || substr(md5(grp || 'pack'), 1, 8))
+               AS UBIGINT) / 4294967296.0 * 4) AS BIGINT) AS shard
+           FROM cv),
+         prn AS MATERIALIZED (
+           SELECT *, row_number() OVER (PARTITION BY shard
+             ORDER BY grp, conv) AS r
+           FROM psh),
+         packed AS (
+           SELECT shard, grp, conv, tokens, r,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum,
+             CAST(0 AS BIGINT) AS seq_pos
+           FROM prn WHERE r = 1
+           UNION ALL
+           SELECT b.shard, b.grp, b.conv, b.tokens, b.r,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id
+               ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens
+               ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1
+               ELSE CAST(0 AS BIGINT) END
+           FROM packed p JOIN prn b
+             ON b.shard = p.shard AND b.r = p.r + 1)
+         SELECT s.conv, s.turn_no, s.role, s.token_start, s.token_end,
+           s.train, p.tokens, p.grp AS "group", p.shard, p.seq_id,
+           p.seq_pos, p.tokens > 256 AS oversize
+         FROM spans s JOIN packed p ON s.conv = p.conv
+         ORDER BY s.conv, s.turn_no"""),
 
     // q199: the full export chain replayed — clean survivors (the q90
     // helper verbatim), the sp_-prefixed pair/CC chain over `surv`

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Fim, Packing, Sampling}
+import graft.operators.{Conversations, Dedup, Fim, Packing, Sampling}
 
 /** The END of the training-data pipeline: one plan from raw documents to
   * the training artifact a run actually consumes. Round-18 landed the
@@ -104,6 +104,53 @@ object TrainingExport {
       .join(fimmed.select(col(idCol), col("fmt"), col("tokens")), Seq(idCol))
       .select(col(idCol), col("fmt"), col("tokens"), col("group"),
         col("shard"), col("seq_id"), col("seq_pos"), col("oversize"))
+  }
+
+  /** The SFT-side export twin of [[pretrainAssignments]]: conversation
+    * events → [[Conversations.lossMaskSpans]] (newest-fitting-turns
+    * budget walk + per-turn token offsets into the rendered transcript,
+    * train = role membership) → per-conversation transcript widths
+    * (`max(token_end)` — the exact token count of the assembled
+    * transcript, from the same walk that produced the offsets, so the
+    * packing budget counts precisely what the trainer will see) →
+    * [[Packing.packRelated]] group-coherent packing of whole
+    * conversations into `budget`-token sequences.
+    *
+    * Output: one row per KEPT TURN carrying both the loss-mask span and
+    * its conversation's sequence assignment — `(keyCol, turn_no, role,
+    * token_start, token_end, train, tokens, group, shard, seq_id,
+    * seq_pos, oversize)`. A trainer batches by (shard, seq_id),
+    * concatenates transcripts in seq_pos order, and masks loss outside
+    * the train spans; conversations whose every turn overflowed
+    * `tokenBudget` vanish (no kept turns — nothing to train on).
+    *
+    * Scale posture: the span walk is ONE key exchange (both windows
+    * share it); the per-conversation rollup rides the same hash
+    * partitioning; packing adds its one shard exchange + forward walk;
+    * the spans frame feeds two branches and is spilled once. All
+    * deterministic — same artifact on any cluster shape.
+    */
+  def sftAssignments(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, roleCol: String, contentCol: String,
+      tokenBudget: Long, trainRoles: Seq[String], groupExpr: Column,
+      budget: Long, nShards: Int,
+      spillIntermediate: Boolean = true): DataFrame = {
+    def spill(df: DataFrame): DataFrame =
+      if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
+    val spans = spill(Conversations.lossMaskSpans(events, keyCol, tsCol,
+      seqCol, roleCol, contentCol, tokenBudget, trainRoles))
+    val convs = spans.groupBy(col(keyCol))
+      .agg(max(col("token_end")).as("tokens"))
+      .withColumn("__grp", groupExpr)
+    val pack = Packing.packRelated(convs, keyCol, "tokens", "__grp",
+      budget, nShards)
+    spans.join(
+        pack.join(convs.select(col(keyCol), col("tokens")), Seq(keyCol)),
+        Seq(keyCol))
+      .select(col(keyCol), col("turn_no"), col("role"),
+        col("token_start"), col("token_end"), col("train"),
+        col("tokens"), col("group"), col("shard"), col("seq_id"),
+        col("seq_pos"), col("oversize"))
   }
 
   /** Write the epoch's train corpus as the release artifact: assignment

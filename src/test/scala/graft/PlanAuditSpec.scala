@@ -456,7 +456,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // Spill materializations (without them the cleaning subplan
     // re-executes per branch — 66 exchanges measured un-spilled); each
     // stage's own shape is audited by its q45/q52/q193/q194/q197 twin
-    "q199_training_export" -> 3)
+    "q199_training_export" -> 3,
+    // the SFT export's audited tail behind the spilled span walk (the
+    // walk itself is q196's ONE key exchange, run once at spill time):
+    // conv rollup agg + pack shard exchange + the two assignment
+    // equi-joins + battery sort
+    "q200_sft_export" -> 6)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

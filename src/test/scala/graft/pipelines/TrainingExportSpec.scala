@@ -91,6 +91,49 @@ class TrainingExportSpec extends AnyFunSuite with Matchers with SparkSpec {
     ep1 should not be base // holes/formats redraw
   }
 
+  test("SFT export: spans tile each conversation exactly, whole " +
+      "conversations pack within budget, deterministic") {
+    import spark.implicits._
+    val events = (1 to 200).map { i =>
+      (i % 25, i, i, if (i % 2 == 0) "user" else "assistant",
+        s"turn $i says word$i and word${i + 1} about thing$i")
+    }.toDF("conv", "ts", "seq", "role", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingExport.sftAssignments(d, "conv", "ts", "seq", "role",
+        "text", tokenBudget = 40L, Seq("assistant"),
+        (col("conv") % 5).cast("string"), budget = 100L, nShards = 3)
+    val rows = run(events).collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+      r.getLong(6), r.getString(7), r.getLong(8), r.getLong(9),
+      r.getLong(10), r.getBoolean(11)))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (_, conv) =>
+      val sorted = conv.sortBy(_._2)
+      // spans tile the transcript gap-free from 0 to the conv width
+      sorted.head._4 shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._4 shouldBe a._5
+        case _ =>
+      }
+      sorted.last._5 shouldBe conv.head._7 // max token_end == tokens
+      // one sequence assignment per conversation
+      conv.map(t => (t._9, t._10, t._11)).distinct should have size 1
+      // train marks exactly the assistant turns
+      conv.foreach(t => t._6 shouldBe (t._3 == "assistant"))
+    }
+    // whole conversations pack within the budget unless oversize
+    rows.groupBy(r => (r._9, r._10)).foreach { case (_, seq) =>
+      if (!seq.exists(_._12))
+        seq.groupBy(_._1).map(_._2.head._7).sum should be <= 100L
+    }
+    // groups never split across shards
+    rows.groupBy(_._8).foreach { case (_, g) =>
+      g.map(_._9).distinct should have size 1
+    }
+    run(events.repartition(11)).collect().map(_.toSeq).toSet shouldBe
+      run(events).collect().map(_.toSeq).toSet // partitioning-invariant
+  }
+
   test("writePretrainCorpus lands a shard-partitioned corpus with a " +
       "verifiable manifest per shard") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export-")
