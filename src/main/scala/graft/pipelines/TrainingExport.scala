@@ -93,12 +93,16 @@ object TrainingExport {
       pairs, valFraction, salt = "split")
     val train = surv.join(
       split.where(col("split") === "train").select(col(idCol)), Seq(idCol))
+    // only the assignment columns spill — text_out is corpus-sized and
+    // nothing downstream reads it (writePretrainCorpus re-derives the
+    // text through the same deterministic transform)
     val fimmed = spill(Fim.transform(train, idCol, textCol, fimFraction,
         spmFraction, epochSalt)
       .where(!col("sentinel_clash"))
       .withColumn("tokens", col("n_tokens") +
         when(col("fmt") === "plain", 0L).otherwise(3L))
-      .join(train.select(col(idCol), col("__grp")), Seq(idCol)))
+      .join(train.select(col(idCol), col("__grp")), Seq(idCol))
+      .select(col(idCol), col("fmt"), col("tokens"), col("__grp")))
     val withGrp = fimmed
     Packing.packRelated(withGrp, idCol, "tokens", "__grp", budget, nShards)
       .join(fimmed.select(col(idCol), col("fmt"), col("tokens")), Seq(idCol))
