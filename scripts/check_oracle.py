@@ -3,7 +3,7 @@
 parquet against DuckDB oracle SQL (oracle_sql.json) on the same SF dir.
 Compares row count, schema (column names), and per-value hash with columns
 sorted by name. Usage: check_oracle.py <verify_out_dir> <sf_dir>"""
-import sys, os, json, math
+import sys, os, json, math, re
 import duckdb
 import pandas as pd
 
@@ -26,8 +26,11 @@ for name in sorted(oracle):
     pq = f"{out_dir}/{name}"
     if not os.path.isdir(pq):
         fails.append((name, "missing spark output")); continue
-    got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchall()
-    got_cols = [d[0] for d in con.description]
+    got_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+    got_cols = list(got_rel.columns)
+    got_types = {c: str(t).upper()
+                 for c, t in zip(got_rel.columns, got_rel.types)}
+    got = got_rel.fetchall()
     # Driver-harness canary: the real gate sorts result rows with pandas
     # (sort_values -> factorize), which throws on unhashable cells (e.g.
     # an array<long> column -> numpy.ndarray). Replicate that here so an
@@ -50,8 +53,19 @@ for name in sorted(oracle):
     # red for two driver rounds while this script's repr() compare stayed
     # green (Python ints erase the width). Fail on the TYPE so the next
     # uncast oracle reproduces locally: CAST the aggregate AS BIGINT.
+    # Any DECIMAL wider than Spark's 18-digit LongDecimal comfort zone is
+    # suspect, not just DECIMAL(38,0): e.g. sum over DECIMAL(18,2) widens
+    # to DECIMAL(38,2) in DuckDB while Spark emits a narrower decimal —
+    # unless the Spark parquet column carries the IDENTICAL DuckDB type,
+    # in which case the pandas round-trip treats both sides the same and
+    # there is nothing to flag (advisor r19 item 3).
+    def _diverges(c, t):
+        if t in ("HUGEINT", "UHUGEINT", "INT128"):
+            return True
+        m = re.match(r"DECIMAL\((\d+),", t)
+        return bool(m) and int(m.group(1)) > 18 and got_types.get(c) != t
     wide = [f"{c} ({t})" for c, t in zip(exp_cols, exp_types)
-            if t in ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL(38,0)")]
+            if _diverges(c, t)]
     if wide:
         fails.append((name, f"oracle type guard: {wide} would hash-diverge "
                       "from Spark int64 in the driver compare — "

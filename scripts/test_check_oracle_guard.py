@@ -66,8 +66,40 @@ def main():
         assert r.returncode == 0, (
             f"cast oracle should pass the guard\n{r.stdout}\n{r.stderr}")
         assert "all queries match" in r.stdout, r.stdout
-    print("type guard counterexample: OK (fires on HUGEINT, passes on "
-          "CAST AS BIGINT)")
+
+        # 3. the advisor-r19 shape: sum over DECIMAL(18,2) widens to
+        # DECIMAL(38,2) — not DECIMAL(38,0), but it diverges from a
+        # non-decimal Spark column the same way; guard must fire
+        with open(os.path.join(out_dir, "oracle_sql.json"), "w") as f:
+            json.dump({"q00_sum":
+                       "SELECT sum(CAST(n AS DECIMAL(18,2))) AS s "
+                       "FROM lineitem"}, f)
+        r = run_check(out_dir, sf_dir)
+        assert r.returncode == 1, (
+            f"guard did NOT fire on a DECIMAL(38,2) oracle vs BIGINT "
+            f"spark column\n{r.stdout}")
+        assert "oracle type guard" in r.stdout and "DECIMAL(38,2)" in \
+            r.stdout, f"failure was not the type guard:\n{r.stdout}"
+
+        # 4. ...but when the Spark parquet carries the IDENTICAL wide
+        # decimal type, both sides round-trip through pandas the same
+        # way — nothing to flag, the check must pass on equal values
+        dec_out = os.path.join(out_dir, "q01_dec")
+        os.makedirs(dec_out)
+        con.execute(
+            f"COPY (SELECT CAST(10 AS DECIMAL(38,2)) AS s) "
+            f"TO '{dec_out}/part-0.parquet'")
+        with open(os.path.join(out_dir, "oracle_sql.json"), "w") as f:
+            json.dump({"q01_dec":
+                       "SELECT sum(CAST(n AS DECIMAL(18,2))) AS s "
+                       "FROM lineitem"}, f)
+        r = run_check(out_dir, sf_dir)
+        assert r.returncode == 0, (
+            f"identical wide-decimal types on both sides should pass"
+            f"\n{r.stdout}\n{r.stderr}")
+    print("type guard counterexample: OK (fires on HUGEINT and on "
+          "mismatched wide DECIMAL, passes on CAST AS BIGINT and on "
+          "type-identical wide DECIMAL)")
 
 
 if __name__ == "__main__":

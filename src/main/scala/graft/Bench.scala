@@ -29,20 +29,52 @@ object Bench {
     val spark = Engine.local("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOnce(name: String, dir: String): Double = {
+    // cumulative wall seconds spent in the per-query GC drain — reported
+    // once on stderr at battery end so every round's record shows what
+    // the drain COSTS next to what it buys (it sits outside every timed
+    // window, but it is real wall time the driver's budget pays)
+    var gcDrainSec = 0.0
+
+    def runOnce(name: String, dir: String, drain: Boolean = true): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally
-        // each invocation's spill/temp-table dirs are dead once the noop
-        // write returns; releasing here (outside the timed window is not
-        // possible — the delete is microseconds against whole queries)
-        // keeps temp disk flat across 115 queries x warmup + N passes
-        graft.io.Spill.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        } finally
+          // each invocation's spill/temp-table dirs are dead once the
+          // noop write returns; releasing here — AFTER the timestamp is
+          // captured, so the delete never pollutes the reading — keeps
+          // temp disk flat across the battery x warmup + N passes
+          graft.io.Spill.releaseAll()
+      // Drain the PREVIOUS query's debris before the next timed window:
+      // Spark frees shuffle files, broadcasts, and checkpoint dirs via
+      // ContextCleaner, which only acts when the JVM garbage-collects —
+      // and its own safety-net GC fires every 30 min by default, longer
+      // than an entire battery pass. Left alone, each query runs in the
+      // accumulated wake of every query before it (cleanup I/O and heap
+      // pressure overlap the next timed window), which grew with the
+      // battery itself — the round-14..19 monotone drift on the
+      // mid-battery q155/q156 rows that isolated re-reads kept
+      // exonerating (BASELINE.md round-20 note quantifies it: the same
+      // rows read 1.4-1.9x faster isolated than in-battery at the same
+      // HEAD in the same window). One explicit GC per query, OUTSIDE the
+      // timed window, bounds the debris deterministically — per-query
+      // numbers measure the query, not its predecessors' garbage.
+      // (`drain = false` on the warmup pass: its readings are discarded,
+      // so per-query draining buys nothing there — one GC at the
+      // warmup/measured boundary hands the first measured query the same
+      // drained state at a third of the battery's GC bill, ~0.2 s/call.)
+      if (drain) {
+        val g0 = System.nanoTime()
+        System.gc()
+        gcDrainSec += (System.nanoTime() - g0) / 1e9
+      }
+      sec
     }
 
     // SPARK_GRAFT_ONLY=q09_rollup,q50_pricing_summary restricts the battery
@@ -51,7 +83,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    if (Files.isDirectory(Paths.get(warmupDir))) names.foreach(runOnce(_, warmupDir))
+    if (Files.isDirectory(Paths.get(warmupDir))) {
+      names.foreach(runOnce(_, warmupDir, drain = false))
+      System.gc() // one boundary drain so pass 1 starts clean
+    }
 
     // min-of-N (default 2) over INTERLEAVED full-battery passes: single-run
     // numbers burned four judge cycles on transient rig-contention spikes
@@ -97,6 +132,8 @@ object Bench {
     Files.writeString(Paths.get("BENCH_LOCAL.json"),
       jsonLine(results, sfDir, flaky, maxLen = Int.MaxValue,
         adjudicated = adjudicated, anchors = anchors) + "\n")
+    System.err.println(
+      f"[bench] gc drain total: $gcDrainSec%.1f s across the battery")
     println(line)
     spark.stop()
   }

@@ -88,6 +88,29 @@ object SparkEntry {
       .toDF("query_id", "must", "should", "mustNot")
   }
 
+  /** The reward-scored candidate frame shared by q177 and q204 (the
+    * shared-helper discipline — the two preference surfaces must rank
+    * the identical candidates): exact 1e4-scaled cosine top-8 per
+    * probe, probes every 100th embedding.
+    */
+  private def prefScored(s: SparkSession, d: String): DataFrame = {
+    val embs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = embs.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val topk = udaf(new graft.functions.TopKScoredAggregator(8))
+    embs.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(round(graft.functions.GraftFunctions.cosine_sim(
+          col("embedding"), col("__qv")), 4) * 1e4)
+          .cast("long").as("__sm"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("__sm"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("cand_id"),
+        col("t._1").as("score"))
+  }
+
   /** The q153/q154 judgment frame: distinct-term-overlap grades between
     * each probe query's term set and every document sharing at least
     * one term (grade = |shared distinct terms|, 1..8) — a
@@ -2034,6 +2057,53 @@ object SparkEntry {
         fimFraction = 0.5, spmFraction = 0.5, budget = 256L, nShards = 8)
         .orderBy(col("doc_id"))),
 
+    // the VAL side of q199's export — survivors assigned split='val',
+    // plain text (evaluation measures the raw objective, so no FIM),
+    // whitespace token widths, the same group-coherent packing;
+    // `in_train` is the leakage indicator (left join against the train
+    // ids), false for every row by construction AND pinned by the
+    // oracle replay — any doc on both sides hash-mismatches
+    "q201_val_export" -> ((s, d) =>
+      graft.pipelines.TrainingExport.valAssignments(
+        t(s, d, "documents"), "doc_id", "text",
+        concat(lit("d"), (col("doc_id") % 37).cast("string")),
+        valFraction = 0.2, pairThreshold = 0.02, budget = 256L,
+        nShards = 8)
+        .orderBy(col("doc_id"))),
+
+    // the written artifact round-tripped (the q189 ORC pattern applied
+    // to the export writer): writePretrainCorpus to a temp dir —
+    // shard-partitioned parquet + per-shard _MANIFEST.json — then read
+    // BACK from disk; assignments and re-derived text_out must
+    // hash-match the oracle's full in-SQL replay of the same chain
+    "q202_export_artifact" -> ((s, d) => {
+      val dir = graft.io.Spill.tempDir("graft-export-art-") + "/corpus"
+      graft.pipelines.TrainingExport.writePretrainCorpus(s,
+        t(s, d, "documents"), "doc_id", "text",
+        concat(lit("d"), (col("doc_id") % 37).cast("string")), dir,
+        valFraction = 0.2, pairThreshold = 0.02, epochSalt = "ep0",
+        fimFraction = 0.5, spmFraction = 0.5, budget = 256L, nShards = 8)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("fmt"), col("tokens"), col("group"),
+          col("shard").cast("long").as("shard"), col("seq_id"),
+          col("seq_pos"), col("oversize"), col("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TWO epochs of the q199 export in one plan: the clean/split chain
+    // runs once (the split MUST NOT vary by epoch — structural here and
+    // in the oracle, so drift hash-mismatches), each salt redraws FIM
+    // holes and re-packs; TrainingExportSpec asserts the draws actually
+    // differ between the epochs
+    "q203_epoch_export" -> ((s, d) =>
+      graft.pipelines.TrainingExport.epochAssignments(
+        t(s, d, "documents"), "doc_id", "text",
+        concat(lit("d"), (col("doc_id") % 37).cast("string")),
+        epochSalts = Seq("ep0", "ep1"), valFraction = 0.2,
+        pairThreshold = 0.02, fimFraction = 0.5, spmFraction = 0.5,
+        budget = 256L, nShards = 8)
+        .orderBy(col("epoch"), col("doc_id"))),
+
     "q198_span_corrupt" -> ((s, d) =>
       graft.operators.Fim.spanCorrupt(t(s, d, "documents"),
           "doc_id", "text", rate = 0.25, spanLen = 3, salt = "sc")
@@ -2310,27 +2380,19 @@ object SparkEntry {
     // gated at gap >= 500 (0.05 cosine), capped at 3 per prompt by
     // largest gap — the margin filter + per-prompt cap of real
     // preference-data builders
-    "q177_preference_pairs" -> ((s, d) => {
-      val embs = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val probes = embs.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
-      val topk = udaf(new graft.functions.TopKScoredAggregator(8))
-      val scored = embs.join(broadcast(probes),
-          col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          round(round(graft.functions.GraftFunctions.cosine_sim(
-            col("embedding"), col("__qv")), 4) * 1e4)
-            .cast("long").as("__sm"))
-        .groupBy(col("query_id"))
-        .agg(topk(col("__sm"), col("vec_id")).as("top"))
-        .select(col("query_id"), explode(col("top")).as("t"))
-        .select(col("query_id"), col("t._2").as("cand_id"),
-          col("t._1").as("score"))
-      graft.operators.Preferences.preferencePairs(scored, "query_id",
-          "cand_id", "score", minGap = 500L, maxPairs = 3)
-        .orderBy(col("query_id"), col("pair_no"))
-    }),
+    "q177_preference_pairs" -> ((s, d) =>
+      graft.operators.Preferences.preferencePairs(prefScored(s, d),
+          "query_id", "cand_id", "score", minGap = 500L, maxPairs = 3)
+        .orderBy(col("query_id"), col("pair_no"))),
+
+    // the DPO-export pair beside q177's all-qualifying-pairs surface:
+    // each prompt's single (argmax, argmin) reward pair from the SAME
+    // scored frame, gap-gated — ONE hash aggregate (max/min of
+    // (score, ∓cand) structs), no self-join, no window
+    "q204_dpo_pairs" -> ((s, d) =>
+      graft.operators.Preferences.bestWorstPairs(prefScored(s, d),
+          "query_id", "cand_id", "score", minGap = 500L)
+        .orderBy(col("query_id"))),
 
     // the Gopher rule battery: the NAMED per-doc quality gates (word
     // bounds, mean word length, symbol/bullet/ellipsis ratios, alpha
@@ -3372,6 +3434,143 @@ object SparkEntry {
          surv AS (
            SELECT g.doc_id, g.text FROM gated g
            WHERE g.doc_id NOT IN (SELECT id_b FROM removed))"""
+
+  /** The export chain's stages 1-2, shared VERBATIM by the q199/q201/
+    * q202/q203 oracles (the shared-helper discipline — the split cannot
+    * drift between the train-side, val-side, artifact, and multi-epoch
+    * replays): [[cleanSurvivorCtes]] + the sp_-prefixed pair/CC chain
+    * over `surv` (q193's graph arithmetic) + the 0.2-valFraction
+    * unit-hash split of the representative. Ends in
+    * `spl(doc_id, text, split)` and `tr(doc_id, text)` (the train side).
+    */
+  private def exportSplitCtes: String =
+    cleanSurvivorCtes + ",\n         " +
+      nearDupCcCtesOver("surv", "sp_") + """,
+         lab AS (SELECT id, min(comp) AS comp FROM sp_cc GROUP BY id),
+         spl AS (
+           SELECT s.doc_id, s.text,
+             CASE WHEN CAST(('0x' || substr(md5(
+                 CAST(coalesce(l.comp, s.doc_id) AS VARCHAR) || 'split'),
+                 1, 8)) AS UBIGINT) / 4294967296.0 < 0.2
+               THEN 'val' ELSE 'train' END AS split
+           FROM surv s LEFT JOIN lab l ON s.doc_id = l.id),
+         tr AS (SELECT doc_id, text FROM spl WHERE split = 'train')"""
+
+  /** One epoch's FIM draw over `tr` (q194's md5 arithmetic at `salt`,
+    * sentinel-clash docs excluded) + exact output sizes + the d(%37)
+    * battery group, CTE names prefixed with `p` so epochs coexist in one
+    * oracle (q203). Ends in `${p}sized(doc_id, fmt, tokens, grp)`.
+    */
+  private def fimSizedCtes(salt: String, p: String): String =
+    s"""${p}ft AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+           FROM tr),
+         ${p}fm AS (
+           SELECT doc_id, len(w) AS n,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '${salt}fim'), 1, 8)) AS UBIGINT) / 4294967296.0 >= 0.5
+               THEN 'plain'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '${salt}spm'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.5
+               THEN 'spm' ELSE 'psm' END AS fmt
+           FROM ${p}ft
+           WHERE len(list_filter(w,
+             x -> x IN ('<PRE>', '<SUF>', '<MID>'))) = 0),
+         ${p}sized AS (
+           SELECT doc_id, fmt,
+             CAST(n + CASE WHEN fmt = 'plain' THEN 0 ELSE 3 END
+               AS BIGINT) AS tokens,
+             'd' || CAST(doc_id % 37 AS VARCHAR) AS grp
+           FROM ${p}fm)"""
+
+  /** q197's recursive greedy pack walk over `src(doc_id[, extras],
+    * tokens, grp)` — md5 group-bucket shard, (grp, doc_id) order —
+    * prefixed so several walks coexist (q203's epochs). Ends in
+    * `${p}packed(shard, grp, doc_id[, extras], tokens, r, seq_id, cum,
+    * seq_pos)`.
+    */
+  private def packWalkCtes(src: String, p: String, extras: Seq[String],
+      budget: Int, nShards: Int): String = {
+    val e = extras.map(", " + _).mkString
+    val be = extras.map(c => s", b.$c").mkString
+    s"""${p}psh AS MATERIALIZED (
+           SELECT doc_id$e, tokens, grp,
+             CAST(floor(CAST(('0x' || substr(md5(grp || 'pack'), 1, 8))
+               AS UBIGINT) / 4294967296.0 * $nShards) AS BIGINT) AS shard
+           FROM $src),
+         ${p}prn AS MATERIALIZED (
+           SELECT *, row_number() OVER (PARTITION BY shard
+             ORDER BY grp, doc_id) AS r
+           FROM ${p}psh),
+         ${p}packed AS (
+           SELECT shard, grp, doc_id$e, tokens, r,
+             CAST(0 AS BIGINT) AS seq_id, tokens AS cum,
+             CAST(0 AS BIGINT) AS seq_pos
+           FROM ${p}prn WHERE r = 1
+           UNION ALL
+           SELECT b.shard, b.grp, b.doc_id$be, b.tokens, b.r,
+             CASE WHEN p.cum + b.tokens <= $budget THEN p.seq_id
+               ELSE p.seq_id + 1 END,
+             CASE WHEN p.cum + b.tokens <= $budget THEN p.cum + b.tokens
+               ELSE b.tokens END,
+             CASE WHEN p.cum + b.tokens <= $budget THEN p.seq_pos + 1
+               ELSE CAST(0 AS BIGINT) END
+           FROM ${p}packed p JOIN ${p}prn b
+             ON b.shard = p.shard AND b.r = p.r + 1)"""
+  }
+
+  /** The reward-scored candidate frame shared VERBATIM by the q177 and
+    * q204 oracles (probe rows every 100th embedding, exact 1e4-scaled
+    * cosines, top-8 per probe). Ends in `top(query_id, cand_id, sm)`.
+    */
+  private def prefScoredCtes: String =
+    """p AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         sc AS (
+           SELECT p.query_id, c.vec_id AS cand_id,
+             CAST(round(round(list_cosine_similarity(c.embedding, p.qv), 4)
+               * 10000) AS BIGINT) AS sm
+           FROM embeddings c JOIN p ON c.vec_id <> p.query_id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sm DESC, cand_id) AS r
+           FROM sc),
+         top AS (SELECT query_id, cand_id, sm FROM rk WHERE r <= 8)"""
+
+  /** The q194 text-assembly replay over `tr` at `salt` — cuts, segments,
+    * and sentinel-joined PSM/SPM output — for the artifact round-trip
+    * oracle (q202). Ends in `${p}txt(doc_id, text_out)`.
+    */
+  private def fimTextCtes(salt: String, p: String): String =
+    s"""${p}tu AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '${salt}c1'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc1,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '${salt}c2'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uc2,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '${salt}fim'), 1, 8)) AS UBIGINT) / 4294967296.0 AS ufim,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '${salt}spm'), 1, 8)) AS UBIGINT) / 4294967296.0 AS uspm
+           FROM tr),
+         ${p}tc AS (
+           SELECT *, len(w) AS n,
+             CAST(floor(uc1 * (len(w) + 1)) AS INT) AS c1
+           FROM ${p}tu),
+         ${p}tseg AS (
+           SELECT doc_id, text, ufim, uspm,
+             w[1:c1] AS pre,
+             w[c1+1:c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT)] AS mid,
+             w[c1 + CAST(floor(uc2 * (n - c1 + 1)) AS INT) + 1:n] AS suf
+           FROM ${p}tc),
+         ${p}txt AS (
+           SELECT doc_id,
+             CASE WHEN ufim >= 0.5 THEN text
+               WHEN uspm < 0.5 THEN array_to_string(
+                 ['<SUF>'] || suf || ['<PRE>'] || pre || ['<MID>'] || mid, ' ')
+               ELSE array_to_string(
+                 ['<PRE>'] || pre || ['<SUF>'] || suf || ['<MID>'] || mid, ' ')
+               END AS text_out
+           FROM ${p}tseg)"""
 
   /** The q196 loss-mask replay shared VERBATIM with the q200 SFT-export
     * oracle: the synthetic conversation frame, newest-fitting-turns
@@ -4939,19 +5138,7 @@ object SparkEntry {
     // q177: exact-cosine candidate ranking (the q95 4-decimal
     // contract), the same gap gate, per-prompt cap, and tiebreaks
     "q177_preference_pairs" ->
-      """WITH p AS (
-           SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id % 100 = 0),
-         sc AS (
-           SELECT p.query_id, c.vec_id AS cand_id,
-             CAST(round(round(list_cosine_similarity(c.embedding, p.qv), 4)
-               * 10000) AS BIGINT) AS sm
-           FROM embeddings c JOIN p ON c.vec_id <> p.query_id),
-         rk AS (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY sm DESC, cand_id) AS r
-           FROM sc),
-         top AS (SELECT query_id, cand_id, sm FROM rk WHERE r <= 8),
+      ("WITH " + prefScoredCtes + """,
          pp AS (
            SELECT a.query_id, a.cand_id AS chosen_id,
              b.cand_id AS rejected_id, a.sm - b.sm AS gap
@@ -4965,7 +5152,33 @@ object SparkEntry {
          SELECT query_id, CAST(pair_no AS BIGINT) AS pair_no, chosen_id,
            rejected_id, gap
          FROM sel WHERE pair_no <= 3
-         ORDER BY query_id, pair_no""",
+         ORDER BY query_id, pair_no"""),
+
+    // q204: the q177 scored-frame CTEs verbatim (shared helper), then
+    // the one-pair-per-prompt tail — argmax/argmin with the smallest-id
+    // tiebreak replayed as rank-1 windows, gap-gated at 500
+    "q204_dpo_pairs" ->
+      ("WITH " + prefScoredCtes + """,
+         best AS (
+           SELECT query_id, cand_id AS chosen_id, sm AS bs,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sm DESC, cand_id) AS r
+           FROM top),
+         worst AS (
+           SELECT query_id, cand_id AS rejected_id, sm AS ws,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sm ASC, cand_id) AS r
+           FROM top),
+         nc AS (
+           SELECT query_id, CAST(count(*) AS BIGINT) AS n_cands
+           FROM top GROUP BY query_id)
+         SELECT b.query_id, b.chosen_id, w.rejected_id,
+           b.bs - w.ws AS gap, nc.n_cands
+         FROM best b
+         JOIN worst w ON b.query_id = w.query_id AND w.r = 1
+         JOIN nc ON b.query_id = nc.query_id
+         WHERE b.r = 1 AND b.bs - w.ws >= 500
+         ORDER BY b.query_id"""),
 
     // q178: every Gopher metric recomputed with list lambdas, the
     // bounds applied to the SAME rounded ratios as the engine
@@ -7675,63 +7888,63 @@ object SparkEntry {
     // then q197's recursive greedy walk (group d(doc_id%37), 8 shards,
     // budget 256)
     "q199_training_export" ->
-      ("WITH RECURSIVE " + cleanSurvivorCtes + ",\n         " +
-        nearDupCcCtesOver("surv", "sp_") + """,
-         lab AS (SELECT id, min(comp) AS comp FROM sp_cc GROUP BY id),
-         tr AS (
-           SELECT s.doc_id, s.text
-           FROM surv s LEFT JOIN lab l ON s.doc_id = l.id
-           WHERE CAST(('0x' || substr(md5(
-               CAST(coalesce(l.comp, s.doc_id) AS VARCHAR) || 'split'),
-               1, 8)) AS UBIGINT) / 4294967296.0 >= 0.2),
-         ft AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-           FROM tr),
-         fm AS (
-           SELECT doc_id, len(w) AS n,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                 || 'ep0fim'), 1, 8)) AS UBIGINT) / 4294967296.0 >= 0.5
-               THEN 'plain'
-               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                 || 'ep0spm'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.5
-               THEN 'spm' ELSE 'psm' END AS fmt
-           FROM ft
-           WHERE len(list_filter(w,
-             x -> x IN ('<PRE>', '<SUF>', '<MID>'))) = 0),
-         sized AS (
-           SELECT doc_id, fmt,
-             CAST(n + CASE WHEN fmt = 'plain' THEN 0 ELSE 3 END
-               AS BIGINT) AS tokens,
-             'd' || CAST(doc_id % 37 AS VARCHAR) AS grp
-           FROM fm),
-         psh AS MATERIALIZED (
-           SELECT doc_id, fmt, tokens, grp,
-             CAST(floor(CAST(('0x' || substr(md5(grp || 'pack'), 1, 8))
-               AS UBIGINT) / 4294967296.0 * 8) AS BIGINT) AS shard
-           FROM sized),
-         prn AS MATERIALIZED (
-           SELECT *, row_number() OVER (PARTITION BY shard
-             ORDER BY grp, doc_id) AS r
-           FROM psh),
-         packed AS (
-           SELECT shard, grp, doc_id, fmt, tokens, r,
-             CAST(0 AS BIGINT) AS seq_id, tokens AS cum,
-             CAST(0 AS BIGINT) AS seq_pos
-           FROM prn WHERE r = 1
-           UNION ALL
-           SELECT b.shard, b.grp, b.doc_id, b.fmt, b.tokens, b.r,
-             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_id
-               ELSE p.seq_id + 1 END,
-             CASE WHEN p.cum + b.tokens <= 256 THEN p.cum + b.tokens
-               ELSE b.tokens END,
-             CASE WHEN p.cum + b.tokens <= 256 THEN p.seq_pos + 1
-               ELSE CAST(0 AS BIGINT) END
-           FROM packed p JOIN prn b
-             ON b.shard = p.shard AND b.r = p.r + 1)
+      ("WITH RECURSIVE " + exportSplitCtes + ",\n         " +
+        fimSizedCtes("ep0", "") + ",\n         " +
+        packWalkCtes("sized", "", Seq("fmt"), 256, 8) + """
          SELECT doc_id, fmt, tokens, grp AS "group", shard, seq_id,
            seq_pos, tokens > 256 AS oversize
          FROM packed ORDER BY doc_id"""),
+
+    // q201: the export chain's shared split replay, VAL side — plain
+    // text (no FIM), whitespace token widths, the same recursive pack
+    // walk; in_train replays the leakage indicator (doc_id IN tr) so a
+    // doc assigned to both sides hash-mismatches on EITHER engine
+    "q201_val_export" ->
+      ("WITH RECURSIVE " + exportSplitCtes + """,
+         vsz AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS tokens,
+             'd' || CAST(doc_id % 37 AS VARCHAR) AS grp
+           FROM spl WHERE split = 'val'),
+         """ + packWalkCtes("vsz", "", Seq.empty, 256, 8) + """
+         SELECT doc_id, tokens, grp AS "group", shard, seq_id, seq_pos,
+           tokens > 256 AS oversize,
+           doc_id IN (SELECT doc_id FROM tr) AS in_train
+         FROM packed ORDER BY doc_id"""),
+
+    // q202: the q199 assignment replay JOINED to the q194-style text
+    // assembly at the same salt — the artifact writer's parquet output
+    // (read back from disk on the Spark side) must hash-match the
+    // in-plan chain column for column, text_out included
+    "q202_export_artifact" ->
+      ("WITH RECURSIVE " + exportSplitCtes + ",\n         " +
+        fimSizedCtes("ep0", "") + ",\n         " +
+        packWalkCtes("sized", "", Seq("fmt"), 256, 8) + ",\n         " +
+        fimTextCtes("ep0", "") + """
+         SELECT p.doc_id, p.fmt, p.tokens, p.grp AS "group", p.shard,
+           p.seq_id, p.seq_pos, p.tokens > 256 AS oversize, t.text_out
+         FROM packed p JOIN txt t USING (doc_id)
+         ORDER BY p.doc_id"""),
+
+    // q203: TWO epochs of the q199 chain in one oracle — the shared
+    // split CTE runs once (epoch-invariance is structural on both
+    // engines: a split that varied by salt would hash-mismatch), then
+    // each salt's FIM draw + pack walk under its own CTE prefix
+    "q203_epoch_export" ->
+      ("WITH RECURSIVE " + exportSplitCtes + ",\n         " +
+        fimSizedCtes("ep0", "e0") + ",\n         " +
+        packWalkCtes("e0sized", "e0", Seq("fmt"), 256, 8) + ",\n         " +
+        fimSizedCtes("ep1", "e1") + ",\n         " +
+        packWalkCtes("e1sized", "e1", Seq("fmt"), 256, 8) + """
+         SELECT 'ep0' AS epoch, doc_id, fmt, tokens, grp AS "group",
+           shard, seq_id, seq_pos, tokens > 256 AS oversize
+         FROM e0packed
+         UNION ALL
+         SELECT 'ep1', doc_id, fmt, tokens, grp AS "group", shard,
+           seq_id, seq_pos, tokens > 256 AS oversize
+         FROM e1packed
+         ORDER BY epoch, doc_id"""),
 
     "q90_prep_e2e" ->
       ("WITH RECURSIVE " + cleanSurvivorCtes + """,

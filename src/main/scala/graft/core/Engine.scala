@@ -49,6 +49,22 @@ object Engine {
       // to a micros timestamp in Tables.load (see Tables.rebuildNanosTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Bounded driver-side bookkeeping: the status store retains full
+      // physical-plan STRINGS per SQL execution (default cap 1000) even
+      // with the UI off — multi-MB each for deep pipeline plans, which
+      // on a long-lived session (the 200-query bench battery, a
+      // streaming driver) grows into GBs of non-collectable heap and
+      // starves the working queries. 24 executions of lookback is
+      // plenty for debugging; a cluster run can raise it explicitly.
+      .config("spark.sql.ui.retainedExecutions", "24")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      // ContextCleaner frees shuffle files/broadcasts only on JVM GC;
+      // its default 30 min safety-net GC is longer than many whole
+      // workloads, letting hundreds of GB of dead shuffle data pile up
+      // on executors with large heaps that rarely collect. 5 min bounds
+      // the debris without measurable GC overhead.
+      .config("spark.cleaner.periodicGC.interval", "5min")
 
   /** Local session sized to the container; registers graft SQL functions. */
   def local(appName: String = "graft"): SparkSession = {

@@ -243,9 +243,17 @@ object GraftFunctions {
           Literal(level: Int, _)) =>
         DeflateRatioGate(child, lo, hi, level)
       case other =>
+        // distinguish arity from literal-TYPE mismatch: the common slip
+        // is integer SQL literals for lo/hi (needs 0.1e0-style doubles),
+        // which previously reported a misleading "got 4 args"
         throw new IllegalArgumentException(
-          "deflate_ratio_in(text, lo literal, hi literal, level literal); " +
-            s"got ${other.size} args")
+          "deflate_ratio_in(text, lo literal, hi literal, level literal)" +
+            (if (other.size == 4)
+              "; expected literal types (DOUBLE, DOUBLE, INT) for " +
+                "(lo, hi, level) — got (" +
+                other.drop(1).map(_.dataType.simpleString).mkString(", ") +
+                "); write doubles as e.g. 0.1e0 in SQL"
+            else s"; got ${other.size} args"))
     },
     "warc_records" -> {
       case Seq(child) => WarcRecords(child)

@@ -74,6 +74,43 @@ object Preferences {
     * window or self-join, partial aggregation map-side, so the shuffle
     * carries one row per prompt per map task.
     */
+  /** The DPO-export pair: each prompt's single (chosen, rejected) =
+    * (argmax, argmin) of the reward — the standard one-pair-per-prompt
+    * preference artifact, beside [[preferencePairs]]'s all-qualifying-
+    * pairs surface. Prompts whose best-worst gap falls under `minGap`
+    * contribute nothing (near-ties teach nothing; `minGap` > 0 also
+    * guarantees chosen != rejected, so single-candidate prompts drop
+    * out). Ties break to the SMALLEST candidate id on both sides
+    * ([[bestOfN]]'s deterministic convention). Scores carry the same
+    * integer-scale contract as [[preferencePairs]].
+    *
+    * Output: (query_id, chosen_id, rejected_id, gap, n_cands).
+    *
+    * Scale shape: ONE hash aggregate — argmax and argmin ride the same
+    * `max/min(struct(score, ∓cand))` trick as [[bestOfN]], partial
+    * aggregation map-side, no self-join and no window, so this stays
+    * one exchange where [[preferencePairs]]'s k² enumeration pays a
+    * join — the right default when a run wants exactly one pair per
+    * prompt.
+    */
+  def bestWorstPairs(scored: DataFrame, queryCol: String,
+      candCol: String, scoreCol: String, minGap: Long): DataFrame = {
+    require(minGap > 0, "minGap must be positive — a zero gap would " +
+      "pair a candidate with itself on single-candidate prompts")
+    scored.select(col(queryCol).cast("long").as("query_id"),
+        col(candCol).cast("long").as("__c"),
+        col(scoreCol).cast("long").as("__s"))
+      .groupBy(col("query_id"))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("__c")).as("nc"))).as("b"),
+        min(struct(col("__s").as("s"), col("__c").as("c"))).as("w"),
+        count(lit(1)).as("n_cands"))
+      .where(col("b.s") - col("w.s") >= minGap)
+      .select(col("query_id"), (-col("b.nc")).as("chosen_id"),
+        col("w.c").as("rejected_id"),
+        (col("b.s") - col("w.s")).as("gap"), col("n_cands"))
+  }
+
   def bestOfN(scored: DataFrame, queryCol: String, candCol: String,
       scoreCol: String, minScore: Long = Long.MinValue): DataFrame =
     scored.select(col(queryCol).cast("long").as("query_id"),

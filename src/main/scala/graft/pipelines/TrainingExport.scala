@@ -80,6 +80,24 @@ object TrainingExport {
       fimFraction: Double = 0.5, spmFraction: Double = 0.5,
       budget: Long = 4096L, nShards: Int = 256,
       spillIntermediate: Boolean = true): DataFrame = {
+    val (surv, split) = survivorSplit(docs, idCol, textCol, groupExpr,
+      valFraction, pairThreshold, spillIntermediate)
+    val train = surv.join(
+      split.where(col("split") === "train").select(col(idCol)), Seq(idCol))
+    epochSlice(train, idCol, textCol, epochSalt, fimFraction, spmFraction,
+      budget, nShards, spillIntermediate)
+  }
+
+  /** Stages 1-2 shared by every export surface: clean survivors joined
+    * back to (text, group), spilled (the frame feeds the pair graph, the
+    * split corpus side, and the train/val joins), plus the leakage-safe
+    * split over the survivors' own fresh pair graph (see the object doc
+    * for why the graph is rebuilt rather than reused from clean()).
+    */
+  private def survivorSplit(docs: DataFrame, idCol: String,
+      textCol: String, groupExpr: Column, valFraction: Double,
+      pairThreshold: Double,
+      spillIntermediate: Boolean): (DataFrame, DataFrame) = {
     def spill(df: DataFrame): DataFrame =
       if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
     val survIds = TrainingData.clean(docs, idCol, textCol)
@@ -91,8 +109,19 @@ object TrainingExport {
       n = 3, threshold = pairThreshold)
     val split = Sampling.leakageSafeSplit(surv.select(col(idCol)), idCol,
       pairs, valFraction, salt = "split")
-    val train = surv.join(
-      split.where(col("split") === "train").select(col(idCol)), Seq(idCol))
+    (surv, split)
+  }
+
+  /** Stages 3-5 for ONE epoch of the train side: per-epoch FIM
+    * (sentinel-clash docs routed out), exact output token counts, and
+    * group-coherent packing. `train` carries (idCol, textCol, __grp).
+    */
+  private def epochSlice(train: DataFrame, idCol: String, textCol: String,
+      epochSalt: String, fimFraction: Double, spmFraction: Double,
+      budget: Long, nShards: Int,
+      spillIntermediate: Boolean): DataFrame = {
+    def spill(df: DataFrame): DataFrame =
+      if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
     // only the assignment columns spill — text_out is corpus-sized and
     // nothing downstream reads it (writePretrainCorpus re-derives the
     // text through the same deterministic transform)
@@ -103,11 +132,90 @@ object TrainingExport {
         when(col("fmt") === "plain", 0L).otherwise(3L))
       .join(train.select(col(idCol), col("__grp")), Seq(idCol))
       .select(col(idCol), col("fmt"), col("tokens"), col("__grp")))
-    val withGrp = fimmed
-    Packing.packRelated(withGrp, idCol, "tokens", "__grp", budget, nShards)
+    Packing.packRelated(fimmed, idCol, "tokens", "__grp", budget, nShards)
       .join(fimmed.select(col(idCol), col("fmt"), col("tokens")), Seq(idCol))
       .select(col(idCol), col("fmt"), col("tokens"), col("group"),
         col("shard"), col("seq_id"), col("seq_pos"), col("oversize"))
+  }
+
+  /** The VAL side of the export — the artifact the run's held-out
+    * evaluation consumes: survivors assigned split='val', PLAIN text (no
+    * FIM — evaluation measures the raw LM objective; transforming val
+    * would evaluate the augmentation instead), whitespace token counts,
+    * and the same group-coherent packing. Output adds `in_train`, the
+    * leakage indicator (a left join against the train side's ids) —
+    * false for every row BY CONSTRUCTION, and the oracle replay pins
+    * exactly that: any doc assigned to both sides hash-mismatches.
+    *
+    * Scale posture: identical chain to [[pretrainAssignments]] minus the
+    * FIM projection; the split frame is spilled because the val filter
+    * and the train-overlap indicator both consume it.
+    */
+  def valAssignments(docs: DataFrame, idCol: String, textCol: String,
+      groupExpr: Column, valFraction: Double = 0.1,
+      pairThreshold: Double = 0.02, budget: Long = 4096L,
+      nShards: Int = 256, spillIntermediate: Boolean = true): DataFrame = {
+    def spill(df: DataFrame): DataFrame =
+      if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
+    val (surv, split0) = survivorSplit(docs, idCol, textCol, groupExpr,
+      valFraction, pairThreshold, spillIntermediate)
+    val split = spill(split0.select(col(idCol), col("split")))
+    val vals = surv.join(
+      split.where(col("split") === "val").select(col(idCol)), Seq(idCol))
+    val sized = spill(vals.select(col(idCol),
+      graft.functions.TextFunctions.wsTokenCount(col(textCol))
+        .cast("long").as("tokens"),
+      col("__grp")))
+    Packing.packRelated(sized, idCol, "tokens", "__grp", budget, nShards)
+      .join(sized.select(col(idCol), col("tokens")), Seq(idCol))
+      .join(split.where(col("split") === "train")
+        .select(col(idCol), lit(true).as("__t")), Seq(idCol), "left")
+      .select(col(idCol), col("tokens"), col("group"), col("shard"),
+        col("seq_id"), col("seq_pos"), col("oversize"),
+        coalesce(col("__t"), lit(false)).as("in_train"))
+  }
+
+  /** The MULTI-EPOCH export — what a real run consumes across E epochs:
+    * the clean/split chain runs ONCE (the split must NOT vary by epoch —
+    * a doc drifting from val to train between epochs is leakage), then
+    * each salt redraws FIM holes and formats independently and re-packs.
+    * Output is [[pretrainAssignments]]'s schema with a leading `epoch`
+    * column (the salt). Epoch-invariance of the split is structural: the
+    * split frame is computed once above the per-epoch loop, so every
+    * epoch sees the identical train id set; distinct salts give distinct
+    * draws ([[Fim.transform]]'s per-(id, salt) determinism), which the
+    * export spec asserts (some doc's fmt differs across epochs).
+    *
+    * Scale posture: the expensive stages (clean gates, pair graph, CC)
+    * are paid once; each epoch adds one map-only FIM projection plus
+    * packing's shard exchange over the spilled train frame.
+    */
+  def epochAssignments(docs: DataFrame, idCol: String, textCol: String,
+      groupExpr: Column, epochSalts: Seq[String],
+      valFraction: Double = 0.1, pairThreshold: Double = 0.02,
+      fimFraction: Double = 0.5, spmFraction: Double = 0.5,
+      budget: Long = 4096L, nShards: Int = 256,
+      spillIntermediate: Boolean = true): DataFrame = {
+    require(epochSalts.nonEmpty, "epochSalts must be non-empty")
+    require(epochSalts.distinct.size == epochSalts.size,
+      "epochSalts must be distinct — identical salts draw identical " +
+        "holes and the epochs collapse to copies")
+    def spill(df: DataFrame): DataFrame =
+      if (spillIntermediate) graft.io.Spill(df, "graft-export-") else df
+    val (surv, split) = survivorSplit(docs, idCol, textCol, groupExpr,
+      valFraction, pairThreshold, spillIntermediate)
+    // spilled: every epoch consumes the train frame twice (FIM + group
+    // join) — E epochs would otherwise re-run the survivor join 2E times
+    val train = spill(surv.join(
+      split.where(col("split") === "train").select(col(idCol)),
+      Seq(idCol)))
+    epochSalts.map { salt =>
+      epochSlice(train, idCol, textCol, salt, fimFraction, spmFraction,
+          budget, nShards, spillIntermediate)
+        .select(lit(salt).as("epoch"), col(idCol), col("fmt"),
+          col("tokens"), col("group"), col("shard"), col("seq_id"),
+          col("seq_pos"), col("oversize"))
+    }.reduce(_.unionByName(_))
   }
 
   /** The SFT-side export twin of [[pretrainAssignments]]: conversation
@@ -172,11 +280,21 @@ object TrainingExport {
       epochSalt: String = "ep0", fimFraction: Double = 0.5,
       spmFraction: Double = 0.5, budget: Long = 4096L,
       nShards: Int = 256): Int = {
-    val assign = pretrainAssignments(docs, idCol, textCol, groupExpr,
-      valFraction, pairThreshold, epochSalt, fimFraction, spmFraction,
-      budget, nShards)
-    val text = Fim.transform(docs.select(col(idCol), col(textCol)), idCol,
-      textCol, fimFraction, spmFraction, epochSalt)
+    // spilled: the assignment frame feeds TWO consumers (the id filter
+    // below and the final join) — left in-plan each would re-execute the
+    // whole clean/split/FIM/pack chain
+    val assign = graft.io.Spill(
+      pretrainAssignments(docs, idCol, textCol, groupExpr, valFraction,
+        pairThreshold, epochSalt, fimFraction, spmFraction, budget,
+        nShards), "graft-export-")
+    // transform ONLY the exported subset: every clean-rejected or val
+    // doc would otherwise pay tokenize+FIM cost just to be dropped by
+    // the join (advisor r19 item 2). Determinism is unaffected — draws
+    // depend only on (id, salt), never on which rows ride along.
+    val text = Fim.transform(
+      docs.select(col(idCol), col(textCol))
+        .join(assign.select(col(idCol)), Seq(idCol)),
+      idCol, textCol, fimFraction, spmFraction, epochSalt)
     assign.join(text.select(col(idCol), col("text_out")), Seq(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     val fs = new org.apache.hadoop.fs.Path(outDir)

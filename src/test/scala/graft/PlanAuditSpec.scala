@@ -71,9 +71,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q172/q173: q123's L-row label broadcast inside the evaluated
     // classifier (labelScores keeps the classify scoring shape)
     "q172_nb_report", "q173_en_margin_auc",
-    // q177: the probe sweep broadcast against the corpus scan (the
-    // q95/q133 dense posture)
-    "q177_preference_pairs",
+    // q177/q204: the probe sweep broadcast against the corpus scan (the
+    // q95/q133 dense posture; q204 ranks the identical prefScored frame)
+    "q177_preference_pairs", "q204_dpo_pairs",
     // q179/q181: q123's L-row label broadcast inside the NB rater
     "q179_lang_kappa", "q181_avg_precision")
 
@@ -461,7 +461,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // walk itself is q196's ONE key exchange, run once at spill time):
     // conv rollup agg + pack shard exchange + the two assignment
     // equi-joins + battery sort
-    "q200_sft_export" -> 6)
+    "q200_sft_export" -> 6,
+    // the VAL export's audited tail behind the spilled split/sized
+    // frames: pack shard exchange + battery sort + the two broadcast
+    // id-equi joins (tokens back-join, train-overlap indicator)
+    "q201_val_export" -> 4,
+    // the artifact row READS BACK the written corpus: parquet scan +
+    // battery sort only (the export chain ran at write time)
+    "q202_export_artifact" -> 1,
+    // two epochs over the ONE spilled train frame: per-epoch pack
+    // shard exchanges + the union's battery sort + the two broadcast
+    // assignment joins; the clean/pair/split stages ran once at spill
+    "q203_epoch_export" -> 5,
+    // the DPO pair tail over the q177 scored frame: the top-k agg
+    // partial/final pair + the best/worst single hash aggregate +
+    // the probe broadcast (battery sort rides the agg output)
+    "q204_dpo_pairs" -> 3)
 
   test("regressed-in-r2 queries keep their audited shuffle budgets") {
     val over = exchangeCeilings.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -83,4 +83,32 @@ class PreferencesSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap shouldBe a
   }
+
+  test("bestWorstPairs: one (argmax, argmin) pair per prompt, ties to " +
+      "the smallest id on both sides, gap-gated, single-candidate " +
+      "prompts drop") {
+    def bw(minGap: Long, rows: (Long, Long, Long)*) =
+      Preferences.bestWorstPairs(scored(rows: _*), "q", "cand", "s",
+          minGap)
+        .orderBy(col("query_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    // prompt 1: tied best -> cand 2, tied worst -> cand 4, gap 35;
+    // prompt 2: single candidate -> gap 0 drops; prompt 3: gap 2 < 5
+    bw(5L,
+      (1L, 1L, 10L), (1L, 2L, 40L), (1L, 3L, 40L), (1L, 4L, 5L),
+      (1L, 5L, 5L),
+      (2L, 1L, 7L),
+      (3L, 1L, 100L), (3L, 2L, 98L)) shouldBe
+      Seq((1L, 2L, 4L, 35L, 5L))
+    an[IllegalArgumentException] should be thrownBy
+      Preferences.bestWorstPairs(scored((1L, 1L, 1L)), "q", "cand",
+        "s", 0L)
+    // partitioning-invariant (one hash aggregate, like bestOfN)
+    val df = scored((1L to 500L).map(i => (i % 20, i, i * 7 % 101)): _*)
+    val a = Preferences.bestWorstPairs(df, "q", "cand", "s", 3L)
+      .collect().map(_.toSeq).toSet
+    Preferences.bestWorstPairs(df.repartition(9), "q", "cand", "s", 3L)
+      .collect().map(_.toSeq).toSet shouldBe a
+  }
 }

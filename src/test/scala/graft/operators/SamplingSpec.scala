@@ -207,8 +207,8 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     // the fallback really is a plain join: no broadcast HINT survives in
     // the optimized plan (AQE may still choose broadcast at these sizes —
     // the hint's absence is what unpins the forced driver-side broadcast)
-    gated.queryExecution.optimizedPlan.toString should not
-      include("ResolvedHint")
+    (gated.queryExecution.optimizedPlan.toString
+      should not include "ResolvedHint")
     val spark2 = docs.sparkSession
     val prevThreshold = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark2.conf.get("spark.sql.adaptive.enabled")

@@ -134,6 +134,63 @@ class TrainingExportSpec extends AnyFunSuite with Matchers with SparkSpec {
       run(events).collect().map(_.toSeq).toSet // partitioning-invariant
   }
 
+  test("valAssignments is the exact complement of the train export: " +
+      "zero id overlap, in_train false everywhere, clusters move " +
+      "whole, packing invariants hold") {
+    val trainIds = assignments(corpus).collect().map(_.getLong(0)).toSet
+    val va = TrainingExport.valAssignments(corpus, "doc_id", "text",
+      (col("doc_id") % 7).cast("string"), valFraction = 0.3,
+      pairThreshold = 0.02, budget = 120L, nShards = 4).collect()
+    va should not be empty
+    val vIds = va.map(_.getLong(0)).toSet
+    vIds.intersect(trainIds) shouldBe empty // the leakage assertion
+    va.foreach(r => r.getBoolean(7) shouldBe false) // in_train
+    // planted pairs move whole on the val side too
+    (1 to 60).foreach { i =>
+      withClue(s"pair ($i): ") {
+        vIds.contains(2L * i) shouldBe vIds.contains(2L * i + 1)
+      }
+    }
+    // budget + contiguity invariants carry over to the val packing
+    val rows = va.map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, seq) =>
+      if (!seq.exists(_._6)) seq.map(_._2).sum should be <= 120L
+      seq.map(_._5).sorted shouldBe (0L until seq.length).toSeq
+    }
+  }
+
+  test("epochAssignments: membership is epoch-invariant, draws differ " +
+      "between salts, and each epoch slice equals the single-epoch " +
+      "export; duplicate salts rejected") {
+    val eps = TrainingExport.epochAssignments(corpus, "doc_id", "text",
+      (col("doc_id") % 7).cast("string"), Seq("ep0", "ep1"),
+      valFraction = 0.3, pairThreshold = 0.02, fimFraction = 0.6,
+      spmFraction = 0.5, budget = 120L, nShards = 4).collect()
+    val by = eps.groupBy(_.getString(0))
+    by.keySet shouldBe Set("ep0", "ep1")
+    // the split never varies by epoch: identical doc membership
+    // (sentinel-clash routing is salt-independent too — the clash is a
+    // property of the source text)
+    by("ep0").map(_.getLong(1)).toSet shouldBe
+      by("ep1").map(_.getLong(1)).toSet
+    // distinct salts actually redraw: some doc's format differs
+    val fmt0 = by("ep0").map(r => r.getLong(1) -> r.getString(2)).toMap
+    val fmt1 = by("ep1").map(r => r.getLong(1) -> r.getString(2)).toMap
+    fmt0 should not equal fmt1
+    // each epoch slice is exactly the single-salt export
+    by("ep0").map(_.toSeq.drop(1)).toSet shouldBe
+      assignments(corpus).collect().map(_.toSeq).toSet
+    by("ep1").map(_.toSeq.drop(1)).toSet shouldBe
+      assignments(corpus, salt = "ep1").collect().map(_.toSeq).toSet
+    an[IllegalArgumentException] should be thrownBy
+      TrainingExport.epochAssignments(corpus, "doc_id", "text",
+        (col("doc_id") % 7).cast("string"), Seq("ep0", "ep0"))
+    an[IllegalArgumentException] should be thrownBy
+      TrainingExport.epochAssignments(corpus, "doc_id", "text",
+        (col("doc_id") % 7).cast("string"), Seq.empty)
+  }
+
   test("writePretrainCorpus lands a shard-partitioned corpus with a " +
       "verifiable manifest per shard") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export-")
@@ -146,7 +203,18 @@ class TrainingExportSpec extends AnyFunSuite with Matchers with SparkSpec {
     val back = spark.read.parquet(dir)
     back.columns.toSet should contain allOf ("doc_id", "fmt", "tokens",
       "shard", "seq_id", "seq_pos", "text_out")
-    back.count() shouldBe assignments(corpus).count()
+    // the written artifact equals the in-plan assignment joined to the
+    // re-derived deterministic text, row for row (shard comes back as
+    // the partition column — cast for the compare)
+    val expect = assignments(corpus)
+      .join(graft.operators.Fim.transform(corpus, "doc_id", "text",
+        0.6, 0.5, "ep0").select(col("doc_id"), col("text_out")),
+        Seq("doc_id"))
+      .collect().map(_.toSeq).toSet
+    back.select(col("doc_id"), col("fmt"), col("tokens"), col("group"),
+        col("shard").cast("long"), col("seq_id"), col("seq_pos"),
+        col("oversize"), col("text_out"))
+      .collect().map(_.toSeq).toSet shouldBe expect
     // every shard directory carries an intact manifest
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
