@@ -29,13 +29,7 @@ object Bench {
     val spark = Engine.local("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    // cumulative wall seconds spent in the per-query GC drain — reported
-    // once on stderr at battery end so every round's record shows what
-    // the drain COSTS next to what it buys (it sits outside every timed
-    // window, but it is real wall time the driver's budget pays)
-    var gcDrainSec = 0.0
-
-    def runOnce(name: String, dir: String, drain: Boolean = true): Double = {
+    def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -51,29 +45,20 @@ object Bench {
           // captured, so the delete never pollutes the reading — keeps
           // temp disk flat across the battery x warmup + N passes
           graft.io.Spill.releaseAll()
-      // Drain the PREVIOUS query's debris before the next timed window:
-      // Spark frees shuffle files, broadcasts, and checkpoint dirs via
-      // ContextCleaner, which only acts when the JVM garbage-collects —
-      // and its own safety-net GC fires every 30 min by default, longer
-      // than an entire battery pass. Left alone, each query runs in the
-      // accumulated wake of every query before it (cleanup I/O and heap
-      // pressure overlap the next timed window), which grew with the
-      // battery itself — the round-14..19 monotone drift on the
-      // mid-battery q155/q156 rows that isolated re-reads kept
-      // exonerating (BASELINE.md round-20 note quantifies it: the same
-      // rows read 1.4-1.9x faster isolated than in-battery at the same
-      // HEAD in the same window). One explicit GC per query, OUTSIDE the
-      // timed window, bounds the debris deterministically — per-query
-      // numbers measure the query, not its predecessors' garbage.
-      // (`drain = false` on the warmup pass: its readings are discarded,
-      // so per-query draining buys nothing there — one GC at the
-      // warmup/measured boundary hands the first measured query the same
-      // drained state at a third of the battery's GC bill, ~0.2 s/call.)
-      if (drain) {
-        val g0 = System.nanoTime()
-        System.gc()
-        gcDrainSec += (System.nanoTime() - g0) / 1e9
-      }
+      // NO explicit per-query GC here, deliberately: a full System.gc()
+      // between queries was tried as the debris drain for the
+      // round-14..19 monotone mid-battery drift (ContextCleaner frees
+      // shuffle/broadcast state only on JVM GC; its safety net fires
+      // every 30 min — longer than a battery pass) and REFUTED by a
+      // same-window A/B at sf0.1: the drained battery read 20-30%
+      // SLOWER on every row, trivial scans included (a full collection
+      // evicts JIT/heap state the next timed window then rebuilds;
+      // BASELINE.md round-20 records the A/B table). The debris is
+      // instead bounded where it belongs: Engine sets
+      // spark.cleaner.periodicGC.interval=5min, which caps the wake at
+      // any battery position to ~5 min of debris REGARDLESS of battery
+      // size — removing the round-over-round monotone growth — at ~6
+      // amortized collections per battery instead of 600.
       sec
     }
 
@@ -83,10 +68,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    if (Files.isDirectory(Paths.get(warmupDir))) {
-      names.foreach(runOnce(_, warmupDir, drain = false))
-      System.gc() // one boundary drain so pass 1 starts clean
-    }
+    if (Files.isDirectory(Paths.get(warmupDir))) names.foreach(runOnce(_, warmupDir))
 
     // min-of-N (default 2) over INTERLEAVED full-battery passes: single-run
     // numbers burned four judge cycles on transient rig-contention spikes
@@ -132,8 +114,6 @@ object Bench {
     Files.writeString(Paths.get("BENCH_LOCAL.json"),
       jsonLine(results, sfDir, flaky, maxLen = Int.MaxValue,
         adjudicated = adjudicated, anchors = anchors) + "\n")
-    System.err.println(
-      f"[bench] gc drain total: $gcDrainSec%.1f s across the battery")
     println(line)
     spark.stop()
   }
