@@ -1271,8 +1271,14 @@ object SparkEntry {
       // gram generation is the CPU-heavy stage and the battery scan is
       // ONE small file (one task); spread the ~300-byte text rows once
       // before tokenizing — at scale the input's own splits provide
-      // this parallelism and the repartition drops out
-      val docs = t(s, d, "documents").repartition(col("doc_id"))
+      // this parallelism and the repartition drops out. The partition
+      // count must be EXPLICIT: a keyless repartition(col) is re-coalesced
+      // by AQE to the ~1 MB advisory size — one task at this input size,
+      // which serialized the gram stage (profiled: every stage 1 task).
+      // An explicit user count is exempt from AQE coalescing; derived
+      // from the session's parallelism, not a local[32] constant.
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.charGrams(col("text")).as("g"))
       val model = graft.io.Spill(graft.operators.NaiveBayes.train(

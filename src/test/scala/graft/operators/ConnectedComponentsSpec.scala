@@ -63,6 +63,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSpec {
     viaSpark(chain) shouldBe (0L to 9L).map(_ -> 0L).toMap
   }
 
+  test("driver fast path and forced distributed loop label identically") {
+    import spark.implicits._
+    // chains, a star, a merge of two components, and a self-contained
+    // triangle — shapes where a wrong union order or a missed pointer
+    // jump would diverge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (10L, 11L), (11L, 4L),
+      (4L, 9L), (20L, 21L), (21L, 22L), (20L, 22L), (30L, 7L))
+    val df = pairs.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe dist
+    fast shouldBe unionFind(pairs)
+    // one edge over the cap abandons the collect: distributed result,
+    // same labels
+    Dedup.connectedComponents(df, maxDriverEdges = pairs.size - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe fast
+  }
+
   test("semantic dedup keeps one representative per embedding cluster") {
     import spark.implicits._
     // one block: {1,2,3} colinear, {4,5} colinear orthogonal to them,
