@@ -190,6 +190,14 @@ object TrainingData {
       "dedupByUrl requires urlCol")
     require(robotsTable.isEmpty || urlCol.isDefined,
       "robotsTable requires urlCol")
+    // 0-par. Every stage below stage 1's dedup exchange is map-only
+    // per-document CPU (quality features, tokenize, gates) running at
+    // the SCAN's parallelism — a corpus arriving as one small file (the
+    // bench fixture shape) serialized the whole gate chain onto one
+    // core (profiled: 1-task stages of seconds each). Layout.spread is
+    // the identity whenever the input's own splits already meet the
+    // session parallelism, so production scans pay nothing.
+    val docsSpread = graft.io.Layout.spread(docsIn)
     // 0-pre. optional HTML extraction — the true FIRST stage when the
     // corpus arrives as crawled HTML: [[graft.operators.Html.extract]]
     // strips chrome/scripts and keeps text-dense blocks (map-only, no
@@ -197,8 +205,8 @@ object TrainingData {
     // gate below — so boilerplate never reaches dedup, scoring, or the
     // near-dup index. Docs extracting to empty text fall out at the
     // stage-2 size(w) > 0 gate like span-stripped ones do.
-    val docs = htmlCol.fold(docsIn) { h =>
-      graft.operators.Html.extract(docsIn, h,
+    val docs = htmlCol.fold(docsSpread) { h =>
+      graft.operators.Html.extract(docsSpread, h,
           htmlMinTextChars, htmlMaxLinkDensity)
         .withColumn(textCol, col(s"${h}_text"))
         .drop(s"${h}_text", "n_blocks", "n_kept", h)
@@ -376,9 +384,13 @@ object TrainingData {
         s"quality_below_${minQualityQuantile.get}_quantile",
         fixedGated, gated))
 
-    // 4. near-dup removal among survivors
+    // 4. near-dup removal among survivors (the pair build re-tokenizes
+    // the gated spill, whose file count reflects its tiny byte size —
+    // spread it so the shingle pass is not single-core at bench scale;
+    // identity on well-split inputs)
     val pairs = Dedup.ngramJaccardPairs(
-      gated.select(col(idCol), col(textCol)), idCol, textCol,
+      graft.io.Layout.spread(gated.select(col(idCol), col(textCol))),
+      idCol, textCol,
       n = 3, threshold = nearDupThreshold, maxDf = maxDf)
     val dupIds =
       if (componentDedup) Dedup.componentDropIds(pairs).select(col("id").as(idCol))

@@ -105,8 +105,11 @@ object TrainingExport {
     val surv = spill(survIds.join(
       docs.select(col(idCol), col(textCol), groupExpr.as("__grp")),
       Seq(idCol)))
-    val pairs = Dedup.ngramJaccardPairs(surv, idCol, textCol,
-      n = 3, threshold = pairThreshold)
+    // the fresh pair graph re-tokenizes the spilled survivors, whose file
+    // count mirrors their tiny byte size at bench scale — spread keeps
+    // the shingle pass parallel (identity on well-split inputs)
+    val pairs = Dedup.ngramJaccardPairs(graft.io.Layout.spread(surv),
+      idCol, textCol, n = 3, threshold = pairThreshold)
     val split = Sampling.leakageSafeSplit(surv.select(col(idCol)), idCol,
       pairs, valFraction, salt = "split")
     (surv, split)
@@ -125,8 +128,8 @@ object TrainingExport {
     // only the assignment columns spill — text_out is corpus-sized and
     // nothing downstream reads it (writePretrainCorpus re-derives the
     // text through the same deterministic transform)
-    val fimmed = spill(Fim.transform(train, idCol, textCol, fimFraction,
-        spmFraction, epochSalt)
+    val fimmed = spill(Fim.transform(graft.io.Layout.spread(train),
+        idCol, textCol, fimFraction, spmFraction, epochSalt)
       .where(!col("sentinel_clash"))
       .withColumn("tokens", col("n_tokens") +
         when(col("fmt") === "plain", 0L).otherwise(3L))
@@ -209,13 +212,21 @@ object TrainingExport {
     val train = spill(surv.join(
       split.where(col("split") === "train").select(col(idCol)),
       Seq(idCol)))
-    epochSalts.map { salt =>
-      epochSlice(train, idCol, textCol, salt, fimFraction, spmFraction,
-          budget, nShards, spillIntermediate)
-        .select(lit(salt).as("epoch"), col(idCol), col("fmt"),
-          col("tokens"), col("group"), col("shard"), col("seq_id"),
-          col("seq_pos"), col("oversize"))
-    }.reduce(_.unionByName(_))
+    // the epochs are independent given the spilled train frame; their
+    // eager FIM spills run as concurrent Spark jobs (the q162 ranker
+    // discipline) instead of paying E sequential materializations
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(
+      Future.sequence(epochSalts.map { salt => Future(
+        epochSlice(train, idCol, textCol, salt, fimFraction, spmFraction,
+            budget, nShards, spillIntermediate)
+          .select(lit(salt).as("epoch"), col(idCol), col("fmt"),
+            col("tokens"), col("group"), col("shard"), col("seq_id"),
+            col("seq_pos"), col("oversize")))
+      }), scala.concurrent.duration.Duration.Inf)
+      .reduce(_.unionByName(_))
   }
 
   /** The SFT-side export twin of [[pretrainAssignments]]: conversation
@@ -301,11 +312,28 @@ object TrainingExport {
       roleCol, contentCol, tokenBudget)
     nested.join(text.select(col(keyCol), col("transcript")), Seq(keyCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    manifestShards(spark, outDir)
+  }
+
+  /** One [[graft.io.Layout.writeManifest]] per shard directory, run as
+    * CONCURRENT Spark jobs (the q162 ranker discipline, optimization
+    * guide §2.6): each manifest is an independent file-list hash job
+    * whose tasks leave most slots idle, so running them sequentially
+    * pays nShards × the per-job fixed cost in wall clock. Returns the
+    * manifested file count.
+    */
+  private def manifestShards(spark: SparkSession, outDir: String): Int = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .filter(_.isDirectory).map(_.getPath.toString)
-      .map(graft.io.Layout.writeManifest(spark, _)).sum
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.isDirectory).map(_.getPath.toString).toSeq
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(
+      Future.sequence(dirs.map(d =>
+        Future(graft.io.Layout.writeManifest(spark, d)))),
+      scala.concurrent.duration.Duration.Inf).sum
   }
 
   /** Write the epoch's train corpus as the release artifact: assignment
@@ -334,16 +362,16 @@ object TrainingExport {
     // doc would otherwise pay tokenize+FIM cost just to be dropped by
     // the join (advisor r19 item 2). Determinism is unaffected — draws
     // depend only on (id, salt), never on which rows ride along.
+    // NOT spread here: the joined frame feeds the shard-partitioned
+    // corpus write, where extra partitions multiply output files (and
+    // their manifest scans) faster than the FIM projection gains —
+    // A/B-measured slower with a spread (9.1 s vs 7.7 s at sf0.1)
     val text = Fim.transform(
       docs.select(col(idCol), col(textCol))
         .join(assign.select(col(idCol)), Seq(idCol)),
       idCol, textCol, fimFraction, spmFraction, epochSalt)
     assign.join(text.select(col(idCol), col("text_out")), Seq(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .filter(_.isDirectory).map(_.getPath.toString)
-      .map(graft.io.Layout.writeManifest(spark, _)).sum
+    manifestShards(spark, outDir)
   }
 }
