@@ -110,9 +110,14 @@ object LexicalIndex {
     */
   private def clustered(p: DataFrame): DataFrame = p.repartition(col("tb"))
 
-  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+  def write(docs0: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64, positional: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // a single-file corpus scan would tokenize the whole posting
+    // projection (and the stats pass) on one core; identity on
+    // well-split inputs (guide §2: the map side of the tb exchange
+    // inherits the scan's parallelism)
+    val docs = graft.io.Layout.spread(docs0)
     // a rebuild replaces ALL accrued batches, not just the seed's
     // directory — clear the two batch-partitioned tables first (meta is
     // a plain overwrite below)
@@ -274,8 +279,9 @@ object LexicalIndex {
     * append racing a [[compact]] would be dropped by the fold's swap,
     * so the second mutator fails loud instead.
     */
-  def append(spark: SparkSession, path: String, docs: DataFrame,
-      idCol: String, textCol: String, batchId: String = null): Unit =
+  def append(spark: SparkSession, path: String, docs0: DataFrame,
+      idCol: String, textCol: String, batchId: String = null): Unit = {
+    val docs = graft.io.Layout.spread(docs0) // the write()-side rationale
     graft.io.Maintenance.withLease(spark, path, "lexical-append") {
       val bid = Option(batchId).getOrElse(
         "oneshot-" + java.util.UUID.randomUUID().toString.take(12))
@@ -302,6 +308,7 @@ object LexicalIndex {
           .parquet(s"$path/stats/batch=$bid")
       }
     }
+  }
 
   /** Streaming maintenance: each micro-batch of documents [[append]]s
     * into the index (the maintained-index discipline of the ANN family).
