@@ -108,7 +108,12 @@ object LexicalIndex {
     * directory one writer. At 100 TB add more writers per bucket by
     * salting the repartition key, not by skipping it.
     */
-  private def clustered(p: DataFrame): DataFrame = p.repartition(col("tb"))
+  private def clustered(p: DataFrame): DataFrame =
+    // explicit session-parallelism count: a keyless repartition is
+    // AQE-coalesced back to ~one task at small posting sizes, which
+    // serialized the 64-directory write; each bucket still gets exactly
+    // one writer (hash distribution by tb)
+    p.repartition(p.sparkSession.sparkContext.defaultParallelism, col("tb"))
 
   def write(docs0: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64, positional: Boolean = false): Unit = {

@@ -507,11 +507,24 @@ object Similarity {
         .hyperplane_buckets(col(embCol), nTables, nPlanes, dim, seed))
         .as(Seq("table", "bucket")))
 
+  /** Cluster `df` on `keys` with an EXPLICIT session-parallelism
+    * partition count before a partitionBy write: unshuffled, every input
+    * task opens a file per partition directory it holds (tasks x dirs
+    * small files), while a keyless repartition is AQE-coalesced back to
+    * ~one task at small input sizes, serializing the write (the q127
+    * lesson). Explicit user counts are exempt from coalescing; each
+    * directory still gets exactly one writer. The lexical index's
+    * `clustered` is the same discipline.
+    */
+  private def clusteredBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   def writeLshIndex(embs: DataFrame, idCol: String, embCol: String,
       path: String, nPlanes: Int = 4, nTables: Int = 12, dim: Int = -1,
       seed: Long = 11L): Unit = {
     val d = if (dim > 0) dim else inferDim(embs, embCol)
-    lshPostings(embs, idCol, embCol, nPlanes, nTables, d, seed)
+    clusteredBy(lshPostings(embs, idCol, embCol, nPlanes, nTables, d, seed),
+        col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
   }
 
@@ -586,9 +599,12 @@ object Similarity {
       seed: Long = 11L): Unit = {
     import graft.functions.GraftFunctions.{int8_pack, int8_quantize}
     val d = if (dim > 0) dim else inferDim(embs, embCol)
-    lshPostings(embs, idCol, embCol, nPlanes, nTables, d, seed)
-      .withColumn("qb", int8_pack(int8_quantize(col(embCol)).getField("q")))
-      .drop(embCol)
+    clusteredBy(
+        lshPostings(embs, idCol, embCol, nPlanes, nTables, d, seed)
+          .withColumn("qb",
+            int8_pack(int8_quantize(col(embCol)).getField("q")))
+          .drop(embCol),
+        col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
   }
 
@@ -732,8 +748,8 @@ object Similarity {
   def writeIvfIndex(embs: DataFrame, idCol: String, embCol: String,
       path: String, nList: Int = 16, seed: Long = 42L): Unit = {
     val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/postings")
+    clusteredBy(assigned, col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/postings")
     writeCentroids(embs.sparkSession, path, centroids)
     writeAnchor(embs, embCol, path)
   }
@@ -786,9 +802,9 @@ object Similarity {
       path: String, nList: Int = 16, seed: Long = 42L): Unit = {
     import graft.functions.GraftFunctions.{int8_pack, int8_quantize}
     val (assigned, centroids) = ivfAssign(embs, idCol, embCol, nList, seed)
-    assigned
-      .withColumn("qb", int8_pack(int8_quantize(col(embCol)).getField("q")))
-      .drop(embCol)
+    clusteredBy(assigned
+        .withColumn("qb", int8_pack(int8_quantize(col(embCol)).getField("q")))
+        .drop(embCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
     writeCentroids(embs.sparkSession, path, centroids)
     writeAnchor(embs, embCol, path)
@@ -842,8 +858,8 @@ object Similarity {
           zip_with(col(embCol), col("__cent"), (a, b) => a - b).as("__res")),
       "graft-ivfpq-")
     val codebook = Quantization.pqTrain(residuals, "__res", m, ksub, seed)
-    Quantization.pqEncode(residuals, "__res", codebook)
-      .select(col(idCol), col("cell"), col("pq"))
+    clusteredBy(Quantization.pqEncode(residuals, "__res", codebook)
+        .select(col(idCol), col("cell"), col("pq")), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
     writeCentroids(spark, path, centroids)
     codebook.zipWithIndex
