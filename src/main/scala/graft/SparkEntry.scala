@@ -130,6 +130,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("grade"))
   }
 
+  /** [[overlapJudgments]] read off a spilled
+    * [[graft.operators.TextAnalysis.tfProjectionWithLens]] frame instead
+    * of tokenizing the corpus again: the projection's term rows ARE the
+    * distinct (doc, term) pairs (TokenCounts emits each token once per
+    * doc), so the grade aggregate is identical by construction.
+    */
+  private def overlapJudgmentsFromProjection(proj: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(col("qterms"))).as("term"))
+    proj.where(col("term").isNotNull)
+      .select(col("doc_id"), col("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("grade"))
+  }
+
   private def q14JoinMultiway(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer")
     val orders = t(s, dir, "orders")
@@ -1636,15 +1653,20 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
             .as("qterms"))
-      val ranked = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      // ONE corpus tokenize: the shared sentinel tf projection (the
+      // q162 discipline) feeds the BM25 ranker AND the judgment frame
+      val proj = graft.io.Spill(graft.operators.TextAnalysis
+        .tfProjectionWithLens(docs, "doc_id", "text"), "graft-ndcgp-")
+      val ranked = TextAnalysis.bm25TopKFromProjection(proj,
         queries, "query_id", "qterms", k = 10)
       // the judgment frame feeds ndcgAtK's TWO subtrees (DCG join +
-      // IDCG window) — spilled eagerly so the corpus tokenize + grade
-      // aggregate runs once, not once per consumer (the q162
-      // leaderboard's discipline applied to the single-metric row)
+      // IDCG window) — spilled eagerly so the grade aggregate runs
+      // once, not once per consumer (the q162 leaderboard's discipline
+      // applied to the single-metric row)
       graft.operators.RankFusion
         .ndcgAtK(ranked,
-          graft.io.Spill(overlapJudgments(docs, queries), "graft-ndcgj-"),
+          graft.io.Spill(overlapJudgmentsFromProjection(proj, queries),
+            "graft-ndcgj-"),
           "doc_id", k = 10)
         .orderBy(col("query_id"))
     }),
@@ -1659,13 +1681,16 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           slice(graft.functions.TextFunctions.words(col("text")), 1, 8)
             .as("qterms"))
-      val ranked = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      // the q153 shared-projection discipline: one corpus tokenize
+      val proj = graft.io.Spill(graft.operators.TextAnalysis
+        .tfProjectionWithLens(docs, "doc_id", "text"), "graft-mrrp-")
+      val ranked = TextAnalysis.bm25TopKFromProjection(proj,
         queries, "query_id", "qterms", k = 10)
       // the q153 judgment-spill discipline: mrrAtK's rel frame feeds
       // the first-hit join AND the query universe
       graft.operators.RankFusion
         .mrrAtK(ranked,
-          graft.io.Spill(overlapJudgments(docs, queries)
+          graft.io.Spill(overlapJudgmentsFromProjection(proj, queries)
             .where(col("grade") >= 3), "graft-mrrj-"),
           "doc_id", k = 10)
         .orderBy(col("query_id"))
@@ -1760,38 +1785,41 @@ object SparkEntry {
           array_except(slice(w, 2, 7), slice(w, 1, 1)).as("should"),
           array().cast("array<string>").as("mustNot"))
       def sp(df: DataFrame) = graft.io.Spill(df, "graft-rankeval-")
-      // the five base rankers are independent full pipelines; their
-      // eager spills run as CONCURRENT Spark jobs (standard
-      // multi-threaded scheduling — each stage of one ranker leaves
-      // most slots idle at any moment, so overlapping them converts
-      // idle slots into wall-clock; Spill registers child-thread
-      // directories in its global exit registry by contract)
-      import scala.concurrent.{Await, Future}
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val Seq(lex, fuzzy, bool, mlt, dense) = Await.result(
-        Future.sequence(Seq(
-          Future(sp(TextAnalysis.bm25TopK(docs, "doc_id", "text",
-            queries, "query_id", "qterms", k = 10))),
-          Future(sp(TextAnalysis.bm25TopKFuzzy(docs, "doc_id", "text",
-            queries, "query_id", "qterms", k = 10, maxDist = 1))),
-          Future(sp(TextAnalysis.bm25TopKBool(docs, "doc_id", "text",
-            boolQ, "query_id", "must", "should", "mustNot", k = 10))),
-          Future(sp(TextAnalysis.moreLikeThis(docs, "doc_id", "text",
+      // ONE corpus tokenize for the four lexical rankers AND the
+      // judgment frame: the shared sentinel tf projection spills once
+      // and every consumer reads its own restriction of it (identical
+      // rows to the per-ranker spills it replaces — the previous form
+      // tokenized the corpus ~10x across vocab/tf/stats/judgment
+      // passes). The four ranker pipelines stay independent Spark jobs
+      // run CONCURRENTLY on the bounded [[graft.core.Jobs]] pool (guide
+      // §2.6 — each stage of one ranker leaves most slots idle at any
+      // moment; Spill registers child-thread directories in its global
+      // exit registry by contract).
+      val proj = sp(graft.operators.TextAnalysis.tfProjectionWithLens(
+        docs, "doc_id", "text"))
+      val Seq(lex, fuzzy, bool, mlt, dense) = graft.core.Jobs.parallel(
+        s.sparkContext, Seq[() => DataFrame](
+          () => TextAnalysis.bm25TopKFromProjection(proj,
+            queries, "query_id", "qterms", k = 10),
+          () => TextAnalysis.bm25TopKFuzzyFromProjection(proj,
+            queries, "query_id", "qterms", k = 10, maxDist = 1),
+          () => TextAnalysis.bm25TopKBoolFromProjection(proj,
+            boolQ, "query_id", "must", "should", "mustNot", k = 10),
+          () => TextAnalysis.moreLikeThisFromProjection(proj,
             probeDocs.select(col("doc_id")), "doc_id", mTerms = 3,
-            k = 10))),
-          Future(sp(graft.operators.Similarity.batchExactTopK(
+            k = 10),
+          () => graft.operators.Similarity.batchExactTopK(
             embs.select(col("vec_id").as("doc_id"), col("embedding")),
             embs.where(col("vec_id") % 50 === 0)
               .select(col("vec_id").as("doc_id"), col("embedding")),
-            "doc_id", "embedding", k = 10))))),
-        scala.concurrent.duration.Duration.Inf): @unchecked
+            "doc_id", "embedding", k = 10)),
+        maxInFlight = 5)(mk => sp(mk())): @unchecked
       val hybrid = graft.operators.RankFusion.rrf(
         Seq(lex, dense), "doc_id", k = 10)
       graft.operators.RankFusion.ndcgLeaderboard(
           Seq("boolean" -> bool, "dense" -> dense, "fuzzy" -> fuzzy,
             "hybrid" -> hybrid, "lexical" -> lex, "mlt" -> mlt),
-          overlapJudgments(docs, queries), "doc_id", k = 10)
+          overlapJudgmentsFromProjection(proj, queries), "doc_id", k = 10)
         .orderBy(col("ranker"))
     }),
 

@@ -29,10 +29,29 @@ object Layout {
     * Results are unaffected: every consumer in this codebase is
     * partitioning-invariant by the determinism contract (order-invariant
     * aggregates, per-row deterministic draws).
+    *
+    * The partition probe is restricted to SCAN-SHAPED plans (leaf +
+    * per-row operators only): `df.rdd` on a plan containing exchanges
+    * materializes every upstream query stage under AQE — the shuffles
+    * actually run and the result is discarded, since both branches
+    * return a freshly-planned frame (round-20 advisor item). A frame
+    * that already contains a shuffle/join/aggregate is returned
+    * unchanged: its parallelism is AQE-managed (and a caller-written
+    * `repartition` is an explicit choice this helper must respect), so
+    * the single-split-scan problem this fixes cannot apply. For
+    * scan-shaped plans `df.rdd` plans no stages and the exact probe is
+    * cheap.
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanShaped = !df.queryExecution.optimizedPlan.exists {
+      case _: LeafNode | _: Project | _: Filter | _: Generate |
+           _: SubqueryAlias => false
+      case _ => true
+    }
+    if (!scanShaped || df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
   }
 
   /** Write `df` clustered for range predicates on `sortCols`:

@@ -920,17 +920,29 @@ object Dedup {
         f.name == "id_a" && f.dataType == LongType) &&
       pairs.schema.fields.exists(f =>
         f.name == "id_b" && f.dataType == LongType)
+    // The pair subplan (often an expensive shingle/join pipeline)
+    // materializes exactly ONCE: the size probe, the driver fast path,
+    // and BOTH union branches of the distributed edge frame all read this
+    // checkpoint (round-20 advisor item — the previous limit-probe
+    // executed the subplan and threw the work away on the over-cap path,
+    // and the src/dst union re-ran it twice more inside one job).
+    val pinned = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     if (maxDriverEdges > 0 && longIds) {
-      import spark.implicits._
-      val head = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)]
-        .limit(maxDriverEdges + 1).collect()
-      if (head.length <= maxDriverEdges)
-        return spark.createDataset(unionFindLabels(head))
-          .toDF("id", "comp")
+      val head = pinned.limit(maxDriverEdges + 1).collect()
+      // a NULL id would NPE at primitive unboxing here while the
+      // distributed loop silently drops null join keys — null presence
+      // makes the graph ineligible for the driver labeler, not a crash
+      if (head.length <= maxDriverEdges &&
+          !head.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val (ids, comps) = unionFindLabels(head)
+        import spark.implicits._
+        return spark.createDataset(ids.zip(comps).toSeq).toDF("id", "comp")
+      }
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    // lazy over the checkpoint: each pass's join re-reads block-manager
+    // rows instead of re-running the pair subplan
+    val edges = pinned.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pinned.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -938,9 +950,23 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val merged = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(edges("src").as("id"), col("comp"),
+          lit(null).cast(LongType).as("__old"))
+      // the previous label rides the min aggregate as one extra long
+      // column (__old; min over {old, null...} = old — every id has
+      // exactly one labels row), so convergence is read off the
+      // checkpointed result itself instead of a per-pass probe JOIN of
+      // two label tables: at scale that join was a second full label
+      // shuffle per pass (guide §2.4); here the probe is a filter scan
+      // of block-manager rows. (Round 4 A/B-refuted threading the
+      // label through the EDGE join — this threads it through the
+      // label-side union only, which the same aggregate already
+      // shuffles.)
+      val merged = labels
+        .select(col("id"), col("comp"), col("comp").as("__old"))
+        .union(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), min(col("__old")).as("__old"))
       // pointer jump: comp values are themselves vertex ids, so follow one
       // more hop through the (complete) label table and keep the smaller.
       // The jump side is re-projected under fresh names — a plain
@@ -949,21 +975,11 @@ object Dedup {
       val next = merged
         .join(merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
           col("comp") === col("__jid"))
-        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"))
+        .select(col("id"), least(col("comp"), col("__jcomp")).as("comp"),
+          (least(col("comp"), col("__jcomp")) =!= col("__old")).as("__chg"))
         .localCheckpoint(true)
-      // Convergence probe: changed-rows join against the previous labels.
-      // Two alternatives were A/B-measured at sf0.1 (round 4) and kept OUT:
-      // threading the previous label through the pass as an extra column
-      // (widens every pass's largest shuffle) and gating the probe behind a
-      // per-pass hash-sum signature aggregate (trades the probe join for an
-      // extra driver action per pass). Both ran at-or-slower than this
-      // form; at this scale the cost driver is ACTIONS per pass, which
-      // amortize away at real data sizes (SURVEY §9 scale probe).
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     if (!converged)
@@ -975,28 +991,54 @@ object Dedup {
   /** Driver-side min-root union-find over a bounded edge list — the
     * [[connectedComponents]] fast path's labeler. Roots are always the
     * component minimum (the larger root attaches under the smaller), so
-    * after path compression each node's find() IS its label. Returns one
-    * (id, comp) pair per distinct vertex, matching the distributed
-    * loop's contract exactly.
+    * after path compression each node's find() IS its label. Returns the
+    * (ids, comps) column pair, one entry per distinct vertex, matching
+    * the distributed loop's contract exactly.
+    *
+    * Primitive-array layout (sort-dedup the vertex ids, binary-search to
+    * an int index, int parent array): the previous boxed
+    * HashMap[Long, Long] held ~150-250 MB at the default 2^20-edge cap
+    * (round-20 advisor item); this form is ~24 B/edge transient plus
+    * ~12 B/vertex, and ids sort ascending so index order IS id order
+    * (min root == min index).
     */
-  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+  private def unionFindLabels(
+      edges: Array[org.apache.spark.sql.Row]): (Array[Long], Array[Long]) = {
+    val m = edges.length
+    val ea = new Array[Long](m); val eb = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val r = edges(i); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1
+    }
+    val all = new Array[Long](2 * m)
+    System.arraycopy(ea, 0, all, 0, m)
+    System.arraycopy(eb, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var n = 0; i = 0
+    while (i < all.length) {
+      if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val parent = new Array[Int](n)
+    i = 0; while (i < n) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var c = x0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
+    i = 0
+    while (i < m) {
+      val ra = find(java.util.Arrays.binarySearch(all, 0, n, ea(i)))
+      val rb = find(java.util.Arrays.binarySearch(all, 0, n, eb(i)))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    parent.keySet().forEach(id => out += ((id, find(id))))
-    out.toSeq
+    val ids = new Array[Long](n); val comps = new Array[Long](n)
+    i = 0
+    while (i < n) { ids(i) = all(i); comps(i) = all(find(i)); i += 1 }
+    (ids, comps)
   }
 
   /** Ids to DROP under component dedup: every component member except its

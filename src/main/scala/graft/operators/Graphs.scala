@@ -45,27 +45,40 @@ object Graphs {
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val e = if (cacheEdges) graft.io.Spill(ePlan, "graft-pr-edges-") else ePlan
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e0 = if (cacheEdges) graft.io.Spill(ePlan, "graft-pr-edges-") else ePlan
+    // out-degree pre-joined ONCE onto the edge table (round-20 verdict
+    // item 7): the per-iteration rank×outdeg join disappears — each step
+    // is one join (ranks onto the widened edges) + one aggregate instead
+    // of two joins. rank/outdeg is evaluated per edge row either way, so
+    // the contribution doubles are bit-identical.
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = if (cacheEdges)
+      graft.io.Spill(e0.join(outdeg, "src"), "graft-pr-edges-")
+    else e0.join(outdeg, "src")
+    // the (node, initial rank, teleport base) frame likewise
+    // materializes once: the previous form re-derived nodes-distinct and
+    // the N aggregate from the edge table inside EVERY iteration's plan
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
     val n = nodes.agg(count(lit(1)).as("n")) // one row; broadcast by size
     // (1-d) computed IN the plan so the oracle's (1 - 0.85) lands on the
     // identical double — a 0.15 literal parses to a different one
-    val base = (lit(1.0) - lit(damping)) / col("n")
-    var ranks = nodes.crossJoin(n)
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    val rbPlan = nodes.crossJoin(n)
+      .select(col("node"), (lit(1.0) / col("n")).as("r0"),
+        ((lit(1.0) - lit(damping)) / col("n")).as("base"))
+    val rb = if (cacheEdges) graft.io.Spill(rbPlan, "graft-pr-nodes-")
+      else rbPlan
+    var ranks = rb.select(col("node"), col("r0").as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .join(e, "src")
+        .join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).cast("decimal(38,18)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.crossJoin(n)
+      ranks = rb
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (base + lit(damping) *
+          (col("base") + lit(damping) *
             coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
     }
     ranks

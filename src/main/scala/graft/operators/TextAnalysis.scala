@@ -296,21 +296,77 @@ object TextAnalysis {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
     val qterms = bm25QueryTerms(queries, queryIdCol, queryTermsCol)
-    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
-    val stats = toks
-      .select(sizeOrNull(col("__w")).cast("double").as("l"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
     // The tf frame feeds BOTH the df rollup and the scoring projection;
     // spill it once (the q130 raw-feature discipline) so the second
     // consumer scans integer (doc, doc_len, term, tf) parquet instead of
     // re-running the tokenize corpus pass. Per-doc tf comes from the
-    // shared map-only [[tfProjection]] (the exchange-free TokenCounts
-    // bag). The spill holds query-matching term stats only — never text.
-    val tf = graft.io.Spill(
-      tfProjection(docs, idCol, textCol)
-        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
-          "left_semi"), "graft-bm25tf-")
-    bm25RankTail(tf, stats, qterms, k, k1, b)
+    // shared map-only [[tfProjectionWithLens]] (the exchange-free
+    // TokenCounts bag), whose per-doc term=NULL sentinel row carries the
+    // doc length, so the corpus stats (n, avgdl) read from the SAME
+    // spill — the previous separate stats aggregate re-tokenized the
+    // whole corpus once per retrieval call (guide §2.3/§1.2; round-20
+    // "not yet optimized" item). The spill holds query-matching term
+    // stats + one sentinel per doc — never text.
+    val proj = graft.io.Spill(
+      restrictWithSentinels(tfProjectionWithLens(docs, idCol, textCol),
+        qterms.select(col("term"))), "graft-bm25tf-")
+    bm25FromProjection(proj, qterms, k, k1, b, restricted = true)
+  }
+
+  /** [[bm25TopK]] over a PRE-SPILLED [[tfProjectionWithLens]] frame —
+    * the multi-ranker rows (q162 leaderboard, q153/q154 metrics) build
+    * the corpus projection once and every lexical ranker consumes its
+    * own restriction, instead of each ranker re-tokenizing the corpus.
+    * Identical results by construction: the tail restricts `proj` with
+    * the same semi-join the one-shot path applies at spill time.
+    */
+  private[graft] def bm25TopKFromProjection(proj: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25FromProjection(proj,
+      bm25QueryTerms(queries, queryIdCol, queryTermsCol), k, k1, b,
+      restricted = false)
+  }
+
+  /** Single home for the projection → rank-tail wiring of [[bm25TopK]]
+    * and [[bm25TopKFromProjection]] (the bm25RankTail no-drift
+    * argument). `restricted = true` means the projection was already
+    * semi-joined to the query terms at spill time, so the tail skips
+    * the (plan-audited) re-restriction join.
+    */
+  private def bm25FromProjection(proj: DataFrame, qterms: DataFrame,
+      k: Int, k1: Double, b: Double, restricted: Boolean): DataFrame = {
+    val base = proj.where(col("term").isNotNull)
+    val tf = if (restricted) base
+      else base.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+    bm25RankTail(tf, statsFromProjection(proj), qterms, k, k1, b)
+  }
+
+  /** The one-row (n, avgdl) corpus stats read off a
+    * [[tfProjectionWithLens]] frame's term=NULL sentinel rows: n counts
+    * every document (null-text docs emit a sentinel with NULL doc_len),
+    * avgdl averages the non-null lengths — exactly the semantics of the
+    * former standalone `agg(count, avg(sizeOrNull(words(text))))` pass
+    * (doc lengths are integers, so the double sum is exact and
+    * order-invariant; the oracle replay is unaffected).
+    */
+  private[graft] def statsFromProjection(proj: DataFrame): DataFrame =
+    proj.where(col("term").isNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("doc_len").cast("double")).as("avgdl"))
+
+  /** Restrict a [[tfProjectionWithLens]] frame to `terms` while keeping
+    * the term=NULL stats sentinels (null-safe semi-join: a plain
+    * `left_semi` on `term` would drop them).
+    */
+  private def restrictWithSentinels(proj: DataFrame,
+      terms: DataFrame): DataFrame = {
+    val keep = terms.select(col("term").as("__kt")).distinct()
+      .unionByName(terms.sparkSession.range(1)
+        .select(lit(null).cast("string").as("__kt")))
+    proj.join(broadcast(keep), col("term") <=> col("__kt"), "left_semi")
   }
 
   /** Scoring + ranking tail shared by [[bm25TopK]] (spilled in-plan tf)
@@ -370,8 +426,23 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(mTerms > 0, "mTerms must be positive")
     require(k > 0, "k must be positive")
-    val tf = graft.io.Spill(tfProjection(docs, idCol, textCol),
+    val proj = graft.io.Spill(tfProjectionWithLens(docs, idCol, textCol),
       "graft-mlt-")
+    moreLikeThisFromProjection(proj, seeds, seedIdCol, mTerms, k, k1, b)
+  }
+
+  /** [[moreLikeThis]] over a pre-spilled [[tfProjectionWithLens]] frame
+    * (the q162 shared-projection discipline). The corpus stats (n for
+    * tf-idf, (n, avgdl) for BM25) read from the sentinel rows — the
+    * previous form paid one full corpus tokenize for avgdl plus a doc
+    * count scan on top of the tf spill pass.
+    */
+  private[graft] def moreLikeThisFromProjection(proj: DataFrame,
+      seeds: DataFrame, seedIdCol: String, mTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(mTerms > 0, "mTerms must be positive")
+    require(k > 0, "k must be positive")
+    val tf = proj.where(col("term").isNotNull)
     val seedIds = seeds.select(col(seedIdCol).cast("long").as("doc_id"))
     // the keyword frame (seeds x m rows) and the ranked frame
     // (seeds x k+1 rows) each feed MULTIPLE broadcast consumers — left
@@ -382,17 +453,14 @@ object TextAnalysis {
     val keywords = graft.io.Spill(tfidfRankTailWithDf(
       tf.join(broadcast(seedIds), Seq("doc_id"), "left_semi"),
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      docs.agg(count(lit(1)).cast("double").as("n")), mTerms),
+      proj.where(col("term").isNull)
+        .agg(count(lit(1)).cast("double").as("n")), mTerms),
       "graft-mlt-kw-")
     val qterms = keywords.select(col("doc_id").as("query_id"), col("term"))
-    val stats = docs
-      .select(graft.functions.TextFunctions
-        .sizeOrNull(words(col(textCol))).cast("double").as("l"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
     val res = graft.io.Spill(bm25RankTail(
       tf.join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi"),
-      stats, qterms, k + 1, k1, b), "graft-mlt-res-")
+      statsFromProjection(proj), qterms, k + 1, k1, b), "graft-mlt-res-")
     mltExcludeSeed(res, k)
   }
 
@@ -442,15 +510,32 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val roles = boolQueryRoles(queries, queryIdCol, mustCol, shouldCol,
       mustNotCol)
-    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
-    val stats = toks
-      .select(sizeOrNull(col("__w")).cast("double").as("l"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("l")).as("avgdl"))
-    val tf = graft.io.Spill(
-      tfProjection(docs, idCol, textCol)
-        .join(broadcast(roles.select(col("term")).distinct()), Seq("term"),
-          "left_semi"), "graft-bm25tf-")
-    bm25BoolRankTail(tf, stats, roles, k, k1, b)
+    // one tokenize pass for tf AND stats (the bm25TopK sentinel spill)
+    val proj = graft.io.Spill(
+      restrictWithSentinels(tfProjectionWithLens(docs, idCol, textCol),
+        roles.select(col("term"))), "graft-bm25tf-")
+    bm25BoolFromProjection(proj, roles, k, k1, b, restricted = true)
+  }
+
+  /** [[bm25TopKBool]] over a pre-spilled [[tfProjectionWithLens]] frame
+    * (the q162 shared-projection discipline).
+    */
+  private[graft] def bm25TopKBoolFromProjection(proj: DataFrame,
+      queries: DataFrame, queryIdCol: String, mustCol: String,
+      shouldCol: String, mustNotCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25BoolFromProjection(proj, boolQueryRoles(queries, queryIdCol,
+      mustCol, shouldCol, mustNotCol), k, k1, b, restricted = false)
+  }
+
+  private def bm25BoolFromProjection(proj: DataFrame, roles: DataFrame,
+      k: Int, k1: Double, b: Double, restricted: Boolean): DataFrame = {
+    val base = proj.where(col("term").isNotNull)
+    val tf = if (restricted) base
+      else base.join(broadcast(roles.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+    bm25BoolRankTail(tf, statsFromProjection(proj), roles, k, k1, b)
   }
 
   /** The (query_id, term, role) frame of a boolean query batch
@@ -802,8 +887,28 @@ object TextAnalysis {
       queries: DataFrame, queryIdCol: String, queryTermsCol: String,
       k: Int, maxDist: Int = 1, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val vocab = docs
-      .select(explode(words(col(textCol))).as("term")).distinct()
+    // ONE corpus tokenize pass: the full sentinel projection spills
+    // once and serves the vocabulary (distinct terms), the tf
+    // restriction, AND the (n, avgdl) stats — the previous form
+    // tokenized the corpus three times (vocab scan + the inner
+    // bm25TopK's tf and stats passes)
+    val proj = graft.io.Spill(tfProjectionWithLens(docs, idCol, textCol),
+      "graft-bm25tf-")
+    bm25TopKFuzzyFromProjection(proj, queries, queryIdCol, queryTermsCol,
+      k, maxDist, k1, b)
+  }
+
+  /** [[bm25TopKFuzzy]] over a pre-spilled [[tfProjectionWithLens]]
+    * frame (the q162 shared-projection discipline): the vocabulary is
+    * the projection's distinct term set — identical to the corpus
+    * explode-distinct by the TokenCounts bag semantics.
+    */
+  private[graft] def bm25TopKFuzzyFromProjection(proj: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTermsCol: String,
+      k: Int, maxDist: Int = 1, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val vocab = proj.where(col("term").isNotNull)
+      .select(col("term")).distinct()
     // the expanded query frame feeds MULTIPLE bm25TopK subtrees (the
     // tf semi-join's broadcast and the scoring join) — left in-plan,
     // each consumer re-runs the whole vocabulary expansion (at depth 2
@@ -814,7 +919,7 @@ object TextAnalysis {
         bm25QueryTerms(queries, queryIdCol, queryTermsCol), maxDist)
       .groupBy(col("query_id")).agg(collect_list(col("term")).as("__qt")),
       "graft-fuzzy-exp-")
-    bm25TopK(docs, idCol, textCol, expanded, "query_id", "__qt", k, k1, b)
+    bm25TopKFromProjection(proj, expanded, "query_id", "__qt", k, k1, b)
   }
 
   /** Expand (query_id, term) rows to every `vocab` term within
@@ -1157,6 +1262,32 @@ object TextAnalysis {
         words(col(textCol)).as("__w"))
       .select(col("doc_id"), size(col("__w")).cast("long").as("doc_len"),
         explode(call_function("token_counts", col("__w"))).as("__tc"))
+      .select(col("doc_id"), col("doc_len"),
+        col("__tc.token").as("term"), col("__tc.n").as("tf"))
+
+  /** [[tfProjection]] plus ONE `term = NULL` sentinel row per document
+    * carrying the doc length under the stats-pass semantics (`sizeOrNull`:
+    * NULL for null text — null-text and zero-token docs emit a sentinel
+    * and nothing else). The corpus stats (n = sentinel count, avgdl =
+    * avg sentinel doc_len) ride the same single tokenize pass as the tf
+    * rows (guide §2.3 — the separate stats aggregate was one extra full
+    * corpus scan per retrieval call), read back via
+    * [[statsFromProjection]]. Still map-only. Term rows are identical to
+    * [[tfProjection]]'s (`sizeOrNull` ≡ `size` whenever a doc has any
+    * token to emit).
+    */
+  private[graft] def tfProjectionWithLens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        sizeOrNull(col("__w")).cast("long").as("doc_len"),
+        explode(concat(
+          coalesce(call_function("token_counts", col("__w")),
+            array().cast("array<struct<token:string,n:bigint>>")),
+          array(struct(lit(null).cast("string").as("token"),
+            lit(0L).as("n"))))).as("__tc"))
       .select(col("doc_id"), col("doc_len"),
         col("__tc.token").as("term"), col("__tc.n").as("tf"))
 

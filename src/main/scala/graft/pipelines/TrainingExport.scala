@@ -214,19 +214,18 @@ object TrainingExport {
       Seq(idCol)))
     // the epochs are independent given the spilled train frame; their
     // eager FIM spills run as concurrent Spark jobs (the q162 ranker
-    // discipline) instead of paying E sequential materializations
-    import scala.concurrent.{Await, Future}
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    Await.result(
-      Future.sequence(epochSalts.map { salt => Future(
-        epochSlice(train, idCol, textCol, salt, fimFraction, spmFraction,
-            budget, nShards, spillIntermediate)
-          .select(lit(salt).as("epoch"), col(idCol), col("fmt"),
-            col("tokens"), col("group"), col("shard"), col("seq_id"),
-            col("seq_pos"), col("oversize")))
-      }), scala.concurrent.duration.Duration.Inf)
-      .reduce(_.unionByName(_))
+    // discipline) on the BOUNDED [[graft.core.Jobs]] pool — guide §2.6:
+    // 2-4 in flight fills the stage tails; `ExecutionContext.global`
+    // fanned out unbounded and dropped the caller's job group/description
+    // (round-20 advisor item)
+    graft.core.Jobs.parallel(docs.sparkSession.sparkContext,
+        epochSalts) { salt =>
+      epochSlice(train, idCol, textCol, salt, fimFraction, spmFraction,
+          budget, nShards, spillIntermediate)
+        .select(lit(salt).as("epoch"), col(idCol), col("fmt"),
+          col("tokens"), col("group"), col("shard"), col("seq_id"),
+          col("seq_pos"), col("oversize"))
+    }.reduce(_.unionByName(_))
   }
 
   /** The SFT-side export twin of [[pretrainAssignments]]: conversation
@@ -327,13 +326,10 @@ object TrainingExport {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .filter(_.isDirectory).map(_.getPath.toString).toSeq
-    import scala.concurrent.{Await, Future}
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    Await.result(
-      Future.sequence(dirs.map(d =>
-        Future(graft.io.Layout.writeManifest(spark, d)))),
-      scala.concurrent.duration.Duration.Inf).sum
+    // bounded pool (guide §2.6): a large nShards on global would flood
+    // the scheduler with one job per shard all at once
+    graft.core.Jobs.parallel(spark.sparkContext, dirs)(d =>
+      graft.io.Layout.writeManifest(spark, d)).sum
   }
 
   /** Write the epoch's train corpus as the release artifact: assignment

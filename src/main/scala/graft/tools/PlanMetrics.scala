@@ -68,14 +68,17 @@ object PlanMetrics {
     spark.stop()
   }
 
-  private def fmt(v: Long, name: String): String =
-    if (name.contains("size") || name.contains("bytes") ||
-      name.contains("Bytes")) {
+  private def fmt(v: Long, name: String, metricType: String): String =
+    // switch on the metric's declared type: nsTiming values are
+    // nanoseconds and rendering them as ms misattributed hot operators
+    // by 1e6x (round-20 advisor item)
+    if (metricType == "nsTiming") f"${v / 1e6}%.1fms"
+    else if (metricType == "timing") s"${v}ms"
+    else if (metricType == "size" || name.contains("size") ||
+      name.contains("bytes") || name.contains("Bytes")) {
       if (v >= 10485760) s"${v / 1048576}MB"
       else if (v >= 10240) s"${v / 1024}KB" else s"${v}B"
     } else if (name.contains("time") || name.contains("duration")) {
-      // SQLMetrics timing values are ms (timing) or ns (nsTiming); both
-      // render here as-is with a unit tag the reader interprets
       s"${v}ms"
     } else v.toString
 
@@ -89,7 +92,7 @@ object PlanMetrics {
     val ms = p.metrics.toSeq
       .filter { case (k, m) => m.value > 0 && interesting(k) }
       .sortBy(_._1)
-      .map { case (k, m) => s"$k=${fmt(m.value, k)}" }
+      .map { case (k, m) => s"$k=${fmt(m.value, k, m.metricType)}" }
       .mkString(" ")
     println(("  " * depth) + p.nodeName + (if (ms.isEmpty) "" else s"  [$ms]"))
     p match {
