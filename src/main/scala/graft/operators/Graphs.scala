@@ -45,29 +45,31 @@ object Graphs {
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     val ePlan = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val e0 = if (cacheEdges) graft.io.Spill(ePlan, "graft-pr-edges-") else ePlan
     // out-degree pre-joined ONCE onto the edge table (round-20 verdict
     // item 7): the per-iteration rank×outdeg join disappears — each step
     // is one join (ranks onto the widened edges) + one aggregate instead
     // of two joins. rank/outdeg is evaluated per edge row either way, so
-    // the contribution doubles are bit-identical.
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = if (cacheEdges)
-      graft.io.Spill(e0.join(outdeg, "src"), "graft-pr-edges-")
-    else e0.join(outdeg, "src")
-    // the (node, initial rank, teleport base) frame likewise
-    // materializes once: the previous form re-derived nodes-distinct and
-    // the N aggregate from the edge table inside EVERY iteration's plan
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    // the contribution doubles are bit-identical. Both join inputs are
+    // the SAME dedup subtree, so its exchange is planned once and reused
+    // (ReuseExchange) inside the one spill job — still one pass over the
+    // raw edges, one eager sub-execution total (a separate pre-join
+    // spill was measured as a second fixed-cost job at bench scale).
+    val eWide = ePlan.join(
+      ePlan.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val e = if (cacheEdges) graft.io.Spill(eWide, "graft-pr-edges-")
+      else eWide
+    // the (node, initial rank, teleport base) frame stays LAZY: its
+    // identical distinct+count subtrees across iterations collapse under
+    // exchange reuse in the final plan, and an eager spill of it paid a
+    // fixed sub-execution cost that outweighed the saved recomputation
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.agg(count(lit(1)).as("n")) // one row; broadcast by size
     // (1-d) computed IN the plan so the oracle's (1 - 0.85) lands on the
     // identical double — a 0.15 literal parses to a different one
-    val rbPlan = nodes.crossJoin(n)
+    val rb = nodes.crossJoin(n)
       .select(col("node"), (lit(1.0) / col("n")).as("r0"),
         ((lit(1.0) - lit(damping)) / col("n")).as("base"))
-    val rb = if (cacheEdges) graft.io.Spill(rbPlan, "graft-pr-nodes-")
-      else rbPlan
     var ranks = rb.select(col("node"), col("r0").as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ranks

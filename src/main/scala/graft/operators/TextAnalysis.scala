@@ -322,11 +322,12 @@ object TextAnalysis {
     */
   private[graft] def bm25TopKFromProjection(proj: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTermsCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      restricted: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     bm25FromProjection(proj,
       bm25QueryTerms(queries, queryIdCol, queryTermsCol), k, k1, b,
-      restricted = false)
+      restricted)
   }
 
   /** Single home for the projection → rank-tail wiring of [[bm25TopK]]
@@ -361,7 +362,7 @@ object TextAnalysis {
     * the term=NULL stats sentinels (null-safe semi-join: a plain
     * `left_semi` on `term` would drop them).
     */
-  private def restrictWithSentinels(proj: DataFrame,
+  private[graft] def restrictWithSentinels(proj: DataFrame,
       terms: DataFrame): DataFrame = {
     val keep = terms.select(col("term").as("__kt")).distinct()
       .unionByName(terms.sparkSession.range(1)

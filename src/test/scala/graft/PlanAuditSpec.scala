@@ -75,7 +75,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSpec {
     // q95/q133 dense posture; q204 ranks the identical prefScored frame)
     "q177_preference_pairs", "q204_dpo_pairs",
     // q179/q181: q123's L-row label broadcast inside the NB rater
-    "q179_lang_kappa", "q181_avg_precision")
+    "q179_lang_kappa", "q181_avg_precision",
+    // q205-q207: the heavy tier's DELIBERATE rep-row broadcast cross
+    // join (heavyDocs — corpus replication by id arithmetic; the inner
+    // is the rep-sized range frame) plus, for q206, q134's one-row
+    // stats broadcast
+    "q205_heavy_quality", "q206_heavy_bm25", "q207_heavy_tokens")
 
   test("no battery query plans a cartesian product or stray nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
