@@ -92,13 +92,37 @@ object LexicalIndex {
     * both skip nulls. Folding total_len/n_docs instead would silently
     * shift avgdl on corpora with null text and break the pinned
     * one-shot ≡ indexed equality.
+    *
+    * Computed WITHOUT a second corpus tokenize pass
+    * (guide §2.3/§1.2 — the previous standalone
+    * `agg(count, count(l), sum(sizeOrNull(words(text))))` scan
+    * re-tokenized every batch on top of the posting projection's own
+    * pass): `total_len` is the tf sum over the batch's just-written
+    * postings (sum of a doc's tf values IS its doc_len; token-less docs
+    * contribute 0 rows ≡ 0 length — exact even under duplicate ids),
+    * and `n_docs`/`n_len` come from a light no-tokenize scan of the
+    * batch (`words(text)` is NULL iff `text` is NULL, so
+    * n_len = count(text IS NOT NULL)). All three are integer folds —
+    * equality with the tokenizing form is exact, keeping the pinned
+    * one-shot ≡ indexed avgdl semantics (n_len is the divisor; see the
+    * class doc note on null-text corpora).
     */
-  private def statsDelta(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(graft.functions.TextFunctions
-        .sizeOrNull(words(col(textCol))).cast("long").as("l"))
-      .agg(count(lit(1)).as("n_docs"), count(col("l")).as("n_len"),
-        coalesce(sum(col("l")), lit(0L)).as("total_len"))
+  private def statsDeltaFromPostings(docs: DataFrame, textCol: String,
+      writtenPostings: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+        count(col(textCol)).as("n_len"))
+      .crossJoin(writtenPostings.agg(
+        coalesce(sum(col("tf")), lit(0L)).as("total_len")))
+      .select(col("n_docs"), col("n_len"), col("total_len"))
+
+  /** The just-written posting batch, read back with an EXPLICIT schema
+    * (only the columns the stats fold needs): an empty batch (an append
+    * of zero docs) writes a directory with no parquet files, where
+    * schema inference fails — the explicit schema resolves it to an
+    * empty frame instead.
+    */
+  private def writtenBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("tf BIGINT, tb INT").parquet(dir)
 
   /** Cluster postings on their bucket before the partitioned write:
     * `partitionBy` alone makes EVERY task open a file in every bucket it
@@ -138,7 +162,10 @@ object LexicalIndex {
     clustered(postings(docs, idCol, textCol, nBuckets, positional))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch=init")
-    statsDelta(docs, idCol, textCol)
+    // stats from the just-written postings + a no-tokenize doc scan —
+    // the statsDelta form re-tokenized the whole batch a second time
+    statsDeltaFromPostings(docs, textCol,
+        writtenBatch(docs.sparkSession, s"$path/postings/batch=init"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/batch=init")
     docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"),
         lit(positional).as("positional"))
@@ -308,7 +335,9 @@ object LexicalIndex {
         clustered(postings(docs, idCol, textCol, nBuckets, positional))
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$path/postings/batch=$bid")
-        statsDelta(docs, idCol, textCol)
+        // the write()-side no-second-tokenize rationale
+        statsDeltaFromPostings(docs, textCol,
+            writtenBatch(spark, s"$path/postings/batch=$bid"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$path/stats/batch=$bid")
       }

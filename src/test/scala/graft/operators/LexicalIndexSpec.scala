@@ -75,6 +75,38 @@ class LexicalIndexSpec extends AnyFunSuite with Matchers with SparkSpec {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", q, "query_id", "qterms", k = 4))
   }
 
+  test("the no-retokenize stats fold (tf sum + no-tokenize doc counts) " +
+      "equals the tokenizing formula on null-text, zero-token and " +
+      "punctuation-only docs") {
+    import spark.implicits._
+    // doc_id % 7 == 0 -> null text (n_docs only); % 5 == 0 -> empty
+    // string (zero tokens: counts in n_len with length 0, writes no
+    // posting rows); % 3 == 0 -> punctuation-only (tokenizes to zero
+    // words, same class). The stats row must still match the per-doc
+    // sizeOrNull(words(text)) fold exactly.
+    val docs = corpus(30).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .when(col("doc_id") % 5 === 0, lit(""))
+        .when(col("doc_id") % 3 === 0, lit("... !!! ???"))
+        .otherwise(col("text")).as("text"))
+    val dir = graft.io.Spill.tempDir("graft-lexidx-") + "/idx"
+    LexicalIndex.write(docs.where(col("doc_id") <= 15),
+      "doc_id", "text", dir, nBuckets = 8)
+    LexicalIndex.append(spark, dir, docs.where(col("doc_id") > 15),
+      "doc_id", "text")
+    val got = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs"), sum("n_len"), sum("total_len"))
+      .first()
+    val want = docs.select(graft.functions.TextFunctions
+        .sizeOrNull(graft.functions.TextFunctions.words(col("text")))
+        .cast("long").as("l"))
+      .agg(count(lit(1)), count(col("l")),
+        coalesce(sum(col("l")), lit(0L)))
+      .first()
+    (got.getLong(0), got.getLong(1), got.getLong(2)) shouldBe
+      ((want.getLong(0), want.getLong(1), want.getLong(2)))
+  }
+
   test("compaction folds append-accrued files without changing answers") {
     val docs = corpus(40)
     val q = queriesOf(1L, 2L)
