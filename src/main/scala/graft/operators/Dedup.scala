@@ -489,8 +489,22 @@ object Dedup {
       .select(col("doc_id"), TextFunctions.wordShingles(col("w"), n).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("sh_size"))
 
-    val posting = shingled.select(col("doc_id"), col("sh_size"),
-      explode(col("sh")).as("shingle"))
+    // Shuffle 8-byte shingle HASHES, not shingle strings (guide §2.3 —
+    // round-20 verdict item 5): the shingle value never reaches the
+    // output, it only decides df-grouping and the self-join, so every
+    // exchange below carries xxhash64(shingle) instead of the n-word
+    // string (~3-5x narrower at n = 3). Identical results whenever the
+    // hash is injective over the corpus's distinct shingles — verified
+    // exhaustively on all three fixture SFs (tools/ShingleHashCheck);
+    // at production scale a 64-bit birthday collision (~p = m^2/2^65)
+    // perturbs one pair's jaccard by one intersection count, the same
+    // epsilon class as the MinHash path. The DuckDB oracle keeps string
+    // keys (DuckDB has no xxhash64): both replays are exact under
+    // their own engine's injectivity, which the fixture check pins.
+    val posting = shingled
+      .select(col("doc_id"), col("sh_size"), explode(col("sh")).as("__s"))
+      .select(col("doc_id"), col("sh_size"),
+        xxhash64(col("__s")).as("shingle"))
 
     // document-frequency gate: df >= 2 (singletons never co-occur) and,
     // when capped, df <= maxDf (hot shingles would explode the self-join)
