@@ -1806,6 +1806,12 @@ object SparkEntry {
       // exit registry by contract).
       val proj = sp(graft.operators.TextAnalysis.tfProjectionWithLens(
         docs, "doc_id", "text"))
+      // every ranker spills its RESULT: lex/dense feed two consumers
+      // (leaderboard + RRF), and although bool/fuzzy/mlt feed only the
+      // leaderboard's labeled union, leaving their scoring tails lazy
+      // was A/B-measured SLOWER (15.4 s vs 12.5 s at sf0.1) — the
+      // merged leaderboard plan serializes what the concurrent spill
+      // jobs overlap.
       val Seq(lex, fuzzy, bool, mlt, dense) = graft.core.Jobs.parallel(
         s.sparkContext, Seq[() => DataFrame](
           () => TextAnalysis.bm25TopKFromProjection(proj,
